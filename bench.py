@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries: the TPC-H-style relational core + the heavy
+#: training-data-pipeline operators (dedup, ANN, windows, matcher)
+BENCH_QUERIES = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "revenue_forecast",
+    "filter_images_semijoin",
+    "reset_index",
+    "diff_three_way",
+    "iou_pairs",
+    "pr_curve",
+    "confusion_matrix",
+    "hash_split",
+    "atomic_chunks",
+    "fingerprint_dedup",
+    "minhash_lsh_pairs",
+    "simhash",
+    "cosine_topk",
+    "sessionize",
+    "hourly_rollup",
+    "greedy_matching",
+]
+
+
+def main() -> None:
+    from lours_spark.session import get_spark
+    from lours_spark.suite import QUERIES
+
+    spark = get_spark("lours-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

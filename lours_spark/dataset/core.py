@@ -1,0 +1,469 @@
+"""The SparkDataset facade: two related DataFrames + a label-map dimension.
+
+Re-expresses the reference's ``Dataset`` (reference
+``lours/dataset/dataset.py:34-70``: images table, annotations table with
+FK ``image_id``, ``label_map`` category dimension) on Spark:
+
+- every transformation is LAZY and returns a new facade (the reference's
+  eager per-constructor validation, ``dataset.py:943-1029``, becomes an
+  explicit ``check()`` action so Catalyst can fuse whole chains);
+- the label map is a tiny driver-side dict materialized as either a
+  ``create_map`` literal or a broadcast join — never a shuffle;
+- denormalized columns (``category_str``, annotation ``split``,
+  reference ``dataset.py:1012-1018``) are recomputed with broadcast
+  lookups in ``denormalize()``;
+- the schema is open: anything beyond the default columns is an
+  attribute and flows through untouched.
+
+At 100 TB the two tables are expected to be stored partitioned by
+``split`` (and optionally bucketed by ``image_id`` on the annotation
+side) so the pervasive images⟕annotations semi-joins co-locate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import reduce
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lours_spark.dataset import schema as S
+
+
+def _map_literal(d: dict) -> Column:
+    """A dict as a Catalyst map literal (no join, no shuffle)."""
+    pairs = []
+    for k, v in d.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.create_map(*pairs)
+
+
+@dataclass(frozen=True)
+class SparkDataset:
+    """Two related row tables + a category dimension.
+
+    Parameters mirror the reference members (``dataset.py:46-50``);
+    ``booleanized_columns`` tracks one-hot-expanded list columns
+    (``dataset.py:71``).
+    """
+
+    images: DataFrame
+    annotations: DataFrame
+    label_map: dict[int, str] = field(default_factory=dict)
+    dataset_name: str | None = None
+    images_root: str = "."
+    booleanized_columns: dict[str, set[str]] = field(default_factory=dict)
+
+    # ---------------------------------------------------------------- misc
+    @property
+    def spark(self) -> SparkSession:
+        return self.images.sparkSession
+
+    def from_template(self, **kwargs) -> "SparkDataset":
+        """Cheap structural copy with overrides (reference
+        ``dataset.py:192-313``). Lazy frames make this nearly free."""
+        new = replace(self, **kwargs)
+        # prune stale booleanized prefixes (reference dataset.py:295-312)
+        cols = set(new.images.columns) | set(new.annotations.columns)
+        pruned = {
+            prefix: vals
+            for prefix, vals in new.booleanized_columns.items()
+            if any(c.startswith(prefix + ".") for c in cols)
+        }
+        if pruned != new.booleanized_columns:
+            new = replace(new, booleanized_columns=pruned)
+        return new
+
+    def __len__(self) -> int:
+        return self.images.count()
+
+    def len_annot(self) -> int:
+        return self.annotations.count()
+
+    def image_attributes(self) -> list[str]:
+        return S.image_attribute_columns(self.images.columns)
+
+    def annotation_attributes(self) -> list[str]:
+        return S.annotation_attribute_columns(self.annotations.columns)
+
+    # ------------------------------------------------------- normalization
+    def denormalize(self) -> "SparkDataset":
+        """Recompute ``category_str`` from the label map and annotation
+        ``split`` from the parent image (reference ``dataset.py:1012-1018``).
+
+        Both are broadcast-shaped: the label map is a literal map lookup
+        (zero shuffle); the split propagation is an equi-join on
+        ``image_id`` that Catalyst broadcasts when the image side is
+        small, and co-locates under bucketing at scale.
+        """
+        ann = self.annotations
+        if self.label_map:
+            ann = ann.withColumn(
+                "category_str",
+                F.coalesce(
+                    _map_literal(self.label_map)[F.col("category_id")],
+                    F.col("category_id").cast("string"),
+                ),
+            )
+        if "split" in self.images.columns:
+            img_split = self.images.select(
+                F.col("id").alias("__img_id"), F.col("split").alias("__img_split")
+            )
+            ann = (
+                ann.drop("split")
+                .join(img_split, ann.image_id == img_split["__img_id"], "left")
+                .withColumn("split", F.col("__img_split"))
+                .drop("__img_id", "__img_split")
+            )
+        return self.from_template(annotations=ann)
+
+    # ------------------------------------------------------------ validate
+    def check(self) -> dict[str, int]:
+        """Validation queries (the reference's eager constructor asserts,
+        ``dataset.py:943-948`` unique ids, ``dataset.py:990-998`` FK
+        integrity — run here as explicit actions)."""
+        dup_images = (
+            self.images.groupBy("id").count().filter(F.col("count") > 1).count()
+        )
+        dup_annots = (
+            self.annotations.groupBy("id").count().filter(F.col("count") > 1).count()
+        )
+        orphans = (
+            self.annotations.join(
+                self.images.select(F.col("id").alias("image_id")),
+                "image_id",
+                "left_anti",
+            ).count()
+        )
+        unknown_categories = 0
+        if self.label_map:
+            unknown_categories = self.annotations.filter(
+                ~F.col("category_id").isin(list(self.label_map.keys()))
+            ).count()
+        return {
+            "duplicate_image_ids": dup_images,
+            "duplicate_annotation_ids": dup_annots,
+            "orphan_annotations": orphans,
+            "unknown_categories": unknown_categories,
+        }
+
+    # ----------------------------------------------------------- filtering
+    def filter_images(self, predicate: Column | str) -> "SparkDataset":
+        """Filter the image table; annotations follow via left-semi join
+        (reference ``lours/dataset/indexing.py:49-51``)."""
+        images = self.images.filter(predicate)
+        annotations = self.annotations.join(
+            images.select(F.col("id").alias("image_id")), "image_id", "left_semi"
+        )
+        return self.from_template(images=images, annotations=annotations)
+
+    loc = filter_images  # reference Dataset.loc spelling (dataset.py:393)
+
+    def filter_annotations(
+        self, predicate: Column | str, remove_emptied_images: bool = False
+    ) -> "SparkDataset":
+        """Filter the annotation table. With ``remove_emptied_images``,
+        drop images that HAD annotations but lost them all, keeping
+        originally-empty images (reference ``indexing.py:106-119``)."""
+        new_ann = self.annotations.filter(predicate)
+        images = self.images
+        if remove_emptied_images:
+            still = images.join(
+                new_ann.select(F.col("image_id").alias("id")).distinct(),
+                "id",
+                "left_semi",
+            )
+            originally_empty = images.join(
+                self.annotations.select(F.col("image_id").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+            images = still.unionByName(originally_empty)
+        return self.from_template(images=images, annotations=new_ann)
+
+    loc_annot = filter_annotations  # reference dataset.py:529
+
+    def empty_annotations(self) -> "SparkDataset":
+        """Keep images, drop all annotations (reference ``dataset.py:936``)."""
+        return self.from_template(annotations=self.annotations.limit(0))
+
+    def remove_empty_images(self) -> "SparkDataset":
+        """Keep only images referenced by ≥1 annotation (reference
+        ``dataset.py:2863-2917``) — a left-semi join."""
+        images = self.images.join(
+            self.annotations.select(F.col("image_id").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        return self.from_template(images=images)
+
+    def get_split(self, split: str | None) -> "SparkDataset":
+        """Subset to one split value (reference ``dataset.py:1745``)."""
+        pred = F.col("split").isNull() if split is None else F.col("split") == split
+        return self.filter_images(pred)
+
+    def iter_splits(self) -> Iterator[tuple[str | None, "SparkDataset"]]:
+        values = [
+            r[0]
+            for r in self.images.select("split").distinct().collect()
+        ]
+        for v in sorted(values, key=lambda x: (x is None, x)):
+            yield v, self.get_split(v)
+
+    def keep_classes(self, keep: list[int]) -> "SparkDataset":
+        """Category whitelist (reference ``dataset.py:4137``)."""
+        ann = self.annotations.filter(F.col("category_id").isin(keep))
+        lm = {k: v for k, v in self.label_map.items() if k in set(keep)}
+        return self.from_template(annotations=ann, label_map=lm)
+
+    def remove_classes(self, remove: list[int]) -> "SparkDataset":
+        """Category blacklist (reference ``dataset.py:4017``)."""
+        ann = self.annotations.filter(~F.col("category_id").isin(remove))
+        lm = {k: v for k, v in self.label_map.items() if k not in set(remove)}
+        return self.from_template(annotations=ann, label_map=lm)
+
+    def get_one_frame(self, image_id: int) -> tuple[DataFrame, DataFrame]:
+        """Point lookup (reference ``dataset.py:1407``)."""
+        return (
+            self.images.filter(F.col("id") == image_id),
+            self.annotations.filter(F.col("image_id") == image_id),
+        )
+
+    # ------------------------------------------------------------ remapping
+    def remap_classes(
+        self,
+        mapping: dict[int, int],
+        new_names: dict[int, str] | None = None,
+        keep_unmapped: bool = False,
+        remove_emptied_images: bool = False,
+    ) -> "SparkDataset":
+        """category_id → new id remap; unmapped classes dropped unless
+        ``keep_unmapped`` (reference ``dataset.py:3340-3579``).
+
+        Implemented as a literal-map lookup (label spaces are tiny) —
+        no join, no shuffle; the drop is a plain filter.
+        """
+        full = dict(mapping)
+        if keep_unmapped:
+            for k in self.label_map:
+                full.setdefault(k, k)
+        ann = self.annotations.filter(F.col("category_id").isin(list(full)))
+        ann = ann.withColumn(
+            "category_id",
+            _map_literal(full)[F.col("category_id")].cast("int"),
+        )
+        new_label_map: dict[int, str] = {}
+        for old, new in full.items():
+            name = (new_names or {}).get(new) or self.label_map.get(old, str(new))
+            if new in new_label_map and (new_names or {}).get(new) is None:
+                # merged classes keep the first name unless overridden
+                continue
+            new_label_map[new] = name
+        out = self.from_template(annotations=ann, label_map=new_label_map).denormalize()
+        if remove_emptied_images:
+            kept = out.annotations.select(
+                F.col("image_id").alias("id")
+            ).distinct()
+            originally_empty = self.images.join(
+                self.annotations.select(F.col("image_id").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+            images = self.images.join(kept, "id", "left_semi").unionByName(
+                originally_empty
+            )
+            out = out.from_template(images=images)
+        return out
+
+    def remap_from_dataframe(self, mapping_df: DataFrame) -> "SparkDataset":
+        """Remap driven by a mapping table with columns
+        ``input_category_id, output_category_id, output_category_name``
+        (reference ``dataset.py:3633``). Mapping is collected (label
+        spaces are tiny by construction) then applied as a literal."""
+        rows = mapping_df.select(
+            "input_category_id", "output_category_id", "output_category_name"
+        ).collect()
+        mapping = {r[0]: r[1] for r in rows}
+        names = {r[1]: r[2] for r in rows}
+        return self.remap_classes(mapping, new_names=names)
+
+    def remap_sequential(self) -> tuple["SparkDataset", dict[int, int]]:
+        """Remap category ids to contiguous 0..n-1 ordered by old id —
+        the darknet-export remap (reference ``io/darknet.py:613-616``)."""
+        mapping = {k: i for i, k in enumerate(sorted(self.label_map))}
+        names = {mapping[k]: v for k, v in self.label_map.items()}
+        return self.remap_classes(mapping, new_names=names), mapping
+
+    # ------------------------------------------------------------- reindex
+    def reset_index(
+        self,
+        start_image_id: int = 0,
+        start_annotation_id: int = 0,
+    ) -> "SparkDataset":
+        """Renumber image ids (ordered by relative_path) and annotation
+        ids (ordered by image_id, category_id, bbox) to contiguous
+        ranges; FK rewritten (reference ``dataset.py:1883-2020``).
+
+        Uses a global ``row_number`` — a single-stage sort that is only
+        appropriate on export paths, exactly like the reference's use.
+        """
+        from pyspark.sql import Window
+
+        img_order = [c for c in ("relative_path", "id") if c in self.images.columns]
+        w_img = Window.orderBy(*[F.col(c) for c in img_order])
+        images = self.images.withColumn(
+            "__new_id", F.row_number().over(w_img) - 1 + start_image_id
+        )
+        id_map = images.select(
+            F.col("id").alias("__old_id"), F.col("__new_id")
+        )
+        new_images = images.drop("id").withColumnRenamed("__new_id", "id").select(
+            "id", *[c for c in self.images.columns if c != "id"]
+        )
+        ann = self.annotations.join(
+            id_map, self.annotations.image_id == id_map["__old_id"], "inner"
+        ).drop("image_id", "__old_id").withColumnRenamed("__new_id", "image_id")
+        ann_order = [
+            c
+            for c in ("image_id", "category_id", *S.BBOX_COLUMN_NAMES, "id")
+            if c in ann.columns
+        ]
+        w_ann = Window.orderBy(*[F.col(c) for c in ann_order])
+        ann = ann.withColumn(
+            "id", F.row_number().over(w_ann) - 1 + start_annotation_id
+        ).select("id", *[c for c in self.annotations.columns if c != "id"])
+        return self.from_template(images=new_images, annotations=ann)
+
+    def reset_index_from_mapping(
+        self,
+        image_id_map: DataFrame,
+        drop_unmapped: bool = True,
+    ) -> "SparkDataset":
+        """Apply an explicit (old_id → new_id) image mapping, rewriting
+        the FK; unmapped rows dropped or appended after the max mapped id
+        (reference ``dataset.py:2022-2201``)."""
+        m = image_id_map.select(
+            F.col("old_id").alias("__old"), F.col("new_id").alias("__new")
+        )
+        if not drop_unmapped:
+            # unmapped images get fresh ids after the max mapped id
+            # (reference dataset.py:2177-2181)
+            from pyspark.sql import Window
+
+            max_new = m.agg(F.max("__new")).collect()[0][0]
+            max_new = -1 if max_new is None else max_new
+            unmapped = (
+                self.images.join(m, self.images.id == m["__old"], "left_anti")
+                .select(F.col("id").alias("__old"))
+                .withColumn(
+                    "__new", F.row_number().over(Window.orderBy("__old")) + max_new
+                )
+            )
+            m = m.unionByName(unmapped)
+        images = (
+            self.images.join(m, self.images.id == m["__old"], "inner")
+            .drop("id", "__old")
+            .withColumnRenamed("__new", "id")
+            .select("id", *[c for c in self.images.columns if c != "id"])
+        )
+        ann = (
+            self.annotations.join(
+                m, self.annotations.image_id == m["__old"], "inner"
+            )
+            .withColumn("image_id", F.col("__new"))
+            .drop("__old", "__new")
+        )
+        return self.from_template(images=images, annotations=ann)
+
+    def match_index(
+        self, other: "SparkDataset", key: str = "relative_path"
+    ) -> DataFrame:
+        """Align this dataset's image ids to another's via a shared key
+        column; returns the (old_id, new_id) mapping (reference
+        ``dataset.py:2203-2334``). Duplicate keys on either side are a
+        correctness error surfaced by ``check``-style counts upstream."""
+        left = self.images.select(F.col("id").alias("old_id"), F.col(key))
+        right = other.images.select(F.col("id").alias("new_id"), F.col(key))
+        return left.join(right, key, "inner").select("old_id", "new_id")
+
+    # ----------------------------------------------------------- set ops
+    def merge(
+        self,
+        other: "SparkDataset",
+        mark_origin: bool = False,
+    ) -> "SparkDataset":
+        """Outer union of two datasets (reference ``merge.py:12-222``):
+        label maps merged with conflict detection, schemas reconciled
+        column-wise, provenance columns optional.
+
+        ``unionByName(allowMissingColumns=True)`` keeps this a pure
+        narrow transformation — no shuffle.
+        """
+        from lours_spark.dataset.merge import merge_datasets
+
+        return merge_datasets(self, other, mark_origin=mark_origin)
+
+    def __add__(self, other: "SparkDataset") -> "SparkDataset":
+        return self.merge(other)
+
+    def diff(self, other: "SparkDataset") -> dict[str, DataFrame]:
+        """Three-way image diff (left_only / right_only / common) with
+        null-safe row equality (reference ``difftools.py:10-186``)."""
+        from lours_spark.dataset.diff import dataset_diff
+
+        return dataset_diff(self, other)
+
+    def __sub__(self, other: "SparkDataset"):
+        return self.diff(other)
+
+    # --------------------------------------------------------- persistence
+    def to_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """Parquet-per-table + JSON sidecar (reference
+        ``utils/parquet_saver.py:11-84``). Partitioned by ``split`` when
+        present — at 100 TB this is the layout every downstream split
+        filter prunes on."""
+        import json
+        import os
+
+        img_writer = self.images.write.mode(mode)
+        ann_writer = self.annotations.write.mode(mode)
+        if "split" in self.images.columns:
+            img_writer = img_writer.partitionBy("split")
+        if "split" in self.annotations.columns:
+            ann_writer = ann_writer.partitionBy("split")
+        img_writer.parquet(os.path.join(path, "images"))
+        ann_writer.parquet(os.path.join(path, "annotations"))
+        meta = {
+            "dataset_name": self.dataset_name,
+            "images_root": str(self.images_root),
+            "label_map": {str(k): v for k, v in self.label_map.items()},
+            "booleanized_columns": {
+                k: sorted(v) for k, v in self.booleanized_columns.items()
+            },
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(meta, f)
+
+    @staticmethod
+    def from_parquet(spark: SparkSession, path: str) -> "SparkDataset":
+        import json
+        import os
+
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        images = spark.read.parquet(os.path.join(path, "images"))
+        annotations = spark.read.parquet(os.path.join(path, "annotations"))
+        return SparkDataset(
+            images=images,
+            annotations=annotations,
+            label_map={int(k): v for k, v in meta["label_map"].items()},
+            dataset_name=meta.get("dataset_name"),
+            images_root=meta.get("images_root", "."),
+            booleanized_columns={
+                k: set(v) for k, v in meta.get("booleanized_columns", {}).items()
+            },
+        )

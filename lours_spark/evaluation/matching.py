@@ -1,0 +1,258 @@
+"""Greedy bipartite IoU matching — the evaluation engine's core join.
+
+Re-expresses reference ``lours/evaluation/detection/util.py``:
+``get_ious`` (``:54-95``, vectorized IoU matrix), ``get_matches``
+(``:98-186``, confidence-descending greedy 1:1 assignment) and
+``construct_matches_df`` (``:11-51``, full-outer match emission).
+
+The greedy loop is inherently sequential *within* an
+(image_id, category_id) group but embarrassingly parallel *across*
+groups. A naive ``groupBy(...).applyInPandas`` pays per-group Arrow +
+pandas overhead — ruinous when groups are a handful of boxes (the
+common case: ~4 boxes per image, millions of images). Instead we:
+
+1. ``repartition`` by image_id (hash — groups never straddle
+   partitions) and ``sortWithinPartitions`` by the group key, then
+2. ``mapInPandas``: each Arrow batch covers MANY groups; group
+   boundaries are found with numpy change-detection and each group is
+   sliced directly out of the batch's numpy arrays — per-group cost is
+   a few microseconds of slicing plus the numpy kernel, not a pandas
+   DataFrame round-trip.
+
+Arrow batches can split a group, so a carry buffer stitches the tail
+group of each batch onto the next.
+
+At 100 TB the single shuffle is on annotation rows only; AQE handles
+image-level skew (crowded images).
+
+Determinism: ties are broken by (confidence desc, prediction id asc)
+and best-IoU-first groundtruth selection, so output is stable across
+runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.LongType()),
+        T.StructField("category_id", T.IntegerType()),
+        T.StructField("prediction_id", T.LongType()),
+        T.StructField("groundtruth_id", T.LongType()),
+        T.StructField("iou", T.DoubleType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+
+_OUT_COLS = [
+    "image_id",
+    "category_id",
+    "prediction_id",
+    "groundtruth_id",
+    "iou",
+    "confidence",
+]
+
+
+def iou_matrix(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
+    """IoU between every (gt, pred) box pair; boxes are XYWH rows.
+    Same broadcasted-numpy shape as reference ``util.py:75-95``."""
+    if len(gt) == 0 or len(pred) == 0:
+        return np.zeros((len(gt), len(pred)))
+    gx, gy, gw, gh = (gt[:, i][:, None] for i in range(4))
+    px, py, pw, ph = (pred[:, i][None, :] for i in range(4))
+    ix = np.maximum(0.0, np.minimum(gx + gw, px + pw) - np.maximum(gx, px))
+    iy = np.maximum(0.0, np.minimum(gy + gh, py + ph) - np.maximum(gy, py))
+    inter = ix * iy
+    union = gw * gh + pw * ph - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(union > 0, inter / union, 0.0)
+    return out
+
+
+def greedy_match(
+    ious: np.ndarray,
+    confidences: np.ndarray,
+    min_iou: float = 0.0,
+) -> list[tuple[int, int, float]]:
+    """Confidence-descending greedy 1:1 assignment (reference
+    ``util.py:146-185``): each prediction, in confidence order, takes
+    the best still-free groundtruth with IoU > min_iou.
+
+    Returns (gt_idx, pred_idx, iou) triples. The inner argmax is
+    vectorized; only the outer (sequential by semantics) loop is Python.
+    """
+    n_gt, n_pred = ious.shape
+    if n_gt == 0 or n_pred == 0:
+        return []
+    order = np.lexsort((np.arange(n_pred), -confidences))
+    masked = ious.copy()
+    matches: list[tuple[int, int, float]] = []
+    for p in order:
+        col = masked[:, p]
+        g = int(np.argmax(col))
+        best = col[g]
+        if best > min_iou:
+            matches.append((g, int(p), float(ious[g, p])))
+            masked[g, :] = -1.0  # groundtruth taken
+    return matches
+
+
+def _match_group_arrays(
+    image_id: int,
+    category_id: int,
+    ids: np.ndarray,
+    boxes: np.ndarray,
+    is_gt: np.ndarray,
+    conf: np.ndarray,
+    out: list,
+) -> None:
+    """Match one group given raw numpy slices; append output tuples."""
+    gt_mask = is_gt
+    gt_ids, gt_boxes = ids[gt_mask], boxes[gt_mask]
+    pr_ids, pr_boxes, pr_conf = ids[~gt_mask], boxes[~gt_mask], conf[~gt_mask]
+    # stable id order for determinism
+    g_order = np.argsort(gt_ids, kind="stable")
+    p_order = np.argsort(pr_ids, kind="stable")
+    gt_ids, gt_boxes = gt_ids[g_order], gt_boxes[g_order]
+    pr_ids, pr_boxes, pr_conf = pr_ids[p_order], pr_boxes[p_order], pr_conf[p_order]
+
+    ious = iou_matrix(gt_boxes, pr_boxes)
+    matches = greedy_match(ious, pr_conf)
+    matched_gt = set()
+    matched_pred = set()
+    for g, p, iou in matches:
+        matched_gt.add(g)
+        matched_pred.add(p)
+        out.append(
+            (
+                image_id,
+                category_id,
+                int(pr_ids[p]),
+                int(gt_ids[g]),
+                iou,
+                float(pr_conf[p]),
+            )
+        )
+    for g in range(len(gt_ids)):
+        if g not in matched_gt:  # false negative
+            out.append((image_id, category_id, None, int(gt_ids[g]), None, None))
+    for p in range(len(pr_ids)):
+        if p not in matched_pred:  # false positive
+            out.append(
+                (
+                    image_id,
+                    category_id,
+                    int(pr_ids[p]),
+                    None,
+                    None,
+                    float(pr_conf[p]),
+                )
+            )
+
+
+def _match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Partition kernel: stream Arrow batches, stitch the carry group
+    across batch boundaries, slice groups via numpy change-detection."""
+    carry: pd.DataFrame | None = None
+
+    def process(pdf: pd.DataFrame, is_last: bool) -> tuple[pd.DataFrame, pd.DataFrame | None]:
+        img = pdf["image_id"].to_numpy()
+        cat = pdf["category_id"].to_numpy()
+        if not is_last and len(pdf):
+            # hold back the trailing (possibly incomplete) group: find
+            # the first row index of the batch's last (image, category)
+            in_last = (img == img[-1]) & (cat == cat[-1])
+            tail_start = (
+                int(len(img) - in_last[::-1].argmin()) if not in_last.all() else 0
+            )
+            head, tail = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
+        else:
+            head, tail = pdf, None
+        out: list = []
+        if len(head):
+            h_img = head["image_id"].to_numpy()
+            h_cat = head["category_id"].to_numpy()
+            ids = head["id"].to_numpy()
+            boxes = head[
+                ["box_x_min", "box_y_min", "box_width", "box_height"]
+            ].to_numpy(dtype=float)
+            is_gt = head["is_groundtruth"].to_numpy(dtype=bool)
+            conf = head["confidence"].to_numpy(dtype=float)
+            change = np.nonzero((h_img[1:] != h_img[:-1]) | (h_cat[1:] != h_cat[:-1]))[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(head)]))
+            for s, e in zip(starts, ends):
+                _match_group_arrays(
+                    int(h_img[s]),
+                    int(h_cat[s]),
+                    ids[s:e],
+                    boxes[s:e],
+                    is_gt[s:e],
+                    conf[s:e],
+                    out,
+                )
+        return pd.DataFrame(out, columns=_OUT_COLS), tail
+
+    batch_list = list(batches)
+    for i, pdf in enumerate(batch_list):
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        result, carry = process(pdf, is_last=(i == len(batch_list) - 1))
+        if len(result):
+            yield result
+    if carry is not None and len(carry):
+        result, _ = process(carry, is_last=True)
+        if len(result):
+            yield result
+
+
+def compute_matches(
+    groundtruth: DataFrame,
+    predictions: DataFrame,
+    match_by_category: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed match computation (reference
+    ``detection_evaluator.py:54-179``): concat gt+pred with a flag, one
+    hash shuffle on image_id, in-partition sort by group key, then the
+    batched numpy kernel via ``mapInPandas``."""
+    box_cols = ["box_x_min", "box_y_min", "box_width", "box_height"]
+    gt = groundtruth.select(
+        "id", "image_id", "category_id", *box_cols,
+        F.lit(True).alias("is_groundtruth"),
+        F.lit(1.0).alias("confidence"),
+    )
+    pred_conf = (
+        F.col("confidence") if "confidence" in predictions.columns else F.lit(1.0)
+    )
+    pr = predictions.select(
+        "id", "image_id", "category_id", *box_cols,
+        F.lit(False).alias("is_groundtruth"),
+        pred_conf.cast("double").alias("confidence"),
+    )
+    both = gt.unionByName(pr)
+    if not match_by_category:
+        both = both.withColumn("category_id", F.lit(-1).cast("int"))
+    n = num_partitions or both.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    # partition on a DERIVED key, not image_id itself: when both union
+    # legs are already hash-partitioned on image_id (e.g. after a
+    # denormalize join) the planner elides a repartition("image_id") as
+    # satisfied — but Union concatenates leg partitions, leaving a
+    # group's gt and pred rows in different partitions. The derived
+    # expression forces a real exchange and still co-locates groups.
+    part_key = F.pmod(F.hash(F.col("image_id")), F.lit(int(n)))
+    arranged = both.repartition(int(n), part_key).sortWithinPartitions(
+        "image_id", "category_id"
+    )
+    return arranged.mapInPandas(_match_batches, MATCH_SCHEMA)

@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all built on shuffle-minimal Spark plans:
+
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle on
+  a 16-byte key regardless of document size;
+- **MinHash + LSH**: shingle → per-doc signature (no shuffle) → band
+  keys → bucket self-join → Jaccard verification of candidates only.
+  At 100 TB the bucket join shuffles signatures (tiny) not documents;
+- **SimHash**: near-dup candidates = identical simhash values (or
+  rotated-band variants);
+- **n-gram Jaccard**: exact similarity join via shingle inverted index
+  (explode + equi-join + count ratio) — the verification oracle for LSH;
+- **embedding cosine**: near-dup pairs above a cosine threshold (see
+  ``operators/similarity.py`` for the top-k variant).
+
+All hashing uses the md5-based portable hash (``functions/text.md5_long``)
+so every operator is oracle-checkable bit-for-bit in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lours_spark.functions import text as TX
+from lours_spark.functions import vectors as V
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by normalized-text fingerprint; keep the min id as the
+    canonical representative. Output: (doc_id, group_size) per kept doc."""
+    fp = TX.fingerprint(F.col(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select(id_col, "fingerprint", "group_size")
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Shingle set + minhash signature columns ``mh_0..mh_{n-1}``.
+
+    Shape: shingles once per doc (higher-order fn, interpreted) →
+    explode → ``groupBy(doc).agg(min(hash_i))`` — the md5/conv hashing
+    runs as codegen'd JVM expressions on the exploded rows, and each
+    hash is computed exactly once per (shingle, seed). The shuffle is
+    on (doc_id, shingle) pairs — tiny rows. The all-expression variant
+    (``functions.text.minhash_signature``) avoids the shuffle but
+    re-evaluates the interpreted shingle pipeline per hash column
+    because CollapseProject inlines it — measured ~10× slower.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(TX.word_shingles(F.col(text_col), k=k)).alias("__shingle"),
+    )
+    agg = sh.groupBy(id_col).agg(
+        F.collect_set("__shingle").alias("__shingles"),
+        *[
+            F.min(TX.md5_long(F.col("__shingle"), i)).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return df.join(agg, id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Plan: signatures (narrow) → unpivot band keys (narrow) → self-join
+    on (band, band_key) — the only shuffle, over tiny rows — → distinct
+    candidate pairs → verify with exact shingle Jaccard (second join on
+    doc ids to fetch shingles). Returns pairs (id_a < id_b) with their
+    exact jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df, id_col, text_col, k, num_hashes).select(
+        F.col(id_col).alias("__id"), "__shingles", *[f"mh_{i}" for i in range(num_hashes)]
+    )
+    sig.cache()
+    band_rows = None
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        one = sig.select(
+            "__id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(
+                "band_key"
+            ),
+        )
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    l = band_rows.select(
+        F.col("band"), F.col("band_key"), F.col("__id").alias("id_a")
+    )
+    r = band_rows.select(
+        F.col("band"), F.col("band_key"), F.col("__id").alias("id_b")
+    )
+    candidates = (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a"))
+    sb = sig.select(F.col("__id").alias("id_b"), F.col("__shingles").alias("__sh_b"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via a shingle inverted index:
+    explode distinct shingles, equi-join on shingle, count intersections,
+    Jaccard = |∩| / (|A|+|B|−|∩|). The equi-join shuffles on the shingle
+    key — prune ultra-common shingles upstream at scale (stopword
+    shingles create skew; AQE skew-join handles the remainder)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        TX.word_shingles(F.col(text_col), k=k).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    sizes = sh.select("__id", "__n")
+    exploded = sh.select("__id", F.explode("__sh").alias("shingle"))
+    a = exploded.select(F.col("__id").alias("id_a"), "shingle")
+    b = exploded.select(F.col("__id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Documents sharing an identical simhash value — groupBy on the
+    packed hash (one shuffle on a long). Hamming-distance-1 variants can
+    union ``bits`` rotated copies before the groupBy."""
+    h = df.select(
+        F.col(id_col), TX.simhash(TX.tokens(F.col(text_col)), bits=bits).alias("simhash")
+    )
+    return (
+        h.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+        .select("simhash", "group_size", "keep_id", "doc_ids")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Brute-force O(n²) pair join — correct baseline; the scale path
+    buckets vectors first (see ``similarity.lsh_bucket_topk``) so the
+    self-join happens per bucket."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", V.cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

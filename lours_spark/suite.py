@@ -1,0 +1,1489 @@
+"""The engine's query suite: one entry per SURVEY §2 operator family.
+
+Each query is a (spark, sf_dir) → DataFrame callable exercising the
+REAL library code paths (facade, functions, operators, evaluation) over
+the driver's synthetic tables, paired with an equivalent DuckDB oracle
+SQL string for the correctness gate.
+
+Determinism rules used throughout (so value-hashes match the oracle):
+
+- money/measure sums go through ``decimal(18,6)`` so the result is
+  exact regardless of parallel summation order, then cast to double;
+- averages are exact-sum / count double divisions;
+- every hash is the md5-based portable hash (identical in DuckDB);
+- every window and LIMIT has a total-order tie-break;
+- genuinely order-free float reductions (cosine) are computed strictly
+  left-to-right in BOTH engines so they agree bitwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lours_spark.dataset.core import SparkDataset
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events table stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects by default; read the raw nanos and rebuild a
+        # microsecond timestamp (integer div — exact), pinning the
+        # session to UTC so rendering matches the oracle's naive values
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, alias: str):
+    """Order-independent exact sum: decimal accumulate, double output."""
+    return F.sum(col.cast("decimal(28,6)")).cast("double").alias(alias)
+
+
+def dd_md5_long(expr: str, seed) -> str:
+    """DuckDB twin of functions.text.md5_long (60-bit md5-prefix hash)."""
+    return (
+        "list_reduce(list_transform(generate_series(1,15), "
+        "i -> CAST(strpos('0123456789abcdef', "
+        f"substr(md5(concat('{seed}:', {expr})), i, 1)) - 1 AS BIGINT)), "
+        "(a,b) -> a*16+b)"
+    )
+
+
+def dd_tokens(expr: str) -> str:
+    return f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+
+
+def dd_shingles(w: str, k: int = 3) -> str:
+    grams = (
+        f"list_transform(generate_series(1, len({w})-{k - 1}), "
+        f"i -> concat_ws(' ', {', '.join(f'{w}[i+{j}]' for j in range(k))}))"
+    )
+    return (
+        f"list_distinct(CASE WHEN len({w}) >= {k} THEN {grams} "
+        f"ELSE [array_to_string({w}, ' ')] END)"
+    )
+
+
+def orders_dataset(spark: SparkSession, sf_dir: str) -> SparkDataset:
+    """The facade over the synthetic star schema: orders play the image
+    table, lineitems the annotation table (FK l_orderkey), lineitem
+    line numbers the category dimension."""
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "id")
+    lineitem = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn(
+            "id", (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+        )
+        .withColumn("image_id", F.col("l_orderkey").cast("long"))
+        .withColumn("category_id", F.col("l_linenumber").cast("int"))
+    )
+    label_map = {i: f"line_{i}" for i in range(1, 8)}
+    return SparkDataset(images=orders, annotations=lineitem, label_map=label_map)
+
+
+_LINE_ID = "l_orderkey*10+l_linenumber"
+
+# --------------------------------------------------------------------------
+# relational core — TPC-H style headliners (aggregation/join machinery)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: multi-aggregate groupBy with filter pushdown."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    ext, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(ext, "sum_base_price"),
+            _dsum(ext * (1 - disc), "sum_disc_price"),
+            _dsum(ext * (1 - disc) * (1 + tax), "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(l_quantity AS DECIMAL(28,6)))::DOUBLE AS sum_qty,
+  sum(CAST(l_extendedprice AS DECIMAL(28,6)))::DOUBLE AS sum_base_price,
+  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))::DOUBLE AS sum_disc_price,
+  sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6)))::DOUBLE AS sum_charge,
+  count(*) AS count_order,
+  sum(CAST(l_quantity AS DECIMAL(28,6)))::DOUBLE / count(*) AS avg_qty,
+  sum(CAST(l_extendedprice AS DECIMAL(28,6)))::DOUBLE / count(*) AS avg_price
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))::DOUBLE AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < '1998-03-15' AND l_shipdate > '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with two broadcast dims."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))::DOUBLE AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1999-01-01'
+GROUP BY n_name
+"""
+
+
+def q_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate (pushdown showcase)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+ORACLE_REVENUE_FORECAST = """
+SELECT sum(CAST(l_extendedprice*l_discount AS DECIMAL(28,6)))::DOUBLE AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+# --------------------------------------------------------------------------
+# facade: filtering / semi-join propagation (SURVEY §2.2-2.3)
+# --------------------------------------------------------------------------
+
+
+def q_filter_images_semijoin(spark, sf_dir):
+    """Dataset.loc: image-table filter; annotations follow by semi-join."""
+    ds = orders_dataset(spark, sf_dir).filter_images(F.col("o_totalprice") > 300000)
+    return ds.annotations.select("id", "image_id", "l_quantity", "l_extendedprice")
+
+
+ORACLE_FILTER_IMAGES = f"""
+SELECT {_LINE_ID} AS id, l_orderkey AS image_id, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+def q_filter_annotations_emptied(spark, sf_dir):
+    """Dataset.loc_annot with remove_emptied_images: drop images that
+    lost all annotations, keep originally-empty ones."""
+    ds = orders_dataset(spark, sf_dir).filter_annotations(
+        F.col("l_quantity") >= 45, remove_emptied_images=True
+    )
+    return ds.images.select("id", "o_totalprice")
+
+
+ORACLE_FILTER_ANNOT_EMPTIED = """
+SELECT o_orderkey AS id, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+   OR NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def q_remove_empty_images(spark, sf_dir):
+    """Semi-join: customers (as images) having ≥1 order (as annotation)."""
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "id")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .withColumnRenamed("o_orderkey", "id")
+        .withColumn("image_id", F.col("o_custkey").cast("long"))
+    )
+    ds = SparkDataset(images=c, annotations=o).remove_empty_images()
+    return ds.images.select("id", "c_name")
+
+
+ORACLE_REMOVE_EMPTY = """
+SELECT c_custkey AS id, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_anti_join_orphans(spark, sf_dir):
+    """Anti-join (FK violation shape): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select(F.col("c_custkey").alias("id"), "c_name", "c_acctbal")
+
+
+ORACLE_ANTI_ORPHANS = """
+SELECT c_custkey AS id, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_denormalize_category(spark, sf_dir):
+    """Label-map denormalization: category_str from a broadcast literal
+    map (the reference's category_str recompute)."""
+    ds = orders_dataset(spark, sf_dir).denormalize()
+    return ds.annotations.select("id", "category_id", "category_str")
+
+
+ORACLE_DENORMALIZE = f"""
+SELECT {_LINE_ID} AS id, l_linenumber AS category_id,
+       concat('line_', l_linenumber) AS category_str
+FROM lineitem
+"""
+
+# --------------------------------------------------------------------------
+# facade: remap / reindex (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+
+def q_remap_classes(spark, sf_dir):
+    """remap_classes: literal-map id rewrite, unmapped rows dropped."""
+    ds = orders_dataset(spark, sf_dir).remap_classes({1: 0, 2: 0, 3: 1})
+    return ds.annotations.select("id", "category_id", "category_str")
+
+
+ORACLE_REMAP = f"""
+SELECT {_LINE_ID} AS id,
+  CASE l_linenumber WHEN 1 THEN 0 WHEN 2 THEN 0 WHEN 3 THEN 1 END AS category_id,
+  CASE l_linenumber WHEN 1 THEN 'line_1' WHEN 2 THEN 'line_1' WHEN 3 THEN 'line_3' END AS category_str
+FROM lineitem WHERE l_linenumber IN (1,2,3)
+"""
+
+
+def q_remap_dense_rank(spark, sf_dir):
+    """Sequential-id remap (darknet export): dense_rank over the sparse
+    id space."""
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey").distinct()
+    w = Window.orderBy("l_suppkey")
+    return l.withColumn("new_id", F.dense_rank().over(w) - 1).select(
+        F.col("l_suppkey").alias("old_id"), "new_id"
+    )
+
+
+ORACLE_DENSE_RANK = """
+SELECT l_suppkey AS old_id, dense_rank() OVER (ORDER BY l_suppkey) - 1 AS new_id
+FROM (SELECT DISTINCT l_suppkey FROM lineitem)
+"""
+
+
+def q_reset_index(spark, sf_dir):
+    """reset_index: contiguous image ids by path order, FK rewritten,
+    annotation ids renumbered by (image_id, id)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .withColumnRenamed("c_custkey", "id")
+        .withColumn("relative_path", F.col("c_name"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .withColumnRenamed("o_orderkey", "id")
+        .withColumn("image_id", F.col("o_custkey").cast("long"))
+    )
+    ds = SparkDataset(images=c, annotations=o).reset_index()
+    return ds.annotations.select("id", "image_id", "o_totalprice")
+
+
+ORACLE_RESET_INDEX = """
+WITH m AS (
+  SELECT c_custkey AS old_id,
+         row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS new_id
+  FROM customer
+)
+SELECT row_number() OVER (ORDER BY m.new_id, o.o_orderkey) - 1 AS id,
+       m.new_id AS image_id, o.o_totalprice
+FROM orders o JOIN m ON o.o_custkey = m.old_id
+"""
+
+
+def q_match_index(spark, sf_dir):
+    """match_index: id alignment between two datasets via a shared key."""
+    c = _t(spark, sf_dir, "customer")
+    a = SparkDataset(
+        images=c.select(
+            F.col("c_custkey").alias("id"), F.col("c_name").alias("relative_path")
+        ),
+        annotations=c.limit(0).select(
+            F.col("c_custkey").alias("id"), F.col("c_custkey").alias("image_id")
+        ),
+    )
+    b = SparkDataset(
+        images=c.select(
+            (F.col("c_custkey") + 1000000).alias("id"),
+            F.col("c_name").alias("relative_path"),
+        ),
+        annotations=a.annotations,
+    )
+    return a.match_index(b)
+
+
+ORACLE_MATCH_INDEX = """
+SELECT c_custkey AS old_id, c_custkey + 1000000 AS new_id FROM customer
+"""
+
+# --------------------------------------------------------------------------
+# facade: merge / diff (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+def q_merge_datasets(spark, sf_dir):
+    """Dataset merge with provenance columns (mark_origin)."""
+    base = orders_dataset(spark, sf_dir)
+    a = base.filter_images(F.col("o_totalprice") < 150000)
+    b = base.filter_images(F.col("o_totalprice") > 350000)
+    a = a.from_template(dataset_name="small")
+    b = b.from_template(dataset_name="large")
+    merged = a.merge(b, mark_origin=True)
+    return merged.images.select("id", "o_totalprice", "origin")
+
+
+ORACLE_MERGE = """
+SELECT o_orderkey AS id, o_totalprice, 'small' AS origin
+FROM orders WHERE o_totalprice < 150000
+UNION ALL
+SELECT o_orderkey AS id, o_totalprice, 'large' AS origin
+FROM orders WHERE o_totalprice > 350000
+"""
+
+
+def q_diff_three_way(spark, sf_dir):
+    """Three-way diff: full-outer join with null-safe row equality."""
+    base = orders_dataset(spark, sf_dir)
+    a = base.filter_images(F.col("o_totalprice") < 300000)
+    b = base.filter_images(F.col("o_totalprice") > 100000)
+    return a.diff(b)["status"]
+
+
+ORACLE_DIFF = """
+WITH a AS (SELECT * FROM orders WHERE o_totalprice < 300000),
+     b AS (SELECT * FROM orders WHERE o_totalprice > 100000)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS id,
+  CASE WHEN b.o_orderkey IS NULL THEN 'left_only'
+       WHEN a.o_orderkey IS NULL THEN 'right_only'
+       ELSE 'common' END AS diff_status
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+"""
+
+# --------------------------------------------------------------------------
+# pivot/unpivot: booleanize (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+_BOOL_DOMAIN = ["data", "join", "query", "spark"]
+
+
+def q_booleanize(spark, sf_dir):
+    from lours_spark.functions.text import tokens
+    from lours_spark.operators.booleanize import booleanize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("words")
+    )
+    out, _ = booleanize(d, "words", domain=_BOOL_DOMAIN)
+    return out.select("doc_id", *[f"`words.{v}`" for v in _BOOL_DOMAIN])
+
+
+ORACLE_BOOLEANIZE = f"""
+SELECT doc_id,
+  {', '.join(f'''list_contains({dd_tokens('text')}, '{v}') AS "words.{v}"''' for v in _BOOL_DOMAIN)}
+FROM documents
+"""
+
+
+def q_debooleanize(spark, sf_dir):
+    from lours_spark.functions.text import tokens
+    from lours_spark.operators.booleanize import booleanize, debooleanize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("words")
+    )
+    wide, _ = booleanize(d, "words", domain=_BOOL_DOMAIN)
+    back = debooleanize(wide, "words")
+    return back.select(
+        "doc_id", F.concat_ws(",", F.col("words")).alias("present_words")
+    )
+
+
+ORACLE_DEBOOLEANIZE = f"""
+SELECT doc_id,
+  coalesce(array_to_string(list_sort(list_filter(
+    {_BOOL_DOMAIN!r}, v -> list_contains({dd_tokens('text')}, v))), ','), '') AS present_words
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# geometry: bbox converter / cap / validity / IoU (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+#: deterministic synthetic boxes from lineitem measures (the testdata has
+#: no real boxes; arithmetic is what's under test)
+def _box_src():
+    return {
+        "cx": F.col("l_extendedprice") / 100.0,
+        "cy": F.col("l_quantity") * 10.0,
+        "w": F.col("l_discount") * 100.0 + 5.0,
+        "h": F.col("l_tax") * 100.0 + 5.0,
+    }
+_DD_BOX = {
+    "cx": "l_extendedprice/100.0",
+    "cy": "l_quantity*10.0",
+    "w": "l_discount*100.0+5.0",
+    "h": "l_tax*100.0+5.0",
+}
+
+
+def _boxes(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    box = _box_src()
+    return l.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("id"),
+        F.col("l_orderkey").cast("long").alias("image_id"),
+        box["cx"].alias("bcx"),
+        box["cy"].alias("bcy"),
+        box["w"].alias("bw"),
+        box["h"].alias("bh"),
+    )
+
+
+def q_bbox_import_cxcywh(spark, sf_dir):
+    """import_bbox: center+size absolute → canonical XYWH (pure column
+    arithmetic, codegen'd)."""
+    from lours_spark.functions.bbox import import_bbox
+
+    return import_bbox(
+        _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
+    ).select("id", "box_x_min", "box_y_min", "box_width", "box_height")
+
+
+ORACLE_BBOX_IMPORT = f"""
+SELECT {_LINE_ID} AS id,
+  ({_DD_BOX['cx']}) - ({_DD_BOX['w']})/2 AS box_x_min,
+  ({_DD_BOX['cy']}) - ({_DD_BOX['h']})/2 AS box_y_min,
+  ({_DD_BOX['w']}) AS box_width,
+  ({_DD_BOX['h']}) AS box_height
+FROM lineitem
+"""
+
+
+def q_bbox_export_xyxy(spark, sf_dir):
+    """import → export roundtrip into corner format XYXY."""
+    from lours_spark.functions.bbox import export_bbox, import_bbox
+
+    canonical = import_bbox(
+        _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
+    )
+    return export_bbox(canonical, "XYXY").select(
+        "id", "box_x_min", "box_y_min", "box_x_max", "box_y_max"
+    )
+
+
+ORACLE_BBOX_EXPORT = f"""
+SELECT {_LINE_ID} AS id,
+  ({_DD_BOX['cx']}) - ({_DD_BOX['w']})/2 AS box_x_min,
+  ({_DD_BOX['cy']}) - ({_DD_BOX['h']})/2 AS box_y_min,
+  (({_DD_BOX['cx']}) - ({_DD_BOX['w']})/2) + ({_DD_BOX['w']}) AS box_x_max,
+  (({_DD_BOX['cy']}) - ({_DD_BOX['h']})/2) + ({_DD_BOX['h']}) AS box_y_max
+FROM lineitem
+"""
+
+
+def q_bbox_relative(spark, sf_dir):
+    """Relative-format import: needs the image-size broadcast join."""
+    from lours_spark.functions.bbox import import_bbox
+
+    images = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 1000) + 500).cast("int").alias("width"),
+        ((F.col("o_orderkey") % 700) + 400).cast("int").alias("height"),
+    )
+    ann = _boxes(spark, sf_dir).select(
+        "id",
+        "image_id",
+        (F.col("bcx") / 10000.0).alias("rcx"),
+        (F.col("bcy") / 1000.0).alias("rcy"),
+        (F.col("bw") / 1000.0).alias("rw"),
+        (F.col("bh") / 1000.0).alias("rh"),
+    )
+    out = import_bbox(ann, "cxcywh", ["rcx", "rcy", "rw", "rh"], images=images)
+    return out.select("id", "box_x_min", "box_y_min", "box_width", "box_height")
+
+
+ORACLE_BBOX_RELATIVE = f"""
+WITH img AS (
+  SELECT o_orderkey AS image_id,
+         CAST((o_orderkey % 1000) + 500 AS INT) AS w,
+         CAST((o_orderkey % 700) + 400 AS INT) AS h
+  FROM orders
+), ann AS (
+  SELECT {_LINE_ID} AS id, l_orderkey AS image_id,
+    ({_DD_BOX['cx']})/10000.0 AS rcx, ({_DD_BOX['cy']})/1000.0 AS rcy,
+    ({_DD_BOX['w']})/1000.0 AS rw, ({_DD_BOX['h']})/1000.0 AS rh
+  FROM lineitem
+)
+SELECT ann.id,
+  (rcx*w) - (rw*w)/2 AS box_x_min,
+  (rcy*h) - (rh*h)/2 AS box_y_min,
+  rw*w AS box_width, rh*h AS box_height
+FROM ann JOIN img ON ann.image_id = img.image_id
+"""
+
+
+def q_cap_bbox(spark, sf_dir):
+    """cap_bounding_box_coordinates: clip to image bounds."""
+    from lours_spark.functions.bbox import import_bbox
+    from lours_spark.functions.geometry import cap_bounding_box_coordinates
+
+    images = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 600) + 100).cast("int").alias("width"),
+        ((F.col("o_orderkey") % 400) + 100).cast("int").alias("height"),
+    )
+    ann = import_bbox(_boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"])
+    out = cap_bounding_box_coordinates(ann, images=images)
+    return out.select("id", "box_x_min", "box_y_min", "box_width", "box_height")
+
+
+ORACLE_CAP_BBOX = f"""
+WITH img AS (
+  SELECT o_orderkey AS image_id,
+         CAST((o_orderkey % 600) + 100 AS INT) AS w,
+         CAST((o_orderkey % 400) + 100 AS INT) AS h
+  FROM orders
+), ann AS (
+  SELECT {_LINE_ID} AS id, l_orderkey AS image_id,
+    ({_DD_BOX['cx']}) - ({_DD_BOX['w']})/2 AS x,
+    ({_DD_BOX['cy']}) - ({_DD_BOX['h']})/2 AS y,
+    ({_DD_BOX['w']}) AS bw, ({_DD_BOX['h']}) AS bh
+  FROM lineitem
+)
+SELECT ann.id,
+  greatest(0.0, x) AS box_x_min,
+  greatest(0.0, y) AS box_y_min,
+  greatest(0.0, least(x + bw, CAST(w AS DOUBLE)) - greatest(0.0, x)) AS box_width,
+  greatest(0.0, least(y + bh, CAST(h AS DOUBLE)) - greatest(0.0, y)) AS box_height
+FROM ann JOIN img ON ann.image_id = img.image_id
+"""
+
+
+def q_iou_pairs(spark, sf_dir):
+    """Theta-join: per-image box pairs with IoU > 0 (equi-join on the
+    group key + IoU post-condition)."""
+    from lours_spark.functions.bbox import import_bbox
+    from lours_spark.functions.geometry import pairwise_iou
+
+    ann = import_bbox(_boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"])
+    pairs = pairwise_iou(ann, ann, ["image_id"])
+    return pairs.filter(
+        (F.col("l_id") < F.col("r_id")) & (F.col("iou") > 0)
+    ).select("image_id", "l_id", "r_id", "iou")
+
+
+ORACLE_IOU_PAIRS = f"""
+WITH ann AS (
+  SELECT {_LINE_ID} AS id, l_orderkey AS image_id,
+    ({_DD_BOX['cx']}) - ({_DD_BOX['w']})/2 AS x,
+    ({_DD_BOX['cy']}) - ({_DD_BOX['h']})/2 AS y,
+    ({_DD_BOX['w']}) AS w, ({_DD_BOX['h']}) AS h
+  FROM lineitem
+)
+SELECT a.image_id, a.id AS l_id, b.id AS r_id,
+  CASE WHEN (a.w*a.h + b.w*b.h -
+        greatest(0.0, least(a.x+a.w, b.x+b.w) - greatest(a.x, b.x)) *
+        greatest(0.0, least(a.y+a.h, b.y+b.h) - greatest(a.y, b.y))) > 0
+  THEN (greatest(0.0, least(a.x+a.w, b.x+b.w) - greatest(a.x, b.x)) *
+        greatest(0.0, least(a.y+a.h, b.y+b.h) - greatest(a.y, b.y))) /
+       (a.w*a.h + b.w*b.h -
+        greatest(0.0, least(a.x+a.w, b.x+b.w) - greatest(a.x, b.x)) *
+        greatest(0.0, least(a.y+a.h, b.y+b.h) - greatest(a.y, b.y)))
+  ELSE 0.0 END AS iou
+FROM ann a JOIN ann b ON a.image_id = b.image_id AND a.id < b.id
+WHERE greatest(0.0, least(a.x+a.w, b.x+b.w) - greatest(a.x, b.x)) *
+      greatest(0.0, least(a.y+a.h, b.y+b.h) - greatest(a.y, b.y)) > 0
+"""
+
+# --------------------------------------------------------------------------
+# evaluation: confusion / PR / AP / crowd (SURVEY §2.4, §2.10)
+# --------------------------------------------------------------------------
+
+
+def q_confusion_matrix(spark, sf_dir):
+    """groupBy(gt,pred) counts + row-normalizing window."""
+    from lours_spark.evaluation.confusion import confusion_counts
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("groundtruth_label"),
+        F.col("l_linestatus").alias("prediction_label"),
+    )
+    return confusion_counts(l)
+
+
+ORACLE_CONFUSION = """
+SELECT l_returnflag AS groundtruth_label, l_linestatus AS prediction_label,
+  count(*) AS count,
+  count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY l_returnflag) AS share
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_pr_curve(spark, sf_dir):
+    """PR curve per group via confidence-descending window cumsum."""
+    from lours_spark.operators.windows import pr_curve
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").alias("confidence"),
+        (F.col("user_id") < 75).cast("int").alias("is_tp"),
+    )
+    curve = pr_curve(
+        e, ["event_type"], "confidence", "is_tp", tie_break="event_id"
+    )
+    return curve.select("event_id", "event_type", "precision", "recall")
+
+
+ORACLE_PR_CURVE = """
+WITH p AS (
+  SELECT event_id, event_type, value AS confidence,
+         CASE WHEN user_id < 75 THEN 1 ELSE 0 END AS is_tp
+  FROM events
+)
+SELECT event_id, event_type,
+  sum(is_tp) OVER w::DOUBLE / count(*) OVER w AS precision,
+  CASE WHEN sum(is_tp) OVER (PARTITION BY event_type) > 0
+    THEN sum(is_tp) OVER w::DOUBLE / sum(is_tp) OVER (PARTITION BY event_type)
+    ELSE 0.0 END AS recall
+FROM p
+WINDOW w AS (PARTITION BY event_type ORDER BY confidence DESC, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_average_precision(spark, sf_dir):
+    """AP per group = Σ precision·Δrecall (lag window + agg)."""
+    from lours_spark.operators.windows import average_precision, pr_curve
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").alias("confidence"),
+        (F.col("user_id") < 75).cast("int").alias("is_tp"),
+    )
+    curve = pr_curve(e, ["event_type"], "confidence", "is_tp", tie_break="event_id")
+    # tie-break must extend into the AP lag window for determinism
+    curve = curve.withColumn(
+        "confidence", F.col("confidence") - F.col("event_id") * 1e-12
+    )
+    ap = average_precision(curve, ["event_type"])
+    return ap.select("event_type", F.round("average_precision", 6).alias("ap"))
+
+
+ORACLE_AVERAGE_PRECISION = """
+WITH p AS (
+  SELECT event_id, event_type, value AS confidence,
+         CASE WHEN user_id < 75 THEN 1 ELSE 0 END AS is_tp
+  FROM events
+), curve AS (
+  SELECT event_type, value2 AS confidence,
+    sum(is_tp) OVER w::DOUBLE / count(*) OVER w AS precision,
+    CASE WHEN sum(is_tp) OVER (PARTITION BY event_type) > 0
+      THEN sum(is_tp) OVER w::DOUBLE / sum(is_tp) OVER (PARTITION BY event_type)
+      ELSE 0.0 END AS recall
+  FROM (SELECT *, confidence - event_id * 1e-12 AS value2 FROM p)
+  WINDOW w AS (PARTITION BY event_type ORDER BY confidence DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), withlag AS (
+  SELECT event_type, precision,
+    recall - coalesce(lag(recall) OVER (PARTITION BY event_type ORDER BY confidence DESC), 0.0) AS d
+  FROM curve
+)
+SELECT event_type, round(sum(precision * d), 6) AS ap
+FROM withlag GROUP BY event_type
+"""
+
+
+def q_crowd_count_error(spark, sf_dir):
+    """Crowd-count error aggregates: MAE/RMSE/MRE/std/exact quantiles."""
+    from lours_spark.evaluation.crowd import count_error_stats, per_image_counts
+
+    e = _t(spark, sf_dir, "events")
+    gt = e.select(F.col("user_id").alias("image_id"), F.col("event_id").alias("id"))
+    pred = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("image_id"),
+        F.col("event_id").alias("id"),
+        (F.col("value") / 50.0).alias("confidence"),
+    )
+    counts = per_image_counts(gt, pred, confidence_threshold=0.2)
+    stats = count_error_stats(counts)
+    return stats.select(
+        "n_images",
+        F.round("mae", 6).alias("mae"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("mre", 6).alias("mre"),
+        F.round("error_std", 6).alias("error_std"),
+        F.round("error_q50", 6).alias("error_q50"),
+    )
+
+
+ORACLE_CROWD = """
+WITH gt AS (
+  SELECT user_id AS image_id, count(*) AS gt_count FROM events GROUP BY user_id
+), pred AS (
+  SELECT user_id AS image_id, count(*) AS pred_count
+  FROM events WHERE event_type = 'click' AND value/50.0 >= 0.2
+  GROUP BY user_id
+), c AS (
+  SELECT coalesce(gt.image_id, pred.image_id) AS image_id,
+         coalesce(gt_count, 0) AS gt_count,
+         coalesce(pred_count, 0) AS pred_count,
+         coalesce(pred_count, 0) - coalesce(gt_count, 0) AS error
+  FROM gt FULL OUTER JOIN pred ON gt.image_id = pred.image_id
+)
+SELECT count(*) AS n_images,
+  round(avg(abs(error::DOUBLE)), 6) AS mae,
+  round(sqrt(avg(error::DOUBLE * error)), 6) AS rmse,
+  round(avg(abs(CASE WHEN gt_count > 0 THEN error::DOUBLE / gt_count END)), 6) AS mre,
+  round(stddev_samp(error::DOUBLE), 6) AS error_std,
+  round(quantile_cont(error::DOUBLE, 0.5), 6) AS error_q50
+FROM c
+"""
+
+# --------------------------------------------------------------------------
+# split subsystem (SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic hash split: per-split counts (engine-portable)."""
+    from lours_spark.split.splitter import hash_split
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "id")
+    out = hash_split(o, {"train": 0.8, "valid": 0.1, "eval": 0.1})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_HASH_SPLIT = """
+SELECT CASE
+  WHEN ((o_orderkey * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.8 THEN 'train'
+  WHEN ((o_orderkey * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.9 THEN 'valid'
+  ELSE 'eval' END AS split,
+  count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_atomic_chunks(spark, sf_dir):
+    """Distributed connected components (min-label propagation) over a
+    keep-separate group column."""
+    from lours_spark.split.chunks import atomic_chunks_distributed
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("id"), "o_custkey"
+    )
+    return atomic_chunks_distributed(o, "id", ["o_custkey"])
+
+
+ORACLE_ATOMIC_CHUNKS = """
+SELECT o_orderkey AS id, min(o_orderkey) OVER (PARTITION BY o_custkey) AS chunk_id
+FROM orders
+"""
+
+
+def q_balanced_split(spark, sf_dir):
+    """Balanced greedy split (driver greedy over distributed chunk
+    histograms) — statistical check only: per-split, per-dim counts."""
+    from lours_spark.split.balanced import balanced_split
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "id")
+    out = balanced_split(
+        o,
+        {"train": 0.8, "valid": 0.1, "eval": 0.1},
+        dims=["o_orderpriority"],
+        keep_separate=["o_custkey"],
+        seed=42,
+    )
+    return out.groupBy("split", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis / dedup (training-data pipeline operators)
+# --------------------------------------------------------------------------
+
+
+def q_token_count(spark, sf_dir):
+    from lours_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id, len({dd_tokens('text')}) AS n_tokens FROM documents
+"""
+
+
+def q_language_id(spark, sf_dir):
+    from lours_spark.functions.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def _oracle_language_id() -> str:
+    from lours_spark.functions.text import LANG_STOPWORDS
+
+    toks = dd_tokens("text")
+    scores = {
+        lang: f"len(list_intersect(list_distinct({toks}), {sw!r}))"
+        for lang, sw in sorted(LANG_STOPWORDS.items())
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    cases = " ".join(
+        f"WHEN {expr} = __best THEN '{lang}'" for lang, expr in scores.items()
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, text, {best} AS __best FROM documents)
+SELECT doc_id,
+  CASE WHEN __best = 0 THEN 'unknown' {cases} ELSE 'unknown' END AS lang_pred
+FROM scored
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    from lours_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def _oracle_quality() -> str:
+    from lours_spark.functions.text import LANG_STOPWORDS
+
+    toks = dd_tokens("text")
+    sw = LANG_STOPWORDS["en"]
+    return f"""
+SELECT doc_id, round((
+  (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) +
+  (CASE WHEN (CASE WHEN length(text) > 0
+      THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+      ELSE 1.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END) +
+  (CASE WHEN len({toks}) > 0
+        AND len(list_intersect(list_distinct({toks}), {sw!r})) >= 1
+        THEN 1.0 ELSE 0.0 END)
+) / 3.0, 6) AS quality
+FROM documents
+"""
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    """Exact dedup on the order-insensitive token fingerprint."""
+    from lours_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d)
+
+
+ORACLE_FINGERPRINT = f"""
+WITH fp AS (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct({dd_tokens('text')})), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS group_size
+FROM fp GROUP BY fingerprint
+"""
+
+_MH_HASHES = 4
+
+
+def q_minhash_signature(spark, sf_dir):
+    """Per-document MinHash signature (md5-portable hashes)."""
+    from lours_spark.operators.dedup import with_minhash
+
+    d = _t(spark, sf_dir, "documents")
+    out = with_minhash(d, num_hashes=_MH_HASHES)
+    return out.select("doc_id", *[f"mh_{i}" for i in range(_MH_HASHES)])
+
+
+def _oracle_minhash() -> str:
+    sh = dd_shingles(dd_tokens("text"))
+    cols = ", ".join(
+        f"list_min(list_transform(__sh, s -> {dd_md5_long('s', i)})) AS mh_{i}"
+        for i in range(_MH_HASHES)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS __sh FROM documents)
+SELECT doc_id, {cols} FROM sh
+"""
+
+
+_LSH_HASHES = 8
+_LSH_BANDS = 4
+_LSH_THRESHOLD = 0.3
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Full MinHash-LSH dedup: band-bucket candidates + exact Jaccard
+    verification."""
+    from lours_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d,
+        num_hashes=_LSH_HASHES,
+        bands=_LSH_BANDS,
+        jaccard_threshold=_LSH_THRESHOLD,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _oracle_lsh() -> str:
+    sh = dd_shingles(dd_tokens("text"))
+    rows_per_band = _LSH_HASHES // _LSH_BANDS
+    mh_cols = ", ".join(
+        f"list_min(list_transform(__sh, s -> {dd_md5_long('s', i)})) AS mh_{i}"
+        for i in range(_LSH_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band, md5(concat_ws('_', {
+            ', '.join(f'CAST(mh_{i} AS VARCHAR)' for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        })) AS band_key FROM sig"""
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS __sh FROM documents),
+sig AS (SELECT doc_id, __sh, {mh_cols} FROM sh),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(len(list_intersect(sa.__sh, sb.__sh))::DOUBLE /
+        (len(sa.__sh) + len(sb.__sh) - len(list_intersect(sa.__sh, sb.__sh))), 9) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.__sh, sb.__sh))::DOUBLE /
+      (len(sa.__sh) + len(sb.__sh) - len(list_intersect(sa.__sh, sb.__sh))) >= {_LSH_THRESHOLD}
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity join via shingle inverted index."""
+    from lours_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _oracle_ngram_jaccard() -> str:
+    sh = dd_shingles(dd_tokens("text"))
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS __sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_intersect(a.__sh, b.__sh))::DOUBLE /
+        (len(a.__sh) + len(b.__sh) - len(list_intersect(a.__sh, b.__sh))), 9) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.__sh, b.__sh)) > 0
+  AND len(list_intersect(a.__sh, b.__sh))::DOUBLE /
+      (len(a.__sh) + len(b.__sh) - len(list_intersect(a.__sh, b.__sh))) >= 0.3
+"""
+
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    """Per-document SimHash value (bit-vote packing)."""
+    from lours_spark.functions.text import simhash, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", simhash(tokens(F.col("text")), bits=_SIMHASH_BITS).alias("simhash")
+    )
+
+
+def _oracle_simhash() -> str:
+    toks = dd_tokens("text")
+    h = dd_md5_long("t", "simhash")
+    bit_terms = " + ".join(
+        f"""(CASE WHEN list_reduce(list_transform(__toks,
+            t -> CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END),
+            (a,b) -> a+b) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"""
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS __toks FROM documents)
+SELECT doc_id, {bit_terms} AS simhash FROM t
+"""
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search / near-dup
+# --------------------------------------------------------------------------
+
+_DD_DOT = (
+    "list_reduce(list_transform(generate_series(1, {n}), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x,y) -> x+y)"
+)
+_DD_NORM = (
+    "sqrt(list_reduce(list_transform(generate_series(1, {n}), "
+    "i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x,y) -> x+y))"
+)
+_EMB_DIM = 64
+
+
+def _dd_cosine(a: str, b: str, n: int = _EMB_DIM) -> str:
+    dot = _DD_DOT.format(a=a, b=b, n=n)
+    na = _DD_NORM.format(a=a, n=n)
+    nb = _DD_NORM.format(a=b, n=n)
+    return (
+        f"CASE WHEN {na} * {nb} > 0 THEN ({dot}) / ({na} * {nb}) ELSE 0.0 END"
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (ANN correctness baseline)."""
+    from lours_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = brute_force_topk(emb, queries, k=5)
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 9).alias("cosine")
+    )
+
+
+def _oracle_cosine_topk() -> str:
+    cos = _dd_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_knn_label(spark, sf_dir):
+    """kNN majority-vote classification from the top-k neighbors."""
+    from lours_spark.operators.similarity import brute_force_topk, knn_label
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    topk = brute_force_topk(emb, queries, k=5)
+    out = knn_label(topk, emb)
+    return out.select(
+        "query_id",
+        F.col("predicted_label").cast("long").alias("predicted_label"),
+        F.col("votes").cast("long").alias("votes"),
+    )
+
+
+def _oracle_knn_label() -> str:
+    cos = _dd_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label, {cos} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 50
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, label, count(*) AS votes
+  FROM ranked WHERE rank <= 5 GROUP BY query_id, label
+), best AS (
+  SELECT query_id, label, votes,
+    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+  FROM votes
+)
+SELECT query_id, CAST(label AS BIGINT) AS predicted_label, votes
+FROM best WHERE rk = 1
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute-force baseline)."""
+    from lours_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.6)
+    return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+
+
+def _oracle_embedding_near_dup() -> str:
+    cos = _dd_cosine("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 9) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.6
+"""
+
+# --------------------------------------------------------------------------
+# events: windows / sessionization / JSON / rollups
+# --------------------------------------------------------------------------
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch twin of streaming session windows)."""
+    from lours_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    out = sessionize(e, gap_seconds=1800)
+    return out.select("event_id", "user_id", "session_seq")
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT event_id, user_id,
+    CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts) > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT event_id, user_id,
+  sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+FROM g
+"""
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """Tumbling-window aggregation (batch twin of the streaming rollup)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_HOURLY_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+  count(*) AS n_events,
+  sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS sum_value,
+  count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_extraction(spark, sf_dir):
+    """Semi-structured props column: JSON field extraction + agg."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type, count(*) AS n,
+  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+  sum(json_extract_string(props, '$.k')::BIGINT)::DOUBLE / count(*) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_forward_fill(spark, sf_dir):
+    """LOCF forward fill: each user's error events carry the last seen
+    purchase value forward (reference's ffill-onto-grid idiom)."""
+    from lours_spark.operators.windows import forward_fill
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    out = forward_fill(
+        e, ["user_id"], [F.asc("ts"), F.asc("event_id")], "purchase_value",
+        out_name="last_purchase_value",
+    )
+    return out.select("event_id", "user_id", "last_purchase_value")
+
+
+ORACLE_FFILL = """
+SELECT event_id, user_id,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+FROM events
+"""
+
+# --------------------------------------------------------------------------
+# multimodal: binary column plumbing (Pandas-UDF path)
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction through the real mapInPandas
+    plumbing (deterministic features; heavy decoders are stubbed —
+    see operators/multimodal.py)."""
+    from lours_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return extract_features(d, id_col="doc_id", binary_col="payload")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  md5(text) AS content_hash
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# evaluation: greedy matcher (non-SQL-expressible — rows-only check)
+# --------------------------------------------------------------------------
+
+
+def q_greedy_matching(spark, sf_dir):
+    """Greedy bipartite IoU matching via applyInPandas: gt = synthetic
+    boxes from lineitem, predictions = the same boxes jittered, so
+    matches are plentiful and deterministic. Sequential per group →
+    no SQL oracle (driver records rows-only)."""
+    from lours_spark.evaluation.matching import compute_matches
+    from lours_spark.functions.bbox import import_bbox
+
+    ann = import_bbox(
+        _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
+    ).withColumn("category_id", (F.col("id") % 3).cast("int"))
+    gt = ann
+    pred = (
+        ann.withColumn("id", F.col("id") + 10000000)
+        .withColumn("box_x_min", F.col("box_x_min") + 2.0)
+        .withColumn(
+            "confidence", ((F.col("id") % 97).cast("double") / 97.0)
+        )
+    )
+    matches = compute_matches(gt, pred)
+    return matches.select(
+        "image_id", "category_id", "prediction_id", "groundtruth_id",
+        F.round("iou", 9).alias("iou"),
+    )
+
+
+def q_detection_pr_ap(spark, sf_dir):
+    """End-to-end detection evaluation: matches → PR → AP per category
+    (rows-only: depends on the greedy matcher)."""
+    from lours_spark.evaluation.matching import compute_matches
+    from lours_spark.evaluation.pr import average_precision, precision_recall
+    from lours_spark.functions.bbox import import_bbox
+
+    ann = import_bbox(
+        _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
+    ).withColumn("category_id", (F.col("id") % 3).cast("int"))
+    pred = (
+        ann.withColumn("id", F.col("id") + 10000000)
+        .withColumn("box_x_min", F.col("box_x_min") + 2.0)
+        .withColumn("confidence", ((F.col("id") % 97).cast("double") / 97.0))
+        .filter(F.col("id") % 5 != 0)
+    )
+    matches = compute_matches(ann, pred)
+    pr = precision_recall(matches, min_iou=0.5)
+    return average_precision(pr).select(
+        "category_id", F.round("average_precision", 6).alias("ap")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    # TPC-H style headliners
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "revenue_forecast": q_revenue_forecast,
+    # facade filtering / joins
+    "filter_images_semijoin": q_filter_images_semijoin,
+    "filter_annotations_emptied": q_filter_annotations_emptied,
+    "remove_empty_images": q_remove_empty_images,
+    "anti_join_orphans": q_anti_join_orphans,
+    "denormalize_category": q_denormalize_category,
+    # remap / reindex
+    "remap_classes": q_remap_classes,
+    "remap_dense_rank": q_remap_dense_rank,
+    "reset_index": q_reset_index,
+    "match_index": q_match_index,
+    # merge / diff
+    "merge_datasets": q_merge_datasets,
+    "diff_three_way": q_diff_three_way,
+    # booleanize
+    "booleanize": q_booleanize,
+    "debooleanize": q_debooleanize,
+    # geometry
+    "bbox_import_cxcywh": q_bbox_import_cxcywh,
+    "bbox_export_xyxy": q_bbox_export_xyxy,
+    "bbox_relative": q_bbox_relative,
+    "cap_bbox": q_cap_bbox,
+    "iou_pairs": q_iou_pairs,
+    # evaluation
+    "confusion_matrix": q_confusion_matrix,
+    "pr_curve": q_pr_curve,
+    "average_precision": q_average_precision,
+    "crowd_count_error": q_crowd_count_error,
+    "greedy_matching": q_greedy_matching,
+    "detection_pr_ap": q_detection_pr_ap,
+    # split
+    "hash_split": q_hash_split,
+    "atomic_chunks": q_atomic_chunks,
+    "balanced_split": q_balanced_split,
+    # text / dedup
+    "token_count": q_token_count,
+    "language_id": q_language_id,
+    "quality_score": q_quality_score,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "minhash_signature": q_minhash_signature,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    # embeddings
+    "cosine_topk": q_cosine_topk,
+    "knn_label": q_knn_label,
+    "embedding_near_dup": q_embedding_near_dup,
+    # events
+    "sessionize": q_sessionize,
+    "hourly_rollup": q_hourly_rollup,
+    "json_extraction": q_json_extraction,
+    "forward_fill": q_forward_fill,
+    # multimodal
+    "multimodal_features": q_multimodal_features,
+}
+
+
+def oracles() -> dict[str, str]:
+    """DuckDB oracle SQL per query; keys absent here get the driver's
+    weaker rows-only check (genuinely non-SQL-expressible ops)."""
+    return {
+        "pricing_summary": ORACLE_PRICING_SUMMARY,
+        "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+        "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+        "revenue_forecast": ORACLE_REVENUE_FORECAST,
+        "filter_images_semijoin": ORACLE_FILTER_IMAGES,
+        "filter_annotations_emptied": ORACLE_FILTER_ANNOT_EMPTIED,
+        "remove_empty_images": ORACLE_REMOVE_EMPTY,
+        "anti_join_orphans": ORACLE_ANTI_ORPHANS,
+        "denormalize_category": ORACLE_DENORMALIZE,
+        "remap_classes": ORACLE_REMAP,
+        "remap_dense_rank": ORACLE_DENSE_RANK,
+        "reset_index": ORACLE_RESET_INDEX,
+        "match_index": ORACLE_MATCH_INDEX,
+        "merge_datasets": ORACLE_MERGE,
+        "diff_three_way": ORACLE_DIFF,
+        "booleanize": ORACLE_BOOLEANIZE,
+        "debooleanize": ORACLE_DEBOOLEANIZE,
+        "bbox_import_cxcywh": ORACLE_BBOX_IMPORT,
+        "bbox_export_xyxy": ORACLE_BBOX_EXPORT,
+        "bbox_relative": ORACLE_BBOX_RELATIVE,
+        "cap_bbox": ORACLE_CAP_BBOX,
+        "iou_pairs": ORACLE_IOU_PAIRS,
+        "confusion_matrix": ORACLE_CONFUSION,
+        "pr_curve": ORACLE_PR_CURVE,
+        "average_precision": ORACLE_AVERAGE_PRECISION,
+        "crowd_count_error": ORACLE_CROWD,
+        "hash_split": ORACLE_HASH_SPLIT,
+        "atomic_chunks": ORACLE_ATOMIC_CHUNKS,
+        "token_count": ORACLE_TOKEN_COUNT,
+        "language_id": _oracle_language_id(),
+        "quality_score": _oracle_quality(),
+        "fingerprint_dedup": ORACLE_FINGERPRINT,
+        "minhash_signature": _oracle_minhash(),
+        "minhash_lsh_pairs": _oracle_lsh(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "simhash": _oracle_simhash(),
+        "cosine_topk": _oracle_cosine_topk(),
+        "knn_label": _oracle_knn_label(),
+        "embedding_near_dup": _oracle_embedding_near_dup(),
+        "sessionize": ORACLE_SESSIONIZE,
+        "hourly_rollup": ORACLE_HOURLY_ROLLUP,
+        "json_extraction": ORACLE_JSON,
+        "forward_fill": ORACLE_FFILL,
+        "multimodal_features": ORACLE_MULTIMODAL,
+        # rows-only (non-SQL-expressible): greedy_matching,
+        # detection_pr_ap, balanced_split
+    }

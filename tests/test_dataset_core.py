@@ -1,0 +1,166 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lours_spark.dataset.core import SparkDataset
+
+
+def test_check_clean(tiny_dataset):
+    report = tiny_dataset.check()
+    assert report == {
+        "duplicate_image_ids": 0,
+        "duplicate_annotation_ids": 0,
+        "orphan_annotations": 0,
+        "unknown_categories": 0,
+    }
+
+
+def test_denormalize_category_str(tiny_dataset):
+    rows = tiny_dataset.annotations.select("category_id", "category_str").distinct().collect()
+    for r in rows:
+        assert r["category_str"] == tiny_dataset.label_map[r["category_id"]]
+
+
+def test_denormalize_split_propagation(tiny_dataset):
+    joined = tiny_dataset.annotations.alias("a").join(
+        tiny_dataset.images.alias("i"), F.col("a.image_id") == F.col("i.id")
+    )
+    mism = joined.filter(
+        ~F.col("a.split").eqNullSafe(F.col("i.split"))
+    ).count()
+    assert mism == 0
+
+
+def test_filter_images_semijoin(tiny_dataset):
+    ds = tiny_dataset.filter_images(F.col("width") > 500)
+    kept = {r["id"] for r in ds.images.select("id").collect()}
+    ann_imgs = {r["image_id"] for r in ds.annotations.select("image_id").collect()}
+    assert ann_imgs <= kept
+    assert ds.images.filter(F.col("width") <= 500).count() == 0
+
+
+def test_filter_annotations_emptied(tiny_dataset):
+    before_empty = (
+        tiny_dataset.images.join(
+            tiny_dataset.annotations.select(
+                F.col("image_id").alias("id")
+            ).distinct(),
+            "id",
+            "left_anti",
+        ).count()
+    )
+    ds = tiny_dataset.filter_annotations(
+        F.col("category_id") == 1, remove_emptied_images=True
+    )
+    assert ds.annotations.filter(F.col("category_id") != 1).count() == 0
+    # images: originally-empty stay, emptied dropped
+    after_with_ann = (
+        ds.images.join(
+            ds.annotations.select(F.col("image_id").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        ).count()
+    )
+    assert ds.images.count() == after_with_ann + before_empty
+
+
+def test_remove_empty_images(tiny_dataset):
+    ds = tiny_dataset.remove_empty_images()
+    n_with = (
+        tiny_dataset.annotations.select("image_id").distinct().count()
+    )
+    assert ds.images.count() == n_with
+
+
+def test_get_split_and_iter(tiny_dataset):
+    total = 0
+    for value, sub in tiny_dataset.iter_splits():
+        n = sub.images.count()
+        total += n
+        if value is None:
+            assert sub.images.filter(F.col("split").isNotNull()).count() == 0
+        else:
+            assert sub.images.filter(F.col("split") != value).count() == 0
+    assert total == tiny_dataset.images.count()
+
+
+def test_keep_remove_classes(tiny_dataset):
+    kept = tiny_dataset.keep_classes([1, 2])
+    assert set(kept.label_map) == {1, 2}
+    assert kept.annotations.filter(~F.col("category_id").isin([1, 2])).count() == 0
+    removed = tiny_dataset.remove_classes([1])
+    assert 1 not in removed.label_map
+    assert removed.annotations.filter(F.col("category_id") == 1).count() == 0
+
+
+def test_remap_classes_merge_and_drop(tiny_dataset):
+    ds = tiny_dataset.remap_classes({1: 0, 2: 0, 7: 1})
+    assert set(ds.label_map) == {0, 1}
+    # 15 unmapped → dropped
+    assert ds.annotations.filter(F.col("category_id") > 1).count() == 0
+    n_expected = tiny_dataset.annotations.filter(
+        F.col("category_id").isin([1, 2, 7])
+    ).count()
+    assert ds.annotations.count() == n_expected
+    # category_str refreshed
+    strs = {
+        r["category_str"]
+        for r in ds.annotations.select("category_str").distinct().collect()
+    }
+    assert strs <= set(ds.label_map.values())
+
+
+def test_remap_sequential(tiny_dataset):
+    ds, mapping = tiny_dataset.remap_sequential()
+    assert sorted(ds.label_map) == list(range(len(tiny_dataset.label_map)))
+    assert mapping == {1: 0, 2: 1, 7: 2, 15: 3}
+
+
+def test_reset_index_contiguous(tiny_dataset):
+    ds = tiny_dataset.reset_index()
+    img_ids = sorted(r["id"] for r in ds.images.select("id").collect())
+    assert img_ids == list(range(len(img_ids)))
+    ann_ids = sorted(r["id"] for r in ds.annotations.select("id").collect())
+    assert ann_ids == list(range(len(ann_ids)))
+    assert ds.check()["orphan_annotations"] == 0
+    # image ids follow relative_path order
+    rows = ds.images.select("id", "relative_path").collect()
+    by_path = sorted(rows, key=lambda r: r["relative_path"])
+    assert [r["id"] for r in by_path] == list(range(len(rows)))
+
+
+def test_reset_index_from_mapping_drop(tiny_dataset, spark):
+    mapping = spark.createDataFrame(
+        [(i, i + 100) for i in range(10)], "old_id long, new_id long"
+    )
+    ds = tiny_dataset.reset_index_from_mapping(mapping, drop_unmapped=True)
+    assert ds.images.count() == 10
+    assert ds.images.filter(F.col("id") < 100).count() == 0
+    assert ds.check()["orphan_annotations"] == 0
+
+
+def test_match_index(tiny_dataset):
+    other = tiny_dataset.from_template(
+        images=tiny_dataset.images.withColumn("id", F.col("id") + 1000)
+    )
+    m = tiny_dataset.match_index(other)
+    rows = m.collect()
+    assert len(rows) == tiny_dataset.images.count()
+    assert all(r["new_id"] == r["old_id"] + 1000 for r in rows)
+
+
+def test_empty_annotations(tiny_dataset):
+    ds = tiny_dataset.empty_annotations()
+    assert ds.annotations.count() == 0
+    assert ds.annotations.columns == tiny_dataset.annotations.columns
+    assert ds.images.count() == tiny_dataset.images.count()
+
+
+def test_parquet_roundtrip(tiny_dataset, tmp_path, spark):
+    path = str(tmp_path / "ds")
+    tiny_dataset.to_parquet(path)
+    back = SparkDataset.from_parquet(spark, path)
+    assert back.label_map == tiny_dataset.label_map
+    assert back.images.count() == tiny_dataset.images.count()
+    assert back.annotations.count() == tiny_dataset.annotations.count()
+    assert set(back.images.columns) == set(tiny_dataset.images.columns)

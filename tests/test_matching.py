@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lours_spark.evaluation.matching import (
+    compute_matches,
+    greedy_match,
+    iou_matrix,
+)
+
+
+def test_iou_matrix_known_values():
+    gt = np.array([[0.0, 0.0, 10.0, 10.0]])
+    pred = np.array([[0.0, 0.0, 10.0, 10.0], [5.0, 0.0, 10.0, 10.0]])
+    m = iou_matrix(gt, pred)
+    assert m[0, 0] == pytest.approx(1.0)
+    assert m[0, 1] == pytest.approx(50.0 / 150.0)
+
+
+def test_iou_matrix_empty():
+    assert iou_matrix(np.zeros((0, 4)), np.zeros((3, 4))).shape == (0, 3)
+
+
+def test_greedy_match_prefers_confident_prediction():
+    # one gt, two predictions both overlapping; higher confidence wins
+    ious = np.array([[0.6, 0.9]])
+    conf = np.array([0.9, 0.1])
+    matches = greedy_match(ious, conf)
+    assert matches == [(0, 0, 0.6)]
+
+
+def test_greedy_match_one_to_one():
+    ious = np.array([[0.9, 0.8], [0.85, 0.7]])
+    conf = np.array([0.9, 0.8])
+    matches = greedy_match(ious, conf)
+    # pred0 takes gt0 (0.9); pred1 must take gt1 (0.7)
+    assert sorted(matches) == [(0, 0, 0.9), (1, 1, 0.7)]
+
+
+def test_compute_matches_full_outer(spark):
+    gt = spark.createDataFrame(
+        [
+            (1, 10, 0, 0.0, 0.0, 10.0, 10.0),
+            (2, 10, 0, 50.0, 50.0, 10.0, 10.0),
+        ],
+        "id long, image_id long, category_id int, box_x_min double, "
+        "box_y_min double, box_width double, box_height double",
+    )
+    pred = spark.createDataFrame(
+        [
+            (100, 10, 0, 1.0, 0.0, 10.0, 10.0, 0.9),  # matches gt 1
+            (101, 10, 0, 200.0, 200.0, 5.0, 5.0, 0.8),  # FP
+        ],
+        "id long, image_id long, category_id int, box_x_min double, "
+        "box_y_min double, box_width double, box_height double, confidence double",
+    )
+    rows = compute_matches(gt, pred).collect()
+    by_pred = {r["prediction_id"]: r for r in rows if r["prediction_id"]}
+    assert by_pred[100]["groundtruth_id"] == 1
+    assert by_pred[100]["iou"] > 0.8
+    assert by_pred[101]["groundtruth_id"] is None  # FP row
+    fn = [r for r in rows if r["prediction_id"] is None]
+    assert len(fn) == 1 and fn[0]["groundtruth_id"] == 2  # unmatched gt
+
+
+def test_self_match_is_perfect(tiny_dataset):
+    ann = tiny_dataset.annotations
+    matches = compute_matches(ann, ann)
+    n = ann.count()
+    perfect = matches.filter(
+        F.col("prediction_id").isNotNull()
+        & F.col("groundtruth_id").isNotNull()
+        & (F.col("iou") > 0.999999)
+    ).count()
+    assert perfect == n

@@ -1,0 +1,178 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lours_spark.functions.text import (
+    fingerprint,
+    language_id,
+    simhash,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from lours_spark.functions.vectors import cosine_similarity, dot, l2_distance
+from lours_spark.operators.booleanize import (
+    booleanize,
+    broadcast_booleanization,
+    debooleanize,
+    discover_domain,
+)
+from lours_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from lours_spark.operators.similarity import brute_force_topk, knn_label, lsh_bucket_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text about spark engines and data"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "le chat est sur la table de la cuisine"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_booleanize_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b"]), (3, [])],
+        "id long, tags array<string>",
+    )
+    assert discover_domain(df, "tags") == ["a", "b"]
+    wide, domain = booleanize(df, "tags")
+    assert domain == ["a", "b"]
+    assert set(wide.columns) == {"id", "tags.a", "tags.b"}
+    back = debooleanize(wide, "tags")
+    rows = {r["id"]: list(r["tags"]) for r in back.collect()}
+    assert rows == {1: ["a", "b"], 2: ["b"], 3: []}
+
+
+def test_broadcast_booleanization(spark):
+    a = spark.createDataFrame([(1, True)], "id long, `t.x` boolean")
+    b = spark.createDataFrame([(2, True)], "id long, `t.y` boolean")
+    a2, b2 = broadcast_booleanization(a, b, "t")
+    assert set(a2.columns) == set(b2.columns) == {"id", "t.x", "t.y"}
+    assert a2.first()["t.y"] is False
+
+
+def test_tokens_and_counts(docs):
+    row = docs.select(token_count(F.col("text")).alias("n")).first()
+    assert row["n"] == 9
+
+
+def test_language_id(docs):
+    rows = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", language_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert rows[0] == "en"
+    assert rows[4] == "fr"
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a")], "doc_id long, text string"
+    )
+    fps = [r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs)
+    sizes = {r["doc_id"]: r["group_size"] for r in groups.collect()}
+    assert sizes[0] == 2  # docs 0 and 3
+    assert groups.count() == 4
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "id long, text string")
+    row = df.select(word_shingles(F.col("text"), k=3).alias("s")).first()
+    assert list(row["s"]) == ["one two"]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (0, 3) in got and got[(0, 3)] == pytest.approx(1.0)
+    assert (0, 1) in got  # near-dup
+    assert (0, 2) not in got
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 3) in got
+
+
+def test_simhash_similar_docs_close(docs):
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", simhash(tokens(F.col("text")), bits=32).alias("sh")
+        ).collect()
+    }
+    assert rows[0] == rows[3]  # identical docs → identical simhash
+    ham_01 = bin(rows[0] ^ rows[1]).count("1")
+    ham_02 = bin(rows[0] ^ rows[2]).count("1")
+    assert ham_01 < ham_02  # near-dup closer than unrelated
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0], [0.0, 1.0])],
+        "a array<double>, b array<double>, c array<double>",
+    )
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cs"),
+        cosine_similarity(F.col("a"), F.col("c")).alias("co"),
+        l2_distance(F.col("a"), F.col("c")).alias("l2"),
+    ).first()
+    assert row["d"] == 1.0
+    assert row["cs"] == pytest.approx(1.0)
+    assert row["co"] == pytest.approx(0.0)
+    assert row["l2"] == pytest.approx(2**0.5)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+        vec = [x + rng.uniform(-0.05, 0.05) for x in base]
+        rows.append((i, vec, i % 2))
+    return rows
+
+
+def test_brute_force_topk_and_knn(spark, vectors):
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    topk = brute_force_topk(df, df.filter(F.col("vec_id") < 4), k=5)
+    assert topk.groupBy("query_id").count().filter(F.col("count") != 5).count() == 0
+    # neighbors of an even vector should be even (same cluster)
+    n0 = [r["neighbor_id"] for r in topk.filter(F.col("query_id") == 0).collect()]
+    assert all(i % 2 == 0 for i in n0)
+    labels = knn_label(topk, df)
+    preds = {r["query_id"]: r["predicted_label"] for r in labels.collect()}
+    assert preds[0] == 0 and preds[1] == 1
+
+
+def test_lsh_bucket_topk_recall(spark, vectors):
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    queries = df.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(df, queries, k=3)
+    approx = lsh_bucket_topk(df, queries, k=3, num_planes=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # same-cluster structure → decent recall expected
+    assert len(e & a) / len(e) >= 0.5

@@ -1,0 +1,128 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lours_spark.split.balanced import (
+    balanced_split,
+    emd_1d,
+    greedy_assign,
+    kl_divergence,
+    share_distance,
+)
+from lours_spark.split.chunks import (
+    atomic_chunks_distributed,
+    atomic_chunks_driver,
+)
+from lours_spark.split.splitter import hash_split, residual_shares, simple_split
+
+
+def test_hash_split_deterministic_and_balanced(spark):
+    df = spark.range(10000).withColumnRenamed("id", "id")
+    out1 = hash_split(df, {"train": 0.8, "valid": 0.1, "eval": 0.1})
+    out2 = hash_split(df, {"train": 0.8, "valid": 0.1, "eval": 0.1})
+    counts = {r["split"]: r["n"] for r in out1.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 10000 - 0.8) < 0.02
+    assert abs(counts["valid"] / 10000 - 0.1) < 0.02
+    # determinism
+    a = {r["id"]: r["split"] for r in out1.collect()}
+    b = {r["id"]: r["split"] for r in out2.collect()}
+    assert a == b
+
+
+def test_hash_split_keeps_existing(spark):
+    df = spark.range(100).withColumn(
+        "split", F.when(F.col("id") < 10, F.lit("train"))
+    )
+    out = hash_split(df, {"train": 0.0, "valid": 1.0})
+    pre = out.filter(F.col("id") < 10).filter(F.col("split") != "train").count()
+    assert pre == 0
+
+
+def test_simple_split_shares(spark):
+    df = spark.range(10000)
+    out = simple_split(df, {"train": 0.7, "valid": 0.3}, seed=1)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 10000 - 0.7) < 0.05
+
+
+def test_residual_shares(spark):
+    df = spark.range(100).withColumn(
+        "split", F.when(F.col("id") < 50, F.lit("train"))
+    )
+    resid = residual_shares(df, {"train": 0.5, "valid": 0.5})
+    # train already at target → all remaining mass to valid
+    assert resid["valid"] == pytest.approx(1.0)
+    assert resid["train"] == pytest.approx(0.0)
+
+
+def test_atomic_chunks_driver_and_distributed_agree(spark):
+    rows = [
+        (0, "a", "x"),
+        (1, "a", "y"),  # linked to 0 via a
+        (2, "b", "y"),  # linked to 1 via y
+        (3, "c", "z"),  # isolated component
+        (4, "d", "z"),  # linked to 3 via z
+        (5, "e", "w"),  # isolated
+    ]
+    df = spark.createDataFrame(rows, "id long, g1 string, g2 string")
+    drv = {r["id"]: r["chunk_id"] for r in atomic_chunks_driver(df, "id", ["g1", "g2"]).collect()}
+    dist = {r["id"]: r["chunk_id"] for r in atomic_chunks_distributed(df, "id", ["g1", "g2"]).collect()}
+    assert drv == dist
+    assert drv[0] == drv[1] == drv[2] == 0
+    assert drv[3] == drv[4] == 3
+    assert drv[5] == 5
+
+
+def test_kl_and_emd_and_share():
+    p = {("a",): 10, ("b",): 0}
+    q = {("a",): 5, ("b",): 5}
+    assert kl_divergence(p, p) == pytest.approx(0.0, abs=1e-6)
+    assert kl_divergence(p, q) > 0
+    assert emd_1d({1: 1}, {1: 1}) == pytest.approx(0.0)
+    assert emd_1d({1: 1}, {2: 1}) == pytest.approx(1.0)
+    assert share_distance({"t": 80, "v": 20}, {"t": 0.8, "v": 0.2}) == pytest.approx(0.0)
+
+
+def test_greedy_assign_shares():
+    hists = {i: {("a",): 5, ("b",): 5} for i in range(100)}
+    assignment = greedy_assign(hists, {"train": 0.8, "valid": 0.2}, seed=0)
+    n_train = sum(1 for v in assignment.values() if v == "train")
+    assert abs(n_train / 100 - 0.8) < 0.05
+
+
+def test_balanced_split_end_to_end(spark):
+    df = (
+        spark.range(2000)
+        .withColumn("group", (F.col("id") % 200))
+        .withColumn("dim", (F.col("id") % 4).cast("string"))
+    )
+    out = balanced_split(
+        df,
+        {"train": 0.8, "valid": 0.2},
+        dims=["dim"],
+        keep_separate=["group"],
+        seed=1,
+    )
+    # keep-separate respected: each group lands in exactly one split
+    viol = (
+        out.groupBy("group")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert viol == 0
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.1
+    # dim balance: each split's dim histogram close to global (25% each)
+    rows = out.groupBy("split", "dim").agg(F.count(F.lit(1)).alias("n")).collect()
+    by_split: dict = {}
+    for r in rows:
+        by_split.setdefault(r["split"], {})[r["dim"]] = r["n"]
+    for split, hist in by_split.items():
+        total = sum(hist.values())
+        for dim, n in hist.items():
+            assert abs(n / total - 0.25) < 0.08, (split, dim)

@@ -1,0 +1,123 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lours_spark.evaluation.confusion import confusion_counts, confusion_matrix_pivot
+from lours_spark.evaluation.crowd import count_error_stats, per_image_counts
+from lours_spark.evaluation.pr import evaluate_detections
+from lours_spark.operators.windows import (
+    average_precision,
+    forward_fill,
+    interpolated_precision,
+    pr_curve,
+    sessionize,
+)
+
+
+def test_pr_curve_simple(spark):
+    # 4 predictions: TP TP FP TP by descending confidence
+    df = spark.createDataFrame(
+        [("g", 0.9, 1, 1), ("g", 0.8, 1, 2), ("g", 0.7, 0, 3), ("g", 0.6, 1, 4)],
+        "grp string, confidence double, is_tp int, pid long",
+    )
+    curve = pr_curve(df, ["grp"], "confidence", "is_tp", tie_break="pid")
+    rows = sorted(curve.collect(), key=lambda r: -r["confidence"])
+    assert [r["precision"] for r in rows] == pytest.approx([1.0, 1.0, 2 / 3, 3 / 4])
+    assert [r["recall"] for r in rows] == pytest.approx([1 / 3, 2 / 3, 2 / 3, 1.0])
+
+
+def test_interpolated_precision_monotone(spark):
+    df = spark.createDataFrame(
+        [("g", 0.9, 1, 1), ("g", 0.8, 1, 2), ("g", 0.7, 0, 3), ("g", 0.6, 1, 4)],
+        "grp string, confidence double, is_tp int, pid long",
+    )
+    curve = pr_curve(df, ["grp"], "confidence", "is_tp", tie_break="pid")
+    interp = interpolated_precision(curve, ["grp"], "confidence")
+    rows = sorted(interp.collect(), key=lambda r: -r["confidence"])
+    vals = [r["precision_interp"] for r in rows]
+    assert vals == sorted(vals, reverse=True)  # monotone non-increasing
+
+
+def test_average_precision_perfect_detector(spark):
+    df = spark.createDataFrame(
+        [("g", 0.9, 1, 1), ("g", 0.8, 1, 2)],
+        "grp string, confidence double, is_tp int, pid long",
+    )
+    curve = pr_curve(df, ["grp"], "confidence", "is_tp", tie_break="pid")
+    ap = average_precision(curve, ["grp"])
+    assert ap.first()["average_precision"] == pytest.approx(1.0)
+
+
+def test_forward_fill(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, None), (1, 4, 20.0), (2, 1, None)],
+        "uid long, seq long, v double",
+    )
+    out = forward_fill(df, ["uid"], [F.asc("seq")], "v", out_name="f")
+    rows = {(r["uid"], r["seq"]): r["f"] for r in out.collect()}
+    assert rows[(1, 2)] == 10.0 and rows[(1, 3)] == 10.0
+    assert rows[(1, 4)] == 20.0
+    assert rows[(2, 1)] is None
+
+
+def test_sessionize_gap(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base),
+        (2, 1, base + dt.timedelta(minutes=10)),  # same session
+        (3, 1, base + dt.timedelta(minutes=70)),  # new session
+        (4, 2, base),  # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sessionize(df, gap_seconds=1800)
+    sess = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert sess[1] == sess[2] == 1
+    assert sess[3] == 2
+    assert sess[4] == 1
+
+
+def test_confusion_counts_and_pivot(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "a"), ("b", None)],
+        "groundtruth_label string, prediction_label string",
+    )
+    counts = confusion_counts(df)
+    m = {(r["groundtruth_label"], r["prediction_label"]): r for r in counts.collect()}
+    assert m[("a", "a")]["count"] == 2
+    assert m[("a", "a")]["share"] == pytest.approx(2 / 3)
+    assert m[("b", "None")]["count"] == 1
+    wide = confusion_matrix_pivot(counts)
+    assert wide.count() == 2
+
+
+def test_crowd_counts(spark):
+    gt = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2)], "id long, image_id long"
+    )
+    pred = spark.createDataFrame(
+        [(10, 1, 0.9), (11, 1, 0.9), (12, 1, 0.9), (13, 3, 0.9)],
+        "id long, image_id long, confidence double",
+    )
+    counts = per_image_counts(gt, pred)
+    rows = {r["image_id"]: r for r in counts.collect()}
+    assert rows[1]["error"] == 1  # 3 pred vs 2 gt
+    assert rows[2]["error"] == -1  # 0 pred vs 1 gt
+    assert rows[3]["error"] == 1  # 1 pred vs 0 gt
+    stats = count_error_stats(counts).first()
+    assert stats["mae"] == pytest.approx(1.0)
+    assert stats["n_images"] == 3
+
+
+def test_evaluate_detections_end_to_end(tiny_dataset):
+    ann = tiny_dataset.annotations
+    pred = ann.withColumn("id", F.col("id") + 100000).withColumn(
+        "confidence", F.lit(0.9)
+    )
+    result = evaluate_detections(ann, pred)
+    ap = {r["category_id"]: r["average_precision"] for r in result["ap"].collect()}
+    # identical predictions → perfect AP per category
+    for v in ap.values():
+        assert v == pytest.approx(1.0)
