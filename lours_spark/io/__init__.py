@@ -1,0 +1,15 @@
+from lours_spark.io.coco import dataset_to_coco, from_coco
+from lours_spark.io.darknet import dataset_to_darknet, from_darknet
+from lours_spark.io.folder import from_folder
+from lours_spark.io.mot import from_mot
+from lours_spark.io.crowdhuman import from_crowd_human
+
+__all__ = [
+    "from_coco",
+    "dataset_to_coco",
+    "from_darknet",
+    "dataset_to_darknet",
+    "from_folder",
+    "from_mot",
+    "from_crowd_human",
+]

@@ -1,0 +1,160 @@
+"""cAIpy layout reader/writer (JSON-per-image with nested tags).
+
+Re-expresses reference ``lours/dataset/io/caipy.py:30-695``: a dataset
+is ``Annotations/{split}/*.json``, one document per image holding an
+``image`` object (with nested ``tags``) and an ``annotations`` array;
+the reference flattens nesting to dot-columns via ``json_normalize``
+(``caipy.py:78-91``) and merges per-split datasets.
+
+Spark shape: ``spark.read.json(multiLine=true)`` over each split dir
+parses one row per file, fully distributed. Nested objects stay NATIVE
+``StructType`` (the Spark-idiomatic choice — SURVEY §1.4); flattening
+to dot-columns happens only through ``flatten_structs`` for
+pandas-compat consumers. Writing groups annotations per image with
+``collect_list(struct(...))`` and emits one JSON per image from the
+executors via ``foreachPartition`` — no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lours_spark.dataset.core import SparkDataset
+
+
+def flatten_structs(df: DataFrame, prefix: str = "") -> DataFrame:
+    """Flatten nested structs to dot-named columns (the reference's
+    ``json_normalize`` semantics, for pandas-compat edges only)."""
+    flat_cols = []
+
+    def walk(schema: T.StructType, path: str):
+        for field in schema.fields:
+            p = f"{path}.{field.name}" if path else field.name
+            if isinstance(field.dataType, T.StructType):
+                walk(field.dataType, p)
+            else:
+                flat_cols.append(F.col(p).alias(p))
+
+    walk(df.schema, "")
+    return df.select(*flat_cols)
+
+
+def from_caipy(
+    spark: SparkSession,
+    dataset_root: str,
+    splits: list[str] | None = None,
+) -> SparkDataset:
+    """Read a cAIpy tree (reference ``io/caipy.py:30-349``)."""
+    ann_root = os.path.join(dataset_root, "Annotations")
+    splits = splits or sorted(
+        d for d in os.listdir(ann_root) if os.path.isdir(os.path.join(ann_root, d))
+    )
+    images_parts = []
+    ann_parts = []
+    for split in splits:
+        docs = spark.read.option("multiLine", "true").json(
+            os.path.join(ann_root, split, "*.json")
+        )
+        img = docs.select("image.*").withColumn("split", F.lit(split))
+        images_parts.append(img)
+        ann = docs.select(
+            F.col("image.id").alias("image_id"),
+            F.explode_outer("annotations").alias("a"),
+        ).select("image_id", "a.*").withColumn("split", F.lit(split))
+        ann_parts.append(ann)
+
+    def union_all(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    images = union_all(images_parts)
+    if "file_name" in images.columns:
+        images = images.withColumnRenamed("file_name", "relative_path")
+    annotations = union_all(ann_parts)
+    if "bbox" in annotations.columns:
+        annotations = (
+            annotations.withColumn("box_x_min", F.col("bbox")[0].cast("double"))
+            .withColumn("box_y_min", F.col("bbox")[1].cast("double"))
+            .withColumn("box_width", F.col("bbox")[2].cast("double"))
+            .withColumn("box_height", F.col("bbox")[3].cast("double"))
+            .drop("bbox")
+        )
+    from lours_spark.io.common import construct_label_map_df
+
+    label_map: dict[int, str] = {}
+    if "category_str" in annotations.columns:
+        label_map = construct_label_map_df(
+            annotations.filter(F.col("category_id").isNotNull())
+        )
+    ds = SparkDataset(
+        images=images,
+        annotations=annotations.filter(F.col("id").isNotNull()),
+        label_map=label_map,
+        images_root=os.path.join(dataset_root, "Images"),
+    )
+    return ds.denormalize() if label_map else ds
+
+
+def dataset_to_caipy(ds: SparkDataset, output_root: str) -> None:
+    """Write the cAIpy tree (reference ``io/caipy.py:352-695``): one
+    JSON per image, grouped and serialized on the executors."""
+    img_cols = [c for c in ds.images.columns if c != "split"]
+    # image_id is implied by the enclosing document — exclude it from
+    # the per-annotation struct (restored on read from image.id)
+    ann_cols = [c for c in ds.annotations.columns if c not in ("split", "image_id")]
+    has_bbox = all(
+        c in ann_cols
+        for c in ("box_x_min", "box_y_min", "box_width", "box_height")
+    )
+
+    per_image = (
+        ds.annotations.withColumn(
+            "__a", F.struct(*[F.col(c) for c in ann_cols])
+        )
+        .groupBy("image_id")
+        .agg(F.collect_list("__a").alias("__anns"))
+    )
+    joined = ds.images.join(
+        per_image, ds.images.id == per_image.image_id, "left"
+    ).drop("image_id")
+
+    splits = [s for s, _ in ds.iter_splits()] if "split" in ds.images.columns else [None]
+    for split in splits:
+        out_dir = os.path.join(output_root, "Annotations", split or "default")
+        os.makedirs(out_dir, exist_ok=True)
+        sub = (
+            joined.filter(
+                F.col("split").isNull()
+                if split is None
+                else F.col("split") == split
+            )
+            if "split" in joined.columns
+            else joined
+        )
+
+        def write_partition(rows, out_dir=out_dir):
+            for r in rows:
+                d = r.asDict(recursive=True)
+                anns = d.pop("__anns", None) or []
+                image = {k: v for k, v in d.items() if k != "split"}
+                if has_bbox:
+                    for a in anns:
+                        a["bbox"] = [
+                            a.pop("box_x_min"),
+                            a.pop("box_y_min"),
+                            a.pop("box_width"),
+                            a.pop("box_height"),
+                        ]
+                doc = {"image": image, "annotations": anns}
+                with open(os.path.join(out_dir, f"{image['id']}.json"), "w") as f:
+                    json.dump(doc, f, default=str)
+
+        sub.foreachPartition(write_partition)

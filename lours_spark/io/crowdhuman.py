@@ -1,0 +1,84 @@
+"""CrowdHuman ``.odgt`` (JSON-lines) reader.
+
+Re-expresses reference ``lours/dataset/io/crowd_human.py:14-108``: each
+line is one image with ``gtboxes``; every gt emits a *person*
+annotation (fbox full / vbox visible) and a *head* annotation (hbox),
+with ``visible_share`` = vbox area / fbox area; boxes are capped to
+image bounds at the end (``crowd_human.py:128``).
+
+Spark shape: JSONL is Spark's native JSON case — ``spark.read.json``
+parses distributed, ``explode`` unnests gtboxes, the two projections
+union, and the cap is the §2.6 clipping expression. No driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lours_spark.dataset.core import SparkDataset
+from lours_spark.functions.geometry import cap_bounding_box_coordinates
+
+LABEL_MAP = {1: "person", 2: "head"}
+
+
+def from_crowd_human(
+    spark: SparkSession,
+    odgt_file: str,
+    images_df: DataFrame,
+    use_full_box: bool = True,
+) -> SparkDataset:
+    """Parse an .odgt file; ``images_df`` maps image stem ``ID`` to
+    (id, width, height, relative_path)."""
+    raw = spark.read.json(odgt_file)
+    boxes = raw.select(
+        F.col("ID").alias("__stem"), F.explode("gtboxes").alias("g")
+    ).filter(F.col("g.tag") == "person")
+
+    person_src = "g.fbox" if use_full_box else "g.vbox"
+    person = boxes.select(
+        "__stem",
+        F.lit(1).alias("category_id"),
+        F.col(f"{person_src}")[0].cast("double").alias("box_x_min"),
+        F.col(f"{person_src}")[1].cast("double").alias("box_y_min"),
+        F.col(f"{person_src}")[2].cast("double").alias("box_width"),
+        F.col(f"{person_src}")[3].cast("double").alias("box_height"),
+        (
+            (F.col("g.vbox")[2] * F.col("g.vbox")[3]).cast("double")
+            / (F.col("g.fbox")[2] * F.col("g.fbox")[3])
+        ).alias("visible_share"),
+    )
+    head = boxes.filter(F.col("g.hbox").isNotNull()).select(
+        "__stem",
+        F.lit(2).alias("category_id"),
+        F.col("g.hbox")[0].cast("double").alias("box_x_min"),
+        F.col("g.hbox")[1].cast("double").alias("box_y_min"),
+        F.col("g.hbox")[2].cast("double").alias("box_width"),
+        F.col("g.hbox")[3].cast("double").alias("box_height"),
+        F.lit(None).cast("double").alias("visible_share"),
+    )
+    both = person.unionByName(head)
+
+    img = images_df.withColumn(
+        "__stem",
+        F.regexp_extract(F.col("relative_path"), r"([^/]+)\.[^.]+$", 1),
+    )
+    ann = both.join(
+        img.select("__stem", F.col("id").alias("image_id")), "__stem"
+    ).drop("__stem")
+    from pyspark.sql import Window
+
+    ann = ann.withColumn(
+        "id",
+        F.row_number().over(
+            Window.orderBy(
+                "image_id", "category_id", "box_x_min", "box_y_min"
+            )
+        ).cast("long")
+        - 1,
+    )
+    ds = SparkDataset(
+        images=img.drop("__stem"), annotations=ann, label_map=dict(LABEL_MAP)
+    ).denormalize()
+    capped = cap_bounding_box_coordinates(ds.annotations, images=ds.images)
+    return ds.from_template(annotations=capped)

@@ -1,0 +1,106 @@
+"""Images-only dataset from a directory listing.
+
+Re-expresses reference ``lours/dataset/io/images_folder.py:9-66``
+(``from_folder`` / ``from_files``). Spark shape: the ``binaryFile``
+source lists and (optionally) reads files distributed; image sizes
+come from a header-sniffing UDF over the first bytes — the reference's
+``imagesize`` probe without a Python loop on the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lours_spark.dataset import schema as S
+from lours_spark.dataset.core import SparkDataset
+
+
+def _sniff_size(payload: bytes) -> tuple[int, int]:
+    """Minimal PNG/JPEG/BMP size sniffing from header bytes (the
+    ``imagesize``-style probe; deliberately dependency-free)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return int(w), abs(int(h))
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to SOFn
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return int(w), int(h)
+            i += 2 + seg_len
+    return 0, 0
+
+
+_SIZE_SCHEMA = T.StructType(
+    [T.StructField("width", T.IntegerType()), T.StructField("height", T.IntegerType())]
+)
+
+
+@F.udf(_SIZE_SCHEMA)
+def _size_udf(content: bytes):
+    try:
+        return _sniff_size(bytes(content[:65536]))
+    except Exception:
+        return (0, 0)
+
+
+def from_folder(
+    spark: SparkSession,
+    images_root: str,
+    pattern: str = "*.{png,jpg,jpeg,bmp}",
+    with_sizes: bool = True,
+) -> SparkDataset:
+    """Dataset with an empty annotation table from an image directory."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(images_root)
+    )
+    root = images_root.rstrip("/") + "/"
+    images = files.select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("path"), "^file:", ""), root, ""
+        ).alias("relative_path"),
+        F.col("content"),
+    )
+    if with_sizes:
+        images = images.withColumn("__size", _size_udf(F.col("content")))
+        images = images.select(
+            "relative_path",
+            F.col("__size.width").alias("width"),
+            F.col("__size.height").alias("height"),
+        )
+    else:
+        images = images.select(
+            "relative_path",
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+        )
+    from pyspark.sql import Window
+
+    images = (
+        images.withColumn(
+            "id",
+            F.row_number().over(Window.orderBy("relative_path")).cast("long") - 1,
+        )
+        .withColumn(
+            "type", F.regexp_extract(F.col("relative_path"), r"(\.[^.]+)$", 1)
+        )
+        .select("id", "width", "height", "relative_path", "type")
+    )
+    annotations = spark.createDataFrame([], S.empty_annotations_schema())
+    return SparkDataset(
+        images=images, annotations=annotations, images_root=images_root
+    )

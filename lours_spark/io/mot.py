@@ -1,0 +1,65 @@
+"""MOT-challenge CSV reader.
+
+Re-expresses reference ``lours/dataset/io/mot.py:9-124``: fixed 9-column
+gt CSV ``frame,track_id,x,y,w,h,conf,class,visibility``; rows with
+``conf == 0`` dropped (ignored regions), ``conf == 1`` means
+groundtruth (no confidence semantics → null).
+
+Spark shape: a schema'd ``spark.read.csv`` — fully distributed, the
+confidence rules are ``when`` expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lours_spark.dataset.core import SparkDataset
+
+MOT_SCHEMA = T.StructType(
+    [
+        T.StructField("frame", T.LongType()),
+        T.StructField("track_id", T.LongType()),
+        T.StructField("box_x_min", T.DoubleType()),
+        T.StructField("box_y_min", T.DoubleType()),
+        T.StructField("box_width", T.DoubleType()),
+        T.StructField("box_height", T.DoubleType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("class_id", T.IntegerType()),
+        T.StructField("visibility", T.DoubleType()),
+    ]
+)
+
+
+def from_mot(
+    spark: SparkSession,
+    gt_file: str,
+    images_df: DataFrame,
+    label_map: dict[int, str] | None = None,
+) -> SparkDataset:
+    """Parse a MOT gt.txt; ``images_df`` carries one row per frame with
+    (id == frame number, width, height, relative_path)."""
+    raw = spark.read.csv(gt_file, schema=MOT_SCHEMA)
+    ann = (
+        raw.filter(F.col("confidence") != 0)  # conf==0 → ignore region
+        .withColumn(
+            "confidence",
+            F.when(F.col("confidence") == 1, F.lit(None).cast("double")).otherwise(
+                F.col("confidence")
+            ),
+        )
+        .withColumn("image_id", F.col("frame"))
+        .withColumn("category_id", F.col("class_id"))
+        .drop("frame", "class_id")
+    )
+    from pyspark.sql import Window
+
+    ann = ann.withColumn(
+        "id",
+        F.row_number().over(Window.orderBy("image_id", "track_id")).cast("long") - 1,
+    )
+    lm = label_map or {1: "pedestrian"}
+    return SparkDataset(
+        images=images_df, annotations=ann, label_map=lm
+    ).denormalize()

@@ -131,6 +131,46 @@ def forward_fill(
     )
 
 
+def resample_count(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    grid: list[float],
+) -> DataFrame:
+    """Count-above-threshold curve on a fixed grid (reference
+    ``resample_count`` ``util.py:324-356``: descending cumulative count
+    reindexed+ffilled onto a confidence grid — equivalently, for each
+    grid point t: #rows with value ≥ t).
+
+    Implemented as one conditional aggregation per grid point (all in a
+    single groupBy pass, codegen'd) then unpivoted — no join, no
+    per-threshold scan. The window+as-of formulation is equivalent but
+    costs a sort; this shape is the 100 TB-friendly one.
+    """
+    aggs = [
+        F.count(F.when(F.col(value_col) >= t, 1)).alias(f"__c_{i}")
+        for i, t in enumerate(grid)
+    ]
+    wide = df.groupBy(*group_cols).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"__c_{i}").alias("count_at_least"),
+            )
+            for i, t in enumerate(grid)
+        ]
+    )
+    return (
+        wide.select(*group_cols, F.explode(pairs).alias("__p"))
+        .select(
+            *group_cols,
+            F.col("__p.threshold").alias("threshold"),
+            F.col("__p.count_at_least").alias("count_at_least"),
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1,0 +1,108 @@
+"""Structured Streaming pipelines over the events stream.
+
+The reference has no streaming (its closest thing is a watch-folder CLI
+re-exporter, ``lours/cli/caipy_to_fiftyone.py:27-262``); these are the
+Spark-native streaming twins of the batch event operators in
+``operators/windows.py`` — same logical queries, declared on
+``readStream`` so Catalyst runs them incrementally:
+
+- windowed rollup with a watermark for late data;
+- streaming sessionization (session_window);
+- the watch-folder semantic itself: a file-source stream over a
+  directory of parquet/json drops.
+
+All are testable offline with ``trigger(availableNow=True)`` + the
+memory sink (see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream over a drop directory (the watch-folder
+    semantic, Spark-native)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .load(path)
+    )
+
+
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window rollup with late-data watermark — the streaming
+    twin of ``suite.q_hourly_rollup``. State is bounded by the
+    watermark: windows older than it are finalized and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users_approx",
+        )
+    )
+
+
+def session_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session aggregation via ``session_window`` — the
+    streaming twin of ``operators.windows.sessionize``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently available into the in-memory sink
+    (offline/test execution mode; table name = ``query_name``)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

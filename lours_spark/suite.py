@@ -1487,3 +1487,180 @@ def oracles() -> dict[str, str]:
         # rows-only (non-SQL-expressible): greedy_matching,
         # detection_pr_ap, balanced_split
     }
+
+# --------------------------------------------------------------------------
+# grouper / resample / interpolated precision / LSH ANN (round-1 batch 2)
+# --------------------------------------------------------------------------
+
+_GROUP_BINS = 8
+
+
+def q_grouper_bins(spark, sf_dir):
+    """ContinuousGroup binning: equal-width bins from one min/max agg,
+    labels = interval midpoints, count per bin."""
+    from lours_spark.operators.grouper import ContinuousGroup, group_relational_data
+
+    l = _t(spark, sf_dir, "lineitem")
+    df, cols = group_relational_data(
+        l, [ContinuousGroup("l_extendedprice", bins=_GROUP_BINS)]
+    )
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col(cols[0]).alias("bin_mid"), "n")
+    )
+
+
+def _oracle_grouper() -> str:
+    # replicate edges lo + (hi-lo)*i/bins and mid = (e_i + e_{i+1})/2
+    # with the SAME arithmetic order as operators.grouper.bin_edges
+    b = _GROUP_BINS
+    cases = []
+    for i in range(b):
+        lo_e = f"(lo + (hi - lo) * {i} / {b})"
+        hi_e = f"(lo + (hi - lo) * {i + 1} / {b})"
+        hi_cmp = "<=" if i == b - 1 else "<"
+        cases.append(
+            f"WHEN v >= {lo_e} AND v {hi_cmp} {hi_e} THEN ({lo_e} + {hi_e})/2"
+        )
+    return f"""
+WITH stats AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+), binned AS (
+  SELECT CASE {' '.join(cases)} END AS bin_mid
+  FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem), stats
+)
+SELECT bin_mid, count(*) AS n FROM binned GROUP BY bin_mid
+"""
+
+
+_RESAMPLE_GRID = [float(t) for t in range(0, 55, 5)]
+
+
+def q_resample_count(spark, sf_dir):
+    """Count-above-threshold curve on a fixed grid per event_type."""
+    from lours_spark.operators.windows import resample_count
+
+    e = _t(spark, sf_dir, "events")
+    return resample_count(e, ["event_type"], "value", _RESAMPLE_GRID)
+
+
+def _oracle_resample() -> str:
+    grid = ", ".join(f"(CAST({t} AS DOUBLE))" for t in _RESAMPLE_GRID)
+    return f"""
+SELECT e.event_type, g.threshold,
+       count(CASE WHEN e.value >= g.threshold THEN 1 END) AS count_at_least
+FROM events e CROSS JOIN (VALUES {grid}) AS g(threshold)
+GROUP BY e.event_type, g.threshold
+"""
+
+
+def q_interpolated_precision(spark, sf_dir):
+    """Monotone precision envelope (np.maximum.accumulate reversed →
+    running max window from the low-confidence end)."""
+    from lours_spark.operators.windows import interpolated_precision, pr_curve
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        (F.col("value") - F.col("event_id") * 1e-9).alias("confidence"),
+        (F.col("user_id") < 75).cast("int").alias("is_tp"),
+    )
+    curve = pr_curve(e, ["event_type"], "confidence", "is_tp", tie_break="event_id")
+    out = interpolated_precision(curve, ["event_type"], "confidence")
+    return out.select("event_id", "event_type", "precision_interp")
+
+
+ORACLE_INTERP_PRECISION = """
+WITH p AS (
+  SELECT event_id, event_type, value - event_id * 1e-9 AS confidence,
+         CASE WHEN user_id < 75 THEN 1 ELSE 0 END AS is_tp
+  FROM events
+), curve AS (
+  SELECT event_id, event_type, confidence,
+    sum(is_tp) OVER w::DOUBLE / count(*) OVER w AS precision
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY confidence DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type,
+  max(precision) OVER (PARTITION BY event_type ORDER BY confidence ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS precision_interp
+FROM curve
+"""
+
+_LSH_PLANES = 3
+
+
+def q_lsh_bucket_topk(spark, sf_dir):
+    """Approximate ANN: random-hyperplane sign bucketing, exact cosine
+    within buckets (the 100 TB path for similarity search)."""
+    from lours_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = lsh_bucket_topk(
+        emb, queries, k=5, num_planes=_LSH_PLANES, dim=_EMB_DIM
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 9).alias("cosine")
+    )
+
+
+def _oracle_lsh_bucket() -> str:
+    from lours_spark.operators.similarity import _hyperplane
+
+    def bucket_sql(vec: str) -> str:
+        terms = []
+        for p in range(_LSH_PLANES):
+            plane = _hyperplane(_EMB_DIM, p)
+            lits = ", ".join(repr(x) for x in plane)
+            dot = (
+                f"list_reduce(list_transform(generate_series(1, {_EMB_DIM}), "
+                f"i -> {vec}[i]::DOUBLE * ([{lits}])[i]), (a,b) -> a+b)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    cos = _dd_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, {bucket_sql('embedding')} AS bucket FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM corpus q JOIN corpus c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 20
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+QUERIES.update(
+    {
+        "grouper_bins": q_grouper_bins,
+        "resample_count": q_resample_count,
+        "interpolated_precision": q_interpolated_precision,
+        "lsh_bucket_topk": q_lsh_bucket_topk,
+    }
+)
+
+_EXTRA_ORACLES = {
+    "grouper_bins": _oracle_grouper,
+    "resample_count": _oracle_resample,
+    "interpolated_precision": lambda: ORACLE_INTERP_PRECISION,
+    "lsh_bucket_topk": _oracle_lsh_bucket,
+}
+
+_base_oracles = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    out = _base_oracles()
+    for k, fn in _EXTRA_ORACLES.items():
+        out[k] = fn()
+    return out

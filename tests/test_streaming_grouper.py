@@ -1,0 +1,147 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lours_spark.operators.appender import (
+    AnnotationAppender,
+    add_detection_annotation,
+)
+from lours_spark.operators.grouper import (
+    ContinuousGroup,
+    bin_edges,
+    group_relational_data,
+)
+
+
+def test_streaming_hourly_rollup(spark, tmp_path):
+    import datetime as dt
+
+    from lours_spark.streaming.events import (
+        hourly_rollup_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 15)
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 1, "click", 2.0, "{}"),
+        (3, base + dt.timedelta(hours=1), 2, "view", 3.0, "{}"),
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    data_dir = str(tmp_path / "stream_in")
+    src.write.parquet(data_dir)
+
+    stream = read_event_stream(spark, data_dir)
+    assert stream.isStreaming
+    rollup = hourly_rollup_stream(stream)
+    run_available_now(rollup, "rollup_test", str(tmp_path / "ckpt"))
+    out = {
+        (r["hour"].hour, r["event_type"]): r["n_events"]
+        for r in spark.table("rollup_test").collect()
+    }
+    assert out[(10, "click")] == 2
+    assert out[(11, "view")] == 1
+
+
+def test_streaming_sessions(spark, tmp_path):
+    import datetime as dt
+
+    from lours_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        session_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(hours=3), 1, "click", 1.0, "{}"),
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    data_dir = str(tmp_path / "sess_in")
+    src.write.parquet(data_dir)
+    sessions = session_stream(read_event_stream(spark, data_dir))
+    run_available_now(sessions, "session_test", str(tmp_path / "ckpt2"))
+    rows = spark.table("session_test").collect()
+    assert len(rows) == 2  # two sessions for user 1
+    assert sorted(r["n_events"] for r in rows) == [1, 2]
+
+
+def test_add_detection_annotation(tiny_dataset):
+    n0 = tiny_dataset.annotations.count()
+    max_id = tiny_dataset.annotations.agg(F.max("id")).collect()[0][0]
+    out = add_detection_annotation(
+        tiny_dataset,
+        image_id=[0, 1],
+        category_id=1,  # scalar broadcast over 2 rows
+        bbox=[[1.0, 2.0, 10.0, 10.0], [3.0, 4.0, 5.0, 5.0]],
+        confidence=0.5,
+    )
+    assert out.annotations.count() == n0 + 2
+    new_rows = out.annotations.filter(F.col("id") > max_id).collect()
+    assert len(new_rows) == 2
+    assert all(r["category_id"] == 1 for r in new_rows)
+    assert all(r["confidence"] == 0.5 for r in new_rows)
+    assert {r["area"] for r in new_rows} == {100.0, 25.0}
+    assert all(r["category_str"] == "car" for r in new_rows)
+
+
+def test_annotation_appender_context(tiny_dataset):
+    n0 = tiny_dataset.annotations.count()
+    with AnnotationAppender(tiny_dataset) as app:
+        app.append(image_id=0, category_id=2, bbox=[1.0, 1.0, 5.0, 5.0])
+        app.append(image_id=1, category_id=7, bbox=[2.0, 2.0, 6.0, 6.0])
+    assert app.result.annotations.count() == n0 + 2
+    assert app.result.check()["duplicate_annotation_ids"] == 0
+
+
+def test_bin_edges_and_groups(spark):
+    df = spark.range(1000).select(
+        F.col("id").cast("long").alias("image_id"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    spec = ContinuousGroup("v", bins=4)
+    edges = bin_edges(df, spec)
+    assert edges[0] == 0.0 and edges[-1] == 99.0
+    out, cols = group_relational_data(df, [spec])
+    assert cols == ["v_bin"]
+    labels = {r["v_bin"] for r in out.select("v_bin").distinct().collect()}
+    assert len(labels) == 4  # four midpoints
+
+
+def test_qcut_bins(spark):
+    df = spark.range(1000).select((F.col("id") % 10).cast("double").alias("v"))
+    spec = ContinuousGroup("v", bins=2, qcut=True)
+    edges = bin_edges(df, spec)
+    assert len(edges) >= 2
+
+
+def test_parent_table_group(tiny_dataset):
+    out, cols = group_relational_data(
+        tiny_dataset.annotations,
+        ["camera_id"],  # lives on the image table
+        images=tiny_dataset.images,
+    )
+    assert cols == ["camera_id"]
+    assert out.filter(F.col("camera_id").isNull()).count() == 0
+    assert out.count() == tiny_dataset.annotations.count()
+
+
+def test_group_with_continuous_parent(tiny_dataset):
+    out, cols = group_relational_data(
+        tiny_dataset.annotations,
+        [ContinuousGroup("box_width", bins=3), "camera_id"],
+        images=tiny_dataset.images,
+    )
+    assert set(cols) == {"box_width_bin", "camera_id"}
