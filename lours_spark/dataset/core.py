@@ -290,6 +290,42 @@ class SparkDataset:
         names = {r[1]: r[2] for r in rows}
         return self.remap_classes(mapping, new_names=names)
 
+    def remap_from_preset(
+        self, name: str, invert: bool = False
+    ) -> "SparkDataset":
+        """Apply a named preset mapping (reference ``dataset.py:3581``,
+        registry ``remap_presets/__init__.py:15-45``)."""
+        from lours_spark.dataset.remap_presets import get_preset
+
+        mapping, names = get_preset(name, invert=invert)
+        return self.remap_classes(mapping, new_names=names)
+
+    def remap_from_other(self, other: "SparkDataset") -> "SparkDataset":
+        """Align this dataset's label space to another's BY NAME
+        (reference ``dataset.py:3794-4015``): categories whose name
+        exists in ``other`` take its id; clashing leftovers get the
+        lowest free ids. Pure driver-side dict algebra — label maps are
+        tiny by construction."""
+        inverted = {v: k for k, v in other.label_map.items()}
+        mapping: dict[int, int] = {}
+        names: dict[int, str] = {}
+        taken = set(inverted.values())
+
+        def next_free() -> int:
+            for i in range(10**9):  # pragma: no branch
+                if i not in taken:
+                    taken.add(i)
+                    return i
+            raise RuntimeError("unreachable")
+
+        for old_id, name in sorted(self.label_map.items()):
+            if name in inverted:
+                mapping[old_id] = inverted[name]
+            else:
+                mapping[old_id] = next_free()
+            names[mapping[old_id]] = name
+        return self.remap_classes(mapping, new_names=names, keep_unmapped=False)
+
     def remap_sequential(self) -> tuple["SparkDataset", dict[int, int]]:
         """Remap category ids to contiguous 0..n-1 ordered by old id —
         the darknet-export remap (reference ``io/darknet.py:613-616``)."""

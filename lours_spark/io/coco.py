@@ -165,3 +165,60 @@ def dataset_to_coco(ds: SparkDataset, output_dir: str) -> list[str]:
             )
         written.append(path)
     return written
+
+
+def from_coco_keypoints(
+    spark: SparkSession,
+    annotations_file: str,
+    images_root: str = ".",
+    split: str | None = None,
+) -> SparkDataset:
+    """COCO keypoint variant (reference ``io/coco.py:136-174``): each
+    keypoint triple (x, y, visibility>0) becomes a zero-size "XY" box
+    annotation in the single keypoint category."""
+    with open(annotations_file) as f:
+        doc = json.load(f)
+    name, deduced_split = parse_annotation_name(Path(annotations_file).stem)
+    split = split or deduced_split
+    img_rows = [
+        (
+            int(im["id"]),
+            int(im.get("width", 0)),
+            int(im.get("height", 0)),
+            im.get("file_name", ""),
+            os.path.splitext(im.get("file_name", ""))[1],
+            split,
+        )
+        for im in doc.get("images", [])
+    ]
+    ann_rows = []
+    next_id = 0
+    for a in doc.get("annotations", []):
+        kps = a.get("keypoints", [])
+        for i in range(0, len(kps) - 2, 3):
+            x, y, v = kps[i], kps[i + 1], kps[i + 2]
+            if v > 0:
+                ann_rows.append(
+                    (
+                        next_id,
+                        int(a["image_id"]),
+                        int(a.get("category_id", 1)),
+                        float(x),
+                        float(y),
+                        0.0,
+                        0.0,
+                        None,
+                    )
+                )
+                next_id += 1
+    cats = doc.get("categories") or [{"id": 1, "name": "keypoint"}]
+    label_map = {int(c["id"]): c["name"] for c in cats}
+    images = spark.createDataFrame(img_rows, _IMG_SCHEMA)
+    annotations = spark.createDataFrame(ann_rows, _ANN_SCHEMA).drop("confidence")
+    return SparkDataset(
+        images=images,
+        annotations=annotations,
+        label_map=label_map,
+        dataset_name=name,
+        images_root=images_root,
+    ).denormalize()

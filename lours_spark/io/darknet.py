@@ -154,3 +154,56 @@ def dataset_to_darknet(ds: SparkDataset, output_dir: str) -> None:
             ]
             with open(os.path.join(output_dir, f"{split}.txt"), "w") as f:
                 f.write("\n".join(paths) + ("\n" if paths else ""))
+
+
+def from_darknet_json(
+    spark: SparkSession,
+    predictions_file: str,
+    images_df: DataFrame,
+    names: list[str],
+) -> SparkDataset:
+    """Darknet detector output JSON (reference ``io/darknet.py:303-364``):
+    a list of frames, each with ``filename`` and ``objects`` carrying
+    ``class_id``, ``relative_coordinates`` (cxcywh) and ``confidence``.
+    Distributed parse via spark.read.json + explode."""
+    raw = (
+        spark.read.option("multiLine", "true")
+        .json(predictions_file)
+        .select(
+            F.regexp_extract(F.col("filename"), r"([^/]+)\.[^.]+$", 1).alias(
+                "__stem"
+            ),
+            F.explode("objects").alias("o"),
+        )
+    )
+    parsed = raw.select(
+        "__stem",
+        F.col("o.class_id").cast("int").alias("category_id"),
+        F.col("o.relative_coordinates.center_x").cast("double").alias("rcx"),
+        F.col("o.relative_coordinates.center_y").cast("double").alias("rcy"),
+        F.col("o.relative_coordinates.width").cast("double").alias("rw"),
+        F.col("o.relative_coordinates.height").cast("double").alias("rh"),
+        F.col("o.confidence").cast("double").alias("confidence"),
+    )
+    img = images_df.withColumn(
+        "__stem",
+        F.regexp_extract(F.col("relative_path"), r"([^/]+)\.[^.]+$", 1),
+    )
+    ann = parsed.join(
+        img.select("__stem", F.col("id").alias("image_id")), "__stem"
+    ).drop("__stem")
+    from pyspark.sql import Window
+
+    ann = ann.withColumn(
+        "id",
+        F.row_number().over(
+            Window.orderBy("image_id", "category_id", "rcx", "rcy")
+        ).cast("long")
+        - 1,
+    )
+    ann = import_bbox(ann, "cxcywh", ["rcx", "rcy", "rw", "rh"], images=images_df)
+    return SparkDataset(
+        images=img.drop("__stem"),
+        annotations=ann,
+        label_map={i: n for i, n in enumerate(names)},
+    ).denormalize()

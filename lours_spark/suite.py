@@ -1664,3 +1664,361 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     for k, fn in _EXTRA_ORACLES.items():
         out[k] = fn()
     return out
+
+# --------------------------------------------------------------------------
+# batch 3: validation, pivot, tf-idf, overlap merge, class filters
+# --------------------------------------------------------------------------
+
+
+def q_validation_counts(spark, sf_dir):
+    """Dataset.check(): PK/FK violation counts as a single-row result,
+    on a deliberately corrupted dataset (duplicated annotation ids +
+    orphaned annotations)."""
+    ds = orders_dataset(spark, sf_dir)
+    dup_ann = (
+        ds.annotations.filter(F.col("l_linenumber") == 1)
+        .orderBy("id")
+        .limit(50)
+    )
+    corrupted = ds.from_template(
+        images=ds.images.filter(F.col("o_totalprice") >= 50000),
+        annotations=ds.annotations.unionByName(dup_ann),
+    )
+    report = corrupted.check()
+    return spark.createDataFrame(
+        [
+            (
+                report["duplicate_image_ids"],
+                report["duplicate_annotation_ids"],
+                report["orphan_annotations"],
+                report["unknown_categories"],
+            )
+        ],
+        "duplicate_image_ids long, duplicate_annotation_ids long, "
+        "orphan_annotations long, unknown_categories long",
+    )
+
+
+ORACLE_VALIDATION = f"""
+WITH dup AS (
+  SELECT {_LINE_ID} AS id FROM lineitem WHERE l_linenumber = 1
+  ORDER BY l_orderkey LIMIT 50
+), ann AS (
+  SELECT {_LINE_ID} AS id, l_orderkey AS image_id, l_linenumber AS category_id
+  FROM lineitem
+  UNION ALL
+  SELECT {_LINE_ID} AS id, l_orderkey AS image_id, l_linenumber AS category_id
+  FROM lineitem WHERE {_LINE_ID} IN (SELECT id FROM dup)
+), img AS (
+  SELECT o_orderkey AS id FROM orders WHERE o_totalprice >= 50000
+)
+SELECT
+  (SELECT count(*) FROM (SELECT id FROM img GROUP BY id HAVING count(*) > 1))
+    AS duplicate_image_ids,
+  (SELECT count(*) FROM (SELECT id FROM ann GROUP BY id HAVING count(*) > 1))
+    AS duplicate_annotation_ids,
+  (SELECT count(*) FROM ann WHERE image_id NOT IN (SELECT id FROM img))
+    AS orphan_annotations,
+  (SELECT count(*) FROM ann WHERE category_id NOT IN (1,2,3,4,5,6,7))
+    AS unknown_categories
+"""
+
+
+def q_bbox_validity_report(spark, sf_dir):
+    """Malformed-bbox report: violation flags + filter (reference
+    get_malformed_bounding_boxes). Boxes synthesized so a subset
+    genuinely violates the image bounds."""
+    from lours_spark.functions.bbox import import_bbox
+    from lours_spark.functions.geometry import malformed_bounding_boxes
+
+    images = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 300) + 50).cast("int").alias("width"),
+        ((F.col("o_orderkey") % 200) + 50).cast("int").alias("height"),
+    )
+    ann = import_bbox(
+        _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
+    )
+    bad = malformed_bounding_boxes(ann, images=images)
+    return bad.select(
+        "id", "negative_coordinates", "non_positive_size", "exceeds_image"
+    )
+
+
+ORACLE_BBOX_VALIDITY = f"""
+WITH img AS (
+  SELECT o_orderkey AS image_id,
+         CAST((o_orderkey % 300) + 50 AS INT) AS w,
+         CAST((o_orderkey % 200) + 50 AS INT) AS h
+  FROM orders
+), ann AS (
+  SELECT {_LINE_ID} AS id, l_orderkey AS image_id,
+    ({_DD_BOX['cx']}) - ({_DD_BOX['w']})/2 AS x,
+    ({_DD_BOX['cy']}) - ({_DD_BOX['h']})/2 AS y,
+    ({_DD_BOX['w']}) AS bw, ({_DD_BOX['h']}) AS bh
+  FROM lineitem
+)
+SELECT ann.id,
+  coalesce(x < 0 OR y < 0, FALSE) AS negative_coordinates,
+  coalesce(bw <= 0 OR bh <= 0, FALSE) AS non_positive_size,
+  coalesce(x + bw > CAST(w AS DOUBLE) OR y + bh > CAST(h AS DOUBLE), FALSE)
+    AS exceeds_image
+FROM ann JOIN img ON ann.image_id = img.image_id
+WHERE coalesce(x < 0 OR y < 0, FALSE)
+   OR coalesce(bw <= 0 OR bh <= 0, FALSE)
+   OR coalesce(x + bw > CAST(w AS DOUBLE) OR y + bh > CAST(h AS DOUBLE), FALSE)
+"""
+
+
+def q_keep_classes(spark, sf_dir):
+    """keep_classes whitelist: annotations filtered, label map pruned."""
+    ds = orders_dataset(spark, sf_dir).keep_classes([2, 4, 6]).denormalize()
+    return ds.annotations.select("id", "category_id", "category_str")
+
+
+ORACLE_KEEP_CLASSES = f"""
+SELECT {_LINE_ID} AS id, l_linenumber AS category_id,
+       concat('line_', l_linenumber) AS category_str
+FROM lineitem WHERE l_linenumber IN (2,4,6)
+"""
+
+
+def q_merge_overlap_id_shift(spark, sf_dir):
+    """Merge with overlapping image ids: intersecting images kept once,
+    colliding annotation ids on the right shifted past the left max
+    (reference merge.py:199-203)."""
+    base = orders_dataset(spark, sf_dir)
+    a = base.filter_images(F.col("o_totalprice") < 300000)
+    b = base.filter_images(F.col("o_totalprice") > 100000)
+    merged = a.merge(b)
+    return merged.annotations.select("id", "image_id", "l_quantity")
+
+
+ORACLE_MERGE_OVERLAP = f"""
+WITH a_img AS (SELECT o_orderkey AS id FROM orders WHERE o_totalprice < 300000),
+b_img AS (SELECT o_orderkey AS id FROM orders WHERE o_totalprice > 100000),
+a_ann AS (
+  SELECT {_LINE_ID} AS id, l_orderkey AS image_id, l_quantity
+  FROM lineitem WHERE l_orderkey IN (SELECT id FROM a_img)
+),
+b_ann AS (
+  SELECT {_LINE_ID} AS id, l_orderkey AS image_id, l_quantity
+  FROM lineitem WHERE l_orderkey IN (SELECT id FROM b_img)
+),
+mx AS (SELECT max(id) + 1 AS shift FROM a_ann)
+SELECT id, image_id, l_quantity FROM a_ann
+UNION ALL
+SELECT b_ann.id + mx.shift AS id, image_id, l_quantity FROM b_ann, mx
+"""
+
+
+def q_confusion_pivot(spark, sf_dir):
+    """Wide confusion matrix via pivot (one row per gt label)."""
+    from lours_spark.evaluation.confusion import (
+        confusion_counts,
+        confusion_matrix_pivot,
+    )
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("groundtruth_label"),
+        F.col("l_linestatus").alias("prediction_label"),
+    )
+    counts = confusion_counts(l, normalize=False)
+    return confusion_matrix_pivot(counts)
+
+
+ORACLE_CONFUSION_PIVOT = """
+SELECT l_returnflag AS groundtruth_label,
+  coalesce(sum(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) AS "F",
+  coalesce(sum(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) AS "O"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_top_terms(spark, sf_dir):
+    """Corpus document-frequency top-20 terms (deterministic ties)."""
+    from lours_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    df_counts = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+    )
+    return df_counts
+
+
+ORACLE_TOP_TERMS = f"""
+SELECT term, count(*) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(list_distinct({dd_tokens('text')})) AS term
+  FROM documents
+)
+GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20
+"""
+
+
+def q_tfidf_top_term(spark, sf_dir):
+    """Per-document highest-TF-IDF term — the classic text-pipeline
+    join: term frequencies ⋈ document frequencies, windowed argmax."""
+    from lours_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    terms = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+def _oracle_tfidf() -> str:
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest({dd_tokens('text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rk = 1
+"""
+
+
+def q_simple_split(spark, sf_dir):
+    """Seeded-random split (rand(seed) — engine-specific RNG, so the
+    driver records a rows-only check; hash_split is the oracle-checked
+    deterministic variant)."""
+    from lours_spark.split.splitter import simple_split
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "id")
+    out = simple_split(o, {"train": 0.8, "valid": 0.1, "eval": 0.1}, seed=42)
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+QUERIES.update(
+    {
+        "validation_counts": q_validation_counts,
+        "bbox_validity_report": q_bbox_validity_report,
+        "keep_classes": q_keep_classes,
+        "merge_overlap_id_shift": q_merge_overlap_id_shift,
+        "confusion_pivot": q_confusion_pivot,
+        "top_terms": q_top_terms,
+        "tfidf_top_term": q_tfidf_top_term,
+        "simple_split": q_simple_split,
+    }
+)
+
+_EXTRA_ORACLES.update(
+    {
+        "validation_counts": lambda: ORACLE_VALIDATION,
+        "bbox_validity_report": lambda: ORACLE_BBOX_VALIDITY,
+        "keep_classes": lambda: ORACLE_KEEP_CLASSES,
+        "merge_overlap_id_shift": lambda: ORACLE_MERGE_OVERLAP,
+        "confusion_pivot": lambda: ORACLE_CONFUSION_PIVOT,
+        "top_terms": lambda: ORACLE_TOP_TERMS,
+        "tfidf_top_term": _oracle_tfidf,
+        # simple_split: rows-only by design (engine-specific RNG)
+    }
+)
+
+# --------------------------------------------------------------------------
+# batch 4: BPE-ish tokenization, near-dup clustering
+# --------------------------------------------------------------------------
+
+#: GPT-2-flavoured pre-tokenizer, restricted to RE2-compatible syntax
+#: (no lookahead) so the oracle regex engine agrees byte-for-byte
+_BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts: regexp_extract_all with a GPT-2
+    style pattern — the token-budget estimator of a data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+
+
+def _oracle_bpe() -> str:
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+  len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS n_unique
+FROM documents
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: exact-Jaccard pairs → connected
+    components (distributed min-label propagation) → cluster id per
+    member doc. Composes the dedup similarity join with the split
+    subsystem's CC operator — iterative, so rows-only check."""
+    from lours_spark.operators.dedup import ngram_jaccard_pairs
+    from lours_spark.split.chunks import atomic_chunks_distributed
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.3)
+    # rows = docs appearing in ≥1 pair; edges = shared pair id
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("doc_id"),
+        F.concat_ws("_", F.col("id_a"), F.col("id_b")).alias("pair"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.concat_ws("_", F.col("id_a"), F.col("id_b")).alias("pair"),
+        )
+    )
+    rows = members.join(edges, "doc_id").select("doc_id", "pair")
+    clusters = atomic_chunks_distributed(
+        rows.withColumnRenamed("pair", "g"), "doc_id", ["g"]
+    )
+    # rows carries one entry per (doc, pair) — dedupe the assignment
+    return clusters.select(
+        F.col("doc_id"), F.col("chunk_id").alias("cluster_id")
+    ).distinct()
+
+
+QUERIES.update(
+    {
+        "bpe_token_count": q_bpe_token_count,
+        "dedup_clusters": q_dedup_clusters,
+    }
+)
+_EXTRA_ORACLES.update({"bpe_token_count": _oracle_bpe})

@@ -164,3 +164,39 @@ def test_parquet_roundtrip(tiny_dataset, tmp_path, spark):
     assert back.images.count() == tiny_dataset.images.count()
     assert back.annotations.count() == tiny_dataset.annotations.count()
     assert set(back.images.columns) == set(tiny_dataset.images.columns)
+
+
+def test_remap_from_other_by_name(tiny_dataset, spark):
+    # other dataset: same names, different id space
+    other = tiny_dataset.remap_classes(
+        {1: 10, 2: 20, 7: 30, 15: 40},
+        new_names={10: "car", 20: "person", 30: "truck", 40: "bike"},
+    )
+    aligned = tiny_dataset.remap_from_other(other)
+    assert aligned.label_map == other.label_map
+    # category ids now live in other's space
+    ids = {
+        r["category_id"]
+        for r in aligned.annotations.select("category_id").distinct().collect()
+    }
+    assert ids <= {10, 20, 30, 40}
+
+
+def test_remap_from_other_clash_gets_free_id(tiny_dataset):
+    other = tiny_dataset.keep_classes([1, 2])  # knows car(1), person(2)
+    aligned = tiny_dataset.remap_from_other(other)
+    # car/person keep other's ids; truck/bike get lowest free ids (0, 3)
+    assert aligned.label_map[1] == "car"
+    assert aligned.label_map[2] == "person"
+    leftover = {k for k, v in aligned.label_map.items() if v in ("truck", "bike")}
+    assert leftover == {0, 3}
+
+
+def test_remap_from_preset(tiny_dataset):
+    from lours_spark.dataset.remap_presets import register_preset
+
+    register_preset("test_preset", [(1, 100, "vehicle"), (2, 200, "human")])
+    out = tiny_dataset.remap_from_preset("test_preset")
+    assert out.label_map == {100: "vehicle", 200: "human"}
+    inv = out.remap_from_preset("test_preset", invert=True)
+    assert set(inv.label_map) == {1, 2}

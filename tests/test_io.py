@@ -210,3 +210,55 @@ def test_caipy_roundtrip(spark, tmp_path, tiny_dataset):
     for k in a:
         assert a[k]["box_x_min"] == pytest.approx(b[k]["box_x_min"])
         assert a[k]["category_id"] == b[k]["category_id"]
+
+
+def test_from_coco_keypoints(spark, tmp_path):
+    from lours_spark.io.coco import from_coco_keypoints
+
+    doc = {
+        "images": [{"id": 1, "width": 100, "height": 100, "file_name": "a.jpg"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "keypoints": [10, 20, 2, 30, 40, 0, 50, 60, 1]}
+        ],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    p = tmp_path / "kp.json"
+    p.write_text(json.dumps(doc))
+    ds = from_coco_keypoints(spark, str(p))
+    rows = ds.annotations.collect()
+    assert len(rows) == 2  # visibility-0 keypoint dropped
+    assert all(r["box_width"] == 0.0 for r in rows)
+    assert {(r["box_x_min"], r["box_y_min"]) for r in rows} == {(10.0, 20.0), (50.0, 60.0)}
+
+
+def test_from_darknet_json(spark, tmp_path):
+    from lours_spark.io.darknet import from_darknet_json
+
+    doc = [
+        {
+            "filename": "data/img1.jpg",
+            "objects": [
+                {
+                    "class_id": 0,
+                    "name": "cat",
+                    "relative_coordinates": {
+                        "center_x": 0.5, "center_y": 0.5,
+                        "width": 0.2, "height": 0.2,
+                    },
+                    "confidence": 0.9,
+                }
+            ],
+        }
+    ]
+    p = tmp_path / "preds.json"
+    p.write_text(json.dumps(doc))
+    images = spark.createDataFrame(
+        [(0, 100, 100, "img1.jpg")],
+        "id long, width int, height int, relative_path string",
+    )
+    ds = from_darknet_json(spark, str(p), images, names=["cat"])
+    r = ds.annotations.first()
+    assert r["confidence"] == pytest.approx(0.9)
+    assert r["box_x_min"] == pytest.approx(40.0)
+    assert r["category_str"] == "cat"
