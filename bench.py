@@ -32,11 +32,17 @@ BENCH_QUERIES = [
     "atomic_chunks",
     "fingerprint_dedup",
     "minhash_lsh_pairs",
+    "ngram_jaccard",
     "simhash",
+    "bpe_token_count",
+    "tfidf_top_term",
     "cosine_topk",
+    "lsh_bucket_topk",
+    "embedding_near_dup",
     "sessionize",
     "hourly_rollup",
     "greedy_matching",
+    "detection_pr_ap",
 ]
 
 

@@ -343,15 +343,16 @@ class SparkDataset:
         ids (ordered by image_id, category_id, bbox) to contiguous
         ranges; FK rewritten (reference ``dataset.py:1883-2020``).
 
-        Uses a global ``row_number`` — a single-stage sort that is only
-        appropriate on export paths, exactly like the reference's use.
+        Id assignment is the two-phase parallel global row number
+        (``functions/ids.py``) — range partition + per-partition offset
+        — never a single-partition window, so the export path survives
+        a 100 TB table.
         """
-        from pyspark.sql import Window
+        from lours_spark.functions.ids import global_row_number
 
         img_order = [c for c in ("relative_path", "id") if c in self.images.columns]
-        w_img = Window.orderBy(*[F.col(c) for c in img_order])
-        images = self.images.withColumn(
-            "__new_id", F.row_number().over(w_img) - 1 + start_image_id
+        images = global_row_number(
+            self.images, img_order, out_col="__new_id", start=start_image_id
         )
         id_map = images.select(
             F.col("id").alias("__old_id"), F.col("__new_id")
@@ -367,10 +368,12 @@ class SparkDataset:
             for c in ("image_id", "category_id", *S.BBOX_COLUMN_NAMES, "id")
             if c in ann.columns
         ]
-        w_ann = Window.orderBy(*[F.col(c) for c in ann_order])
-        ann = ann.withColumn(
-            "id", F.row_number().over(w_ann) - 1 + start_annotation_id
-        ).select("id", *[c for c in self.annotations.columns if c != "id"])
+        ann = global_row_number(
+            ann, ann_order, out_col="__new_ann_id", start=start_annotation_id
+        )
+        ann = ann.drop("id").withColumnRenamed("__new_ann_id", "id").select(
+            "id", *[c for c in self.annotations.columns if c != "id"]
+        )
         return self.from_template(images=new_images, annotations=ann)
 
     def reset_index_from_mapping(

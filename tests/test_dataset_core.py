@@ -200,3 +200,24 @@ def test_remap_from_preset(tiny_dataset):
     assert out.label_map == {100: "vehicle", 200: "human"}
     inv = out.remap_from_preset("test_preset", invert=True)
     assert set(inv.label_map) == {1, 2}
+
+
+def test_global_row_number_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    from lours_spark.functions.ids import global_row_number
+
+    df = spark.range(5000).select(
+        (F.col("id") * 37 % 5000).alias("k"), F.col("id").alias("orig")
+    )
+    two_phase = {
+        r["orig"]: r["rn"]
+        for r in global_row_number(df, ["k", "orig"], out_col="rn").collect()
+    }
+    single = {
+        r["orig"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "orig")) - 1
+        ).collect()
+    }
+    assert two_phase == single
