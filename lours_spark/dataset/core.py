@@ -62,6 +62,16 @@ class SparkDataset:
     def spark(self) -> SparkSession:
         return self.images.sparkSession
 
+    @staticmethod
+    def empty(spark: SparkSession) -> "SparkDataset":
+        """A fully-empty dataset with typed frames (reference supports
+        empty datasets with typed empty pandas frames,
+        ``dataset.py:168-180`` — Spark needs explicit schemas)."""
+        return SparkDataset(
+            images=spark.createDataFrame([], S.empty_images_schema()),
+            annotations=spark.createDataFrame([], S.empty_annotations_schema()),
+        )
+
     def from_template(self, **kwargs) -> "SparkDataset":
         """Cheap structural copy with overrides (reference
         ``dataset.py:192-313``). Lazy frames make this nearly free."""
@@ -79,6 +89,16 @@ class SparkDataset:
 
     def __len__(self) -> int:
         return self.images.count()
+
+    def __repr__(self) -> str:
+        """Formatted summary (reference ``dataset.py:1656-1693``).
+        Triggers two counts — keep out of hot loops."""
+        return (
+            f"SparkDataset(name={self.dataset_name!r}, "
+            f"images={self.images.count()}, "
+            f"annotations={self.annotations.count()}, "
+            f"labels={len(self.label_map)})"
+        )
 
     def len_annot(self) -> int:
         return self.annotations.count()
@@ -232,6 +252,91 @@ class SparkDataset:
             self.annotations.filter(F.col("image_id") == image_id),
         )
 
+    def iter_images(self):
+        """Stream (image_row, annotation_rows) pairs to the driver
+        (reference ``iter_images`` ``dataset.py:1475-1541``): one
+        ordered pass via ``toLocalIterator`` over a pre-grouped frame —
+        never a full collect."""
+        ann_struct = F.struct(*[F.col(c) for c in self.annotations.columns])
+        grouped = (
+            self.annotations.groupBy("image_id")
+            .agg(F.collect_list(ann_struct).alias("__anns"))
+        )
+        joined = (
+            self.images.join(
+                grouped, self.images.id == grouped.image_id, "left"
+            )
+            .drop("image_id")
+            .orderBy("id")
+        )
+        for row in joined.toLocalIterator():
+            d = row.asDict()
+            anns = d.pop("__anns", None) or []
+            yield d, anns
+
+    def take_images(self, n: int) -> "SparkDataset":
+        """First-n images in id order (the closest stable analog of the
+        reference's positional ``iloc`` slicing — Spark has no stable
+        row positions, so positional access is defined only under an
+        explicit ordering)."""
+        head = self.images.orderBy("id").limit(n)
+        annotations = self.annotations.join(
+            head.select(F.col("id").alias("image_id")), "image_id", "left_semi"
+        )
+        return self.from_template(images=head, annotations=annotations)
+
+    def remove_invalid_annotations(
+        self, remove_emptied_images: bool = False, allow_keypoints: bool = True
+    ) -> "SparkDataset":
+        """Drop malformed-bbox annotations (reference
+        ``dataset.py:1233-1405``): negative coords, non-positive sizes
+        (zero allowed for keypoints when ``allow_keypoints``), boxes
+        exceeding image bounds."""
+        from lours_spark.functions.geometry import bbox_validity
+
+        sizes = self.images.select(
+            F.col("id").alias("image_id"), "width", "height"
+        )
+        ann = self.annotations.join(sizes, "image_id", "left")
+        preds = bbox_validity(allow_keypoints=allow_keypoints)
+        bad = None
+        for p in preds.values():
+            q = F.coalesce(p, F.lit(False))
+            bad = q if bad is None else (bad | q)
+        kept = ann.filter(~bad).drop(
+            *[c for c in ("width", "height") if c not in self.annotations.columns]
+        )
+        out = self.from_template(annotations=kept)
+        if remove_emptied_images:
+            originally_empty = self.images.join(
+                self.annotations.select(F.col("image_id").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+            still = self.images.join(
+                kept.select(F.col("image_id").alias("id")).distinct(),
+                "id",
+                "left_semi",
+            )
+            out = out.from_template(images=still.unionByName(originally_empty))
+        return out
+
+    def rebase_images_root(self, new_root: str) -> "SparkDataset":
+        """Re-root image paths (reference root-rebase
+        ``dataset.py:1039-1123``): relative paths are rewritten so they
+        stay valid relative to ``new_root``; driver computes the
+        relpath prefix, rows get a concat."""
+        import os
+
+        rel = os.path.relpath(str(self.images_root), new_root)
+        if rel == ".":
+            return self
+        images = self.images.withColumn(
+            "relative_path",
+            F.concat(F.lit(rel + "/"), F.col("relative_path")),
+        )
+        return self.from_template(images=images, images_root=new_root)
+
     # ------------------------------------------------------------ remapping
     def remap_classes(
         self,
@@ -289,6 +394,20 @@ class SparkDataset:
         mapping = {r[0]: r[1] for r in rows}
         names = {r[1]: r[2] for r in rows}
         return self.remap_classes(mapping, new_names=names)
+
+    def remap_from_csv(self, path: str) -> "SparkDataset":
+        """Remap from a CSV with columns input_category_id,
+        output_category_id, output_category_name (reference
+        ``dataset.py:3633-3793``)."""
+        mapping_df = (
+            self.spark.read.option("header", "true").csv(path)
+            .select(
+                F.col("input_category_id").cast("int"),
+                F.col("output_category_id").cast("int"),
+                F.col("output_category_name"),
+            )
+        )
+        return self.remap_from_dataframe(mapping_df)
 
     def remap_from_preset(
         self, name: str, invert: bool = False

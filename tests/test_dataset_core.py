@@ -221,3 +221,63 @@ def test_global_row_number_matches_single_window(spark):
         ).collect()
     }
     assert two_phase == single
+
+
+def test_repr_and_empty(tiny_dataset, spark):
+    s = repr(tiny_dataset)
+    assert "images=40" in s
+    empty = SparkDataset.empty(spark)
+    assert empty.images.count() == 0
+    assert "box_x_min" in empty.annotations.columns
+    assert len(empty) == 0
+
+
+def test_iter_images(tiny_dataset):
+    seen = 0
+    for img, anns in tiny_dataset.iter_images():
+        assert "relative_path" in img
+        for a in anns:
+            assert a["image_id"] == img["id"]
+        seen += 1
+        if seen >= 5:
+            break
+    assert seen == 5
+
+
+def test_take_images(tiny_dataset):
+    ds = tiny_dataset.take_images(7)
+    ids = sorted(r["id"] for r in ds.images.collect())
+    assert ids == list(range(7))
+    assert ds.annotations.filter(F.col("image_id") >= 7).count() == 0
+
+
+def test_remove_invalid_annotations(tiny_dataset, spark):
+    # corrupt a few rows
+    bad = tiny_dataset.annotations.limit(3).withColumn(
+        "box_x_min", F.lit(-5.0)
+    ).withColumn("id", F.col("id") + 100000)
+    ds = tiny_dataset.from_template(
+        annotations=tiny_dataset.annotations.unionByName(bad)
+    )
+    cleaned = ds.remove_invalid_annotations()
+    assert cleaned.annotations.count() == tiny_dataset.annotations.count()
+    assert cleaned.annotations.filter(F.col("box_x_min") < 0).count() == 0
+    assert set(cleaned.annotations.columns) == set(ds.annotations.columns)
+
+
+def test_rebase_images_root(tiny_dataset):
+    ds = tiny_dataset.from_template(images_root="/data/sets/mine")
+    out = ds.rebase_images_root("/data/sets")
+    assert out.images_root == "/data/sets"
+    p = out.images.first()["relative_path"]
+    assert p.startswith("mine/")
+
+
+def test_remap_from_csv(tiny_dataset, tmp_path):
+    csv = tmp_path / "map.csv"
+    csv.write_text(
+        "input_category_id,output_category_id,output_category_name\n"
+        "1,0,vehicle\n2,1,living\n7,0,vehicle\n"
+    )
+    out = tiny_dataset.remap_from_csv(str(csv))
+    assert out.label_map == {0: "vehicle", 1: "living"}
