@@ -27,6 +27,17 @@ from lours_spark.functions import text as TX
 from lours_spark.functions import vectors as V
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Raise input parallelism when the source has fewer partitions
+    than the configured shuffle width — a small corpus in one parquet
+    file would otherwise run its whole (expensive) shingle+hash map
+    stage in a single task. No-op on already-wide inputs."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < min(target, 16):
+        return df.repartition(min(target, 16))
+    return df
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -62,18 +73,26 @@ def with_minhash(
     re-evaluates the interpreted shingle pipeline per hash column
     because CollapseProject inlines it — measured ~10× slower.
     """
-    sh = df.select(
+    return df.join(
+        _minhash_agg(df, id_col, text_col, k, num_hashes), id_col
+    )
+
+
+def _minhash_agg(
+    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
+) -> DataFrame:
+    """(id, shingle set, mh_0..mh_{n-1}) — the signature table alone."""
+    sh = _widen(df).select(
         F.col(id_col),
         F.explode(TX.word_shingles(F.col(text_col), k=k)).alias("__shingle"),
     )
-    agg = sh.groupBy(id_col).agg(
+    return sh.groupBy(id_col).agg(
         F.collect_set("__shingle").alias("__shingles"),
         *[
             F.min(TX.md5_long(F.col("__shingle"), i)).alias(f"mh_{i}")
             for i in range(num_hashes)
         ],
     )
-    return df.join(agg, id_col)
 
 
 def minhash_lsh_pairs(
@@ -94,8 +113,8 @@ def minhash_lsh_pairs(
     exact jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df, id_col, text_col, k, num_hashes).select(
-        F.col(id_col).alias("__id"), "__shingles", *[f"mh_{i}" for i in range(num_hashes)]
+    sig = _minhash_agg(df, id_col, text_col, k, num_hashes).withColumnRenamed(
+        id_col, "__id"
     )
     sig.cache()
     band_rows = None
@@ -149,7 +168,7 @@ def ngram_jaccard_pairs(
     Jaccard = |∩| / (|A|+|B|−|∩|). The equi-join shuffles on the shingle
     key — prune ultra-common shingles upstream at scale (stopword
     shingles create skew; AQE skew-join handles the remainder)."""
-    sh = df.select(
+    sh = _widen(df).select(
         F.col(id_col).alias("__id"),
         TX.word_shingles(F.col(text_col), k=k).alias("__sh"),
     ).withColumn("__n", F.size("__sh"))

@@ -78,7 +78,22 @@ def atomic_chunks_distributed(
     """Label propagation: labels start as row ids; alternately take the
     min label per group value and per row until no label changes.
     Converges in O(component diameter) rounds — components here are
-    star-shaped around group values, so typically ≤ 4-6 rounds."""
+    star-shaped around group values, so typically ≤ 4-6 rounds.
+
+    Single-column fast path: with one keep-separate column the
+    components ARE its distinct values, so one window suffices — no
+    iteration, no convergence actions."""
+    if len(group_cols) == 1:
+        from pyspark.sql import Window
+
+        c = group_cols[0]
+        w = Window.partitionBy(c)
+        return df.select(
+            F.col(id_col),
+            F.when(
+                F.col(c).isNotNull(), F.min(id_col).over(w)
+            ).otherwise(F.col(id_col)).alias("chunk_id"),
+        )
     edges = _edges(df, id_col, group_cols)
     labels = df.select(F.col(id_col).alias("row_id")).withColumn(
         "label", F.col("row_id")

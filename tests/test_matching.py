@@ -75,3 +75,36 @@ def test_self_match_is_perfect(tiny_dataset):
         & (F.col("iou") > 0.999999)
     ).count()
     assert perfect == n
+
+
+def _reference_greedy(ious, conf, min_iou=0.0):
+    """Straight-line reimplementation of the reference semantics
+    (confidence-descending, best free gt, ties to lowest index) used as
+    an independent check of the vectorized kernel."""
+    n_gt, n_pred = ious.shape
+    order = sorted(range(n_pred), key=lambda p: (-conf[p], p))
+    taken, out = set(), []
+    for p in order:
+        best_g, best = -1, min_iou
+        for g in range(n_gt):
+            if g in taken:
+                continue
+            if ious[g, p] > best:
+                best_g, best = g, ious[g, p]
+        if best_g >= 0:
+            taken.add(best_g)
+            out.append((best_g, p, float(best)))
+    return out
+
+
+def test_greedy_match_against_reference_random():
+    rng = np.random.default_rng(123)
+    for _ in range(200):
+        n_gt = int(rng.integers(0, 8))
+        n_pred = int(rng.integers(0, 8))
+        ious = rng.random((n_gt, n_pred))
+        # inject ties
+        if n_gt and n_pred:
+            ious[ious > 0.8] = 0.9
+        conf = np.round(rng.random(n_pred), 1)  # tied confidences too
+        assert greedy_match(ious, conf) == _reference_greedy(ious, conf)
