@@ -124,6 +124,87 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    num_probes: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: MLlib k-means partitions the corpus
+    into inverted lists; each query scans only its ``num_probes``
+    nearest centroids' lists.
+
+    Scale shape: centroid training samples the corpus (MLlib handles
+    this distributed); assignment is one narrow projection; the search
+    join is per-(query, probed-centroid) — at 1000 executors the join
+    fans out by centroid id so no task sees the whole corpus. Recall
+    rises with ``num_probes`` (→ exact at num_probes = num_centroids).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__features"),
+    )
+    km = KMeans(
+        k=num_centroids, seed=seed, featuresCol="__features",
+        predictionCol="__centroid",
+    )
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select(
+        "neighbor_id", "__cv", "__centroid"
+    )
+
+    centers = model.clusterCenters()
+    center_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
+    centers_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            center_rows, "centroid int, cvec array<double>"
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    # nearest num_probes centroids per query (small cross join: |q|×C)
+    q_probes = (
+        q.crossJoin(centers_df)
+        .withColumn(
+            "__dist", V.l2_distance(F.col("__qv"), F.col("cvec"))
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("__dist"), F.asc("centroid")
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= num_probes)
+        .select("query_id", "__qv", F.col("centroid").alias("__centroid"))
+    )
+    scored = (
+        q_probes.join(assigned, "__centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", V.cosine_similarity(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def knn_label(
     topk: DataFrame,
     labels: DataFrame,

@@ -79,6 +79,28 @@ def pr_curve(
     return out
 
 
+def collapse_confidence_ties(
+    df: DataFrame,
+    group_cols: list[str],
+    confidence_col: str,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Keep only the LAST row of each equal-confidence run — the
+    reference's distinct-confidence collapse on the PR curve
+    (``util.py:228-230`` via shifted comparison): at a tied confidence
+    only the final cumulative point is a real operating point. Pass the
+    SAME tie_break used to build the curve so "last" is well-defined."""
+    order = [F.desc(confidence_col)]
+    if tie_break:
+        order.append(F.asc(tie_break))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    nxt = F.lead(confidence_col).over(w)
+    return df.withColumn("__next_conf", nxt).filter(
+        F.col("__next_conf").isNull()
+        | (F.col("__next_conf") != F.col(confidence_col))
+    ).drop("__next_conf")
+
+
 def interpolated_precision(
     df: DataFrame, group_cols: list[str], confidence_col: str
 ) -> DataFrame:

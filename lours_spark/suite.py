@@ -2022,3 +2022,91 @@ QUERIES.update(
     }
 )
 _EXTRA_ORACLES.update({"bpe_token_count": _oracle_bpe})
+
+# --------------------------------------------------------------------------
+# batch 5: tie-collapsed PR curve, skew-salted aggregation
+# --------------------------------------------------------------------------
+
+
+def q_pr_curve_collapsed(spark, sf_dir):
+    """PR curve with the reference's distinct-confidence collapse: only
+    the last cumulative point per tied confidence survives."""
+    from lours_spark.operators.windows import collapse_confidence_ties, pr_curve
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").alias("confidence"),
+        (F.col("user_id") < 75).cast("int").alias("is_tp"),
+    )
+    curve = pr_curve(e, ["event_type"], "confidence", "is_tp", tie_break="event_id")
+    out = collapse_confidence_ties(
+        curve, ["event_type"], "confidence", tie_break="event_id"
+    )
+    return out.select("event_type", "confidence", "precision", "recall")
+
+
+ORACLE_PR_COLLAPSED = """
+WITH p AS (
+  SELECT event_id, event_type, value AS confidence,
+         CASE WHEN user_id < 75 THEN 1 ELSE 0 END AS is_tp
+  FROM events
+), curve AS (
+  SELECT event_id, event_type, confidence,
+    sum(is_tp) OVER w::DOUBLE / count(*) OVER w AS precision,
+    CASE WHEN sum(is_tp) OVER (PARTITION BY event_type) > 0
+      THEN sum(is_tp) OVER w::DOUBLE / sum(is_tp) OVER (PARTITION BY event_type)
+      ELSE 0.0 END AS recall,
+    lead(confidence) OVER (PARTITION BY event_type
+                           ORDER BY confidence DESC, event_id) AS next_conf
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY confidence DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, confidence, precision, recall
+FROM curve WHERE next_conf IS NULL OR next_conf != confidence
+"""
+
+
+def q_salted_aggregate(spark, sf_dir):
+    """Skew-safe two-phase aggregation: partial agg on (key, salt),
+    merge on key — results identical to the direct groupBy."""
+    from lours_spark.operators.skew import salted_aggregate
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        l,
+        ["l_returnflag"],
+        [
+            ("count", "l_orderkey", "n"),
+            ("min", "l_quantity", "min_qty"),
+            ("max", "l_quantity", "max_qty"),
+        ],
+        salt_buckets=8,
+    )
+    return out.select(
+        "l_returnflag", "n",
+        F.col("min_qty").cast("double").alias("min_qty"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
+ORACLE_SALTED = """
+SELECT l_returnflag, count(l_orderkey) AS n,
+  CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+  CAST(max(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "pr_curve_collapsed": q_pr_curve_collapsed,
+        "salted_aggregate": q_salted_aggregate,
+    }
+)
+_EXTRA_ORACLES.update(
+    {
+        "pr_curve_collapsed": lambda: ORACLE_PR_COLLAPSED,
+        "salted_aggregate": lambda: ORACLE_SALTED,
+    }
+)

@@ -176,3 +176,21 @@ def test_lsh_bucket_topk_recall(spark, vectors):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     # same-cluster structure → decent recall expected
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_ivf_topk_recall(spark, vectors):
+    from lours_spark.operators.similarity import ivf_topk
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    queries = df.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(df, queries, k=3)
+    approx = ivf_topk(df, queries, k=3, num_centroids=4, num_probes=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.6
+    # full probing → exact recall
+    full = ivf_topk(df, queries, k=3, num_centroids=4, num_probes=4)
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f == e

@@ -145,3 +145,46 @@ def test_group_with_continuous_parent(tiny_dataset):
         images=tiny_dataset.images,
     )
     assert set(cols) == {"box_width_bin", "camera_id"}
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    import datetime as dt
+
+    from lours_spark.streaming.events import (
+        read_event_stream,
+        stateful_user_totals,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # two files → two micro-batches with maxFilesPerTrigger=1; state
+    # must carry user 1's count across them
+    spark.createDataFrame(
+        [(1, base, 1, "click", 1.0, "{}"), (2, base, 2, "view", 2.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "in" / "f1"))
+    spark.createDataFrame(
+        [(3, base, 1, "click", 5.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "in" / "f2"))
+
+    stream = read_event_stream(spark, str(tmp_path / "in" / "*"))
+    stream = stream.repartition(2, "user_id")
+    totals = stateful_user_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("user_totals").collect()
+    # last update per user wins
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert latest[1] == (2, 6.0)
+    assert latest[2] == (1, 2.0)
