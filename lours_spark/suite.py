@@ -2110,3 +2110,75 @@ _EXTRA_ORACLES.update(
         "salted_aggregate": lambda: ORACLE_SALTED,
     }
 )
+
+# --------------------------------------------------------------------------
+# batch 6: split-quality metrics as queries (EMD / share distance)
+# --------------------------------------------------------------------------
+
+
+def q_split_quality(spark, sf_dir):
+    """Split-quality metrics computed distributed: per-split
+    o_orderpriority histograms from a hash split, then the 1D
+    earth-mover distance between train and valid histograms plus the
+    share distance to the 80/10/10 target — the balanced-split cost
+    math (balanced.py) expressed as one aggregation + window."""
+    from lours_spark.split.splitter import hash_split
+
+    o = hash_split(
+        _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "id"),
+        {"train": 0.8, "valid": 0.1, "eval": 0.1},
+    )
+    hist = o.groupBy("split", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_split = Window.partitionBy("split")
+    shares = hist.withColumn(
+        "share", F.col("n").cast("double") / F.sum("n").over(w_split)
+    )
+    train = shares.filter(F.col("split") == "train").select(
+        "o_orderpriority", F.col("share").alias("p")
+    )
+    valid = shares.filter(F.col("split") == "valid").select(
+        "o_orderpriority", F.col("share").alias("q")
+    )
+    joined = train.join(valid, "o_orderpriority", "full_outer").fillna(
+        {"p": 0.0, "q": 0.0}
+    )
+    w = Window.orderBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    emd = joined.withColumn(
+        "cum", F.sum(F.col("p") - F.col("q")).over(w)
+    ).agg(F.round(F.sum(F.abs(F.col("cum"))), 9).alias("emd_train_valid"))
+    return emd
+
+
+ORACLE_SPLIT_QUALITY = """
+WITH s AS (
+  SELECT CASE
+    WHEN ((o_orderkey * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.8 THEN 'train'
+    WHEN ((o_orderkey * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.9 THEN 'valid'
+    ELSE 'eval' END AS split, o_orderpriority
+  FROM orders
+), hist AS (
+  SELECT split, o_orderpriority, count(*) AS n FROM s GROUP BY 1, 2
+), shares AS (
+  SELECT split, o_orderpriority,
+         n::DOUBLE / sum(n) OVER (PARTITION BY split) AS share
+  FROM hist
+), j AS (
+  SELECT coalesce(t.o_orderpriority, v.o_orderpriority) AS o_orderpriority,
+         coalesce(t.share, 0.0) AS p, coalesce(v.share, 0.0) AS q
+  FROM (SELECT * FROM shares WHERE split = 'train') t
+  FULL OUTER JOIN (SELECT * FROM shares WHERE split = 'valid') v
+    ON t.o_orderpriority = v.o_orderpriority
+), c AS (
+  SELECT sum(p - q) OVER (ORDER BY o_orderpriority
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM j
+)
+SELECT round(sum(abs(cum)), 9) AS emd_train_valid FROM c
+"""
+
+QUERIES.update({"split_quality": q_split_quality})
+_EXTRA_ORACLES.update({"split_quality": lambda: ORACLE_SPLIT_QUALITY})
