@@ -96,3 +96,33 @@ def test_dedup_pipeline_on_dummy_corpus(spark):
     assert planted <= exact
     assert len(planted & approx) >= 4  # LSH may miss at most one
     assert approx <= exact  # LSH verifies with exact jaccard → subset
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path, tiny_dataset):
+    """Bucketed persistence co-locates the images⟕annotations join:
+    the joined plan must contain no Exchange (shuffle) on either side."""
+    import contextlib
+    import io
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        img_t, ann_t = tiny_dataset.to_bucketed_tables("bcktest", num_buckets=4)
+        back = SparkDataset.from_bucketed_tables(
+            spark, "bcktest", label_map=tiny_dataset.label_map
+        )
+        joined = back.annotations.join(
+            back.images.select(F.col("id").alias("image_id")),
+            "image_id",
+            "left_semi",
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == tiny_dataset.annotations.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bcktest_images")
+        spark.sql("DROP TABLE IF EXISTS bcktest_annotations")
