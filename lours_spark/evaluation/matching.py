@@ -115,14 +115,11 @@ def _match_group_arrays(
     out: list,
 ) -> None:
     """Match one group given raw numpy slices; append output tuples."""
-    gt_mask = is_gt
-    gt_ids, gt_boxes = ids[gt_mask], boxes[gt_mask]
-    pr_ids, pr_boxes, pr_conf = ids[~gt_mask], boxes[~gt_mask], conf[~gt_mask]
-    # stable id order for determinism
-    g_order = np.argsort(gt_ids, kind="stable")
-    p_order = np.argsort(pr_ids, kind="stable")
-    gt_ids, gt_boxes = gt_ids[g_order], gt_boxes[g_order]
-    pr_ids, pr_boxes, pr_conf = pr_ids[p_order], pr_boxes[p_order], pr_conf[p_order]
+    # rows arrive sorted by (is_groundtruth, id): predictions block
+    # first, then groundtruths, each id-ascending — no per-group sorts
+    split = int(np.searchsorted(is_gt, True))
+    pr_ids, pr_boxes, pr_conf = ids[:split], boxes[:split], conf[:split]
+    gt_ids, gt_boxes = ids[split:], boxes[split:]
 
     ious = iou_matrix(gt_boxes, pr_boxes)
     matches = greedy_match(ious, pr_conf)
@@ -177,6 +174,7 @@ def _match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         else:
             head, tail = pdf, None
         out: list = []
+        cols: dict[str, list[np.ndarray]] = {c: [] for c in _OUT_COLS}
         if len(head):
             h_img = head["image_id"].to_numpy()
             h_cat = head["category_id"].to_numpy()
@@ -189,7 +187,89 @@ def _match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             change = np.nonzero((h_img[1:] != h_img[:-1]) | (h_cat[1:] != h_cat[:-1]))[0] + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(head)]))
-            for s, e in zip(starts, ends):
+
+            # bulk paths: per-group python costs ~300µs in numpy-call
+            # overhead, so the dominant tiny shapes are vectorized
+            # across ALL groups of the batch at once
+            sizes = ends - starts
+            n_gt_per = np.add.reduceat(is_gt.astype(np.int64), starts)
+            n_pr_per = sizes - n_gt_per
+            nan = np.nan
+
+            def emit(img, cat, pred_id, gt_id, iou, cf):
+                cols["image_id"].append(img)
+                cols["category_id"].append(cat)
+                cols["prediction_id"].append(pred_id)
+                cols["groundtruth_id"].append(gt_id)
+                cols["iou"].append(iou)
+                cols["confidence"].append(cf)
+
+            # groups with no predictions → every row is a FN
+            only_gt = n_pr_per == 0
+            if only_gt.any():
+                rows = np.repeat(only_gt, sizes)
+                k = int(rows.sum())
+                emit(
+                    h_img[rows], h_cat[rows],
+                    np.full(k, nan), ids[rows].astype(float),
+                    np.full(k, nan), np.full(k, nan),
+                )
+            # groups with no groundtruth → every row is a FP
+            only_pr = n_gt_per == 0
+            if only_pr.any():
+                rows = np.repeat(only_pr, sizes)
+                k = int(rows.sum())
+                emit(
+                    h_img[rows], h_cat[rows],
+                    ids[rows].astype(float), np.full(k, nan),
+                    np.full(k, nan), conf[rows],
+                )
+            # exactly one gt + one pred → closed-form match
+            simple = (sizes == 2) & (n_gt_per == 1)
+            if simple.any():
+                s = starts[simple]
+                first_gt = is_gt[s]
+                g_idx = np.where(first_gt, s, s + 1)
+                p_idx = np.where(first_gt, s + 1, s)
+                gb, pb = boxes[g_idx], boxes[p_idx]
+                ix = np.maximum(
+                    0.0,
+                    np.minimum(gb[:, 0] + gb[:, 2], pb[:, 0] + pb[:, 2])
+                    - np.maximum(gb[:, 0], pb[:, 0]),
+                )
+                iy = np.maximum(
+                    0.0,
+                    np.minimum(gb[:, 1] + gb[:, 3], pb[:, 1] + pb[:, 3])
+                    - np.maximum(gb[:, 1], pb[:, 1]),
+                )
+                inter = ix * iy
+                union = gb[:, 2] * gb[:, 3] + pb[:, 2] * pb[:, 3] - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    iou = np.where(union > 0, inter / union, 0.0)
+                matched = iou > 0.0
+                if matched.any():
+                    emit(
+                        h_img[s][matched], h_cat[s][matched],
+                        ids[p_idx][matched].astype(float),
+                        ids[g_idx][matched].astype(float),
+                        iou[matched], conf[p_idx][matched],
+                    )
+                if (~matched).any():
+                    m = ~matched
+                    k = int(m.sum())
+                    emit(  # unmatched gt (FN)
+                        h_img[s][m], h_cat[s][m],
+                        np.full(k, nan), ids[g_idx][m].astype(float),
+                        np.full(k, nan), np.full(k, nan),
+                    )
+                    emit(  # unmatched pred (FP)
+                        h_img[s][m], h_cat[s][m],
+                        ids[p_idx][m].astype(float), np.full(k, nan),
+                        np.full(k, nan), conf[p_idx][m],
+                    )
+            # everything else: the general greedy kernel
+            general = ~(only_gt | only_pr | simple)
+            for s, e in zip(starts[general], ends[general]):
                 _match_group_arrays(
                     int(h_img[s]),
                     int(h_cat[s]),
@@ -199,7 +279,34 @@ def _match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     conf[s:e],
                     out,
                 )
-        return pd.DataFrame(out, columns=_OUT_COLS), tail
+
+        frames = []
+        if len(cols["image_id"]) > 0:
+            arr = {c: np.concatenate(cols[c]) for c in _OUT_COLS}
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "image_id": arr["image_id"].astype("int64"),
+                        "category_id": arr["category_id"].astype("int32"),
+                        "prediction_id": pd.array(
+                            arr["prediction_id"], dtype="Int64"
+                        ),
+                        "groundtruth_id": pd.array(
+                            arr["groundtruth_id"], dtype="Int64"
+                        ),
+                        "iou": pd.array(arr["iou"], dtype="Float64"),
+                        "confidence": pd.array(arr["confidence"], dtype="Float64"),
+                    }
+                )
+            )
+        if out:
+            frames.append(pd.DataFrame(out, columns=_OUT_COLS))
+        result = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=_OUT_COLS)
+        )
+        return result, tail
 
     batch_list = list(batches)
     for i, pdf in enumerate(batch_list):
@@ -253,6 +360,6 @@ def compute_matches(
     # expression forces a real exchange and still co-locates groups.
     part_key = F.pmod(F.hash(F.col("image_id")), F.lit(int(n)))
     arranged = both.repartition(int(n), part_key).sortWithinPartitions(
-        "image_id", "category_id"
+        "image_id", "category_id", "is_groundtruth", "id"
     )
     return arranged.mapInPandas(_match_batches, MATCH_SCHEMA)
