@@ -49,8 +49,15 @@ def from_caipy(
     spark: SparkSession,
     dataset_root: str,
     splits: list[str] | None = None,
+    booleanize_enums: dict[str, list[str]] | None = None,
 ) -> SparkDataset:
-    """Read a cAIpy tree (reference ``io/caipy.py:30-349``)."""
+    """Read a cAIpy tree (reference ``io/caipy.py:30-349``).
+
+    ``booleanize_enums`` maps annotation list-column names to their
+    enum domains (the reference derives these from the JSON schema,
+    ``schema_util_functions.py:47-82``); listed columns are one-hot
+    expanded on read (``caipy.py:334-348``) and tracked in
+    ``booleanized_columns`` so merge/write round-trip them."""
     ann_root = os.path.join(dataset_root, "Annotations")
     splits = splits or sorted(
         d for d in os.listdir(ann_root) if os.path.isdir(os.path.join(ann_root, d))
@@ -94,18 +101,40 @@ def from_caipy(
         label_map = construct_label_map_df(
             annotations.filter(F.col("category_id").isNotNull())
         )
+    annotations = annotations.filter(F.col("id").isNotNull())
+    booleanized: dict[str, set[str]] = {}
+    if booleanize_enums:
+        from lours_spark.operators.booleanize import booleanize
+
+        for col, domain in booleanize_enums.items():
+            if col in annotations.columns:
+                annotations, dom = booleanize(annotations, col, domain=domain)
+                booleanized[col] = set(dom)
     ds = SparkDataset(
         images=images,
-        annotations=annotations.filter(F.col("id").isNotNull()),
+        annotations=annotations,
         label_map=label_map,
         images_root=os.path.join(dataset_root, "Images"),
+        booleanized_columns=booleanized,
     )
     return ds.denormalize() if label_map else ds
 
 
 def dataset_to_caipy(ds: SparkDataset, output_root: str) -> None:
     """Write the cAIpy tree (reference ``io/caipy.py:352-695``): one
-    JSON per image, grouped and serialized on the executors."""
+    JSON per image, grouped and serialized on the executors. Tracked
+    booleanized columns are gathered back into list columns first
+    (the reference debooleanizes before export, ``caipy.py:584``)."""
+    if ds.booleanized_columns:
+        from lours_spark.operators.booleanize import debooleanize
+
+        ann = ds.annotations
+        for prefix in sorted(ds.booleanized_columns):
+            try:
+                ann = debooleanize(ann, prefix)
+            except ValueError:
+                pass  # stale prefix (columns pruned downstream)
+        ds = ds.from_template(annotations=ann, booleanized_columns={})
     img_cols = [c for c in ds.images.columns if c != "split"]
     # image_id is implied by the enclosing document — exclude it from
     # the per-annotation struct (restored on read from image.id)

@@ -262,3 +262,31 @@ def test_from_darknet_json(spark, tmp_path):
     assert r["confidence"] == pytest.approx(0.9)
     assert r["box_x_min"] == pytest.approx(40.0)
     assert r["category_str"] == "cat"
+
+
+def test_caipy_booleanize_roundtrip(spark, tmp_path, tiny_dataset):
+    from lours_spark.io.caipy import dataset_to_caipy, from_caipy
+
+    # give annotations a list column + booleanize tracking
+    from lours_spark.operators.booleanize import booleanize
+
+    ds = tiny_dataset.filter_images(F.col("split").isNotNull())
+    ann = ds.annotations.withColumn(
+        "colors",
+        F.when(F.col("id") % 2 == 0, F.array(F.lit("red"), F.lit("blue")))
+        .otherwise(F.array(F.lit("blue"))),
+    )
+    wide, domain = booleanize(ann, "colors", domain=["blue", "red"])
+    ds = ds.from_template(
+        annotations=wide, booleanized_columns={"colors": set(domain)}
+    )
+    root = str(tmp_path / "caipy_bool")
+    dataset_to_caipy(ds, root)  # debooleanizes on write
+    back = from_caipy(
+        spark, root, booleanize_enums={"colors": ["blue", "red"]}
+    )
+    assert back.booleanized_columns == {"colors": {"blue", "red"}}
+    assert "colors.red" in back.annotations.columns
+    # even ids have red=True
+    reds = back.annotations.filter(F.col("`colors.red`")).select("id").collect()
+    assert all(r["id"] % 2 == 0 for r in reds)
