@@ -2182,3 +2182,24 @@ SELECT round(sum(abs(cum)), 9) AS emd_train_valid FROM c
 
 QUERIES.update({"split_quality": q_split_quality})
 _EXTRA_ORACLES.update({"split_quality": lambda: ORACLE_SPLIT_QUALITY})
+
+# --------------------------------------------------------------------------
+# batch 7: deterministic positional access
+# --------------------------------------------------------------------------
+
+
+def q_take_images(spark, sf_dir):
+    """take_images: ordered first-n images with semi-joined annotations
+    (the stable analog of the reference's positional iloc)."""
+    ds = orders_dataset(spark, sf_dir).take_images(500)
+    return ds.annotations.select("id", "image_id", "l_quantity")
+
+
+ORACLE_TAKE_IMAGES = f"""
+WITH head AS (SELECT o_orderkey AS id FROM orders ORDER BY id LIMIT 500)
+SELECT {_LINE_ID} AS id, l_orderkey AS image_id, l_quantity
+FROM lineitem WHERE l_orderkey IN (SELECT id FROM head)
+"""
+
+QUERIES.update({"take_images": q_take_images})
+_EXTRA_ORACLES.update({"take_images": lambda: ORACLE_TAKE_IMAGES})
