@@ -32,6 +32,12 @@ def global_row_number(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # size-aware: a source narrow enough to sit in ≤4 partitions gains
+    # nothing from the two-phase shape (its single-window sort touches
+    # the same few partitions) and skips the persist + extra action
+    if df.rdd.getNumPartitions() <= 4:
+        w = Window.orderBy(*cols)
+        return df.withColumn(out_col, F.row_number().over(w) - 1 + start)
     arranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     with_pid = arranged.withColumn("__pid", F.spark_partition_id())
     # repartitionByRange SAMPLES boundaries per job — persist so the
