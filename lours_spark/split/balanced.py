@@ -218,14 +218,21 @@ def greedy_assign(
     movable = [
         c for c in sorted(assignment) if not (preassigned and c in preassigned)
     ]
+    # bounded candidate scan: the full pairwise search is O(n²) and only
+    # affordable for coarse few-chunk regimes (where single swaps matter
+    # most); larger chunk counts use a deterministic strided sample per
+    # chunk so polish stays O(n · cap)
+    cap = len(movable) if len(movable) <= 256 else 32
     for _ in range(2):
         improved = False
         base = total_cost()
-        for ca in movable:
+        for idx, ca in enumerate(movable):
             sa = assignment[ca]
-            for cb in movable:
+            stride = max(1, len(movable) // cap)
+            candidates = movable[(idx + 1) % stride :: stride][:cap]
+            for cb in candidates:
                 sb = assignment[cb]
-                if sb == sa or cb <= ca:
+                if sb == sa or cb == ca:
                     continue
                 _apply(ca, sa, sb)
                 _apply(cb, sb, sa)
