@@ -285,6 +285,13 @@ class SparkDataset:
         )
         return self.from_template(images=head, annotations=annotations)
 
+    def take_annotations(self, n: int) -> "SparkDataset":
+        """First-n annotations in id order, images kept (the stable
+        analog of the reference's ``iloc_annot`` slicing)."""
+        return self.from_template(
+            annotations=self.annotations.orderBy("id").limit(n)
+        )
+
     def remove_invalid_annotations(
         self, remove_emptied_images: bool = False, allow_keypoints: bool = True
     ) -> "SparkDataset":

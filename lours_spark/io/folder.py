@@ -104,3 +104,25 @@ def from_folder(
     return SparkDataset(
         images=images, annotations=annotations, images_root=images_root
     )
+
+
+def from_files(
+    spark: SparkSession,
+    paths: list[str],
+    images_root: str = ".",
+) -> SparkDataset:
+    """Images-only dataset from an explicit file list (reference
+    ``from_files`` ``io/images_folder.py``): driver-supplied paths →
+    DataFrame; sizes left to a later probe (join ``from_folder`` output
+    or run the size UDF over binaryFile reads of these paths)."""
+    rows = [
+        (i, 0, 0, p, "." + p.rsplit(".", 1)[-1] if "." in p else "")
+        for i, p in enumerate(sorted(paths))
+    ]
+    images = spark.createDataFrame(
+        rows, "id long, width int, height int, relative_path string, type string"
+    )
+    annotations = spark.createDataFrame([], S.empty_annotations_schema())
+    return SparkDataset(
+        images=images, annotations=annotations, images_root=images_root
+    )

@@ -281,3 +281,20 @@ def test_remap_from_csv(tiny_dataset, tmp_path):
     )
     out = tiny_dataset.remap_from_csv(str(csv))
     assert out.label_map == {0: "vehicle", 1: "living"}
+
+
+def test_take_annotations(tiny_dataset):
+    ds = tiny_dataset.take_annotations(5)
+    ids = sorted(r["id"] for r in ds.annotations.collect())
+    assert ids == list(range(5))
+    assert ds.images.count() == tiny_dataset.images.count()
+
+
+def test_from_files(spark):
+    from lours_spark.io.folder import from_files
+
+    ds = from_files(spark, ["b/2.png", "a/1.jpg"])
+    rows = sorted(ds.images.collect(), key=lambda r: r["id"])
+    assert rows[0]["relative_path"] == "a/1.jpg"
+    assert rows[0]["type"] == ".jpg"
+    assert ds.annotations.count() == 0

@@ -126,3 +126,18 @@ def test_balanced_split_end_to_end(spark):
         total = sum(hist.values())
         for dim, n in hist.items():
             assert abs(n / total - 0.25) < 0.08, (split, dim)
+
+
+def test_hash_split_invariant_under_repartitioning(spark):
+    """The documented scale property: hash_split assignments are pure
+    functions of the id — identical under any physical partitioning
+    (rand(seed)-based simple_split is NOT, which is why hash_split is
+    the 100 TB default)."""
+    df = spark.range(5000)
+    shares = {"train": 0.8, "valid": 0.2}
+    a = {r["id"]: r["split"] for r in hash_split(df, shares).collect()}
+    b = {
+        r["id"]: r["split"]
+        for r in hash_split(df.repartition(7), shares).collect()
+    }
+    assert a == b
