@@ -198,14 +198,26 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Gap-based session ids: a new session starts when the previous
     event of the same user is more than ``gap_seconds`` older. Batch
-    twin of the Structured Streaming session-window operator."""
-    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col))
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    twin of the Structured Streaming session-window operator.
+
+    Gap arithmetic is done in exact integer microseconds
+    (``unix_micros``), never truncated/rounded seconds, so boundary
+    decisions are deterministic and engine-independent. Pass
+    ``tie_break`` (a unique column) so the ordering is a total order —
+    required whenever two events of one user share a timestamp.
+    """
+    order = [F.asc(ts_col)]
+    if tie_break:
+        order.append(F.asc(tie_break))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > gap_seconds), F.lit(1)
+        gap.isNull() | (gap > F.lit(int(gap_seconds) * 1_000_000)), F.lit(1)
     ).otherwise(F.lit(0))
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn("__new", new_session).withColumn(

@@ -1200,22 +1200,24 @@ def q_sessionize(spark, sf_dir):
     from lours_spark.operators.windows import sessionize
 
     e = _t(spark, sf_dir, "events")
-    out = sessionize(e, gap_seconds=1800)
+    out = sessionize(e, gap_seconds=1800, tie_break="event_id")
     return out.select("event_id", "user_id", "session_seq")
 
 
 ORACLE_SESSIONIZE = """
-WITH g AS (
-  SELECT event_id, user_id,
-    CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
-           OVER (PARTITION BY user_id ORDER BY ts) > 1800
-         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+WITH b AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+), g AS (
+  SELECT event_id, user_id, us,
+    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           > 1800 * 1000000
+         OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
     THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM b
 )
 SELECT event_id, user_id,
-  sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  (sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
 FROM g
 """
 
@@ -1246,24 +1248,37 @@ FROM events GROUP BY 1, 2
 
 
 def q_json_extraction(spark, sf_dir):
-    """Semi-structured props column: JSON field extraction + agg."""
+    """Semi-structured props column: JSON field extraction + agg.
+
+    Determinism: the extracted value is cast to long ONLY when it is a
+    pure integer literal (regexp-guarded, identical guard in the
+    oracle), and avg_k is rounded to 9 dp on both sides so the double's
+    textual form is engine-independent.
+    """
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    raw = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(raw.rlike(r"^[+-]?[0-9]+$"), raw.cast("long"))
     return (
         e.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(k).alias("sum_k"),
-            (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+            F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 9).alias("avg_k"),
         )
     )
 
 
 ORACLE_JSON = """
-SELECT event_type, count(*) AS n,
-  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
-  sum(json_extract_string(props, '$.k')::BIGINT)::DOUBLE / count(*) AS avg_k
-FROM events GROUP BY event_type
+WITH b AS (
+  SELECT event_type,
+    CASE WHEN regexp_full_match(coalesce(json_extract_string(props, '$.k'), ''),
+                                '[+-]?[0-9]+')
+         THEN json_extract_string(props, '$.k')::BIGINT END AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, sum(k)::BIGINT AS sum_k,
+  round(sum(k)::DOUBLE / count(*), 9) AS avg_k
+FROM b GROUP BY event_type
 """
 
 
@@ -1829,8 +1844,8 @@ def q_confusion_pivot(spark, sf_dir):
 
 ORACLE_CONFUSION_PIVOT = """
 SELECT l_returnflag AS groundtruth_label,
-  coalesce(sum(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) AS "F",
-  coalesce(sum(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) AS "O"
+  coalesce(sum(CASE WHEN l_linestatus = 'F' THEN 1 END), 0)::BIGINT AS "F",
+  coalesce(sum(CASE WHEN l_linestatus = 'O' THEN 1 END), 0)::BIGINT AS "O"
 FROM lineitem GROUP BY l_returnflag
 """
 
