@@ -48,7 +48,7 @@ BENCH_QUERIES = [
 
 def main() -> None:
     from lours_spark.session import get_spark
-    from lours_spark.suite import QUERIES
+    from lours_spark.suite import ALL_QUERIES as QUERIES
 
     spark = get_spark("lours-bench")
     spark.sparkContext.setLogLevel("ERROR")

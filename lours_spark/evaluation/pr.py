@@ -54,7 +54,9 @@ def average_precision(
 ) -> DataFrame:
     """AP per group from a ``precision_recall`` frame."""
     group_cols = group_cols or ["category_id"]
-    return W.average_precision(pr, group_cols, confidence_col="confidence")
+    return W.average_precision(
+        pr, group_cols, confidence_col="confidence", tie_break="prediction_id"
+    )
 
 
 def evaluate_detections(

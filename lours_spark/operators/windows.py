@@ -120,10 +120,20 @@ def average_precision(
     recall_col: str = "recall",
     precision_col: str = "precision",
     confidence_col: str = "confidence",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """AP = Σ precision · Δrecall over the confidence-descending curve
-    (reference ``util.py:302-321``), via ``lag``."""
-    w = Window.partitionBy(*group_cols).orderBy(F.desc(confidence_col))
+    (reference ``util.py:302-321``), via ``lag``.
+
+    Pass the SAME ``tie_break`` used to build the curve: without it the
+    lag order is nondeterministic under tied confidences and AP varies
+    run to run. (Collapsing ties first with
+    ``collapse_confidence_ties`` is equivalent and also supported.)
+    """
+    order = [F.desc(confidence_col)]
+    if tie_break:
+        order.append(F.asc(tie_break))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     delta = F.col(recall_col) - F.coalesce(
         F.lag(recall_col).over(w), F.lit(0.0)
     )

@@ -73,17 +73,26 @@ def atomic_chunks_driver(
 
 
 def atomic_chunks_distributed(
-    df: DataFrame, id_col: str, group_cols: list[str], max_iter: int = 20
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    max_iter: int = 20,
+    unique_ids: bool = True,
 ) -> DataFrame:
     """Label propagation: labels start as row ids; alternately take the
     min label per group value and per row until no label changes.
     Converges in O(component diameter) rounds — components here are
     star-shaped around group values, so typically ≤ 4-6 rounds.
 
-    Single-column fast path: with one keep-separate column the
-    components ARE its distinct values, so one window suffices — no
-    iteration, no convergence actions."""
-    if len(group_cols) == 1:
+    Single-column fast path: with one keep-separate column AND one row
+    per id (``unique_ids``, the annotation-table shape this operator
+    was built for) the components ARE the column's distinct values, so
+    one window suffices — no iteration, no convergence actions. When an
+    id can appear in SEVERAL rows with different group values (e.g.
+    dedup pair membership), those rows transitively bridge groups and
+    the fast path would under-merge — pass ``unique_ids=False`` to
+    force the iterative propagation."""
+    if len(group_cols) == 1 and unique_ids:
         from pyspark.sql import Window
 
         c = group_cols[0]
@@ -95,9 +104,10 @@ def atomic_chunks_distributed(
             ).otherwise(F.col(id_col)).alias("chunk_id"),
         )
     edges = _edges(df, id_col, group_cols)
-    labels = df.select(F.col(id_col).alias("row_id")).withColumn(
-        "label", F.col("row_id")
-    )
+    labels = df.select(F.col(id_col).alias("row_id"))
+    if not unique_ids:
+        labels = labels.distinct()
+    labels = labels.withColumn("label", F.col("row_id"))
     for _ in range(max_iter):
         val_min = (
             edges.join(labels, "row_id")

@@ -24,10 +24,17 @@ _M32 = 2**32
 
 
 def hash_fraction(id_col: Column) -> Column:
-    """Deterministic uniform [0,1) fraction from an integer id —
-    identical arithmetic in any engine: ((id * K) mod 2^32) / 2^32."""
+    """Deterministic uniform [0,1) fraction from a non-negative integer
+    id — identical arithmetic in any engine: ((id * K) mod 2^32) / 2^32.
+
+    The multiply is done in DECIMAL(38,0): a 64-bit ``id * K`` silently
+    wraps negative for id ≳ 3.47e9 (2^63 / K), which would funnel every
+    such row into the first split — exactly the scale this splitter is
+    advertised for. The residue is < 2^32 so the final double divide is
+    exact and bit-identical across engines.
+    """
     return (
-        (id_col.cast("long") * F.lit(_KNUTH)) % F.lit(_M32)
+        (id_col.cast("decimal(38,0)") * F.lit(_KNUTH)) % F.lit(_M32)
     ).cast("double") / F.lit(float(_M32))
 
 

@@ -820,8 +820,8 @@ def q_hash_split(spark, sf_dir):
 
 ORACLE_HASH_SPLIT = """
 SELECT CASE
-  WHEN ((o_orderkey * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.8 THEN 'train'
-  WHEN ((o_orderkey * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.9 THEN 'valid'
+  WHEN ((o_orderkey::DECIMAL(38,0) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.8 THEN 'train'
+  WHEN ((o_orderkey::DECIMAL(38,0) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.9 THEN 'valid'
   ELSE 'eval' END AS split,
   count(*) AS n
 FROM orders GROUP BY 1
@@ -1997,9 +1997,11 @@ FROM documents
 
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate clustering: exact-Jaccard pairs → connected
-    components (distributed min-label propagation) → cluster id per
-    member doc. Composes the dedup similarity join with the split
-    subsystem's CC operator — iterative, so rows-only check."""
+    components (distributed min-label propagation, iterative — docs
+    appearing in several pairs bridge them transitively, so
+    ``unique_ids=False`` disables the per-group fast path) → cluster id
+    per member doc. Hash-checked against a recursive-CTE transitive
+    closure in DuckDB."""
     from lours_spark.operators.dedup import ngram_jaccard_pairs
     from lours_spark.split.chunks import atomic_chunks_distributed
 
@@ -2022,7 +2024,7 @@ def q_dedup_clusters(spark, sf_dir):
     )
     rows = members.join(edges, "doc_id").select("doc_id", "pair")
     clusters = atomic_chunks_distributed(
-        rows.withColumnRenamed("pair", "g"), "doc_id", ["g"]
+        rows.withColumnRenamed("pair", "g"), "doc_id", ["g"], unique_ids=False
     )
     # rows carries one entry per (doc, pair) — dedupe the assignment
     return clusters.select(
@@ -2171,8 +2173,8 @@ def q_split_quality(spark, sf_dir):
 ORACLE_SPLIT_QUALITY = """
 WITH s AS (
   SELECT CASE
-    WHEN ((o_orderkey * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.8 THEN 'train'
-    WHEN ((o_orderkey * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.9 THEN 'valid'
+    WHEN ((o_orderkey::DECIMAL(38,0) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.8 THEN 'train'
+    WHEN ((o_orderkey::DECIMAL(38,0) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.9 THEN 'valid'
     ELSE 'eval' END AS split, o_orderpriority
   FROM orders
 ), hist AS (
@@ -2218,3 +2220,225 @@ FROM lineitem WHERE l_orderkey IN (SELECT id FROM head)
 
 QUERIES.update({"take_images": q_take_images})
 _EXTRA_ORACLES.update({"take_images": lambda: ORACLE_TAKE_IMAGES})
+
+# ==========================================================================
+# Gate consolidation (round 2)
+# ==========================================================================
+# Round 1's CORRECTNESS snapshot contained exactly the first 50 entries of
+# this registry, in order — the driver gates at most 50 queries, so 15 of
+# 65 standalone queries never got a correctness row. The registry below
+# merges closely related queries into combined gate queries (each facet
+# keeps its exact round-1 logic and oracle; schemas are aligned by
+# NULL-padded facet unions or same-grain joins) so that EVERY operator
+# facet is inside the gated prefix. GATE_FACETS records the combined-name
+# -> original-names mapping; ALL_QUERIES keeps the 65 standalone queries
+# for bench.py / scripts / tests.
+
+
+def _facet_union(*legs):
+    """Union (facet_name, DataFrame) legs into one frame with a
+    ``facet`` discriminator column; schemas align by name with NULL
+    padding (``unionByName(allowMissingColumns=True)`` — Spark widens
+    int/bigint etc. across legs)."""
+    dfs = [df.select(F.lit(name).alias("facet"), "*") for name, df in legs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def _facet_union_sql(*legs) -> str:
+    """DuckDB twin of :func:`_facet_union`. legs = (facet, sql, cols);
+    generates NULL-padded ``UNION ALL`` over the union of column sets
+    (first-seen order). NULL legs inherit the typed leg's column type
+    exactly as Spark's unionByName does."""
+    all_cols: list[str] = []
+    for _, _, cols in legs:
+        for c in cols:
+            if c not in all_cols:
+                all_cols.append(c)
+    parts = []
+    for facet, sql, cols in legs:
+        proj = ", ".join(
+            f'"{c}"' if c in cols else f'NULL AS "{c}"' for c in all_cols
+        )
+        parts.append(f"SELECT '{facet}' AS facet, {proj} FROM ({sql})")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _pair(name_a, name_b):
+    """Combined gate query: facet-union of two registered standalone
+    queries (by ALL_QUERIES name)."""
+
+    def q(spark, sf_dir):
+        return _facet_union(
+            (name_a, ALL_QUERIES[name_a](spark, sf_dir)),
+            (name_b, ALL_QUERIES[name_b](spark, sf_dir)),
+        )
+
+    return q
+
+
+# ---- same-grain join merges (one row per doc, no facet needed) ----------
+
+
+def q_token_count_gate(spark, sf_dir):
+    """token_count + bpe_token_count facets joined on doc_id."""
+    return q_token_count(spark, sf_dir).join(
+        q_bpe_token_count(spark, sf_dir), "doc_id"
+    )
+
+
+def q_language_id_gate(spark, sf_dir):
+    """language_id + quality_score facets joined on doc_id."""
+    return q_language_id(spark, sf_dir).join(
+        q_quality_score(spark, sf_dir), "doc_id"
+    )
+
+
+ALL_QUERIES: dict[str, QueryFn] = dict(QUERIES)
+
+_PAIRS: dict[str, tuple[str, str]] = {
+    # gate name         facet a                facet b
+    "remap_classes": ("remap_classes", "keep_classes"),
+    "reset_index": ("reset_index", "take_images"),
+    "merge_datasets": ("merge_datasets", "merge_overlap_id_shift"),
+    "bbox_import_cxcywh": ("bbox_import_cxcywh", "bbox_export_xyxy"),
+    "confusion_matrix": ("confusion_matrix", "confusion_pivot"),
+    "pr_curve": ("pr_curve", "pr_curve_collapsed"),
+    "average_precision": ("average_precision", "interpolated_precision"),
+    "balanced_split": ("balanced_split", "simple_split"),
+    "validation_counts": ("validation_counts", "bbox_validity_report"),
+    "minhash_signature": ("minhash_signature", "minhash_lsh_pairs"),
+    "top_terms": ("top_terms", "tfidf_top_term"),
+    "cosine_topk": ("cosine_topk", "lsh_bucket_topk"),
+    "salted_aggregate": ("salted_aggregate", "grouper_bins"),
+    "forward_fill": ("forward_fill", "resample_count"),
+}
+
+GATE_FACETS: dict[str, list[str]] = {
+    **{k: list(v) for k, v in _PAIRS.items()},
+    "token_count": ["token_count", "bpe_token_count"],
+    "language_id": ["language_id", "quality_score"],
+}
+
+_GATE_ORDER = [
+    "pricing_summary", "shipping_priority", "local_supplier_volume",
+    "revenue_forecast",
+    "filter_images_semijoin", "filter_annotations_emptied",
+    "remove_empty_images", "anti_join_orphans", "denormalize_category",
+    "remap_classes", "remap_dense_rank", "reset_index", "match_index",
+    "merge_datasets", "diff_three_way", "booleanize", "debooleanize",
+    "bbox_import_cxcywh", "bbox_relative", "cap_bbox", "iou_pairs",
+    "confusion_matrix", "pr_curve", "average_precision",
+    "crowd_count_error", "greedy_matching", "detection_pr_ap",
+    "hash_split", "atomic_chunks", "balanced_split", "split_quality",
+    "validation_counts",
+    "token_count", "language_id", "fingerprint_dedup",
+    "minhash_signature", "ngram_jaccard", "simhash", "dedup_clusters",
+    "top_terms",
+    "cosine_topk", "knn_label", "embedding_near_dup",
+    "sessionize", "hourly_rollup", "json_extraction", "forward_fill",
+    "salted_aggregate", "multimodal_features",
+]
+
+_gate: dict[str, QueryFn] = {}
+for _name in _GATE_ORDER:
+    if _name in _PAIRS:
+        _gate[_name] = _pair(*_PAIRS[_name])
+    elif _name == "token_count":
+        _gate[_name] = q_token_count_gate
+    elif _name == "language_id":
+        _gate[_name] = q_language_id_gate
+    else:
+        _gate[_name] = ALL_QUERIES[_name]
+QUERIES = _gate
+
+
+_prev_oracles = oracles
+
+
+def _gate_oracles() -> dict[str, str]:
+    base = _prev_oracles()
+    cols = {
+        "remap_classes": ["id", "category_id", "category_str"],
+        "keep_classes": ["id", "category_id", "category_str"],
+        "reset_index": ["id", "image_id", "o_totalprice"],
+        "take_images": ["id", "image_id", "l_quantity"],
+        "merge_datasets": ["id", "o_totalprice", "origin"],
+        "merge_overlap_id_shift": ["id", "image_id", "l_quantity"],
+        "bbox_import_cxcywh": ["id", "box_x_min", "box_y_min", "box_width", "box_height"],
+        "bbox_export_xyxy": ["id", "box_x_min", "box_y_min", "box_x_max", "box_y_max"],
+        "confusion_matrix": ["groundtruth_label", "prediction_label", "count", "share"],
+        "confusion_pivot": ["groundtruth_label", "F", "O"],
+        "pr_curve": ["event_id", "event_type", "precision", "recall"],
+        "pr_curve_collapsed": ["event_type", "confidence", "precision", "recall"],
+        "average_precision": ["event_type", "ap"],
+        "interpolated_precision": ["event_id", "event_type", "precision_interp"],
+        "validation_counts": ["duplicate_image_ids", "duplicate_annotation_ids", "orphan_annotations", "unknown_categories"],
+        "bbox_validity_report": ["id", "negative_coordinates", "non_positive_size", "exceeds_image"],
+        "minhash_signature": ["doc_id", "mh_0", "mh_1", "mh_2", "mh_3"],
+        "minhash_lsh_pairs": ["id_a", "id_b", "jaccard"],
+        "top_terms": ["term", "doc_freq"],
+        "tfidf_top_term": ["doc_id", "term", "tfidf"],
+        "cosine_topk": ["query_id", "neighbor_id", "rank", "cosine"],
+        "lsh_bucket_topk": ["query_id", "neighbor_id", "rank", "cosine"],
+        "salted_aggregate": ["l_returnflag", "n", "min_qty", "max_qty"],
+        "grouper_bins": ["bin_mid", "n"],
+        "forward_fill": ["event_id", "user_id", "last_purchase_value"],
+        "resample_count": ["event_type", "threshold", "count_at_least"],
+    }
+    out: dict[str, str] = {}
+    for name in _GATE_ORDER:
+        if name in _PAIRS:
+            a, b = _PAIRS[name]
+            if a in base and b in base:
+                out[name] = _facet_union_sql(
+                    (a, base[a], cols[a]), (b, base[b], cols[b])
+                )
+            # legs without oracles (balanced_split/simple_split):
+            # combined query stays rows-only
+        elif name == "token_count":
+            out[name] = f"""
+SELECT a.doc_id, a.n_tokens, b.n_bpe_tokens, b.n_unique
+FROM ({base["token_count"]}) a JOIN ({base["bpe_token_count"]}) b USING (doc_id)
+"""
+        elif name == "language_id":
+            out[name] = f"""
+SELECT a.doc_id, a.lang_pred, b.quality
+FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
+"""
+        elif name in base:
+            out[name] = base[name]
+    return out
+
+
+oracles = _gate_oracles
+
+
+# dedup_clusters upgrade: connected components ARE SQL-expressible via a
+# recursive transitive closure (components are tiny near-dup clusters, so
+# the closure stays small) — promotes the query from rows-only to
+# hash-checked. cluster_id = min doc_id of the component, exactly the
+# fixpoint of the engine's min-label propagation.
+def _oracle_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_oracle_ngram_jaccard()})
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+members AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM members
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+_EXTRA_ORACLES.update({"dedup_clusters": _oracle_dedup_clusters})
