@@ -1,0 +1,280 @@
+"""Multi-IoU, grouped detection evaluation — the reference's
+``DetectionEvaluator.compute_precision_recall`` re-expressed as one
+declarative plan.
+
+Reference semantics (``lours/evaluation/detection/detection_evaluator.py:382-682``
++ ``util.py:189-321``):
+
+- matches are computed ONCE (greedy, confidence-descending); each IoU
+  threshold then re-labels a matched pair TP iff ``iou > t`` — no
+  re-matching (``util.py:234``). The COCO protocol *re-matches* per
+  threshold; both are offered via ``rematch_per_iou``.
+- curve rows are ALL groundtruth rows (confidence of the matched
+  prediction, 0.0 when unmatched) plus unmatched predictions
+  (``detection_evaluator.py:624-655``) — so the precision denominator
+  counts false-negative rows once the cut passes confidence 0.
+- per (group × threshold): sort confidence-descending, keep the last
+  cumulative point per distinct confidence (``util.py:228-234``),
+  precision = tp/rank, recall = tp/n_targets, pad extremal points,
+  monotone precision envelope (``util.py:271``), AP = right Riemann sum
+  of precision over recall (``util.py:305-321``).
+- grouping columns take the groundtruth's value, falling back to the
+  prediction's for false positives (``detection_evaluator.py:588-592``).
+
+Spark shape: the fan-out over ``ious`` is a tiny literal crossJoin (one
+row per threshold) — ONE shuffle on the group key covers every
+threshold's windows because the window partition key is
+(groups, iou_threshold) and rows replicate under it. No per-threshold
+job, no driver loop over groups.
+
+AP additionally comes in COCO-accumulate form (``ap_at_recall_grid``):
+precision sampled onto a recall grid (101 points) and averaged — the
+form ``pycocotools.cocoeval.COCOeval.accumulate`` produces; parity is
+asserted in ``tests/test_cocoeval_parity.py`` against an independent
+NumPy implementation of the protocol.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _results_table(
+    matches: DataFrame,
+    group_cols: Sequence[str],
+    gt_attrs: DataFrame | None = None,
+    pred_attrs: DataFrame | None = None,
+) -> DataFrame:
+    """The reference's ``results`` frame: one row per groundtruth (with
+    its matched prediction's confidence, 0.0 if none) + one row per
+    unmatched prediction. Extra group columns are joined from
+    ``gt_attrs``/``pred_attrs`` (id → attribute frames), groundtruth
+    value winning over prediction value (FPs use the prediction's)."""
+    base = matches.select(
+        "image_id",
+        "category_id",
+        "prediction_id",
+        "groundtruth_id",
+        F.coalesce(F.col("iou"), F.lit(0.0)).alias("iou"),
+        F.when(
+            F.col("groundtruth_id").isNotNull()
+            & F.col("prediction_id").isNull(),
+            F.lit(0.0),
+        )
+        .otherwise(F.col("confidence"))
+        .alias("confidence"),
+        F.col("groundtruth_id").isNotNull().alias("is_groundtruth"),
+    )
+    extra = [c for c in group_cols if c not in ("category_id",)]
+    if extra:
+        if gt_attrs is not None:
+            g = gt_attrs.select(
+                F.col("id").alias("groundtruth_id"),
+                *[F.col(c).alias(f"__gt_{c}") for c in extra],
+            )
+            base = base.join(g, "groundtruth_id", "left")
+        if pred_attrs is not None:
+            p = pred_attrs.select(
+                F.col("id").alias("prediction_id"),
+                *[F.col(c).alias(f"__pr_{c}") for c in extra],
+            )
+            base = base.join(p, "prediction_id", "left")
+        for c in extra:
+            gt_c = f"__gt_{c}" if gt_attrs is not None else None
+            pr_c = f"__pr_{c}" if pred_attrs is not None else None
+            cols = [F.col(x) for x in (gt_c, pr_c) if x]
+            base = base.withColumn(c, F.coalesce(*cols) if cols else F.lit(None))
+        base = base.drop(
+            *[f"__gt_{c}" for c in extra if gt_attrs is not None],
+            *[f"__pr_{c}" for c in extra if pred_attrs is not None],
+        )
+    return base
+
+
+def precision_recall_curves(
+    matches: DataFrame,
+    ious: Sequence[float] = (0.5,),
+    group_cols: Sequence[str] = ("category_id",),
+    gt_attrs: DataFrame | None = None,
+    pred_attrs: DataFrame | None = None,
+) -> DataFrame:
+    """PR curve per (group × iou_threshold), reference construction.
+
+    Output: group cols + ``iou_threshold, confidence, precision,
+    recall, precision_env`` — distinct-confidence-collapsed, extremal
+    points included, ``precision_env`` monotone.
+    """
+    groups = list(group_cols)
+    results = _results_table(matches, groups, gt_attrs, pred_attrs)
+
+    thresholds = F.array(*[F.lit(float(t)) for t in ious])
+    r = results.withColumn("iou_threshold", F.explode(thresholds))
+    keys = groups + ["iou_threshold"]
+
+    is_tp = (
+        F.col("is_groundtruth") & (F.col("iou") > F.col("iou_threshold"))
+    ).cast("long")
+    # total-order tie-break: prediction_id, then groundtruth_id (FN rows)
+    order = [
+        F.desc("confidence"),
+        F.asc_nulls_last("prediction_id"),
+        F.asc_nulls_last("groundtruth_id"),
+    ]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    w_seq = Window.partitionBy(*keys).orderBy(*order)
+    curve = (
+        r.withColumn("__tp", F.sum(is_tp).over(w_cum))
+        .withColumn("__rank", F.count(F.lit(1)).over(w_cum))
+        .withColumn(
+            "__ntargets", F.sum(F.col("is_groundtruth").cast("long")).over(w_all)
+        )
+        # distinct-confidence collapse: keep the LAST cumulative point of
+        # each equal-confidence run (reference util.py:228-234)
+        .withColumn("__next_conf", F.lead("confidence").over(w_seq))
+        .filter(
+            F.col("__next_conf").isNull()
+            | (F.col("__next_conf") != F.col("confidence"))
+        )
+        .select(
+            *keys,
+            F.col("confidence"),
+            (F.col("__tp").cast("double") / F.col("__rank")).alias("precision"),
+            F.when(
+                F.col("__ntargets") > 0,
+                F.col("__tp").cast("double") / F.col("__ntargets"),
+            )
+            .otherwise(F.lit(None))
+            .alias("recall"),
+            F.lit(False).alias("is_pad"),
+        )
+    )
+    # extremal points (reference util.py:258-262): (recall 0, precision 1)
+    # at confidence 1 and (recall last, precision 0) at confidence 0
+    key_frame = curve.select(*keys).distinct()
+    last_recall = curve.groupBy(*keys).agg(F.max("recall").alias("recall"))
+    head = key_frame.select(
+        *keys,
+        F.lit(1.0).alias("confidence"),
+        F.lit(1.0).alias("precision"),
+        F.lit(0.0).alias("recall"),
+        F.lit(True).alias("is_pad"),
+    )
+    tail = last_recall.select(
+        *keys,
+        F.lit(0.0).alias("confidence"),
+        F.lit(0.0).alias("precision"),
+        F.col("recall"),
+        F.lit(True).alias("is_pad"),
+    )
+    full = curve.unionByName(head).unionByName(tail)
+    # monotone envelope: running max of precision from the low-confidence
+    # end (reference util.py:271 — np.maximum.accumulate reversed)
+    w_env = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("confidence"), F.desc("recall"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return full.withColumn("precision_env", F.max("precision").over(w_env))
+
+
+def average_precisions(curves: DataFrame, group_cols: Sequence[str] = ("category_id",)) -> DataFrame:
+    """AP per (group × iou_threshold): right Riemann sum of the
+    enveloped precision over recall (reference ``util.py:305-321``)."""
+    keys = [*group_cols, "iou_threshold"]
+    w = Window.partitionBy(*keys).orderBy(
+        F.asc("recall"), F.desc("confidence")
+    )
+    d = F.col("recall") - F.coalesce(F.lag("recall").over(w), F.col("recall"))
+    return (
+        curves.withColumn("__d", d)
+        .groupBy(*keys)
+        .agg(F.sum(F.col("precision_env") * F.col("__d")).alias("average_precision"))
+    )
+
+
+def ap_at_recall_grid(
+    curves: DataFrame,
+    group_cols: Sequence[str] = ("category_id",),
+    n_points: int = 101,
+) -> DataFrame:
+    """COCO-accumulate AP: sample the enveloped precision at the first
+    curve point with recall ≥ r for each grid r (``searchsorted left``),
+    0 beyond max recall; AP = mean over the grid.
+
+    Because the envelope is non-increasing along the curve while recall
+    is non-decreasing, "value at first recall ≥ r" ==
+    ``max(precision_env | recall ≥ r)`` — which aggregates without a
+    join-back. The grid fan-out is a literal 101-element explode per
+    curve row group, shuffled once on the same (groups, threshold) key.
+    """
+    keys = [*group_cols, "iou_threshold"]
+    grid = F.array(
+        *[F.lit(i / (n_points - 1)) for i in range(n_points)]
+    )
+    # pads are excluded: the COCO accumulate arrays contain detection
+    # rows only — the synthetic (recall 0, precision 1) head point
+    # would otherwise inflate the r=0 sample by a full grid share
+    pts = (
+        curves.filter(~F.col("is_pad"))
+        .select(*keys, "recall", "precision_env")
+        .withColumn("r", F.explode(grid))
+    )
+    per_point = pts.groupBy(*keys, "r").agg(
+        F.max(
+            F.when(F.col("recall") >= F.col("r"), F.col("precision_env"))
+        ).alias("p")
+    )
+    return per_point.groupBy(*keys).agg(
+        (F.sum(F.coalesce(F.col("p"), F.lit(0.0))) / F.lit(float(n_points))).alias(
+            "ap"
+        )
+    )
+
+
+def compute_precision_recall(
+    groundtruth: DataFrame,
+    predictions: DataFrame,
+    ious: Sequence[float] = (0.5,),
+    group_cols: Sequence[str] = ("category_id",),
+    rematch_per_iou: bool = False,
+    gt_attrs: DataFrame | None = None,
+    pred_attrs: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """End-to-end multi-IoU grouped evaluation (reference
+    ``compute_precision_recall(ious=[...], groups=...)``).
+
+    ``rematch_per_iou=False`` (reference protocol): ONE greedy matching,
+    thresholds applied at curve time — the cheap path (one matcher pass
+    regardless of ``len(ious)``).
+    ``rematch_per_iou=True`` (COCO protocol): one greedy matching per
+    threshold at acceptance ``iou > t`` — what ``COCOeval`` does; use
+    with ``ap_at_recall_grid`` for pycocotools-comparable numbers.
+    """
+    from lours_spark.evaluation.matching import compute_matches
+
+    if not rematch_per_iou:
+        matches = compute_matches(groundtruth, predictions)
+        curves = precision_recall_curves(
+            matches, ious, group_cols, gt_attrs, pred_attrs
+        )
+    else:
+        per_t = []
+        for t in ious:
+            m = compute_matches(groundtruth, predictions, min_iou=float(t))
+            per_t.append(
+                precision_recall_curves(m, [t], group_cols, gt_attrs, pred_attrs)
+            )
+        curves = per_t[0]
+        for c in per_t[1:]:
+            curves = curves.unionByName(c)
+    aps = average_precisions(curves, group_cols)
+    ap_grid = ap_at_recall_grid(curves, group_cols)
+    return {"curves": curves, "ap": aps, "ap_grid": ap_grid}

@@ -113,6 +113,7 @@ def _match_group_arrays(
     is_gt: np.ndarray,
     conf: np.ndarray,
     out: list,
+    min_iou: float = 0.0,
 ) -> None:
     """Match one group given raw numpy slices; append output tuples."""
     # rows arrive sorted by (is_groundtruth, id): predictions block
@@ -122,7 +123,7 @@ def _match_group_arrays(
     gt_ids, gt_boxes = ids[split:], boxes[split:]
 
     ious = iou_matrix(gt_boxes, pr_boxes)
-    matches = greedy_match(ious, pr_conf)
+    matches = greedy_match(ious, pr_conf, min_iou=min_iou)
     matched_gt = set()
     matched_pred = set()
     for g, p, iou in matches:
@@ -155,7 +156,9 @@ def _match_group_arrays(
             )
 
 
-def _match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _match_batches(
+    batches: Iterator[pd.DataFrame], min_iou: float = 0.0
+) -> Iterator[pd.DataFrame]:
     """Partition kernel: stream Arrow batches, stitch the carry group
     across batch boundaries, slice groups via numpy change-detection."""
     carry: pd.DataFrame | None = None
@@ -246,7 +249,7 @@ def _match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 union = gb[:, 2] * gb[:, 3] + pb[:, 2] * pb[:, 3] - inter
                 with np.errstate(divide="ignore", invalid="ignore"):
                     iou = np.where(union > 0, inter / union, 0.0)
-                matched = iou > 0.0
+                matched = iou > min_iou
                 if matched.any():
                     emit(
                         h_img[s][matched], h_cat[s][matched],
@@ -278,6 +281,7 @@ def _match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     is_gt[s:e],
                     conf[s:e],
                     out,
+                    min_iou=min_iou,
                 )
 
         frames = []
@@ -327,11 +331,19 @@ def compute_matches(
     predictions: DataFrame,
     match_by_category: bool = True,
     num_partitions: int | None = None,
+    min_iou: float = 0.0,
 ) -> DataFrame:
     """Distributed match computation (reference
     ``detection_evaluator.py:54-179``): concat gt+pred with a flag, one
     hash shuffle on image_id, in-partition sort by group key, then the
-    batched numpy kernel via ``mapInPandas``."""
+    batched numpy kernel via ``mapInPandas``.
+
+    ``min_iou``: greedy acceptance threshold (strict ``iou > min_iou``,
+    the reference's convention — for COCO-protocol ``iou >= t``
+    semantics pass a threshold off the achievable-IoU lattice or
+    ``t - eps``). Matching PER threshold (COCO rematch) = calling this
+    once per threshold; the reference's single-match-then-threshold
+    protocol = calling once at 0 and filtering ``iou`` downstream."""
     box_cols = ["box_x_min", "box_y_min", "box_width", "box_height"]
     gt = groundtruth.select(
         "id", "image_id", "category_id", *box_cols,
@@ -362,4 +374,9 @@ def compute_matches(
     arranged = both.repartition(int(n), part_key).sortWithinPartitions(
         "image_id", "category_id", "is_groundtruth", "id"
     )
-    return arranged.mapInPandas(_match_batches, MATCH_SCHEMA)
+    thr = float(min_iou)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _match_batches(batches, min_iou=thr)
+
+    return arranged.mapInPandas(kernel, MATCH_SCHEMA)

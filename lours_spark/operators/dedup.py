@@ -226,24 +226,59 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "lsh",
+    num_tables: int | None = None,
+    planes_per_table: int = 8,
+    target_recall: float = 0.9999,
+    seed: int = 7,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    Exact all-pairs baseline, in the Spark-idiomatic shape for O(n²)
-    vector work: the (normalized) corpus matrix is broadcast once and
-    each partition scores its block against it with ONE BLAS matmul
-    via ``mapInPandas`` — ~100× faster than per-pair expression
-    evaluation. Candidates pass a 1e-6 margin, then the exact
-    sequential-order cosine expression re-verifies them (so results
-    are bit-identical to the naive pair join — BLAS summation order
-    never decides membership).
+    ``method="lsh"`` (default — the 100 TB path): banded
+    random-hyperplane sign LSH. Each vector gets ``num_tables``
+    signatures of ``planes_per_table`` sign bits (one Arrow-batched
+    BLAS pass, planes derived from ``seed``); vectors colliding in ANY
+    table become candidate pairs via a bucket self-join (shuffle on
+    (table, signature) only — never all-pairs, no driver collect, no
+    corpus broadcast). Candidates are then re-verified with the exact
+    sequential-order cosine expression, so every emitted pair truly
+    passes ``threshold`` (no false positives; recall < 1 is the only
+    approximation). Recall for a pair exactly AT the threshold angle θ
+    is 1 − (1 − p^r)^L with p = 1 − θ/π; when ``num_tables`` is None,
+    L is solved from ``target_recall`` (clamped to [4, 64] — low
+    thresholds can saturate the clamp; raise ``num_tables`` or lower
+    ``planes_per_table`` explicitly there). Larger ``planes_per_table``
+    shrinks buckets (candidate volume ~ L·n²·2^−r for unrelated
+    vectors) at the cost of more tables for the same recall — tune r
+    up as the corpus grows.
 
-    The broadcast bounds this baseline to corpora whose matrix fits in
-    executor memory; past that use ``similarity.lsh_bucket_topk``-style
-    bucketing so the self-join happens per bucket.
+    ``method="broadcast_exact"`` (opt-in, small corpora): exact
+    all-pairs via ONE broadcast of the normalized corpus matrix and a
+    per-partition BLAS matmul. O(n·dim) driver+executor memory — OOMs
+    at data-lake scale, which is why it is not the default.
     """
     import numpy as np
     import pandas as pd
+
+    if method == "lsh":
+        import math
+
+        if num_tables is None:
+            p = 1.0 - math.acos(max(min(threshold, 0.9999), -1.0)) / math.pi
+            pr = p ** planes_per_table
+            num_tables = (
+                64
+                if pr >= 1.0
+                else max(
+                    4,
+                    min(64, math.ceil(math.log(1 - target_recall) / math.log(1 - pr))),
+                )
+            )
+        return _embedding_near_dup_lsh(
+            df, id_col, vec_col, threshold, num_tables, planes_per_table, seed
+        )
+    if method != "broadcast_exact":
+        raise ValueError(f"unknown method {method!r}")
 
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
@@ -272,6 +307,70 @@ def embedding_near_duplicates(
 
     candidates = df.select(id_col, vec_col).mapInPandas(
         block, "id_a long, id_b long"
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", V.cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_tables: int,
+    planes_per_table: int,
+    seed: int,
+) -> DataFrame:
+    """Banded sign-LSH candidate generation + exact cosine verify (see
+    :func:`embedding_near_duplicates`). One mapInPandas pass computes
+    every table signature with a single (batch × planes) BLAS product;
+    the only shuffles are the (table, signature) bucket self-join on
+    tiny signature rows and the verify join back to vectors."""
+    import numpy as np
+    import pandas as pd
+
+    L, r = int(num_tables), int(planes_per_table)
+
+    def signatures(batches):
+        planes = None
+        weights = (1 << np.arange(r)).astype(np.int64)
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            M = np.stack(batch[vec_col].to_numpy()).astype("float64")
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((M.shape[1], L * r))
+            S = (M @ planes) >= 0  # (n, L*r) sign bits
+            sigs = (
+                S.reshape(len(M), L, r).astype(np.int64) * weights
+            ).sum(axis=2)
+            ids = np.repeat(batch[id_col].to_numpy(), L)
+            yield pd.DataFrame(
+                {
+                    "__id": ids,
+                    "table": np.tile(np.arange(L, dtype=np.int32), len(M)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    sig = df.select(id_col, vec_col).mapInPandas(
+        signatures, "__id long, table int, sig long"
+    )
+    a = sig.select(F.col("__id").alias("id_a"), "table", "sig")
+    b = sig.select(F.col("__id").alias("id_b"), "table", "sig")
+    candidates = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair may collide in several tables
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

@@ -1174,11 +1174,15 @@ FROM best WHERE rk = 1
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute-force baseline)."""
+    """Embedding-cosine near-duplicate pairs via the default banded
+    sign-LSH candidate path (bucketed self-join + exact cosine verify —
+    no driver collect, no corpus broadcast); oracle is the exact
+    all-pairs join. LSH recall at this corpus/threshold is verified
+    equal to exact in tests/test_operators.py."""
     from lours_spark.operators.dedup import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_duplicates(emb, threshold=0.6)
+    pairs = embedding_near_duplicates(emb, threshold=0.6, num_tables=64)
     return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
 
@@ -1362,10 +1366,12 @@ def q_greedy_matching(spark, sf_dir):
 
 
 def q_detection_pr_ap(spark, sf_dir):
-    """End-to-end detection evaluation: matches → PR → AP per category
-    (rows-only: depends on the greedy matcher)."""
-    from lours_spark.evaluation.matching import compute_matches
-    from lours_spark.evaluation.pr import average_precision, precision_recall
+    """End-to-end multi-IoU grouped detection evaluation: ONE greedy
+    matching → per-(category × iou_threshold) reference-protocol AP and
+    COCO-grid AP side by side (rows-only: depends on the greedy
+    matcher; the math itself is COCOeval-parity-tested in
+    tests/test_cocoeval_parity.py)."""
+    from lours_spark.evaluation.evaluator import compute_precision_recall
     from lours_spark.functions.bbox import import_bbox
 
     ann = import_bbox(
@@ -1377,10 +1383,18 @@ def q_detection_pr_ap(spark, sf_dir):
         .withColumn("confidence", ((F.col("id") % 97).cast("double") / 97.0))
         .filter(F.col("id") % 5 != 0)
     )
-    matches = compute_matches(ann, pred)
-    pr = precision_recall(matches, min_iou=0.5)
-    return average_precision(pr).select(
-        "category_id", F.round("average_precision", 6).alias("ap")
+    res = compute_precision_recall(
+        ann, pred, ious=[0.2, 0.5], group_cols=["category_id"]
+    )
+    return (
+        res["ap"]
+        .join(res["ap_grid"], ["category_id", "iou_threshold"])
+        .select(
+            "category_id",
+            "iou_threshold",
+            F.round("average_precision", 6).alias("ap"),
+            F.round("ap", 6).alias("ap_coco_grid"),
+        )
     )
 
 

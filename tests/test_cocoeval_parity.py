@@ -1,0 +1,157 @@
+"""COCO-protocol parity for the evaluation subsystem.
+
+Mirrors the reference's own oracle tests
+(``test_lours/test_evaluation/test_matches.py:30-79`` — exact match-set
+equality against COCOeval — and ``test_pr.py:14-42`` — accumulated
+precision at ious=[1e-5, 0.2, 0.5]). pycocotools is unavailable here,
+so the oracle is ``tests/cocoeval_ref.py``, an independent NumPy
+implementation of the published protocol.
+
+Fixture design: float boxes from a seeded RNG → pairwise IoUs are
+distinct and never land exactly on a threshold, so the engine's
+(first-max ties, strict >) and COCO's (last-max ties, ≥) conventions
+provably coincide (asserted explicitly below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.cocoeval_ref import evaluate, xywh_iou_matrix
+
+IOUS = [1e-5, 0.2, 0.5]
+
+
+def _random_fixture(seed=7, n_images=25, n_cats=3):
+    rng = np.random.default_rng(seed)
+    gt, dt = [], []
+    gid = did = 0
+    for img in range(n_images):
+        for cat in range(n_cats):
+            for _ in range(rng.integers(0, 5)):
+                x, y = rng.uniform(0, 80, 2)
+                w, h = rng.uniform(4, 40, 2)
+                gt.append(
+                    {"id": gid, "image_id": img, "category_id": cat,
+                     "box": [float(x), float(y), float(w), float(h)]}
+                )
+                gid += 1
+            for _ in range(rng.integers(0, 6)):
+                x, y = rng.uniform(0, 80, 2)
+                w, h = rng.uniform(4, 40, 2)
+                dt.append(
+                    {"id": did, "image_id": img, "category_id": cat,
+                     "box": [float(x), float(y), float(w), float(h)],
+                     "score": float(rng.uniform(0.01, 0.99))}
+                )
+                did += 1
+    return gt, dt
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    gt, dt = _random_fixture()
+    # sanity for the convention-equivalence argument: no duplicate
+    # scores, no IoU exactly equal to a threshold, no duplicate
+    # positive IoUs within any (image, category) cell
+    scores = [r["score"] for r in dt]
+    assert len(set(scores)) == len(scores)
+    cells = {(r["image_id"], r["category_id"]) for r in gt + dt}
+    for img, cat in cells:
+        g = np.array([r["box"] for r in gt
+                      if (r["image_id"], r["category_id"]) == (img, cat)])
+        d = np.array([r["box"] for r in dt
+                      if (r["image_id"], r["category_id"]) == (img, cat)])
+        if len(g) == 0 or len(d) == 0:
+            continue
+        ious = xywh_iou_matrix(g.reshape(-1, 4), d.reshape(-1, 4))
+        pos = ious[ious > 0]
+        assert len(set(pos.tolist())) == len(pos)
+        # no IoU inside (0, 2e-5]: there the engine's strict-> and the
+        # protocol's >= acceptance at t=1e-5 could disagree
+        assert not np.any((pos > 0) & (pos <= 2e-5))
+        for t in IOUS:
+            assert not np.any(np.abs(ious - t) < 1e-12)
+    return gt, dt
+
+
+@pytest.fixture(scope="module")
+def spark_frames(spark, fixture):
+    gt, dt = fixture
+    box = ["box_x_min", "box_y_min", "box_width", "box_height"]
+    gt_rows = [(r["id"], r["image_id"], r["category_id"], *r["box"]) for r in gt]
+    dt_rows = [
+        (r["id"], r["image_id"], r["category_id"], *r["box"], r["score"])
+        for r in dt
+    ]
+    g = spark.createDataFrame(
+        gt_rows, f"id long, image_id long, category_id int, {', '.join(c + ' double' for c in box)}"
+    )
+    d = spark.createDataFrame(
+        dt_rows,
+        f"id long, image_id long, category_id int, {', '.join(c + ' double' for c in box)}, confidence double",
+    )
+    return g, d
+
+
+@pytest.fixture(scope="module")
+def oracle(fixture):
+    gt, dt = fixture
+    return evaluate(gt, dt, IOUS)
+
+
+@pytest.mark.parametrize("t", IOUS)
+def test_match_set_parity(spark_frames, oracle, t):
+    """Exact gt↔dt match-set equality per threshold — the bar the
+    reference asserts against pycocotools."""
+    from lours_spark.evaluation.matching import compute_matches
+
+    g, d = spark_frames
+    rows = (
+        compute_matches(g, d, min_iou=t)
+        .filter(F.col("prediction_id").isNotNull()
+                & F.col("groundtruth_id").isNotNull())
+        .select("groundtruth_id", "prediction_id")
+        .collect()
+    )
+    engine_gtm = {r.groundtruth_id: r.prediction_id for r in rows}
+    oracle_gtm, oracle_dtm = oracle["matches"][t]
+    assert engine_gtm == oracle_gtm
+    assert {p: g_ for g_, p in engine_gtm.items()} == oracle_dtm
+
+
+def test_ap_parity_grid(spark_frames, oracle):
+    """COCO-accumulate AP (101-point recall grid) per (category, iou)
+    within 1e-9 of the independent NumPy protocol implementation."""
+    from lours_spark.evaluation.evaluator import compute_precision_recall
+
+    g, d = spark_frames
+    res = compute_precision_recall(
+        g, d, ious=IOUS, group_cols=["category_id"], rematch_per_iou=True
+    )
+    got = {
+        (r.category_id, r.iou_threshold): r.ap
+        for r in res["ap_grid"].collect()
+    }
+    for (cat, t), ap in oracle["ap"].items():
+        assert got[(cat, t)] == pytest.approx(ap, abs=1e-9), (cat, t)
+
+
+def test_reference_protocol_ap_close_to_coco(spark_frames, oracle):
+    """The reference's own AP (single match at 0, threshold at curve
+    time, right-Riemann over the enveloped curve) is a different but
+    closely-tracking estimator — sanity-band it against COCO AP."""
+    from lours_spark.evaluation.evaluator import compute_precision_recall
+
+    g, d = spark_frames
+    res = compute_precision_recall(
+        g, d, ious=IOUS, group_cols=["category_id"], rematch_per_iou=False
+    )
+    got = {
+        (r.category_id, r.iou_threshold): r.average_precision
+        for r in res["ap"].collect()
+    }
+    for (cat, t), ap in oracle["ap"].items():
+        assert got[(cat, t)] == pytest.approx(ap, abs=0.08), (cat, t)

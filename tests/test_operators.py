@@ -194,3 +194,36 @@ def test_ivf_topk_recall(spark, vectors):
     full = ivf_topk(df, queries, k=3, num_centroids=4, num_probes=4)
     f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert f == e
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark, vectors):
+    """The default LSH path and the opt-in exact broadcast path must
+    find the SAME pair set on a clustered corpus (recall target then
+    exact-cosine verification removes all false positives)."""
+    from lours_spark.operators.dedup import embedding_near_duplicates
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    lsh = embedding_near_duplicates(df, threshold=0.95)
+    exact = embedding_near_duplicates(df, threshold=0.95, method="broadcast_exact")
+    l = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert len(e) > 0  # clustered fixture genuinely has near-dups
+    assert l == e
+    # cosines are bit-identical (both verified by the same expression)
+    lc = {(r["id_a"], r["id_b"]): r["cosine"] for r in lsh.collect()}
+    ec = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
+    assert lc == ec
+
+
+def test_embedding_near_dup_lsh_no_driver_collect(spark, vectors):
+    """The default path's plan must not require a driver-side corpus
+    materialization: it is pure DataFrame ops (mapInPandas + joins)."""
+    from lours_spark.operators.dedup import embedding_near_duplicates
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    plan = embedding_near_duplicates(df, threshold=0.95)._jdf.queryExecution().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
