@@ -220,6 +220,33 @@ class SparkDataset:
         )
         return self.from_template(images=images)
 
+    def get_invalid_images(
+        self, check_symlink: bool = False, load_images: bool = True
+    ) -> DataFrame:
+        """Distributed error report for missing/unreadable/mismatched
+        image files (reference ``utils/testing.py:252-380``); columns
+        (id, reason, additional_info)."""
+        from lours_spark.dataset.validation import get_invalid_images
+
+        return get_invalid_images(
+            self.images,
+            str(self.images_root),
+            check_symlink=check_symlink,
+            load_images=load_images,
+        )
+
+    def remove_invalid_images(self, load_images: bool = True) -> "SparkDataset":
+        """Drop images whose file is missing/corrupt/inconsistent, and
+        their annotations (reference ``dataset.py:1154-1231``). The
+        file checks run executor-side (``mapInPandas``); the removal is
+        a left-anti join on the report — no driver materialization."""
+        invalid = self.get_invalid_images(load_images=load_images).select("id")
+        images = self.images.join(invalid, "id", "left_anti")
+        annotations = self.annotations.join(
+            images.select(F.col("id").alias("image_id")), "image_id", "left_semi"
+        )
+        return self.from_template(images=images, annotations=annotations)
+
     def get_split(self, split: str | None) -> "SparkDataset":
         """Subset to one split value (reference ``dataset.py:1745``)."""
         pred = F.col("split").isNull() if split is None else F.col("split") == split

@@ -45,11 +45,101 @@ def flatten_structs(df: DataFrame, prefix: str = "") -> DataFrame:
     return df.select(*flat_cols)
 
 
+def _split_dirs(dataset_root: str, splits: list[str] | None) -> list[str]:
+    ann_root = os.path.join(dataset_root, "Annotations")
+    return splits or sorted(
+        d for d in os.listdir(ann_root) if os.path.isdir(os.path.join(ann_root, d))
+    )
+
+
+def validate_caipy(
+    spark: SparkSession,
+    dataset_root: str,
+    schema: dict | None = None,
+    splits: list[str] | None = None,
+) -> DataFrame:
+    """Per-file conformity report for a cAIpy tree (reference
+    ``io/caipy.py:37-48`` validates each JSON against the dataset's
+    JSON schema on read; ``:63-67`` asserts the annotation file stem
+    matches the embedded ``image.file_name`` stem).
+
+    Runs distributed: ``binaryFile`` lists/reads the JSON files,
+    ``mapInPandas`` parses + jsonschema-validates each on the
+    executors. Returns (split, path, error) — empty when conformant.
+    """
+    import pandas as pd
+
+    ann_root = os.path.join(dataset_root, "Annotations")
+    parts = []
+    for split in _split_dirs(dataset_root, splits):
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.json")
+            .load(os.path.join(ann_root, split))
+            .select("path", "content")
+        )
+
+        def check(batches, split=split):
+            try:
+                from jsonschema.validators import validator_for
+            except ImportError:  # pragma: no cover
+                validator_for = None
+            validator = None
+            if schema is not None and validator_for is not None:
+                validator = validator_for(schema)(schema)
+            for pdf in batches:
+                out_path, out_err = [], []
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    try:
+                        doc = json.loads(bytes(content))
+                    except ValueError as e:
+                        out_path.append(path)
+                        out_err.append(f"invalid JSON: {e}")
+                        continue
+                    if validator is not None:
+                        err = next(iter(validator.iter_errors(doc)), None)
+                        if err is not None:
+                            out_path.append(path)
+                            out_err.append(
+                                f"schema violation at "
+                                f"{'/'.join(str(p) for p in err.absolute_path) or '<root>'}: "
+                                f"{err.message}"
+                            )
+                            continue
+                    file_name = (doc.get("image") or {}).get("file_name")
+                    if file_name is not None:
+                        stem = os.path.splitext(os.path.basename(path))[0]
+                        img_stem = os.path.splitext(os.path.basename(file_name))[0]
+                        if stem != img_stem:
+                            out_path.append(path)
+                            out_err.append(
+                                f"file stem {stem!r} != image.file_name stem"
+                                f" {img_stem!r}"
+                            )
+                yield pd.DataFrame(
+                    {
+                        "split": [split] * len(out_path),
+                        "path": out_path,
+                        "error": out_err,
+                    }
+                )
+
+        parts.append(
+            files.mapInPandas(check, "split string, path string, error string")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def from_caipy(
     spark: SparkSession,
     dataset_root: str,
     splits: list[str] | None = None,
     booleanize_enums: dict[str, list[str]] | None = None,
+    schema: dict | None = None,
+    on_invalid: str = "raise",
 ) -> SparkDataset:
     """Read a cAIpy tree (reference ``io/caipy.py:30-349``).
 
@@ -57,11 +147,23 @@ def from_caipy(
     enum domains (the reference derives these from the JSON schema,
     ``schema_util_functions.py:47-82``); listed columns are one-hot
     expanded on read (``caipy.py:334-348``) and tracked in
-    ``booleanized_columns`` so merge/write round-trip them."""
+    ``booleanized_columns`` so merge/write round-trip them.
+
+    ``schema``: optional JSON schema dict — every annotation file is
+    validated executor-side before the read (reference
+    ``caipy.py:37-48``). ``on_invalid="raise"`` raises with the first
+    few violations; ``"skip"`` proceeds with the read regardless (the
+    report is still computed; fetch it via :func:`validate_caipy`)."""
+    if schema is not None and on_invalid == "raise":
+        bad = validate_caipy(spark, dataset_root, schema, splits).take(5)
+        if bad:
+            msgs = "\n".join(f"  {r.path}: {r.error}" for r in bad)
+            raise ValueError(
+                f"caipy tree at {dataset_root} fails schema validation"
+                f" (first {len(bad)}):\n{msgs}"
+            )
     ann_root = os.path.join(dataset_root, "Annotations")
-    splits = splits or sorted(
-        d for d in os.listdir(ann_root) if os.path.isdir(os.path.join(ann_root, d))
-    )
+    splits = _split_dirs(dataset_root, splits)
     images_parts = []
     ann_parts = []
     for split in splits:

@@ -298,3 +298,77 @@ def test_from_files(spark):
     assert rows[0]["relative_path"] == "a/1.jpg"
     assert rows[0]["type"] == ".jpg"
     assert ds.annotations.count() == 0
+
+
+def _minimal_png(width: int, height: int) -> bytes:
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", width, height)
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def test_remove_invalid_images(spark, tmp_path):
+    """Reference dataset.py:1154-1231: drop images whose file is
+    missing / unreadable / size-inconsistent, and their annotations."""
+    from lours_spark.dataset.core import SparkDataset
+
+    (tmp_path / "good.png").write_bytes(_minimal_png(64, 48))
+    (tmp_path / "mismatch.png").write_bytes(_minimal_png(10, 10))
+    (tmp_path / "garbage.png").write_bytes(b"not an image at all")
+    images = spark.createDataFrame(
+        [
+            (0, 64, 48, "good.png", ".png"),
+            (1, 64, 48, "mismatch.png", ".png"),
+            (2, 64, 48, "missing.png", ".png"),
+            (3, 64, 48, "garbage.png", ".png"),
+            (4, 64, 48, "/abs/evil.png", ".png"),
+        ],
+        "id long, width int, height int, relative_path string, type string",
+    )
+    annotations = spark.createDataFrame(
+        [(i, img, 0, 1.0, 1.0, 2.0, 2.0) for i, img in enumerate([0, 0, 1, 2, 3])],
+        "id long, image_id long, category_id int, box_x_min double,"
+        " box_y_min double, box_width double, box_height double",
+    )
+    ds = SparkDataset(
+        images=images, annotations=annotations, images_root=str(tmp_path)
+    )
+    report = {r.id: r.reason for r in ds.get_invalid_images().collect()}
+    assert report == {
+        1: "Image metadata mismatch",
+        2: "Not a valid path",
+        3: "Image loading failed",
+        4: "relative path is absolute",
+    }
+    cleaned = ds.remove_invalid_images()
+    assert [r.id for r in cleaned.images.collect()] == [0]
+    assert cleaned.annotations.count() == 2
+    # load_images=False: only path-level checks
+    fast = ds.remove_invalid_images(load_images=False)
+    assert sorted(r.id for r in fast.images.collect()) == [0, 1, 3]
+
+
+def test_remap_presets_complete():
+    """The shipped presets must carry the reference's FULL class sets
+    (remap_presets/coco_to_pascalvoc.csv: 20 rows; coco_to_supercategory
+    .csv: 91 rows over 12 supercategories)."""
+    from lours_spark.dataset.remap_presets import get_preset, list_available_presets
+
+    m, names = get_preset("coco_to_pascalvoc")
+    assert len(m) == 20
+    assert m[5] == 1 and names[1] == "aeroplane"
+    assert m[72] == 20 and names[20] == "tvmonitor"
+    m2, names2 = get_preset("coco_to_supercategory")
+    assert len(m2) == 91
+    assert len(set(m2.values())) == 12
+    assert names2[4] == "animal" and m2[25] == 4
+    # bijective presets are implicitly invertible under the flipped name
+    assert "pascalvoc_to_coco" in list_available_presets()
+    inv, inv_names = get_preset("pascalvoc_to_coco")
+    assert inv[15] == 1 and inv[20] == 72
+    assert all(m[inv[k]] == k for k in inv)

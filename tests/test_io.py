@@ -290,3 +290,205 @@ def test_caipy_booleanize_roundtrip(spark, tmp_path, tiny_dataset):
     # even ids have red=True
     reds = back.annotations.filter(F.col("`colors.red`")).select("id").collect()
     assert all(r["id"] % 2 == 0 for r in reds)
+
+
+def test_caipy_jsonschema_validation(spark, tmp_path):
+    """Reference io/caipy.py:37-48: every annotation JSON is validated
+    against the dataset's schema on read; malformed trees raise."""
+    from lours_spark.io.caipy import from_caipy, validate_caipy
+
+    schema = {
+        "type": "object",
+        "required": ["image", "annotations"],
+        "properties": {
+            "image": {
+                "type": "object",
+                "required": ["id", "file_name", "width", "height"],
+                "properties": {"width": {"type": "integer", "minimum": 1}},
+            },
+            "annotations": {"type": "array"},
+        },
+    }
+    root = tmp_path / "caipy_v"
+    d = root / "Annotations" / "train"
+    d.mkdir(parents=True)
+    good = {
+        "image": {"id": 0, "file_name": "0.jpg", "width": 10, "height": 10},
+        "annotations": [
+            {"id": 0, "category_id": 1, "category_str": "car",
+             "bbox": [1.0, 1.0, 2.0, 2.0]}
+        ],
+    }
+    (d / "0.json").write_text(json.dumps(good))
+    # conformant tree: read succeeds with validation on
+    ds = from_caipy(spark, str(root), schema=schema)
+    assert ds.images.count() == 1
+
+    bad = {"image": {"id": 1, "file_name": "1.jpg", "width": 0, "height": 5},
+           "annotations": []}
+    (d / "1.json").write_text(json.dumps(bad))
+    (d / "2.json").write_text("{not json")
+    wrong_stem = dict(good, image=dict(good["image"], id=3, file_name="other.jpg"))
+    (d / "3.json").write_text(json.dumps(wrong_stem))
+
+    report = {os.path.basename(r.path): r.error
+              for r in validate_caipy(spark, str(root), schema).collect()}
+    assert "minimum" in report["1.json"] or "0 is less than" in report["1.json"]
+    assert report["2.json"].startswith("invalid JSON")
+    assert "stem" in report["3.json"]
+    with pytest.raises(ValueError, match="fails schema validation"):
+        from_caipy(spark, str(root), schema=schema)
+    # on_invalid="skip" still reads whatever parses
+    ds2 = from_caipy(spark, str(root), schema=schema, on_invalid="skip")
+    assert ds2.images.count() >= 3
+
+
+def _yolo_dataset(spark):
+    from lours_spark.dataset.core import SparkDataset
+
+    images = spark.createDataFrame(
+        [
+            (0, 100, 100, "img0.jpg", ".jpg", "train"),
+            (1, 200, 100, "img1.jpg", ".jpg", "train"),
+            (2, 100, 200, "img2.jpg", ".jpg", "valid"),
+            (3, 100, 100, "img3.jpg", ".jpg", "eval"),
+        ],
+        "id long, width int, height int, relative_path string, type string,"
+        " split string",
+    )
+    annotations = spark.createDataFrame(
+        [
+            (0, 0, 1, "car", 10.0, 10.0, 20.0, 20.0),
+            (1, 0, 7, "truck", 30.0, 40.0, 10.0, 20.0),
+            (2, 1, 1, "car", 50.0, 10.0, 40.0, 30.0),
+            (3, 2, 7, "truck", 5.0, 5.0, 10.0, 10.0),
+            (4, 3, 1, "car", 1.0, 2.0, 3.0, 4.0),
+        ],
+        "id long, image_id long, category_id int, category_str string,"
+        " box_x_min double, box_y_min double, box_width double,"
+        " box_height double",
+    )
+    return SparkDataset(
+        images=images,
+        annotations=annotations,
+        label_map={1: "car", 7: "truck"},
+    )
+
+
+def test_yolov5_roundtrip(spark, tmp_path):
+    """to_yolov5 writes split-mapped list files + data.yaml; the yaml
+    manifest drives from_darknet_yolov5 back to the same annotations
+    (reference io/darknet.py:266-366, dataset.py:4752)."""
+    from lours_spark.io.darknet import dataset_to_yolov5, from_darknet_yolov5
+
+    ds = _yolo_dataset(spark)
+    out = str(tmp_path / "y5")
+    dataset_to_yolov5(ds, out)
+    assert (tmp_path / "y5" / "val.txt").exists()  # valid→val mapping
+    assert (tmp_path / "y5" / "test.txt").exists()  # eval→test mapping
+    import yaml
+
+    data = yaml.safe_load((tmp_path / "y5" / "data.yaml").read_text())
+    assert data["names"] == ["car", "truck"]
+    assert data["val"] == "val.txt"  # v5: relative paths
+
+    images = ds.images.withColumn("split", F.lit(None).cast("string"))
+    back = from_darknet_yolov5(spark, out, images_df=images)
+    # splits map back through val→valid / test→eval
+    splits = {r.split for r in back.images.select("split").distinct().collect()}
+    assert splits == {"train", "valid", "eval"}
+    assert back.annotations.count() == 5
+    got = sorted(
+        (r.image_id, r.category_str, r.box_x_min)
+        for r in back.annotations.collect()
+    )
+    want = sorted(
+        (r.image_id, r.category_str, r.box_x_min)
+        for r in ds.annotations.collect()
+    )
+    for (gi, gc, gx), (wi, wc, wx) in zip(got, want):
+        assert (gi, gc) == (wi, wc)
+        assert gx == pytest.approx(wx, abs=0.01)
+
+
+def test_yolov7_absolute_paths(spark, tmp_path):
+    from lours_spark.io.darknet import dataset_to_yolov7
+
+    ds = _yolo_dataset(spark)
+    out = str(tmp_path / "y7")
+    dataset_to_yolov7(ds, out)
+    import yaml
+
+    data = yaml.safe_load((tmp_path / "y7" / "data.yaml").read_text())
+    assert os.path.isabs(data["val"])  # v7: absolute split paths
+
+
+def test_darknet_data_manifest_roundtrip(spark, tmp_path):
+    """Classic .data manifest (reference io/darknet.py:81-263): write
+    with yolo_version=1 then read back through from_darknet_data."""
+    from lours_spark.io.darknet import dataset_to_yolo, from_darknet_data
+
+    ds = _yolo_dataset(spark)
+    out = str(tmp_path / "dk")
+    dataset_to_yolo(ds, out, yolo_version=1)
+    data_file = tmp_path / "dk" / "train_job.data"
+    assert data_file.exists()
+    assert "classes = 2" in data_file.read_text()
+
+    images = ds.images.withColumn("split", F.lit(None).cast("string"))
+    back = from_darknet_data(spark, out, images)
+    splits = {r.split for r in back.images.select("split").distinct().collect()}
+    assert splits == {"train", "valid"}
+    # train(2 images, 3 anns) + valid(1 image, 1 ann); eval not in .data
+    assert back.annotations.count() == 4
+
+
+def test_pascalvoc_parts_actions_breadth(spark, tmp_path):
+    """Reference pascalvoc.py:95-152: parts/points become linked rows
+    (body_id), actions.* become booleans (False when absent), and
+    difficult/truncated/occluded booleanize."""
+    from lours_spark.io.pascalvoc import from_pascalvoc, from_pascalvoc_detection
+
+    root = tmp_path / "voc"
+    ann = root / "Annotations"
+    ann.mkdir(parents=True)
+    (ann / "im0.xml").write_text("""
+<annotation><filename>im0.jpg</filename>
+  <size><width>100</width><height>80</height></size>
+  <object><name>person</name><pose>Left</pose>
+    <difficult>0</difficult><truncated>1</truncated><occluded>0</occluded>
+    <bndbox><xmin>10</xmin><ymin>10</ymin><xmax>50</xmax><ymax>70</ymax></bndbox>
+    <actions><jumping>1</jumping><walking>0</walking></actions>
+    <part><name>hand</name>
+      <bndbox><xmin>12</xmin><ymin>12</ymin><xmax>20</xmax><ymax>20</ymax></bndbox>
+    </part>
+    <point><x>30</x><y>40</y></point>
+  </object>
+  <object><name>dog</name>
+    <bndbox><xmin>60</xmin><ymin>5</ymin><xmax>90</xmax><ymax>40</ymax></bndbox>
+  </object>
+</annotation>""")
+    sets = root / "ImageSets" / "Main"
+    sets.mkdir(parents=True)
+    (sets / "train.txt").write_text("im0\n")
+
+    ds = from_pascalvoc(spark, str(ann), str(sets))
+    rows = {r.id: r for r in ds.annotations.collect()}
+    # reference id order: objects of the image first, then parts/points
+    assert rows[0].category_str == "person" and rows[1].category_str == "dog"
+    assert rows[2].category_str == "hand" and rows[2].body_id == 0
+    poi = rows[3]
+    assert poi.category_str == "person of interest" and poi.body_id == 0
+    assert poi.box_width == 0.0 and poi.box_x_min == 30.0
+    # boolean breadth
+    assert rows[0].truncated is True and rows[0].occluded is False
+    assert rows[0].pose == "Left"
+    assert getattr(rows[0], "actions.jumping") is True
+    assert getattr(rows[0], "actions.walking") is False
+    assert getattr(rows[1], "actions.jumping") is False  # fillna(False)
+    assert rows[1].body_id is None
+    assert ds.booleanized_columns == {"actions": {"actions.jumping", "actions.walking"}}
+
+    det = from_pascalvoc_detection(spark, str(root))
+    assert det.images.count() == 1
+    assert str(det.images_root).endswith("JPEGImages")
