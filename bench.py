@@ -43,6 +43,20 @@ BENCH_QUERIES = [
     "hourly_rollup",
     "greedy_matching",
     "detection_pr_ap",
+    # round 2: every formerly-ungated facet is timed too, so the bench
+    # covers what the gate covers
+    "keep_classes",
+    "validation_counts",
+    "bbox_validity_report",
+    "simple_split",
+    "split_quality",
+    "take_images",
+    "merge_overlap_id_shift",
+    "confusion_pivot",
+    "pr_curve_collapsed",
+    "salted_aggregate",
+    "top_terms",
+    "dedup_clusters",
 ]
 
 

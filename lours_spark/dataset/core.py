@@ -144,30 +144,47 @@ class SparkDataset:
     def check(self) -> dict[str, int]:
         """Validation queries (the reference's eager constructor asserts,
         ``dataset.py:943-948`` unique ids, ``dataset.py:990-998`` FK
-        integrity — run here as explicit actions)."""
+        integrity — run here as explicit actions).
+
+        TWO jobs total: one pass over annotations (joined once to the
+        image-id side for FK checks, then a single groupBy(id) +
+        global aggregate folds duplicate/orphan/unknown counts
+        together) and one tiny duplicate-id job on images — not one
+        action per metric, which would rescan the annotation table
+        four times at 100 TB."""
         dup_images = (
             self.images.groupBy("id").count().filter(F.col("count") > 1).count()
         )
-        dup_annots = (
-            self.annotations.groupBy("id").count().filter(F.col("count") > 1).count()
+        known = (
+            F.col("category_id").isin(list(self.label_map.keys()))
+            if self.label_map
+            else F.lit(True)
         )
-        orphans = (
-            self.annotations.join(
-                self.images.select(F.col("id").alias("image_id")),
+        per_id = (
+            self.annotations.select("id", "image_id", "category_id")
+            .join(
+                self.images.select(F.col("id").alias("image_id")).distinct()
+                .withColumn("__img_ok", F.lit(1)),
                 "image_id",
-                "left_anti",
-            ).count()
+                "left",
+            )
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.count(F.when(F.col("__img_ok").isNull(), 1)).alias("__orphans"),
+                F.count(F.when(~known, 1)).alias("__unknown"),
+            )
         )
-        unknown_categories = 0
-        if self.label_map:
-            unknown_categories = self.annotations.filter(
-                ~F.col("category_id").isin(list(self.label_map.keys()))
-            ).count()
+        row = per_id.agg(
+            F.count(F.when(F.col("__n") > 1, 1)).alias("dup_ann"),
+            F.sum("__orphans").alias("orphans"),
+            F.sum("__unknown").alias("unknown"),
+        ).collect()[0]
         return {
             "duplicate_image_ids": dup_images,
-            "duplicate_annotation_ids": dup_annots,
-            "orphan_annotations": orphans,
-            "unknown_categories": unknown_categories,
+            "duplicate_annotation_ids": int(row["dup_ann"] or 0),
+            "orphan_annotations": int(row["orphans"] or 0),
+            "unknown_categories": int(row["unknown"] or 0),
         }
 
     # ----------------------------------------------------------- filtering

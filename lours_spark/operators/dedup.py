@@ -228,7 +228,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     method: str = "lsh",
     num_tables: int | None = None,
-    planes_per_table: int = 8,
+    planes_per_table: int = 12,
     target_recall: float = 0.9999,
     seed: int = 7,
 ) -> DataFrame:

@@ -128,3 +128,74 @@ def atomic_chunks_distributed(
             break
         labels = labels.localCheckpoint()  # truncate lineage per round
     return labels.select(F.col("row_id").alias(id_col), F.col("label").alias("chunk_id"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Connected components over an undirected edge list → one row per
+    member node: (node_id, component_id = min node id of component).
+
+    Hybrid execution, sized by the EDGE list, not the corpus: dedup
+    pair graphs are tiny relative to the data that produced them, so up
+    to ``driver_threshold`` edges a single ``limit(k+1).collect()``
+    feeds a union-find on the driver (one action, no iteration). Bigger
+    graphs run iterative distributed min-label propagation over
+    node→neighbor min-joins (O(component diameter) rounds, one
+    convergence action per round) — the same algorithm GraphFrames
+    uses, no driver materialization.
+    """
+    sample = pairs.select(src, dst).limit(driver_threshold + 1).collect()
+    if len(sample) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sample:
+            a, b = find(row[0]), find(row[1])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        nodes = sorted({v for row in sample for v in (row[0], row[1])})
+        comp = [(n, find(n)) for n in nodes]
+        return pairs.sparkSession.createDataFrame(
+            comp, "node_id long, component_id long"
+        )
+
+    a, b = F.col(src).alias("node_id"), F.col(dst).alias("__nbr")
+    edges = pairs.select(a, b).unionByName(
+        pairs.select(F.col(dst).alias("node_id"), F.col(src).alias("__nbr"))
+    )
+    labels = (
+        edges.select("node_id").distinct().withColumn("label", F.col("node_id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node_id").alias("__nbr"), F.col("label").alias("__l")
+                ),
+                "__nbr",
+            )
+            .groupBy("node_id")
+            .agg(F.min("__l").alias("__nl"))
+        )
+        merged = labels.join(nbr_min, "node_id", "left").withColumn(
+            "next",
+            F.least(F.col("label"), F.coalesce(F.col("__nl"), F.col("label"))),
+        )
+        changed = merged.filter(F.col("next") != F.col("label")).limit(1).count()
+        labels = merged.select("node_id", F.col("next").alias("label"))
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint()
+    return labels.select("node_id", F.col("label").alias("component_id"))

@@ -1182,7 +1182,7 @@ def q_embedding_near_dup(spark, sf_dir):
     from lours_spark.operators.dedup import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_duplicates(emb, threshold=0.6, num_tables=64)
+    pairs = embedding_near_duplicates(emb, threshold=0.95)
     return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
 
@@ -1191,7 +1191,7 @@ def _oracle_embedding_near_dup() -> str:
     return f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 9) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {cos} >= 0.6
+WHERE {cos} >= 0.95
 """
 
 # --------------------------------------------------------------------------
@@ -2011,39 +2011,20 @@ FROM documents
 
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate clustering: exact-Jaccard pairs → connected
-    components (distributed min-label propagation, iterative — docs
-    appearing in several pairs bridge them transitively, so
-    ``unique_ids=False`` disables the per-group fast path) → cluster id
-    per member doc. Hash-checked against a recursive-CTE transitive
-    closure in DuckDB."""
+    components via the hybrid CC operator (edge-count-sized: driver
+    union-find for small pair graphs — ONE action, no iteration rounds
+    — distributed min-label propagation past the threshold) → cluster
+    id (= min member doc_id) per member doc. Hash-checked against a
+    recursive-CTE transitive closure in DuckDB."""
     from lours_spark.operators.dedup import ngram_jaccard_pairs
-    from lours_spark.split.chunks import atomic_chunks_distributed
+    from lours_spark.split.chunks import connected_components
 
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, threshold=0.3)
-    # rows = docs appearing in ≥1 pair; edges = shared pair id
-    members = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
+    return connected_components(pairs).select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component_id").alias("cluster_id"),
     )
-    edges = pairs.select(
-        F.col("id_a").alias("doc_id"),
-        F.concat_ws("_", F.col("id_a"), F.col("id_b")).alias("pair"),
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("doc_id"),
-            F.concat_ws("_", F.col("id_a"), F.col("id_b")).alias("pair"),
-        )
-    )
-    rows = members.join(edges, "doc_id").select("doc_id", "pair")
-    clusters = atomic_chunks_distributed(
-        rows.withColumnRenamed("pair", "g"), "doc_id", ["g"], unique_ids=False
-    )
-    # rows carries one entry per (doc, pair) — dedupe the assignment
-    return clusters.select(
-        F.col("doc_id"), F.col("chunk_id").alias("cluster_id")
-    ).distinct()
 
 
 QUERIES.update(

@@ -141,3 +141,19 @@ def test_hash_split_invariant_under_repartitioning(spark):
         for r in hash_split(df.repartition(7), shares).collect()
     }
     assert a == b
+
+
+def test_connected_components_hybrid(spark):
+    """Driver union-find and distributed propagation agree; component
+    id is the min member node."""
+    from lours_spark.split.chunks import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 3), (10, 1)], "id_a long, id_b long"
+    )
+    for thresh in (0, 100):  # 0 → distributed path; 100 → driver path
+        out = {
+            r.node_id: r.component_id
+            for r in connected_components(pairs, driver_threshold=thresh).collect()
+        }
+        assert out == {1: 1, 5: 1, 9: 1, 10: 1, 2: 2, 3: 2}
