@@ -157,10 +157,10 @@ def precision_recall_curves(
         )
     )
     # extremal points (reference util.py:258-262): (recall 0, precision 1)
-    # at confidence 1 and (recall last, precision 0) at confidence 0
-    key_frame = curve.select(*keys).distinct()
+    # at confidence 1 and (recall last, precision 0) at confidence 0.
+    # ONE aggregate serves both pads — its key set IS the distinct keys
     last_recall = curve.groupBy(*keys).agg(F.max("recall").alias("recall"))
-    head = key_frame.select(
+    head = last_recall.select(
         *keys,
         F.lit(1.0).alias("confidence"),
         F.lit(1.0).alias("precision"),
@@ -247,6 +247,7 @@ def compute_precision_recall(
     rematch_per_iou: bool = False,
     gt_attrs: DataFrame | None = None,
     pred_attrs: DataFrame | None = None,
+    cache_curves: bool = True,
 ) -> dict[str, DataFrame]:
     """End-to-end multi-IoU grouped evaluation (reference
     ``compute_precision_recall(ious=[...], groups=...)``).
@@ -257,6 +258,10 @@ def compute_precision_recall(
     ``rematch_per_iou=True`` (COCO protocol): one greedy matching per
     threshold at acceptance ``iou > t`` — what ``COCOeval`` does; use
     with ``ap_at_recall_grid`` for pycocotools-comparable numbers.
+
+    ``cache_curves`` persists the curve frame (MEMORY_AND_DISK): both
+    AP outputs derive from it, and without the persist evaluating each
+    re-runs the matcher. Pass False if you only consume ``curves``.
     """
     from lours_spark.evaluation.matching import compute_matches
 
@@ -275,6 +280,10 @@ def compute_precision_recall(
         curves = per_t[0]
         for c in per_t[1:]:
             curves = curves.unionByName(c)
+    if cache_curves:
+        from pyspark.storagelevel import StorageLevel
+
+        curves = curves.persist(StorageLevel.MEMORY_AND_DISK)
     aps = average_precisions(curves, group_cols)
     ap_grid = ap_at_recall_grid(curves, group_cols)
     return {"curves": curves, "ap": aps, "ap_grid": ap_grid}
