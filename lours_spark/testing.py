@@ -8,6 +8,7 @@ and the seeded ``dummy_dataset`` generator
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,7 +26,9 @@ def assert_frames_equal(
     ca = sorted(set(a.columns) - drop)
     cb = sorted(set(b.columns) - drop)
     assert ca == cb, f"column mismatch: {ca} != {cb}"
-    a2, b2 = a.select(*ca), b.select(*ca)
+    # backtick-quote: booleanized columns carry dots in their names
+    cols = [F.col(f"`{c}`") for c in ca]
+    a2, b2 = a.select(*cols), b.select(*cols)
     extra = a2.exceptAll(b2).count()
     missing = b2.exceptAll(a2).count()
     assert extra == 0 and missing == 0, (
@@ -60,23 +63,82 @@ def assert_frame_intersections_equal(
     assert n == 0, f"{n} intersecting rows differ"
 
 
+_WORD_POOL = (
+    "amber basil cedar dahlia ember fennel ginger hazel iris juniper "
+    "kelp laurel maple nutmeg olive poppy quince rowan sage thyme "
+    "umber violet willow yarrow zinnia"
+).split()
+
+
+def _attribute_columns(spec, rng: random.Random, n_rows: int, is_list: bool, prefix: str):
+    """Reference ``random_attribute_column_type`` subset
+    (``doc_utils.py:63-118``): ``int N`` → N columns with random label
+    pools; ``Sequence[str]`` → one column per given name;
+    ``dict[name → int | Sequence[str]]`` → labels per named column.
+    (The reference's per-label probability vectors and Faker-generated
+    names are simplified to a fixed word pool + uniform draws —
+    documented divergence.) Returns [(column_name, [cell, ...])]."""
+    cols: list[tuple[str, list]] = []
+
+    def labels_for(sub) -> list[str]:
+        if isinstance(sub, int):
+            k = sub if sub >= 2 else rng.randint(2, 6)
+            return rng.sample(_WORD_POOL, k)
+        return [str(x) for x in sub]
+
+    if isinstance(spec, int):
+        named = {f"{prefix}_{i}": rng.randint(2, 6) for i in range(spec)}
+    elif isinstance(spec, dict):
+        named = dict(spec)
+    else:  # sequence of names
+        named = {str(name): rng.randint(2, 6) for name in spec}
+    for name, sub in named.items():
+        pool = labels_for(sub)
+        if is_list:
+            cells = [
+                sorted(x for x in pool if rng.random() < 0.4)
+                for _ in range(n_rows)
+            ]
+        else:
+            cells = [rng.choice(pool) for _ in range(n_rows)]
+        cols.append((name, cells))
+    return cols
+
+
 def dummy_dataset(
     spark: SparkSession,
     n_imgs: int = 20,
     n_annot: int = 50,
     n_labels: int = 4,
+    split_names: None | str | tuple[str, ...] = ("train", "valid", "eval"),
     split_shares: tuple[float, ...] = (0.8, 0.1, 0.1),
+    n_list_columns_images=0,
+    n_list_columns_annotations=0,
+    n_attribute_columns_images=0,
+    n_attributes_columns_annotations=0,
+    booleanize_mode: str = "none",
     keypoints_share: float = 0.0,
     add_confidence: bool = False,
+    generate_real_images: bool = False,
     seed: int = 0,
 ):
     """Seeded synthetic dataset (reference ``doc_utils.py:230-748``):
     deterministic image sizes/paths, skewed annotations with valid
-    boxes, optional zero-size keypoint boxes and confidences."""
+    boxes, optional zero-size keypoint boxes and confidences, optional
+    attribute / list-attribute columns (see
+    :func:`_attribute_columns` for the supported spec subset),
+    ``booleanize_mode`` in {"none", "all", "random"} one-hot-expanding
+    the list columns, and ``generate_real_images`` writing header-valid
+    PNG files so file-validation paths can run for real."""
     from lours_spark.dataset.core import SparkDataset
 
     rng = random.Random(seed)
-    splits = ["train", "valid", "eval"][: len(split_shares)]
+    if split_names is None:
+        splits = []
+    elif isinstance(split_names, str):
+        splits = [split_names]
+    else:
+        splits = list(split_names)[: len(split_shares)]
     images = []
     for i in range(n_imgs):
         r = rng.random()
@@ -86,13 +148,14 @@ def dummy_dataset(
             if r < cum:
                 chosen = s
                 break
+        ext = ".png" if generate_real_images else ".jpg"
         images.append(
             (
                 i,
                 rng.randint(64, 2048),
                 rng.randint(64, 2048),
-                f"images/{seed}_{i}.jpg",
-                ".jpg",
+                f"images/{seed}_{i}{ext}",
+                ext,
                 chosen,
             )
         )
@@ -120,13 +183,71 @@ def dummy_dataset(
         "box_y_min double, box_width double, box_height double"
         + (", confidence double" if add_confidence else "")
     )
+    img_schema = (
+        "id long, width int, height int, relative_path string, "
+        "type string, split string"
+    )
+    # attribute / list-attribute columns are drawn AFTER the base rows,
+    # so the default (0 columns) reproduces pre-existing seeds exactly
+    img_attr = _attribute_columns(
+        n_attribute_columns_images, rng, n_imgs, False, "img_attr"
+    )
+    img_lists = _attribute_columns(
+        n_list_columns_images, rng, n_imgs, True, "img_tags"
+    )
+    ann_attr = _attribute_columns(
+        n_attributes_columns_annotations, rng, n_annot, False, "ann_attr"
+    )
+    ann_lists = _attribute_columns(
+        n_list_columns_annotations, rng, n_annot, True, "ann_tags"
+    )
+    for name, cells in img_attr + img_lists:
+        images = [(*row, cells[k]) for k, row in enumerate(images)]
+        img_schema += f", `{name}` " + (
+            "array<string>" if (name, cells) in img_lists else "string"
+        )
+    for name, cells in ann_attr + ann_lists:
+        annotations = [(*row, cells[k]) for k, row in enumerate(annotations)]
+        ann_schema += f", `{name}` " + (
+            "array<string>" if (name, cells) in ann_lists else "string"
+        )
+    images_root = "."
+    if generate_real_images:
+        import struct
+        import tempfile
+
+        images_root = tempfile.mkdtemp(prefix=f"lours_dummy_{seed}_")
+        os.makedirs(os.path.join(images_root, "images"), exist_ok=True)
+        for row in images:
+            w, h, rel = row[1], row[2], row[3]
+            payload = (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13)
+                + b"IHDR"
+                + struct.pack(">II", w, h)
+                + b"\x08\x02\x00\x00\x00"
+            )
+            with open(os.path.join(images_root, rel), "wb") as f:
+                f.write(payload)
+    images_df = spark.createDataFrame(images, img_schema)
+    if not splits:
+        images_df = images_df.drop("split")
+    annotations_df = spark.createDataFrame(annotations, ann_schema)
+    booleanized: dict[str, set[str]] = {}
+    list_cols = [name for name, _ in ann_lists]
+    if booleanize_mode == "random":
+        list_cols = [c for c in list_cols if rng.random() < 0.5]
+    if booleanize_mode in ("all", "random") and list_cols:
+        from lours_spark.operators.booleanize import booleanize as _bool
+
+        for c in list_cols:
+            annotations_df, dom = _bool(annotations_df, c)
+            booleanized[c] = set(dom)
     return SparkDataset(
-        images=spark.createDataFrame(
-            images,
-            "id long, width int, height int, relative_path string, "
-            "type string, split string",
-        ),
-        annotations=spark.createDataFrame(annotations, ann_schema),
+        images=images_df,
+        annotations=annotations_df,
         label_map=label_map,
         dataset_name=f"dummy_{seed}",
+        images_root=images_root,
+        booleanized_columns=booleanized,
     ).denormalize()

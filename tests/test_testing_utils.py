@@ -59,3 +59,51 @@ def test_dummy_dataset_keypoints_and_confidence(spark):
     n_kp = ds.annotations.filter(F.col("box_width") == 0).count()
     assert 5 < n_kp < 35
     assert "confidence" in ds.annotations.columns
+
+
+def test_dummy_dataset_spec_breadth(spark):
+    """Reference doc_utils.py:230-748 spec surface: split_names forms,
+    attribute/list columns (int / names / dict specs), booleanize
+    modes, real image generation feeding the validation path."""
+    from lours_spark.testing import dummy_dataset
+
+    ds = dummy_dataset(
+        spark,
+        n_imgs=6,
+        n_annot=12,
+        split_names=None,
+        n_list_columns_annotations={"tags": ["a", "b", "c"]},
+        n_attribute_columns_images=["camera"],
+        n_attributes_columns_annotations=1,
+        booleanize_mode="all",
+        seed=3,
+    )
+    assert "split" not in ds.images.columns
+    assert "camera" in ds.images.columns
+    # list column booleanized into tags.a / tags.b / tags.c (tracked
+    # by domain values, the same convention io/caipy uses)
+    assert ds.booleanized_columns == {"tags": {"a", "b", "c"}}
+    assert {"tags.a", "tags.b", "tags.c"} <= set(ds.annotations.columns)
+    assert "tags" not in ds.annotations.columns
+    assert any(c.startswith("ann_attr") for c in ds.annotations.columns)
+
+    # determinism: same seed+spec → identical datasets
+    ds2 = dummy_dataset(
+        spark,
+        n_imgs=6,
+        n_annot=12,
+        split_names=None,
+        n_list_columns_annotations={"tags": ["a", "b", "c"]},
+        n_attribute_columns_images=["camera"],
+        n_attributes_columns_annotations=1,
+        booleanize_mode="all",
+        seed=3,
+    )
+    from lours_spark.testing import assert_dataset_equal
+
+    assert_dataset_equal(ds, ds2)
+
+    # real images: generated files pass the validation operator
+    real = dummy_dataset(spark, n_imgs=3, n_annot=3, generate_real_images=True, seed=4)
+    assert real.get_invalid_images().count() == 0
+    assert real.remove_invalid_images().images.count() == 3
