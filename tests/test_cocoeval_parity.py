@@ -155,3 +155,45 @@ def test_reference_protocol_ap_close_to_coco(spark_frames, oracle):
     }
     for (cat, t), ap in oracle["ap"].items():
         assert got[(cat, t)] == pytest.approx(ap, abs=0.08), (cat, t)
+
+
+def test_grouped_evaluation_attrs(spark):
+    """Reference detection_evaluator.py:588-592: grouping columns take
+    the groundtruth's value; false positives fall back to the
+    prediction's value."""
+    from lours_spark.evaluation.evaluator import compute_precision_recall
+
+    box = "box_x_min double, box_y_min double, box_width double, box_height double"
+    g = spark.createDataFrame(
+        [(0, 0, 0, 10.0, 10.0, 20.0, 20.0, "big"),
+         (1, 0, 0, 50.0, 50.0, 5.0, 5.0, "small")],
+        f"id long, image_id long, category_id int, {box}, size_bin string",
+    )
+    d = spark.createDataFrame(
+        [
+            # overlaps gt 0 but binned differently on the pred side:
+            # the GT's bin must win for this matched pair
+            (10, 0, 0, 11.0, 11.0, 20.0, 20.0, 0.9, "small"),
+            # false positive far away: prediction's bin is used
+            (11, 0, 0, 200.0, 200.0, 4.0, 4.0, 0.8, "tiny"),
+        ],
+        f"id long, image_id long, category_id int, {box}, confidence double,"
+        " size_bin string",
+    )
+    res = compute_precision_recall(
+        g.drop("size_bin").join(g.select("id", "size_bin"), "id"),
+        d.drop("size_bin").join(d.select("id", "size_bin"), "id"),
+        ious=[0.2],
+        group_cols=["size_bin"],
+        gt_attrs=g.select("id", "size_bin"),
+        pred_attrs=d.select("id", "size_bin"),
+        cache_curves=False,
+    )
+    curves = res["curves"].filter(~F.col("is_pad")).collect()
+    bins = {r.size_bin for r in curves}
+    # matched pair lands in 'big' (gt value), FP in 'tiny' (pred value),
+    # FN gt 1 in 'small'
+    assert bins == {"big", "small", "tiny"}
+    ap = {r.size_bin: r.average_precision for r in res["ap"].collect()}
+    assert ap["big"] > 0.0
+    assert ap["tiny"] == 0.0
