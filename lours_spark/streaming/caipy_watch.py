@@ -1,0 +1,87 @@
+"""Folder-watching caipy converter — the Structured Streaming twin of
+the reference's CLI watcher (``lours/cli/caipy_to_fiftyone.py``: watch
+an annotation tree, convert each newly-arrived caipy JSON as it
+lands).
+
+The fiftyone visualization push itself is out of scope (SURVEY §2
+divergence — fiftyone is a GUI dependency); what the watcher
+*pipeline* does — detect new files, parse, convert, deliver downstream
+incrementally, exactly once — is re-expressed here as a streaming file
+source + ``foreachBatch`` parquet append:
+
+- the file source tracks processed files in the checkpoint (the
+  watcher's "seen" set, but fault-tolerant and exactly-once);
+- each micro-batch parses ONLY the new JSONs (multiLine, one doc per
+  file) and appends normalized images/annotations rows to a parquet
+  dataset — at cluster scale thousands of arriving files fan out over
+  executors instead of a single watcher process.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _doc_schema(spark: SparkSession, ann_root: str) -> T.StructType:
+    """Streaming sources need a fixed schema: infer it from the files
+    already present (at least one conformant JSON must exist — pass the
+    schema explicitly for a cold start on an empty tree)."""
+    return (
+        spark.read.option("multiLine", "true")
+        .json(os.path.join(ann_root, "*", "*.json"))
+        .schema
+    )
+
+
+def watch_caipy(
+    spark: SparkSession,
+    dataset_root: str,
+    output_root: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    available_now: bool = False,
+):
+    """Start the watcher; returns the StreamingQuery.
+
+    New ``Annotations/{split}/*.json`` files are parsed and appended to
+    ``{output_root}/images`` and ``{output_root}/annotations`` parquet
+    directories. ``available_now=True`` drains the current backlog and
+    stops (test/offline mode)."""
+    ann_root = os.path.join(dataset_root, "Annotations")
+    schema = schema or _doc_schema(spark, ann_root)
+    docs = (
+        spark.readStream.schema(schema)
+        .option("multiLine", "true")
+        .option("pathGlobFilter", "*.json")
+        .json(os.path.join(ann_root, "*"))
+        .withColumn(
+            "split",
+            F.regexp_extract(F.input_file_name(), r"Annotations/([^/]+)/", 1),
+        )
+    )
+
+    def deliver(batch: DataFrame, batch_id: int) -> None:
+        img = batch.select("image.*", "split")
+        if "file_name" in img.columns:
+            img = img.withColumnRenamed("file_name", "relative_path")
+        img.write.mode("append").parquet(os.path.join(output_root, "images"))
+        ann = batch.select(
+            F.col("image.id").alias("image_id"),
+            F.explode_outer("annotations").alias("a"),
+            F.col("split"),
+        ).select("image_id", "a.*", "split")
+        ann.write.mode("append").parquet(
+            os.path.join(output_root, "annotations")
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -188,3 +188,40 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
         latest[r["user_id"]] = (r["n_events"], r["total_value"])
     assert latest[1] == (2, 6.0)
     assert latest[2] == (1, 2.0)
+
+
+def test_caipy_watcher_incremental(spark, tmp_path):
+    """Streaming twin of the reference CLI watcher: new caipy files are
+    picked up incrementally and exactly once across restarts."""
+    import json as _json
+
+    from lours_spark.streaming.caipy_watch import watch_caipy
+
+    d = tmp_path / "ds" / "Annotations" / "train"
+    d.mkdir(parents=True)
+
+    def doc(i):
+        return {
+            "image": {"id": i, "file_name": f"{i}.jpg", "width": 10, "height": 10},
+            "annotations": [
+                {"id": i * 10, "category_id": 1, "bbox": [1.0, 1.0, 2.0, 2.0]}
+            ],
+        }
+
+    (d / "0.json").write_text(_json.dumps(doc(0)))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = watch_caipy(spark, str(tmp_path / "ds"), out, ckpt, available_now=True)
+    q.awaitTermination()
+    assert spark.read.parquet(out + "/images").count() == 1
+
+    # second batch: only the NEW file is processed (checkpointed source)
+    (d / "1.json").write_text(_json.dumps(doc(1)))
+    q = watch_caipy(spark, str(tmp_path / "ds"), out, ckpt, available_now=True)
+    q.awaitTermination()
+    imgs = spark.read.parquet(out + "/images")
+    assert imgs.count() == 2
+    assert {r.id for r in imgs.collect()} == {0, 1}
+    anns = spark.read.parquet(out + "/annotations")
+    assert {r.id for r in anns.collect()} == {0, 10}
+    assert {r.split for r in anns.collect()} == {"train"}
