@@ -1,0 +1,86 @@
+"""Physical-plan regression guards.
+
+Correctness tests prove the small-SF answers; these prove the PLANS
+stay the ones you'd want at 100 TB — filters pushed into the parquet
+scan, small dimensions broadcast, top-k compiled to
+TakeOrderedAndProject, no row-at-a-time Python UDFs in hot paths. A
+refactor that silently trades a broadcast join for a shuffle or drops
+a pushed filter fails here, not in a cluster bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def suite():
+    import lours_spark.suite as s
+
+    return s
+
+
+def test_pricing_summary_pushdown_one_shuffle(spark, suite):
+    df = suite.q_pricing_summary(spark, SF)
+    formatted = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in formatted
+    # ONE shuffle (formatted lists each node twice: tree + details)
+    assert _plan(df).count("Exchange") == 1
+    # projection pruned: only the needed lineitem columns are read
+    assert "l_comment" not in formatted
+
+
+def test_shipping_priority_broadcasts_and_topk(spark, suite):
+    plan = _plan(suite.q_shipping_priority(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # orderBy+limit fused
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_denormalize_no_shuffle(spark, suite):
+    """Category/split denormalization is a literal map + broadcast —
+    zero exchanges on the annotation table."""
+    plan = _plan(suite.q_denormalize_category(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_filter_semijoin_pushdown(spark, suite):
+    plan = _formatted(suite.q_filter_images_semijoin(spark, SF))
+    assert "PushedFilters" in plan
+    assert "BroadcastHashJoin" in plan or "LeftSemi" in plan
+
+
+def test_no_python_row_udfs_in_gate_queries(spark, suite):
+    """Hot paths stay JVM-side: BatchEvalPython (row-at-a-time Python
+    UDF) must not appear in any gate query plan; Arrow-batched
+    mapInPandas/FlatMapGroupsInPandas are the only Python surfaces."""
+    for name, fn in suite.QUERIES.items():
+        if name in ("balanced_split",):  # driver-hybrid: plan built lazily
+            continue
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_lsh_near_dup_no_cartesian(spark, suite):
+    """The default near-dup path must not contain a cartesian product
+    or a broadcast of the full corpus matrix — candidates come from the
+    bucket equi-join."""
+    from lours_spark.operators.dedup import embedding_near_duplicates
+    from lours_spark.suite import _t
+
+    emb = _t(spark, SF, "embeddings")
+    plan = _plan(embedding_near_duplicates(emb, threshold=0.95))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # signature kernel
