@@ -239,6 +239,73 @@ def ap_at_recall_grid(
     )
 
 
+def compute_confusion_matrix(
+    groundtruth: DataFrame,
+    predictions: DataFrame,
+    min_iou: float = 0.0,
+    min_confidence: float = 0.0,
+    label_col: str = "category_str",
+    normalize: bool = True,
+) -> DataFrame:
+    """Detection confusion matrix (reference
+    ``detection_evaluator.py:180-380``): CATEGORY-AGNOSTIC greedy
+    matches, labels joined back from both sides, then the reference's
+    threshold split —
+
+    - pairs with ``iou > min_iou`` (and all unmatched rows, ``iou`` 0)
+      count as (gt_label, pred_label) cells;
+    - pairs at ``0 < iou ≤ min_iou`` are too weak to be a match: the
+      row DUPLICATES into a false negative (gt, None) AND a false
+      positive (None, pred) (``detection_evaluator.py:326-350``);
+    - predictions at ``confidence ≤ min_confidence`` count as missed
+      (pred label → None, ``:353-356``); rows with both labels None
+      drop (``:357-361``).
+
+    Output: long-form (groundtruth_label, prediction_label, count[,
+    share]) via :func:`confusion_counts` — pivot with
+    ``confusion_matrix_pivot`` for the wide matrix.
+    """
+    from lours_spark.evaluation.confusion import confusion_counts
+    from lours_spark.evaluation.matching import compute_matches
+
+    matches = compute_matches(groundtruth, predictions, match_by_category=False)
+    g = groundtruth.select(
+        F.col("id").alias("groundtruth_id"),
+        F.col(label_col).alias("groundtruth_label"),
+    )
+    p = predictions.select(
+        F.col("id").alias("prediction_id"),
+        F.col(label_col).alias("prediction_label"),
+    )
+    r = (
+        matches.join(g, "groundtruth_id", "left")
+        .join(p, "prediction_id", "left")
+        .select(
+            "groundtruth_label",
+            "prediction_label",
+            F.coalesce(F.col("iou"), F.lit(0.0)).alias("iou"),
+            F.coalesce(F.col("confidence"), F.lit(0.0)).alias("confidence"),
+        )
+    )
+    strong = r.filter((F.col("iou") > min_iou) | (F.col("iou") == 0))
+    weak = r.filter((F.col("iou") > 0) & (F.col("iou") <= min_iou))
+    rows = strong.unionByName(
+        weak.withColumn("prediction_label", F.lit(None).cast("string"))
+    ).unionByName(
+        weak.withColumn("groundtruth_label", F.lit(None).cast("string"))
+    )
+    rows = rows.withColumn(
+        "prediction_label",
+        F.when(
+            F.col("confidence") <= min_confidence, F.lit(None).cast("string")
+        ).otherwise(F.col("prediction_label")),
+    ).filter(
+        F.col("groundtruth_label").isNotNull()
+        | F.col("prediction_label").isNotNull()
+    )
+    return confusion_counts(rows, normalize=normalize)
+
+
 def compute_precision_recall(
     groundtruth: DataFrame,
     predictions: DataFrame,

@@ -197,3 +197,65 @@ def test_grouped_evaluation_attrs(spark):
     ap = {r.size_bin: r.average_precision for r in res["ap"].collect()}
     assert ap["big"] > 0.0
     assert ap["tiny"] == 0.0
+
+
+def test_detection_confusion_matrix(spark):
+    """Reference compute_confusion_matrix semantics: category-agnostic
+    matches; weak pairs (0 < iou ≤ min_iou) split into FN + FP rows;
+    low-confidence predictions count as missed."""
+    from lours_spark.evaluation.evaluator import compute_confusion_matrix
+
+    box = "box_x_min double, box_y_min double, box_width double, box_height double"
+    g = spark.createDataFrame(
+        [
+            (0, 0, "car", 10.0, 10.0, 20.0, 20.0),
+            (1, 0, "person", 100.0, 100.0, 20.0, 20.0),
+            (2, 0, "truck", 300.0, 300.0, 10.0, 10.0),
+        ],
+        f"id long, image_id long, category_str string, {box}",
+    ).withColumn("category_id", F.lit(0))
+    d = spark.createDataFrame(
+        [
+            # strong match with gt 0 (high IoU) but different label
+            (10, 0, "person", 11.0, 11.0, 20.0, 20.0, 0.9),
+            # weak overlap with gt 1 (IoU ~ 0.05): splits into FN + FP
+            (11, 0, "car", 117.0, 100.0, 20.0, 20.0, 0.8),
+            # no overlap at all: plain false positive
+            (12, 0, "car", 500.0, 500.0, 5.0, 5.0, 0.7),
+        ],
+        f"id long, image_id long, category_str string, {box}, confidence double",
+    ).withColumn("category_id", F.lit(0))
+
+    cm = compute_confusion_matrix(g, d, min_iou=0.2, normalize=False)
+    cells = {
+        (r.groundtruth_label, r.prediction_label): r["count"]
+        for r in cm.collect()
+    }
+    assert cells == {
+        ("car", "person"): 1,   # strong cross-label match
+        ("person", "None"): 1,  # weak pair → false negative half
+        ("None", "car"): 2,     # weak pair FP half + plain FP
+        ("truck", "None"): 1,   # unmatched gt
+    }
+    # min_confidence=0.85 masks the conf-0.8/0.7 predictions: their FP
+    # halves become (None, None) and drop; the 0.9 match survives
+    cm2 = compute_confusion_matrix(g, d, min_iou=0.2, min_confidence=0.85,
+                                   normalize=False)
+    cells2 = {
+        (r.groundtruth_label, r.prediction_label): r["count"]
+        for r in cm2.collect()
+    }
+    assert cells2 == {
+        ("car", "person"): 1,
+        ("person", "None"): 1,
+        ("truck", "None"): 1,
+    }
+    # raising past 0.9 turns the strong match into a miss as well
+    cm3 = compute_confusion_matrix(g, d, min_iou=0.2, min_confidence=0.95,
+                                   normalize=False)
+    cells3 = {
+        (r.groundtruth_label, r.prediction_label): r["count"]
+        for r in cm3.collect()
+    }
+    assert cells3[("car", "None")] == 1
+    assert ("car", "person") not in cells3
