@@ -160,12 +160,25 @@ def precision_recall_curves(
     # at confidence 1 and (recall last, precision 0) at confidence 0.
     # ONE aggregate serves both pads — its key set IS the distinct keys
     last_recall = curve.groupBy(*keys).agg(F.max("recall").alias("recall"))
+    # monotone envelope: running max of precision from the low-confidence
+    # end (reference util.py:271 — np.maximum.accumulate reversed).
+    # Computed BEFORE the pad union: the pads' envelopes are statically
+    # known (head: precision 1.0 is the global max; tail: lowest conf,
+    # nothing below it → its own 0.0), and pre-union the window reuses
+    # the exchange the cumulative windows already created.
+    w_env = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("confidence"), F.desc("recall"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = curve.withColumn("precision_env", F.max("precision").over(w_env))
     head = last_recall.select(
         *keys,
         F.lit(1.0).alias("confidence"),
         F.lit(1.0).alias("precision"),
         F.lit(0.0).alias("recall"),
         F.lit(True).alias("is_pad"),
+        F.lit(1.0).alias("precision_env"),
     )
     tail = last_recall.select(
         *keys,
@@ -173,16 +186,9 @@ def precision_recall_curves(
         F.lit(0.0).alias("precision"),
         F.col("recall"),
         F.lit(True).alias("is_pad"),
+        F.lit(0.0).alias("precision_env"),
     )
-    full = curve.unionByName(head).unionByName(tail)
-    # monotone envelope: running max of precision from the low-confidence
-    # end (reference util.py:271 — np.maximum.accumulate reversed)
-    w_env = (
-        Window.partitionBy(*keys)
-        .orderBy(F.asc("confidence"), F.desc("recall"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return full.withColumn("precision_env", F.max("precision").over(w_env))
+    return curve.unionByName(head).unionByName(tail)
 
 
 def average_precisions(curves: DataFrame, group_cols: Sequence[str] = ("category_id",)) -> DataFrame:

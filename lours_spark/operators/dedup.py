@@ -162,18 +162,37 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via a shingle inverted index:
     explode distinct shingles, equi-join on shingle, count intersections,
     Jaccard = |∩| / (|A|+|B|−|∩|). The equi-join shuffles on the shingle
-    key — prune ultra-common shingles upstream at scale (stopword
-    shingles create skew; AQE skew-join handles the remainder)."""
+    key; stopword shingles create skew — AQE skew-join handles moderate
+    cases, and ``max_doc_freq`` (fraction of the corpus, e.g. 0.2)
+    drops shingles above that document frequency from the INDEX side
+    before the self-join, the standard prefix-filter knob at data-lake
+    scale. Pruning index shingles makes the measured intersection an
+    UNDER-count, so pairs can only be missed, never invented — leave
+    it None (default) when exact results are required (the oracle-gated
+    setting)."""
     sh = _widen(df).select(
         F.col(id_col).alias("__id"),
         TX.word_shingles(F.col(text_col), k=k).alias("__sh"),
     ).withColumn("__n", F.size("__sh"))
     sizes = sh.select("__id", "__n")
     exploded = sh.select("__id", F.explode("__sh").alias("shingle"))
+    if max_doc_freq is not None:
+        n_docs = df.count()
+        cap = int(max_doc_freq * n_docs)
+        common_shingles = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > cap)
+            .select("shingle")
+        )
+        exploded = exploded.join(
+            F.broadcast(common_shingles), "shingle", "left_anti"
+        )
     a = exploded.select(F.col("__id").alias("id_a"), "shingle")
     b = exploded.select(F.col("__id").alias("id_b"), "shingle")
     inter = (

@@ -227,3 +227,33 @@ def test_embedding_near_dup_lsh_no_driver_collect(spark, vectors):
     )
     plan = embedding_near_duplicates(df, threshold=0.95)._jdf.queryExecution().toString()
     assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_ngram_jaccard_doc_freq_pruning(spark):
+    """max_doc_freq drops stopword shingles from the index: results are
+    a subset of exact (under-counted intersections can only miss
+    pairs), and a permissive cap reproduces exact."""
+    from lours_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again today"),
+        (1, "the quick brown fox jumps over the lazy dog again tomorrow"),
+        (2, "the quick brown cat sleeps under the warm sun all day"),
+        (3, "completely different text about spark physical plans here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.2).collect()
+    }
+    assert (0, 1) in exact
+    loose = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.2, max_doc_freq=0.99).collect()
+    }
+    assert loose == exact
+    pruned = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.2, max_doc_freq=0.5).collect()
+    }
+    assert pruned <= exact
