@@ -69,3 +69,71 @@ def count_error_stats(
     if group_cols:
         return counts.groupBy(*group_cols).agg(*aggs)
     return counts.agg(*aggs)
+
+
+def count_error_curve(
+    groundtruth: DataFrame,
+    predictions: DataFrame,
+    thresholds: "list[float]",
+    group_cols: "list[str] | None" = None,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    exact_quantiles: bool = True,
+) -> DataFrame:
+    """Error statistics AT EVERY confidence threshold (the reference's
+    per-confidence grouped curves, ``crowd_detection_evaluator.py:
+    150-236``): one row per (group ×) threshold with the
+    :func:`count_error_stats` columns.
+
+    Single-pass shape: per image, ONE conditional count per grid point
+    (all inside one groupBy, codegen'd — the ``resample_count`` trick),
+    then an explode to (image, threshold) rows and one stats
+    aggregation — NOT a re-filter + re-join of the prediction table per
+    threshold, which would rescan it ``len(thresholds)`` times.
+    """
+    group_cols = group_cols or []
+    gt = groundtruth.groupBy("image_id", *group_cols).agg(
+        F.count(F.lit(1)).alias("gt_count")
+    )
+    conf = (
+        F.col("confidence")
+        if "confidence" in predictions.columns
+        else F.lit(1.0)
+    )
+    aggs = [
+        F.count(F.when(conf >= t, 1)).alias(f"__c_{i}")
+        for i, t in enumerate(thresholds)
+    ]
+    pred_wide = predictions.groupBy("image_id", *group_cols).agg(*aggs)
+    joined = gt.join(pred_wide, ["image_id", *group_cols], "full_outer").fillna(
+        {"gt_count": 0, **{f"__c_{i}": 0 for i in range(len(thresholds))}}
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("confidence"),
+                F.col(f"__c_{i}").alias("pred_count"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    long = joined.select(
+        "image_id", *group_cols, "gt_count", F.explode(pairs).alias("__p")
+    ).select(
+        "image_id",
+        *group_cols,
+        F.col("__p.confidence").alias("confidence"),
+        F.col("gt_count"),
+        F.col("__p.pred_count").alias("pred_count"),
+        (F.col("__p.pred_count") - F.col("gt_count")).alias("error"),
+    ).filter(
+        # a gt-less image whose predictions all fall below this
+        # threshold is absent from BOTH sides of the reference's
+        # per-threshold outer join — drop its synthetic (0,0) row
+        (F.col("gt_count") > 0) | (F.col("pred_count") > 0)
+    )
+    return count_error_stats(
+        long,
+        group_cols=[*group_cols, "confidence"],
+        quantiles=quantiles,
+        exact_quantiles=exact_quantiles,
+    )

@@ -121,3 +121,35 @@ def test_evaluate_detections_end_to_end(tiny_dataset):
     # identical predictions → perfect AP per category
     for v in ap.values():
         assert v == pytest.approx(1.0)
+
+
+def test_count_error_curve(spark):
+    """Per-confidence error curve equals per-threshold recomputation
+    (reference crowd_detection_evaluator.py:150-236 curves), in one
+    prediction-table pass."""
+    from lours_spark.evaluation.crowd import (
+        count_error_curve,
+        count_error_stats,
+        per_image_counts,
+    )
+
+    gt = spark.createDataFrame(
+        [(i, img) for i, img in enumerate([0, 0, 0, 1, 1, 2])],
+        "id long, image_id long",
+    )
+    pred = spark.createDataFrame(
+        [
+            (10, 0, 0.9), (11, 0, 0.6), (12, 0, 0.3),
+            (13, 1, 0.8), (14, 2, 0.5), (15, 3, 0.7),
+        ],
+        "id long, image_id long, confidence double",
+    )
+    thresholds = [0.25, 0.55, 0.85]
+    curve = {
+        r.confidence: (r.mae, r.rmse)
+        for r in count_error_curve(gt, pred, thresholds).collect()
+    }
+    assert set(curve) == set(thresholds)
+    for t in thresholds:
+        ref = count_error_stats(per_image_counts(gt, pred, t)).collect()[0]
+        assert curve[t] == (ref.mae, ref.rmse), t
