@@ -1,0 +1,139 @@
+"""Stateful ``DetectionEvaluator`` facade — the reference's class API
+(``lours/evaluation/evaluator.py:45-120`` +
+``lours/evaluation/detection/detection_evaluator.py:24-682``) over the
+functional engine in :mod:`evaluator` / :mod:`matching`.
+
+Holds one groundtruth :class:`SparkDataset` plus NAMED prediction
+datasets; matches are memoized per (name, category_agnostic, min_iou)
+so repeated metric calls reuse the expensive greedy pass. Multi-model
+outputs carry a ``model`` column, as the reference's do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class DetectionEvaluator:
+    """Reference-parity evaluator facade (``DetectionEvaluator``)."""
+
+    def __init__(self, groundtruth, name: str | None = None, **predictions):
+        self.groundtruth = groundtruth
+        self.name = name or groundtruth.dataset_name
+        self.predictions_dictionary: dict = {}
+        self._matches: dict[tuple, DataFrame] = {}
+        for pname, ds in predictions.items():
+            self.add_predictions_dataset(pname, ds)
+
+    # ------------------------------------------------------------ inputs
+    def add_predictions_dataset(self, name: str, dataset) -> None:
+        """Register a named prediction dataset (reference
+        ``evaluator.py:86-120``; image tables must agree — checked
+        lazily by the matcher join)."""
+        self.predictions_dictionary[name] = dataset
+        self._matches = {
+            k: v for k, v in self._matches.items() if k[0] != name
+        }
+
+    add_predictions = add_predictions_dataset  # reference alias
+
+    def _names(self, predictions_names) -> list[str]:
+        if predictions_names is None:
+            return list(self.predictions_dictionary)
+        if isinstance(predictions_names, str):
+            return [predictions_names]
+        return list(predictions_names)
+
+    # ----------------------------------------------------------- matches
+    def compute_matches(
+        self,
+        predictions_names: str | Iterable[str] | None = None,
+        min_iou: float = 0.0,
+        category_agnostic: bool = False,
+    ) -> dict[str, DataFrame]:
+        """Greedy matches per named prediction set (reference
+        ``detection_evaluator.py:54-179``), memoized."""
+        from lours_spark.evaluation.matching import compute_matches
+
+        out = {}
+        for pname in self._names(predictions_names):
+            key = (pname, bool(category_agnostic), float(min_iou))
+            if key not in self._matches:
+                self._matches[key] = compute_matches(
+                    self.groundtruth.annotations,
+                    self.predictions_dictionary[pname].annotations,
+                    match_by_category=not category_agnostic,
+                    min_iou=min_iou,
+                )
+            out[pname] = self._matches[key]
+        return out
+
+    # ----------------------------------------------------------- metrics
+    def compute_precision_recall(
+        self,
+        predictions_names: str | Iterable[str] | None = None,
+        ious: Sequence[float] = (0.0,),
+        groups: Sequence[str] = ("category_id",),
+        rematch_per_iou: bool = False,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Multi-IoU grouped PR curves + APs over every requested model
+        (reference ``detection_evaluator.py:382-682``); returns
+        (curves, aps), each with a ``model`` column."""
+        from lours_spark.evaluation.evaluator import compute_precision_recall
+
+        curves_parts, ap_parts = [], []
+        for pname in self._names(predictions_names):
+            res = compute_precision_recall(
+                self.groundtruth.annotations,
+                self.predictions_dictionary[pname].annotations,
+                ious=list(ious),
+                group_cols=list(groups),
+                rematch_per_iou=rematch_per_iou,
+            )
+            curves_parts.append(
+                res["curves"].withColumn("model", F.lit(pname))
+            )
+            ap_parts.append(res["ap"].withColumn("model", F.lit(pname)))
+        curves = curves_parts[0]
+        for c in curves_parts[1:]:
+            curves = curves.unionByName(c)
+        aps = ap_parts[0]
+        for a in ap_parts[1:]:
+            aps = aps.unionByName(a)
+        return curves, aps
+
+    def compute_confusion_matrix(
+        self,
+        predictions_names: str | Iterable[str] | None = None,
+        min_iou: float = 0.0,
+        min_confidence: float = 0.0,
+        normalize: bool = True,
+    ) -> DataFrame:
+        """Long-form confusion matrix per model (reference
+        ``detection_evaluator.py:180-380``)."""
+        from lours_spark.evaluation.evaluator import compute_confusion_matrix
+
+        parts = []
+        for pname in self._names(predictions_names):
+            pred = self.predictions_dictionary[pname].annotations
+            gt = self.groundtruth.annotations
+            if "category_str" not in gt.columns:
+                gt = self.groundtruth.denormalize().annotations
+            if "category_str" not in pred.columns:
+                pred = self.predictions_dictionary[pname].denormalize().annotations
+            parts.append(
+                compute_confusion_matrix(
+                    gt,
+                    pred,
+                    min_iou=min_iou,
+                    min_confidence=min_confidence,
+                    normalize=normalize,
+                ).withColumn("model", F.lit(pname))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

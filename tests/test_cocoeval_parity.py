@@ -259,3 +259,35 @@ def test_detection_confusion_matrix(spark):
     }
     assert cells3[("car", "None")] == 1
     assert ("car", "person") not in cells3
+
+
+def test_detection_evaluator_facade(spark, tiny_dataset):
+    """Reference class API: named prediction sets, memoized matches,
+    model column in every output."""
+    from lours_spark.evaluation.detection_evaluator import DetectionEvaluator
+
+    gt = tiny_dataset
+    pred_a = gt.from_template(
+        annotations=gt.annotations.withColumn(
+            "confidence", ((F.col("id") % 10) + 1).cast("double") / 10.0
+        ).withColumn("box_x_min", F.col("box_x_min") + 1.0)
+    )
+    pred_b = gt.from_template(
+        annotations=gt.annotations.withColumn(
+            "confidence", ((F.col("id") % 7) + 1).cast("double") / 7.0
+        ).withColumn("box_x_min", F.col("box_x_min") + 5.0)
+    )
+    ev = DetectionEvaluator(gt, A=pred_a, B=pred_b)
+    matches = ev.compute_matches("A")
+    assert set(matches) == {"A"}
+    assert matches["A"] is ev.compute_matches("A")["A"]  # memoized
+
+    curves, aps = ev.compute_precision_recall(ious=[0.2, 0.5])
+    models = {r.model for r in aps.select("model").distinct().collect()}
+    assert models == {"A", "B"}
+    thr = {r.iou_threshold for r in aps.select("iou_threshold").distinct().collect()}
+    assert thr == {0.2, 0.5}
+
+    cm = ev.compute_confusion_matrix(predictions_names="B", normalize=False)
+    assert {r.model for r in cm.select("model").distinct().collect()} == {"B"}
+    assert cm.count() > 0
