@@ -78,6 +78,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # queries are timed independently: drop any persisted frames a
+        # query left behind (evaluator curves, signature tables) so one
+        # query's cache residue can't tax the next one's measurement
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -117,32 +117,29 @@ def precision_recall_curves(
     is_tp = (
         F.col("is_groundtruth") & (F.col("iou") > F.col("iou_threshold"))
     ).cast("long")
-    # total-order tie-break: prediction_id, then groundtruth_id (FN rows)
-    order = [
-        F.desc("confidence"),
-        F.asc_nulls_last("prediction_id"),
-        F.asc_nulls_last("groundtruth_id"),
-    ]
+    # distinct-confidence collapse (reference util.py:228-234: keep the
+    # LAST cumulative point of each equal-confidence run) == cumulative
+    # sums over PER-CONFIDENCE aggregates. Aggregating first is the
+    # scale move: the groupBy pre-aggregates map-side, so the exchange
+    # carries one row per (group, threshold, distinct confidence)
+    # instead of every result row, and the windows below run over that
+    # tiny frame — no multi-million-row sort in |groups| tasks. It is
+    # also order-free, so no tie-break is needed for determinism.
+    per_conf = r.groupBy(*keys, "confidence").agg(
+        F.sum(is_tp).alias("__tp_c"),
+        F.count(F.lit(1)).alias("__n_c"),
+        F.sum(F.col("is_groundtruth").cast("long")).alias("__gt_c"),
+    )
     w_cum = (
         Window.partitionBy(*keys)
-        .orderBy(*order)
+        .orderBy(F.desc("confidence"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(*keys)
-    w_seq = Window.partitionBy(*keys).orderBy(*order)
     curve = (
-        r.withColumn("__tp", F.sum(is_tp).over(w_cum))
-        .withColumn("__rank", F.count(F.lit(1)).over(w_cum))
-        .withColumn(
-            "__ntargets", F.sum(F.col("is_groundtruth").cast("long")).over(w_all)
-        )
-        # distinct-confidence collapse: keep the LAST cumulative point of
-        # each equal-confidence run (reference util.py:228-234)
-        .withColumn("__next_conf", F.lead("confidence").over(w_seq))
-        .filter(
-            F.col("__next_conf").isNull()
-            | (F.col("__next_conf") != F.col("confidence"))
-        )
+        per_conf.withColumn("__tp", F.sum("__tp_c").over(w_cum))
+        .withColumn("__rank", F.sum("__n_c").over(w_cum))
+        .withColumn("__ntargets", F.sum("__gt_c").over(w_all))
         .select(
             *keys,
             F.col("confidence"),

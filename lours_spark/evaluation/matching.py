@@ -156,6 +156,91 @@ def _match_group_arrays(
             )
 
 
+def _bulk_greedy_shape(
+    h_img: np.ndarray,
+    h_cat: np.ndarray,
+    ids: np.ndarray,
+    boxes: np.ndarray,
+    conf: np.ndarray,
+    ss: np.ndarray,
+    n_gt: int,
+    n_pr: int,
+    emit,
+    min_iou: float,
+) -> None:
+    """Greedy-match every segment of one (n_gt, n_pred) shape at once.
+
+    Segments are laid out predictions-first then groundtruths, each
+    id-ascending (the partition sort key), so row indices are affine in
+    the segment start. The confidence-descending greedy loop runs over
+    RANKS: at rank r every group's r-th-most-confident prediction takes
+    its best still-free groundtruth — semantically identical to
+    :func:`greedy_match` per group (argmax tie → lowest gt index →
+    lowest gt id; confidence tie → stable sort keeps lower pred id)."""
+    G = len(ss)
+    rng = np.arange(G)
+    pr_idx = ss[:, None] + np.arange(n_pr)[None, :]
+    gt_idx = ss[:, None] + n_pr + np.arange(n_gt)[None, :]
+    gb = boxes[gt_idx]  # (G, n_gt, 4)
+    pb = boxes[pr_idx]  # (G, n_pr, 4)
+    pc = conf[pr_idx]  # (G, n_pr)
+
+    gx, gy, gw, gh = (gb[:, :, None, i] for i in range(4))
+    px, py, pw, ph = (pb[:, None, :, i] for i in range(4))
+    ix = np.maximum(0.0, np.minimum(gx + gw, px + pw) - np.maximum(gx, px))
+    iy = np.maximum(0.0, np.minimum(gy + gh, py + ph) - np.maximum(gy, py))
+    inter = ix * iy
+    union = gw * gh + pw * ph - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ious = np.where(union > 0, inter / union, 0.0)  # (G, n_gt, n_pr)
+
+    order = np.argsort(-pc, axis=1, kind="stable")  # (G, n_pr)
+    masked = ious.copy()
+    matched_gt = np.zeros((G, n_gt), dtype=bool)
+    matched_pr = np.zeros((G, n_pr), dtype=bool)
+    pair_gt = np.zeros((G, n_pr), dtype=np.int64)  # gt slot taken at rank r
+    for r in range(n_pr):
+        p = order[:, r]  # (G,)
+        col = masked[rng, :, p]  # (G, n_gt)
+        g = col.argmax(axis=1)
+        ok = col[rng, g] > min_iou
+        matched_gt[rng[ok], g[ok]] = True
+        matched_pr[rng[ok], p[ok]] = True
+        pair_gt[rng, p] = g
+        masked[rng[ok], g[ok], :] = -1.0
+
+    # matched pairs
+    mg, mp = np.nonzero(matched_pr)
+    if len(mg):
+        g_slot = pair_gt[mg, mp]
+        emit(
+            h_img[ss[mg]], h_cat[ss[mg]],
+            ids[pr_idx[mg, mp]].astype(float),
+            ids[gt_idx[mg, g_slot]].astype(float),
+            ious[mg, g_slot, mp], pc[mg, mp],
+        )
+    # unmatched groundtruths → FN rows
+    fg, fgs = np.nonzero(~matched_gt)
+    if len(fg):
+        k = len(fg)
+        nan = np.nan
+        emit(
+            h_img[ss[fg]], h_cat[ss[fg]],
+            np.full(k, nan), ids[gt_idx[fg, fgs]].astype(float),
+            np.full(k, nan), np.full(k, nan),
+        )
+    # unmatched predictions → FP rows
+    fp, fps = np.nonzero(~matched_pr)
+    if len(fp):
+        k = len(fp)
+        nan = np.nan
+        emit(
+            h_img[ss[fp]], h_cat[ss[fp]],
+            ids[pr_idx[fp, fps]].astype(float), np.full(k, nan),
+            np.full(k, nan), conf[pr_idx[fp, fps]],
+        )
+
+
 def _match_batches(
     batches: Iterator[pd.DataFrame], min_iou: float = 0.0
 ) -> Iterator[pd.DataFrame]:
@@ -270,19 +355,37 @@ def _match_batches(
                         ids[p_idx][m].astype(float), np.full(k, nan),
                         np.full(k, nan), conf[p_idx][m],
                     )
-            # everything else: the general greedy kernel
+            # everything else: bucket segments by (n_gt, n_pred) shape
+            # and run the greedy loop STACKED across all groups of a
+            # shape — the sequential-by-semantics loop is over
+            # confidence ranks (≤ n_pred iterations), not over groups,
+            # so a million 2×2 groups cost 2 vectorized passes instead
+            # of a million Python calls. Rare big shapes (crowded
+            # images) fall back to the per-group kernel.
             general = ~(only_gt | only_pr | simple)
-            for s, e in zip(starts[general], ends[general]):
-                _match_group_arrays(
-                    int(h_img[s]),
-                    int(h_cat[s]),
-                    ids[s:e],
-                    boxes[s:e],
-                    is_gt[s:e],
-                    conf[s:e],
-                    out,
-                    min_iou=min_iou,
-                )
+            if general.any():
+                g_starts = starts[general]
+                g_ends = ends[general]
+                g_ngt = n_gt_per[general]
+                g_npr = n_pr_per[general]
+                shape_key = g_ngt * 100000 + g_npr
+                for key in np.unique(shape_key):
+                    sel = shape_key == key
+                    n_gt_s = int(key // 100000)
+                    n_pr_s = int(key % 100000)
+                    ss = g_starts[sel]
+                    if len(ss) < 4 or n_gt_s * n_pr_s > 256:
+                        for s, e in zip(ss, g_ends[sel]):
+                            _match_group_arrays(
+                                int(h_img[s]), int(h_cat[s]),
+                                ids[s:e], boxes[s:e], is_gt[s:e],
+                                conf[s:e], out, min_iou=min_iou,
+                            )
+                        continue
+                    _bulk_greedy_shape(
+                        h_img, h_cat, ids, boxes, conf,
+                        ss, n_gt_s, n_pr_s, emit, min_iou,
+                    )
 
         frames = []
         if len(cols["image_id"]) > 0:
