@@ -329,6 +329,28 @@ class SparkDataset:
         )
         return self.from_template(images=head, annotations=annotations)
 
+    @property
+    def iloc(self) -> "_ILocIndexer":
+        """Positional image indexing (reference ``Dataset.iloc``,
+        ``lours/dataset/indexing.py:14-57``): ``ds.iloc[3]``,
+        ``ds.iloc[10:20]``, ``ds.iloc[[0, 5, -1]]`` select images by
+        POSITION; annotations follow by semi-join.
+
+        Divergence, documented: pandas positions are insertion order;
+        Spark rows have none, so positions here are defined by ``id``
+        ascending (the one total order every dataset carries). Row
+        numbers come from the two-phase global numbering
+        (``functions/ids.py``) — no single-task global sort. Negative
+        positions and open-ended slices cost one extra ``count()``."""
+        return _ILocIndexer(self, annot=False)
+
+    @property
+    def iloc_annot(self) -> "_ILocIndexer":
+        """Positional annotation indexing (reference
+        ``DatasetAnnotLocator``, ``indexing.py:60-110``): selects
+        annotations by position in ``id`` order, images kept."""
+        return _ILocIndexer(self, annot=True)
+
     def take_annotations(self, n: int) -> "SparkDataset":
         """First-n annotations in id order, images kept (the stable
         analog of the reference's ``iloc_annot`` slicing)."""
@@ -716,4 +738,72 @@ class SparkDataset:
             booleanized_columns={
                 k: set(v) for k, v in meta.get("booleanized_columns", {}).items()
             },
+        )
+
+
+class _ILocIndexer:
+    """Positional indexer over a dataset table in ``id`` order (reference
+    ``lours/dataset/indexing.py`` — pandas ``iloc`` semantics re-expressed
+    against a deterministic total order instead of insertion order).
+
+    Accepts an int, a slice, or a list of ints; negatives count from the
+    end. The position column is a two-phase global row number, so the
+    plan stays parallel at any table size; a contiguous head slice
+    (``[:n]``) compiles to ``orderBy().limit(n)`` instead.
+    """
+
+    def __init__(self, dataset: SparkDataset, annot: bool) -> None:
+        self._ds = dataset
+        self._annot = annot
+
+    def _table(self) -> DataFrame:
+        return self._ds.annotations if self._annot else self._ds.images
+
+    def _wrap(self, selected: DataFrame) -> SparkDataset:
+        if self._annot:
+            # reference DatasetAnnotLocator: images kept untouched
+            return self._ds.from_template(annotations=selected)
+        annotations = self._ds.annotations.join(
+            selected.select(F.col("id").alias("image_id")),
+            "image_id",
+            "left_semi",
+        )
+        return self._ds.from_template(images=selected, annotations=annotations)
+
+    def __getitem__(self, index) -> SparkDataset:
+        from lours_spark.functions.ids import global_row_number
+
+        df = self._table()
+        if isinstance(index, int):
+            positions = [index]
+        elif isinstance(index, slice):
+            start, stop, step = index.start, index.stop, index.step or 1
+            if step > 0 and (start or 0) >= 0 and stop is not None and stop >= 0:
+                s0 = start or 0
+                if s0 == 0 and step == 1:
+                    # head slice: no numbering pass at all
+                    return self._wrap(df.orderBy("id").limit(stop))
+                numbered = global_row_number(df, ["id"], "__pos")
+                keep = (
+                    (F.col("__pos") >= s0)
+                    & (F.col("__pos") < stop)
+                    & ((F.col("__pos") - s0) % step == 0)
+                )
+                return self._wrap(numbered.filter(keep).drop("__pos"))
+            # open-ended / negative / reversed: resolve against the count
+            n = df.count()
+            positions = list(range(*index.indices(n)))
+        elif isinstance(index, (list, tuple)):
+            positions = list(index)
+        else:
+            raise TypeError(
+                f"iloc index must be int, slice or list of ints, got "
+                f"{type(index).__name__}"
+            )
+        if any(p < 0 for p in positions):
+            n = df.count()
+            positions = [p + n if p < 0 else p for p in positions]
+        numbered = global_row_number(df, ["id"], "__pos")
+        return self._wrap(
+            numbered.filter(F.col("__pos").isin(positions)).drop("__pos")
         )

@@ -372,3 +372,36 @@ def test_remap_presets_complete():
     inv, inv_names = get_preset("pascalvoc_to_coco")
     assert inv[15] == 1 and inv[20] == 72
     assert all(m[inv[k]] == k for k in inv)
+
+
+def test_iloc_slice_and_list(tiny_dataset):
+    # head slice compiles to limit — no numbering pass
+    head = tiny_dataset.iloc[:7]
+    assert sorted(r["id"] for r in head.images.collect()) == list(range(7))
+    assert head.annotations.filter(F.col("image_id") >= 7).count() == 0
+    # strided slice
+    strided = tiny_dataset.iloc[2:11:3]
+    assert sorted(r["id"] for r in strided.images.collect()) == [2, 5, 8]
+    # list with negatives wraps around the end
+    picked = tiny_dataset.iloc[[0, 5, -1]]
+    assert sorted(r["id"] for r in picked.images.collect()) == [0, 5, 39]
+    # single int
+    one = tiny_dataset.iloc[3]
+    assert [r["id"] for r in one.images.collect()] == [3]
+    # open-ended negative slice
+    tail = tiny_dataset.iloc[-4:]
+    assert sorted(r["id"] for r in tail.images.collect()) == [36, 37, 38, 39]
+
+
+def test_iloc_annot(tiny_dataset):
+    sub = tiny_dataset.iloc_annot[0:5]
+    assert sorted(r["id"] for r in sub.annotations.collect()) == list(range(5))
+    # images are untouched (reference DatasetAnnotLocator semantics)
+    assert sub.images.count() == tiny_dataset.images.count()
+
+
+def test_iloc_rejects_bad_index(tiny_dataset):
+    import pytest
+
+    with pytest.raises(TypeError):
+        tiny_dataset.iloc["nope"]

@@ -492,3 +492,53 @@ def test_pascalvoc_parts_actions_breadth(spark, tmp_path):
     det = from_pascalvoc_detection(spark, str(root))
     assert det.images.count() == 1
     assert str(det.images_root).endswith("JPEGImages")
+
+
+def test_fiftyone_samples_distributed_plan(tiny_dataset):
+    """The distributed half of the fiftyone export: sample-shaped rows
+    with relative-xywh detection structs (ingestion itself needs the
+    optional fiftyone package and is a guarded seam)."""
+    from lours_spark.io.fiftyone import fiftyone_samples
+
+    frame = fiftyone_samples(tiny_dataset)
+    rows = {r["id"]: r for r in frame.collect()}
+    assert len(rows) == tiny_dataset.images.count()
+    ann = tiny_dataset.annotations.collect()
+    img = {r["id"]: r for r in tiny_dataset.images.collect()}
+    by_img: dict[int, list] = {}
+    for a in ann:
+        by_img.setdefault(a["image_id"], []).append(a)
+    for iid, anns in by_img.items():
+        dets = rows[iid]["detections"]
+        assert len(dets) == len(anns)
+        det = {d["lours_id"]: d for d in dets}
+        for a in anns:
+            b = det[a["id"]]["bounding_box"]
+            assert abs(b[0] - a["box_x_min"] / img[iid]["width"]) < 1e-9
+            assert abs(b[2] - a["box_width"] / img[iid]["width"]) < 1e-9
+            assert det[a["id"]]["label"] is not None
+    # images with no annotations still appear, with empty arrays
+    for iid, r in rows.items():
+        if iid not in by_img:
+            assert r["detections"] == [] and r["keypoints"] == []
+
+
+def test_fiftyone_compatible_renames(spark):
+    from lours_spark.io.fiftyone import make_fiftyone_compatible
+
+    df = spark.createDataFrame(
+        [(1, "x", "y")], "id int, `attributes.flag` string, ok string"
+    )
+    out, names = make_fiftyone_compatible(df, ["attributes.flag", "ok"])
+    assert names == ["attr->flag", "ok"]
+    assert "attr->flag" in out.columns and "attributes.flag" not in out.columns
+
+
+def test_dataset_to_fiftyone_guarded(tiny_dataset):
+    import pytest
+
+    from lours_spark.io.fiftyone import dataset_to_fiftyone, try_import_fiftyone
+
+    if try_import_fiftyone() is None:
+        with pytest.raises(ImportError):
+            dataset_to_fiftyone(tiny_dataset, "nope")
