@@ -271,6 +271,16 @@ def embedding_near_duplicates(
     vectors) at the cost of more tables for the same recall — tune r
     up as the corpus grows.
 
+    ``method="ivf"`` (the 100 TB path for LOW thresholds): sign-LSH
+    collision probability per table is (1 − θ/π)^r, which collapses for
+    wide angles — at threshold 0.6 even r=8 needs hundreds of tables
+    for high recall. IVF sidesteps the angle: k-means inverted lists
+    with multi-probe assignment (each vector fans out to its
+    ``num_probes`` nearest centroids via one broadcast-BLAS pass — no
+    assignment shuffle), candidates = pairs sharing a probed centroid,
+    then the same exact-cosine verify. Candidate volume per centroid
+    list is (n·probes/k)² — pick ``num_centroids`` ~ √n to bound it.
+
     ``method="broadcast_exact"`` (opt-in, small corpora): exact
     all-pairs via ONE broadcast of the normalized corpus matrix and a
     per-partition BLAS matmul. O(n·dim) driver+executor memory — OOMs
@@ -296,6 +306,8 @@ def embedding_near_duplicates(
         return _embedding_near_dup_lsh(
             df, id_col, vec_col, threshold, num_tables, planes_per_table, seed
         )
+    if method == "ivf":
+        return _embedding_near_dup_ivf(df, id_col, vec_col, threshold, seed=seed)
     if method != "broadcast_exact":
         raise ValueError(f"unknown method {method!r}")
 
@@ -326,6 +338,85 @@ def embedding_near_duplicates(
 
     candidates = df.select(id_col, vec_col).mapInPandas(
         block, "id_a long, id_b long"
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", V.cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _embedding_near_dup_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_centroids: int | None = None,
+    num_probes: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF candidate generation + exact cosine verify (see
+    :func:`embedding_near_duplicates`). K-means lists come from MLlib
+    (distributed, sampling-based init); multi-probe assignment is one
+    mapInPandas pass against the broadcast (k × dim) centroid matrix —
+    the only shuffles are the centroid-bucket self-join on (id,
+    centroid) rows and the verify join back to vectors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if num_centroids is None:
+        # √n lists bound per-list candidate volume; one count is the
+        # price of auto-tuning (pass num_centroids to skip it)
+        n = df.count()
+        num_centroids = max(4, min(4096, int(n ** 0.5)))
+    feats = df.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__features")
+    )
+    model = KMeans(
+        k=num_centroids, seed=seed, featuresCol="__features",
+        predictionCol="__c",
+    ).fit(feats)
+    C = np.stack([np.asarray(c, dtype="float64") for c in model.clusterCenters()])
+    bc = df.sparkSession.sparkContext.broadcast(C)
+    m = int(min(num_probes, len(C)))
+
+    def probe(batches):
+        cents = bc.value
+        c2 = (cents ** 2).sum(axis=1)
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            M = np.stack(batch[vec_col].to_numpy()).astype("float64")
+            # squared L2 to every centroid; top-m via argpartition
+            d2 = (M ** 2).sum(axis=1)[:, None] - 2.0 * (M @ cents.T) + c2[None, :]
+            idx = (
+                np.argpartition(d2, m - 1, axis=1)[:, :m]
+                if m < len(cents)
+                else np.tile(np.arange(len(cents)), (len(M), 1))
+            )
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(batch[id_col].to_numpy(), idx.shape[1]),
+                    "__c": idx.reshape(-1).astype(np.int32),
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(probe, "__id long, __c int")
+    a = assigned.select(F.col("__id").alias("id_a"), "__c")
+    b = assigned.select(F.col("__id").alias("id_b"), "__c")
+    candidates = (
+        a.join(b, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # pairs may share several probed centroids
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

@@ -257,3 +257,24 @@ def test_ngram_jaccard_doc_freq_pruning(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.2, max_doc_freq=0.5).collect()
     }
     assert pruned <= exact
+
+
+def test_embedding_near_dup_ivf_low_threshold(spark, vectors):
+    """IVF candidates cover the low-threshold regime where sign-LSH
+    recall collapses: at 0.6 the pair set must match the exact path
+    (all emitted pairs are exact-verified, so precision is always 1;
+    this asserts recall)."""
+    from lours_spark.operators.dedup import embedding_near_duplicates
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    exact = embedding_near_duplicates(df, threshold=0.6, method="broadcast_exact")
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert len(e) > 0
+    ivf = embedding_near_duplicates(
+        df, threshold=0.6, method="ivf"
+    )
+    i = {(r["id_a"], r["id_b"]) for r in ivf.collect()}
+    assert i <= e  # exact verify: no false positives ever
+    assert len(i & e) / len(e) >= 0.9
