@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "salted_aggregate",
     "top_terms",
     "dedup_clusters",
+    # round 2: curation operators
+    "decontaminate",
+    "repetition_signals",
+    "stratified_sample",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Repetition-based document quality signals (Gopher §A1.1 /
+RefinedWeb-style filters) for training-data curation.
+
+Per document:
+
+- ``n_words`` — whitespace token count;
+- ``top_word_count`` — occurrences of the most frequent word (a high
+  share of one token marks boilerplate/spam);
+- ``top_bigram_count`` — occurrences of the most frequent word bigram;
+- ``dup_trigram_excess`` — total trigrams minus distinct trigrams
+  (repeated-passage mass; 0 for clean text).
+
+Spark shape: two explode → groupBy chains (words, bigrams) with
+map-side partial aggregation — the shuffle carries (doc, gram, count)
+partials, never document text — plus one pure-expression column for
+the trigram excess (``word_shingles`` is already distinct; the excess
+is arithmetic on sizes, zero extra shuffle). "Most frequent" needs
+only ``max(count)``, not the gram itself, so no tie-break enters the
+result and the whole thing stays order-free deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lours_spark.functions.text import _bind, tokens, word_shingles
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics (see module docstring)."""
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__w"),
+        # total trigrams - distinct trigrams, 0 below 3 words
+        F.when(
+            F.size(toks) >= 3,
+            F.size(toks)
+            - F.lit(2)
+            - F.size(word_shingles(F.col(text_col), 3)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_trigram_excess"),
+    )
+    words = base.select(
+        id_col, "dup_trigram_excess", F.explode("__w").alias("__word")
+    )
+    word_stats = (
+        words.groupBy(id_col, "dup_trigram_excess", "__word")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col, "dup_trigram_excess")
+        .agg(
+            F.sum("__n").alias("n_words"),
+            F.max("__n").alias("top_word_count"),
+        )
+    )
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            _bind(
+                F.col("__w"),
+                # guard: sequence(1, 0) would run DESCENDING in Spark,
+                # fabricating bigrams for 1-word docs
+                lambda w: F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(w, i), F.element_at(w, i + 1)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("__bg"),
+    )
+    bigram_stats = (
+        bigrams.groupBy(id_col, "__bg")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col)
+        .agg(F.max("__n").alias("top_bigram_count"))
+    )
+    return (
+        word_stats.join(bigram_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "top_word_count",
+            F.coalesce("top_bigram_count", F.lit(0)).cast("long").alias(
+                "top_bigram_count"
+            ),
+            "dup_trigram_excess",
+        )
+    )

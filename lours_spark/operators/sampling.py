@@ -1,0 +1,93 @@
+"""Deterministic sampling operators for training-data curation.
+
+``df.sample()`` is nondeterministic under retries and repartitioning
+(per-partition RNG streams), which poisons reproducibility and makes
+results oracle-uncheckable. Everything here derives the keep decision
+from a seeded md5 hash of the row id — bit-identical across engines,
+retries, partitionings, and cluster sizes:
+
+- :func:`hash_sample` — Bernoulli sample at a global or per-stratum
+  rate; pure Column predicate, no shuffle at all.
+- :func:`stratified_sample` — per-stratum rates from a dict (e.g.
+  rebalance languages: ``{"en": 0.1, "yo": 1.0}``).
+- :func:`deterministic_sample_n` — exactly-n sample as top-n by hash;
+  compiles to TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lours_spark.functions.text import md5_long
+
+_M32 = 2**32
+
+
+def sample_fraction(id_col: Column, seed: int | str = 0) -> Column:
+    """Seeded uniform [0,1) fraction of an id: low 32 bits of the
+    60-bit md5-prefix hash, divided out — exact in double, and
+    reproducible in any engine that has md5 (the DuckDB twin is the
+    suite's ``dd_md5_long``)."""
+    return (
+        (md5_long(id_col.cast("string"), seed) % F.lit(_M32)).cast("double")
+        / F.lit(float(_M32))
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash fraction
+    falls below ``fraction``. A pure filter — pushes down, costs no
+    shuffle, and the same (id, seed) always makes the same decision."""
+    return df.filter(sample_fraction(F.col(id_col), seed) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "id",
+    seed: int | str = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the rebalancing primitive:
+    downsample over-represented languages/sources, keep the rest).
+    The per-stratum rate is a literal-map lookup — still a pure
+    filter, no shuffle, no collect."""
+    pairs = []
+    for k, v in fractions.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(float(v)))
+    rate = (
+        F.coalesce(
+            F.create_map(*pairs)[F.col(strata_col)],
+            F.lit(float(default_fraction)),
+        )
+        if pairs
+        else F.lit(float(default_fraction))
+    )
+    return df.filter(sample_fraction(F.col(id_col), seed) < rate)
+
+
+def deterministic_sample_n(
+    df: DataFrame,
+    n: int,
+    id_col: str = "id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Exactly-n deterministic sample: the n smallest hash values
+    (ties impossible: the hash is keyed by the unique id, and id
+    breaks any residual tie). ``orderBy().limit(n)`` compiles to
+    TakeOrderedAndProject — per-partition heaps + driver merge of n
+    rows, not a global sort."""
+    return (
+        df.withColumn("__hf", sample_fraction(F.col(id_col), seed))
+        .orderBy(F.asc("__hf"), F.asc(id_col))
+        .limit(n)
+        .drop("__hf")
+    )

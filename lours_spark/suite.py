@@ -2216,6 +2216,110 @@ FROM lineitem WHERE l_orderkey IN (SELECT id FROM head)
 QUERIES.update({"take_images": q_take_images})
 _EXTRA_ORACLES.update({"take_images": lambda: ORACLE_TAKE_IMAGES})
 
+
+# --------------------------------------------------------------------------
+# batch 4 (round 2): curation operators — decontamination, repetition
+# quality signals, deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-doc count of word 3-gram shingles
+    shared with a pseudo-benchmark (every 50th doc). Broadcast-join on
+    the shingle string — the corpus side never shuffles."""
+    from lours_spark.operators.decontaminate import benchmark_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    rest = d.filter(F.col("doc_id") % 50 != 0)
+    return benchmark_overlap(rest, bench, "doc_id", "text", 3)
+
+
+def _oracle_decontaminate() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {dd_tokens('text')} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({dd_shingles('w')}) AS sh FROM tok),
+b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+d AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
+SELECT d.doc_id, count(*)::BIGINT AS overlap FROM d JOIN b USING (sh) GROUP BY 1
+"""
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition/quality signals per document (word,
+    bigram, trigram repetition mass) — explode+groupBy partials, never
+    a text shuffle."""
+    from lours_spark.operators.quality import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _oracle_repetition() -> str:
+    tri = (
+        "list_transform(generate_series(1, len(w)-2), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {dd_tokens('text')} AS w FROM documents),
+words AS (SELECT doc_id, unnest(w) AS word FROM t),
+wc AS (SELECT doc_id, word, count(*) AS n FROM words GROUP BY 1, 2),
+wagg AS (SELECT doc_id, sum(n)::BIGINT AS n_words,
+                max(n)::BIGINT AS top_word_count FROM wc GROUP BY 1),
+bgs AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+  THEN list_transform(generate_series(1, len(w)-1),
+                      i -> concat_ws(' ', w[i], w[i+1]))
+  ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t),
+bc AS (SELECT doc_id, bg, count(*) AS n FROM bgs GROUP BY 1, 2),
+bagg AS (SELECT doc_id, max(n)::BIGINT AS top_bigram_count FROM bc GROUP BY 1),
+tri AS (SELECT doc_id, CAST(CASE WHEN len(w) >= 3
+  THEN len(w) - 2 - len(list_distinct({tri}))
+  ELSE 0 END AS BIGINT) AS dup_trigram_excess FROM t)
+SELECT w.doc_id, w.n_words, w.top_word_count,
+       coalesce(b.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+       t.dup_trigram_excess
+FROM wagg w LEFT JOIN bagg b USING (doc_id) JOIN tri t USING (doc_id)
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sample (md5-fraction
+    predicate — pure filter, reproducible across engines/retries),
+    summarized as per-stratum kept counts."""
+    from lours_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "lang", {"en": 0.5, "zh": 0.1}, id_col="doc_id", seed=42,
+        default_fraction=0.25,
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+def _oracle_stratified() -> str:
+    frac = dd_md5_long("doc_id::VARCHAR", 42)
+    return f"""
+SELECT lang, count(*)::BIGINT AS n_sampled FROM documents
+WHERE (({frac}) % 4294967296)::DOUBLE / 4294967296.0 <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1 ELSE 0.25 END
+GROUP BY lang
+"""
+
+
+QUERIES.update(
+    {
+        "decontaminate": q_decontaminate,
+        "repetition_signals": q_repetition_signals,
+        "stratified_sample": q_stratified_sample,
+    }
+)
+_EXTRA_ORACLES.update(
+    {
+        "decontaminate": _oracle_decontaminate,
+        "repetition_signals": _oracle_repetition,
+        "stratified_sample": _oracle_stratified,
+    }
+)
+
 # ==========================================================================
 # Gate consolidation (round 2)
 # ==========================================================================
@@ -2311,10 +2415,13 @@ _PAIRS: dict[str, tuple[str, str]] = {
     "forward_fill": ("forward_fill", "resample_count"),
 }
 
+_CURATION_FACETS = ("decontaminate", "repetition_signals", "stratified_sample")
+
 GATE_FACETS: dict[str, list[str]] = {
     **{k: list(v) for k, v in _PAIRS.items()},
     "token_count": ["token_count", "bpe_token_count"],
     "language_id": ["language_id", "quality_score"],
+    "pipeline_quality": list(_CURATION_FACETS),
 }
 
 _GATE_ORDER = [
@@ -2335,7 +2442,17 @@ _GATE_ORDER = [
     "cosine_topk", "knn_label", "embedding_near_dup",
     "sessionize", "hourly_rollup", "json_extraction", "forward_fill",
     "salted_aggregate", "multimodal_features",
+    "pipeline_quality",
 ]
+
+
+def q_pipeline_quality_gate(spark, sf_dir):
+    """Curation-operator facets (decontamination ⊕ repetition signals ⊕
+    stratified sampling) as one NULL-padded facet union."""
+    return _facet_union(
+        *[(n, ALL_QUERIES[n](spark, sf_dir)) for n in _CURATION_FACETS]
+    )
+
 
 _gate: dict[str, QueryFn] = {}
 for _name in _GATE_ORDER:
@@ -2345,6 +2462,8 @@ for _name in _GATE_ORDER:
         _gate[_name] = q_token_count_gate
     elif _name == "language_id":
         _gate[_name] = q_language_id_gate
+    elif _name == "pipeline_quality":
+        _gate[_name] = q_pipeline_quality_gate
     else:
         _gate[_name] = ALL_QUERIES[_name]
 QUERIES = _gate
@@ -2403,6 +2522,18 @@ FROM ({base["token_count"]}) a JOIN ({base["bpe_token_count"]}) b USING (doc_id)
 SELECT a.doc_id, a.lang_pred, b.quality
 FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
 """
+        elif name == "pipeline_quality":
+            leg_cols = {
+                "decontaminate": ["doc_id", "overlap"],
+                "repetition_signals": [
+                    "doc_id", "n_words", "top_word_count",
+                    "top_bigram_count", "dup_trigram_excess",
+                ],
+                "stratified_sample": ["lang", "n_sampled"],
+            }
+            out[name] = _facet_union_sql(
+                *[(n, base[n], leg_cols[n]) for n in _CURATION_FACETS]
+            )
         elif name in base:
             out[name] = base[name]
     return out

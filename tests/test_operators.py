@@ -278,3 +278,74 @@ def test_embedding_near_dup_ivf_low_threshold(spark, vectors):
     i = {(r["id_a"], r["id_b"]) for r in ivf.collect()}
     assert i <= e  # exact verify: no false positives ever
     assert len(i & e) / len(e) >= 0.9
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    from lours_spark.operators.decontaminate import benchmark_overlap, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark plans"),
+            (3, "quick brown fox appears here too with extras"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps across")], "doc_id long, text string"
+    )
+    hits = {r["doc_id"]: r["overlap"] for r in
+            benchmark_overlap(docs, bench).collect()}
+    assert 1 in hits and 3 in hits and 2 not in hits
+    clean = decontaminate(docs, bench)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2]
+
+
+def test_repetition_signals_values(spark):
+    from lours_spark.operators.quality import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 words, top word 3×, bigram "a a" 2×
+            (2, "x y x y x y"),      # trigram "x y x" ×2 + "y x y" ×2 → excess 2
+            (3, "solo"),             # 1 word: no bigrams, no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert out[1]["n_words"] == 4
+    assert out[1]["top_word_count"] == 3
+    assert out[1]["top_bigram_count"] == 2
+    assert out[1]["dup_trigram_excess"] == 0
+    assert out[2]["dup_trigram_excess"] == 2  # 4 trigrams, 2 distinct
+    assert out[3]["n_words"] == 1
+    assert out[3]["top_bigram_count"] == 0
+    assert out[3]["dup_trigram_excess"] == 0
+
+
+def test_stratified_sample_deterministic(spark):
+    from lours_spark.operators.sampling import (
+        deterministic_sample_n,
+        hash_sample,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "id long, lang string",
+    )
+    a = stratified_sample(df, "lang", {"en": 1.0, "de": 0.0})
+    rows = a.collect()
+    assert all(r["lang"] == "en" for r in rows) and len(rows) == 200
+    # same seed → identical sample even across repartitioning
+    s1 = {r["id"] for r in hash_sample(df, 0.3, seed=7).collect()}
+    s2 = {r["id"] for r in hash_sample(df.repartition(13), 0.3, seed=7).collect()}
+    assert s1 == s2
+    assert 0.2 < len(s1) / 400 < 0.4
+    # different seed → different sample
+    s3 = {r["id"] for r in hash_sample(df, 0.3, seed=8).collect()}
+    assert s1 != s3
+    # exactly-n: deterministic and sized
+    n1 = [r["id"] for r in deterministic_sample_n(df, 17).collect()]
+    n2 = [r["id"] for r in deterministic_sample_n(df.repartition(5), 17).collect()]
+    assert n1 == n2 and len(n1) == 17
