@@ -251,3 +251,63 @@ def dummy_dataset(
         images_root=images_root,
         booleanized_columns=booleanized,
     ).denormalize()
+
+
+class DatasetRegression:
+    """Dataset regression harness (reference
+    ``lours/utils/regression_testing.py:18-187``, itself modeled on
+    pytest-regressions): ``check(dataset)`` dumps the dataset to
+    parquet under a per-test directory and compares it against the
+    previously recorded dump with :func:`assert_dataset_equal`.
+
+    - first run (or ``force_regen``): records the dump and FAILS with a
+      "regenerated" message, pytest-regressions style — a green run
+      never silently (re)defines its own baseline;
+    - later runs: order-insensitive equality against the recording.
+
+    ``check_images=True`` adds a sha256 checksum column computed
+    distributed from the image FILE BYTES (``binaryFile`` source — one
+    scan, no driver loop). Divergence from the reference, documented:
+    it checksums decoded pixels (``regression_testing.py:83-88``);
+    pixel decoding needs the image libs this container lacks, and byte
+    identity is the stricter check anyway.
+    """
+
+    def __init__(self, datadir: str, test_name: str, force_regen: bool = False):
+        self.datadir = datadir
+        self.test_name = test_name
+        self.force_regen = force_regen
+
+    def check(self, dataset, basename: str | None = None,
+              check_images: bool = False) -> None:
+        import shutil
+
+        name = basename or self.test_name
+        expected = os.path.join(self.datadir, name + ".d")
+        if check_images:
+            spark = dataset.spark
+            files = (
+                spark.read.format("binaryFile")
+                .load(os.path.join(dataset.images_root, "*"))
+                .select(
+                    F.element_at(F.split("path", "/"), -1).alias("__fname"),
+                    F.sha2(F.col("content"), 256).alias("checksum"),
+                )
+            )
+            imgs = dataset.images.withColumn(
+                "__fname", F.element_at(F.split("relative_path", "/"), -1)
+            )
+            dataset = dataset.from_template(
+                images=imgs.join(files, "__fname", "left").drop("__fname")
+            )
+        if self.force_regen or not os.path.isdir(expected):
+            shutil.rmtree(expected, ignore_errors=True)
+            dataset.to_parquet(expected)
+            raise AssertionError(
+                f"regression dump (re)generated at {expected}; run again "
+                "to compare against it"
+            )
+        from lours_spark.dataset.core import SparkDataset
+
+        recorded = SparkDataset.from_parquet(dataset.spark, expected)
+        assert_dataset_equal(dataset, recorded)

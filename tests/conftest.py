@@ -68,3 +68,30 @@ def tiny_dataset(spark) -> SparkDataset:
     return SparkDataset(
         images=images_df, annotations=ann_df, label_map=label_map
     ).denormalize()
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--force-regen",
+        action="store_true",
+        default=False,
+        help="regenerate dataset_regression recordings",
+    )
+
+
+@pytest.fixture
+def dataset_regression(request):
+    """Reference-style dataset regression fixture
+    (lours/utils/regression_testing.py:157-187): recordings live under
+    tests/regression_data/<test_name>.d."""
+    import os
+
+    from lours_spark.testing import DatasetRegression
+
+    datadir = os.path.join(os.path.dirname(__file__), "regression_data")
+    os.makedirs(datadir, exist_ok=True)
+    return DatasetRegression(
+        datadir,
+        request.node.name,
+        force_regen=request.config.getoption("--force-regen"),
+    )

@@ -107,3 +107,39 @@ def test_dummy_dataset_spec_breadth(spark):
     real = dummy_dataset(spark, n_imgs=3, n_annot=3, generate_real_images=True, seed=4)
     assert real.get_invalid_images().count() == 0
     assert real.remove_invalid_images().images.count() == 3
+
+
+def test_dataset_regression_cycle(tiny_dataset, tmp_path):
+    import pytest as _pytest
+
+    from lours_spark.testing import DatasetRegression
+
+    reg = DatasetRegression(str(tmp_path), "cycle")
+    # first run records the dump and fails (pytest-regressions protocol)
+    with _pytest.raises(AssertionError, match="generated"):
+        reg.check(tiny_dataset)
+    # second run compares clean
+    reg.check(tiny_dataset)
+    # a mutated dataset must be caught
+    mutated = tiny_dataset.from_template(
+        annotations=tiny_dataset.annotations.withColumn(
+            "category_id", F.col("category_id") + 1
+        )
+    )
+    with _pytest.raises(AssertionError):
+        reg.check(mutated)
+
+
+def test_dataset_regression_fixture_smoke(dataset_regression, tiny_dataset):
+    import shutil
+
+    import pytest as _pytest
+
+    # start from a clean slate so the record→compare protocol is
+    # exercised deterministically on every run
+    shutil.rmtree(
+        f"{dataset_regression.datadir}/fixture_smoke.d", ignore_errors=True
+    )
+    with _pytest.raises(AssertionError, match="generated"):
+        dataset_regression.check(tiny_dataset, basename="fixture_smoke")
+    dataset_regression.check(tiny_dataset, basename="fixture_smoke")
