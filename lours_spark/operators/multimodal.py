@@ -4,13 +4,26 @@ Design for 100 TB media pipelines: media lives in opaque ``binary``
 columns (or object-store paths read via ``binaryFile``) with typed
 metadata columns alongside; all per-item compute runs through
 Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
-row objects.
+row objects. For multi-MB payloads, size
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so one Arrow batch
+fits executor memory (the operators stream batch-by-batch and hold no
+more than one batch of pixels at a time).
 
-The actual decoders (PIL/ffmpeg/torchaudio) are NOT available in this
-environment, so ``decode_image``/``sample_frames`` raise
-``NotImplementedError`` behind a clearly-marked seam, while
-``extract_features`` computes deterministic byte-level features through
-the real UDF plumbing (schema, batching, partitioning are all genuine).
+Decoder availability: the real codecs (PIL/cv2/ffmpeg) are NOT in this
+container. Every operator therefore takes a ``decoder`` argument —
+
+- ``"auto"``: use PIL when importable, else raise with instructions
+  (the seam a real cluster image plugs into);
+- ``"fake"``: a clearly-marked deterministic fake — dimensions sniffed
+  from the real PNG/JPEG/BMP header (``io/folder._sniff_size``), pixels
+  generated from an md5-seeded byte pattern — so the ENTIRE Spark
+  pipeline (schemas, batching, partitioning, downstream numpy
+  transforms) is exercised end-to-end in tests;
+- any callable ``bytes -> np.ndarray(H, W, C) uint8`` for custom
+  codecs.
+
+``resize_images`` needs no codec at all: nearest-neighbor resampling
+of an (H, W, C) array is pure numpy indexing and runs for real here.
 """
 
 from __future__ import annotations
@@ -18,14 +31,191 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic FAKE decoder (testing/plumbing only): real header
+    sniff for dimensions, md5-seeded tiled bytes for pixels."""
+    from lours_spark.io.folder import _sniff_size
+
+    try:
+        w, h = _sniff_size(payload)
+    except Exception:
+        w, h = 8, 8
+    w = max(1, min(int(w), 64))
+    h = max(1, min(int(h), 64))
+    seed = np.frombuffer(hashlib.md5(payload).digest(), dtype=np.uint8)
+    n = h * w * 3
+    return np.tile(seed, n // len(seed) + 1)[:n].reshape(h, w, 3)
+
+
+def _resolve_decoder(decoder):
+    if callable(decoder):
+        return decoder
+    if decoder == "fake":
+        return _fake_decode
+    if decoder == "auto":
+        try:
+            from PIL import Image  # type: ignore
+            import io
+
+            return lambda payload: np.asarray(
+                Image.open(io.BytesIO(payload)).convert("RGB")
+            )
+        except ImportError:
+            raise NotImplementedError(
+                "image decoding requires PIL/cv2 on the executors — "
+                "install one there, or pass decoder=<callable> / "
+                'decoder="fake" for plumbing tests'
+            ) from None
+    raise ValueError(f"unknown decoder {decoder!r}")
+
+
+#: decoded image rows: dimensions + raw RGB bytes (C-order H×W×C)
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    decoder="auto",
+) -> DataFrame:
+    """Decode encoded image payloads to raw pixel rows (``IMAGE_SCHEMA``)
+    via ``mapInPandas`` — one Arrow batch of payloads in, one batch of
+    pixel buffers out, zero Python-row round trips."""
+    decode = _resolve_decoder(decoder)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, cs, px = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                arr = np.ascontiguousarray(decode(bytes(payload)))
+                ids.append(int(i))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                cs.append(arr.shape[2] if arr.ndim == 3 else 1)
+                px.append(arr.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "channels": pd.array(cs, dtype="int32"),
+                    "pixels": px,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, IMAGE_SCHEMA)
+
+
+def resize_images(
+    decoded: DataFrame, target_height: int, target_width: int
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel rows — REAL compute
+    (pure numpy fancy indexing, no codec), same ``IMAGE_SCHEMA`` out.
+    The standard normalize-before-embedding step, runnable as-is at
+    cluster scale."""
+    th, tw = int(target_height), int(target_width)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for h, w, c, buf in zip(
+                pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
+            ):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                rows = (np.arange(th) * h // th).astype(np.int64)
+                cols = (np.arange(tw) * w // tw).astype(np.int64)
+                out.append(arr[rows][:, cols].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "height": pd.array([th] * len(pdf), dtype="int32"),
+                    "width": pd.array([tw] * len(pdf), dtype="int32"),
+                    "channels": pdf["channels"].astype("int32"),
+                    "pixels": out,
+                }
+            )
+
+    return decoded.mapInPandas(kernel, IMAGE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    frame_bytes: int | None = None,
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of video payloads — one input
+    row fans out to many frame rows (the mapInPandas generator shape a
+    real ffmpeg demuxer plugs into; its per-frame yield replaces the
+    fixed-stride splitter below).
+
+    ``frame_bytes`` set: payloads are treated as concatenated
+    fixed-size frames (the deterministic fake container used in tests).
+    ``frame_bytes`` None: requires ffmpeg — raises here.
+    """
+    if frame_bytes is None:
+        raise NotImplementedError(
+            "video decoding requires ffmpeg on the executors; pass "
+            "frame_bytes=<int> for the fixed-stride plumbing path"
+        )
+    step, fb = int(every_n), int(frame_bytes)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, hashes = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload)
+                n_frames = len(raw) // fb
+                for k in range(0, n_frames, step):
+                    frame = raw[k * fb : (k + 1) * fb]
+                    ids.append(int(i))
+                    idxs.append(k)
+                    sizes.append(len(frame))
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_index": pd.array(idxs, dtype="int32"),
+                    "n_bytes": pd.array(sizes, dtype="int64"),
+                    "frame_hash": hashes,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------------ legacy
 def decode_image(payload: bytes) -> "object":
-    """STUB: decode an encoded image to HxWxC. Needs PIL/cv2 — not
-    installed here; the seam exists so a real cluster image plugs in."""
+    """STUB: decode one encoded image to HxWxC. Needs PIL/cv2 — see
+    :func:`decode_images` for the batch operator with the same seam."""
     raise NotImplementedError(
         "image decoding requires PIL/cv2 on the executors; "
         "wire your decoder in here"
@@ -33,7 +223,8 @@ def decode_image(payload: bytes) -> "object":
 
 
 def sample_frames(payload: bytes, every_n: int = 30) -> "list[object]":
-    """STUB: sample frames from a video payload (ffmpeg seam)."""
+    """STUB: sample frames from one video payload (ffmpeg seam); see
+    :func:`sample_video_frames` for the batch operator."""
     raise NotImplementedError("video decoding requires ffmpeg on the executors")
 
 
@@ -51,7 +242,7 @@ def extract_features(
 ) -> DataFrame:
     """Deterministic byte-level features via ``mapInPandas`` — the real
     Arrow batch path a decoder-backed extractor would use (swap the
-    body of ``featurize`` for ``decode_image`` + model inference)."""
+    body of ``featurize`` for ``decode_images`` + model inference)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
