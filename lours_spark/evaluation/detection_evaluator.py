@@ -137,3 +137,69 @@ class DetectionEvaluator:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+
+class CrowdDetectionEvaluator(DetectionEvaluator):
+    """Crowd-counting specialization (reference
+    ``crowd_detection_evaluator.py:22-236``): same constructor and
+    match/PR surface, plus per-confidence count-error curves.
+
+    ``compute_normalized_precision_recall`` (nAP, Song et al. ICCV'21)
+    is ``NotImplementedError`` in the REFERENCE ITSELF
+    (``crowd_detection_evaluator.py:238-248``) — mirrored here so the
+    surfaces stay aligned.
+    """
+
+    def compute_count_error(
+        self,
+        predictions_names: "str | Iterable[str] | None" = None,
+        groups: Sequence[str] = ("category_id",),
+        quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+        confidence_index: Sequence[float] | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """MAE/RMSE/MRE/RMSRE/std/quantile count-error curves over the
+        confidence grid per model (reference
+        ``crowd_detection_evaluator.py:30-236``; grid defaults to 101
+        equidistant points). Returns (stats_curve, per_image_errors) —
+        the reference's (metrics frame, detailed frame) pair, long-form
+        with a ``model`` column instead of pandas multiindex columns."""
+        from lours_spark.evaluation.crowd import (
+            count_error_curve,
+            per_image_counts,
+        )
+
+        grid = (
+            [i / 100 for i in range(101)]
+            if confidence_index is None
+            else [float(t) for t in confidence_index]
+        )
+        stats_parts, detail_parts = [], []
+        for pname in self._names(predictions_names):
+            pred = self.predictions_dictionary[pname].annotations
+            gt = self.groundtruth.annotations
+            stats_parts.append(
+                count_error_curve(
+                    gt, pred, thresholds=grid, group_cols=list(groups),
+                    quantiles=tuple(quantiles),
+                ).withColumn("model", F.lit(pname))
+            )
+            detail_parts.append(
+                per_image_counts(
+                    gt, pred, confidence_threshold=0.0,
+                    group_cols=list(groups),
+                ).withColumn("model", F.lit(pname))
+            )
+        stats = stats_parts[0]
+        for s in stats_parts[1:]:
+            stats = stats.unionByName(s)
+        details = detail_parts[0]
+        for d in detail_parts[1:]:
+            details = details.unionByName(d)
+        return stats, details
+
+    def compute_normalized_precision_recall(self) -> DataFrame:
+        """nAP (Song et al.) — unimplemented in the reference too."""
+        raise NotImplementedError(
+            "nAP is NotImplementedError in the reference as well "
+            "(crowd_detection_evaluator.py:238-248)"
+        )

@@ -153,3 +153,34 @@ def test_count_error_curve(spark):
     for t in thresholds:
         ref = count_error_stats(per_image_counts(gt, pred, t)).collect()[0]
         assert curve[t] == (ref.mae, ref.rmse), t
+
+
+def test_crowd_evaluator_facade(tiny_dataset):
+    import pytest as _pytest
+
+    from lours_spark.evaluation.detection_evaluator import (
+        CrowdDetectionEvaluator,
+    )
+
+    preds = tiny_dataset.from_template(
+        annotations=tiny_dataset.annotations.withColumn(
+            "id", F.col("id") + 10_000
+        ).withColumn("confidence", (F.col("id") % 10).cast("double") / 10.0)
+    )
+    ev = CrowdDetectionEvaluator(tiny_dataset, predictions=preds)
+    stats, details = ev.compute_count_error(
+        groups=(), confidence_index=(0.0, 0.5, 1.0)
+    )
+    rows = {r["confidence"]: r for r in stats.collect()}
+    assert set(rows) == {0.0, 0.5, 1.0}
+    # at threshold 0 every prediction counts → error 0 on every image
+    assert rows[0.0]["mae"] == 0.0
+    assert rows[0.5]["mae"] > 0.0
+    assert all(r["model"] == "predictions" for r in stats.collect())
+    assert details.count() == tiny_dataset.images.filter(
+        F.col("id").isin(
+            [r["image_id"] for r in tiny_dataset.annotations.select("image_id").distinct().collect()]
+        )
+    ).count()
+    with _pytest.raises(NotImplementedError):
+        ev.compute_normalized_precision_recall()
