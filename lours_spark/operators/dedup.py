@@ -249,6 +249,8 @@ def embedding_near_duplicates(
     num_tables: int | None = None,
     planes_per_table: int = 12,
     target_recall: float = 0.9999,
+    num_centroids: int | None = None,
+    num_probes: int = 3,
     seed: int = 7,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
@@ -307,7 +309,10 @@ def embedding_near_duplicates(
             df, id_col, vec_col, threshold, num_tables, planes_per_table, seed
         )
     if method == "ivf":
-        return _embedding_near_dup_ivf(df, id_col, vec_col, threshold, seed=seed)
+        return _embedding_near_dup_ivf(
+            df, id_col, vec_col, threshold,
+            num_centroids=num_centroids, num_probes=num_probes, seed=seed,
+        )
     if method != "broadcast_exact":
         raise ValueError(f"unknown method {method!r}")
 

@@ -84,3 +84,47 @@ def test_lsh_near_dup_no_cartesian(spark, suite):
     plan = _plan(embedding_near_duplicates(emb, threshold=0.95))
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan  # signature kernel
+
+
+def test_decontaminate_broadcasts_benchmark(spark, suite):
+    """The benchmark side must broadcast — a shuffle join here would
+    reshuffle the full training corpus's shingles by value."""
+    plan = _plan(suite.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_pure_filter(spark, suite):
+    """The sampling decision is a pushable predicate: exactly one
+    exchange (the final per-stratum count), none before the filter."""
+    df = suite.q_stratified_sample(spark, SF)
+    assert _plan(df).count("Exchange hashpartitioning") == 1
+    formatted = _formatted(df)
+    # projection pruned to the two needed columns
+    assert "text" not in formatted.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_embedding_near_dup_ivf_no_cartesian(spark, suite):
+    """The IVF candidate path must stay bucketed — candidates come
+    from the centroid equi-join, never an all-pairs product."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = embedding_near_duplicates(
+        emb, threshold=0.6, method="ivf", num_centroids=4
+    )
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_signals_partial_aggregation(spark, suite):
+    """Both gram chains must pre-aggregate map-side (partial_count
+    before the exchange) so the shuffle carries (doc, gram) partials,
+    not raw exploded grams."""
+    plan = _plan(suite.q_repetition_signals(spark, SF))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "BatchEvalPython" not in plan  # no row UDFs anywhere
