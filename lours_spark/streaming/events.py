@@ -136,14 +136,21 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain everything currently available into the in-memory sink
-    (offline/test execution mode; table name = ``query_name``)."""
+    (offline/test execution mode; table name = ``query_name``).
+
+    ``output_mode="append"`` emits only watermark-finalized windows —
+    the mode that exercises late-data DROP semantics (in complete mode
+    a watermark bounds nothing)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

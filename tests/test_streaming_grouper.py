@@ -225,3 +225,73 @@ def test_caipy_watcher_incremental(spark, tmp_path):
     anns = spark.read.parquet(out + "/annotations")
     assert {r.id for r in anns.collect()} == {0, 10}
     assert {r.split for r in anns.collect()} == {"train"}
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode rollup across two availableNow drains of one
+    checkpointed query: a window is finalized once the watermark passes
+    its end; an event arriving after that is DROPPED, not merged — the
+    bounded-state guarantee that makes the rollup runnable forever at
+    scale. (File sink: the memory sink cannot resume a checkpoint.)"""
+    import datetime as dt
+
+    from lours_spark.streaming.events import (
+        hourly_rollup_stream,
+        read_event_stream,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = dt.datetime(2024, 1, 1, 10, 15)
+    data_dir = tmp_path / "late_in"
+    data_dir.mkdir()
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def drain():
+        q = (
+            hourly_rollup_stream(
+                read_event_stream(spark, str(data_dir / "*"))
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["hour"].hour, r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # batch 1: two clicks in [10, 11) + one view at 14:00 that pushes
+    # the watermark (2h) to 12:00, finalizing the 10-11 window
+    spark.createDataFrame(
+        [
+            (1, base, 1, "click", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=10), 1, "click", 2.0, "{}"),
+            (3, base.replace(hour=14, minute=0), 2, "view", 3.0, "{}"),
+        ],
+        schema,
+    ).write.parquet(str(data_dir / "f1"))
+    r1 = drain()
+    assert r1[(10, "click")] == 2  # finalized with exactly the on-time rows
+    assert (14, "view") not in r1  # its window is still open
+
+    # batch 2: a LATE click at 10:40 (behind the 12:00 watermark —
+    # must be dropped) + a 17:00 click that finalizes the 14-15 window
+    spark.createDataFrame(
+        [
+            (4, base.replace(minute=40), 1, "click", 9.0, "{}"),
+            (5, base.replace(hour=17, minute=0), 1, "click", 1.0, "{}"),
+        ],
+        schema,
+    ).write.parquet(str(data_dir / "f2"))
+    r2 = drain()
+    # the closed window neither re-emits nor absorbs the late event
+    assert r2[(10, "click")] == 2
+    assert r2[(14, "view")] == 1
