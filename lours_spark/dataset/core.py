@@ -720,6 +720,168 @@ class SparkDataset:
             label_map=label_map or {},
         )
 
+    # ------------------------------------------ reference-parity delegates
+    # The reference exposes most operators as Dataset METHODS
+    # (``dataset.py``); the engine keeps them as composable module
+    # functions and mirrors the method surface here so reference call
+    # sites port verbatim.
+    def rename(self, dataset_name: str) -> "SparkDataset":
+        """New facade with a new name, frames shared (reference
+        ``dataset.py`` ``rename`` — method-chaining friendly)."""
+        return self.from_template(dataset_name=dataset_name)
+
+    reset_images_root = rebase_images_root  # reference spelling
+
+    def get_image_attributes(self) -> list[str]:
+        return self.image_attributes()
+
+    def get_annotations_attributes(self) -> list[str]:
+        return self.annotation_attributes()
+
+    def booleanize(
+        self, column: str, table: str = "annotations",
+        domain: list[str] | None = None,
+    ) -> "SparkDataset":
+        """One-hot-expand a list column in place (reference
+        ``dataset.py`` ``booleanize`` → ``column_booleanizer.py``)."""
+        from lours_spark.operators.booleanize import booleanize as _bz
+
+        df = self.annotations if table == "annotations" else self.images
+        out, dom = _bz(df, column, domain=domain)
+        boolized = {**self.booleanized_columns, column: set(dom)}
+        kw = {table: out, "booleanized_columns": boolized}
+        return self.from_template(**kw)
+
+    def debooleanize(self, prefix: str, table: str = "annotations") -> "SparkDataset":
+        from lours_spark.operators.booleanize import debooleanize as _dbz
+
+        df = self.annotations if table == "annotations" else self.images
+        out = _dbz(df, prefix)
+        remaining = {
+            k: v for k, v in self.booleanized_columns.items() if k != prefix
+        }
+        kw = {table: out, "booleanized_columns": remaining}
+        return self.from_template(**kw)
+
+    def cap_bounding_box_coordinates(self) -> "SparkDataset":
+        """Clip boxes to image bounds (reference ``dataset.py``
+        ``cap_bounding_box_coordinates``)."""
+        from lours_spark.functions.geometry import (
+            cap_bounding_box_coordinates as _cap,
+        )
+
+        return self.from_template(
+            annotations=_cap(self.annotations, self.images)
+        )
+
+    def add_detection_annotation(self, *args, **kwargs) -> "SparkDataset":
+        from lours_spark.operators.appender import add_detection_annotation
+
+        return add_detection_annotation(self, *args, **kwargs)
+
+    def annotation_append(self, format_string: str = "XYWH"):
+        """Context-manager appender (reference ``annotation_append`` —
+        NOT in-place here: the result is ``appender.result``, keeping
+        the facade immutable like every other operator)."""
+        from lours_spark.operators.appender import AnnotationAppender
+
+        return AnnotationAppender(self, box_format=format_string)
+
+    def simple_split(
+        self,
+        input_seed: int = 0,
+        split_names: tuple = ("train", "valid"),
+        target_split_shares: tuple = (0.8, 0.2),
+    ) -> "SparkDataset":
+        """Seeded random image split (reference ``simple_split``,
+        ``dataset.py:4257-4382``); prefer :meth:`hash_split_images`
+        for retry-stable assignment at scale."""
+        from lours_spark.split.splitter import simple_split as _ss
+
+        shares = dict(zip(split_names, target_split_shares))
+        return self.from_template(
+            images=_ss(self.images, shares, seed=input_seed)
+        )
+
+    def hash_split_images(self, shares: dict[str, float]) -> "SparkDataset":
+        from lours_spark.split.splitter import hash_split as _hs
+
+        return self.from_template(images=_hs(self.images, shares))
+
+    def split(
+        self,
+        input_seed: int = 0,
+        split_names: tuple = ("train", "valid"),
+        target_split_shares: tuple = (0.8, 0.2),
+        keep_separate_groups: list[str] | None = None,
+        keep_balanced_groups: list[str] | None = None,
+    ) -> "SparkDataset":
+        """Balanced split honoring keep-separate/keep-balanced groups
+        (reference ``Dataset.split``, ``dataset.py:4384-4681``):
+        annotation-side atomic chunks + distributed histograms + driver
+        greedy assignment, propagated back to images."""
+        from lours_spark.split.balanced import balanced_split
+
+        shares = dict(zip(split_names, target_split_shares))
+        dims = list(keep_balanced_groups or ["category_id"])
+        assigned = balanced_split(
+            self.annotations,
+            shares,
+            dims=dims,
+            keep_separate=list(keep_separate_groups or ["image_id"]),
+            seed=input_seed,
+        )
+        img_split = (
+            assigned.groupBy("image_id")
+            .agg(F.min("split").alias("split"))
+            .withColumnRenamed("image_id", "__iid")
+        )
+        images = (
+            self.images.drop("split")
+            .join(img_split, F.col("id") == F.col("__iid"), "left")
+            .drop("__iid")
+        )
+        return self.from_template(images=images, annotations=assigned)
+
+    # export delegates (reference to_* methods)
+    def to_coco(self, output_dir: str):
+        from lours_spark.io.coco import dataset_to_coco
+
+        return dataset_to_coco(self, output_dir)
+
+    def to_caipy(self, output_root: str) -> None:
+        from lours_spark.io.caipy import dataset_to_caipy
+
+        dataset_to_caipy(self, output_root)
+
+    def to_caipy_generic(self, output_root: str) -> None:
+        """Reference ``to_caipy_generic`` (separate image/annotation
+        dirs) — same caipy layout writer here; the directory split is
+        the caipy root convention already."""
+        from lours_spark.io.caipy import dataset_to_caipy
+
+        dataset_to_caipy(self, output_root)
+
+    def to_darknet(self, output_dir: str) -> None:
+        from lours_spark.io.darknet import dataset_to_darknet
+
+        dataset_to_darknet(self, output_dir)
+
+    def to_yolov5(self, output_dir: str, **kw) -> None:
+        from lours_spark.io.darknet import dataset_to_yolov5
+
+        dataset_to_yolov5(self, output_dir, **kw)
+
+    def to_yolov7(self, output_dir: str, **kw) -> None:
+        from lours_spark.io.darknet import dataset_to_yolov7
+
+        dataset_to_yolov7(self, output_dir, **kw)
+
+    def to_fiftyone(self, name: str, **kw):
+        from lours_spark.io.fiftyone import dataset_to_fiftyone
+
+        return dataset_to_fiftyone(self, name, **kw)
+
     @staticmethod
     def from_parquet(spark: SparkSession, path: str) -> "SparkDataset":
         import json

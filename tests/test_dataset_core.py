@@ -405,3 +405,40 @@ def test_iloc_rejects_bad_index(tiny_dataset):
 
     with pytest.raises(TypeError):
         tiny_dataset.iloc["nope"]
+
+
+def test_reference_parity_delegates(tiny_dataset, tmp_path):
+    """Reference Dataset-method call sites port verbatim to the facade."""
+    renamed = tiny_dataset.rename("other")
+    assert renamed.dataset_name == "other"
+    assert renamed.annotations is tiny_dataset.annotations
+
+    assert tiny_dataset.get_image_attributes() == tiny_dataset.image_attributes()
+
+    capped = tiny_dataset.cap_bounding_box_coordinates()
+    assert capped.annotations.filter(F.col("box_x_min") < 0).count() == 0
+
+    ss = tiny_dataset.simple_split(
+        input_seed=3, split_names=("train", "valid"), target_split_shares=(0.5, 0.5)
+    )
+    assert set(
+        r["split"] for r in ss.images.select("split").distinct().collect()
+    ) <= {"train", "valid", "eval", None}
+
+    bal = tiny_dataset.split(
+        split_names=("train", "valid"), target_split_shares=(0.7, 0.3)
+    )
+    assert bal.annotations.filter(F.col("split").isNull()).count() == 0
+    # keep-separate default: every image's annotations share one split
+    per_img = bal.annotations.groupBy("image_id").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_img.filter(F.col("k") > 1).count() == 0
+
+    with tiny_dataset.annotation_append() as app:
+        app.append(image_id=0, category_id=1, bbox=[1.0, 1.0, 2.0, 2.0])
+    assert app.result.len_annot() == tiny_dataset.len_annot() + 1
+
+    out = str(tmp_path / "coco_out")
+    files = tiny_dataset.to_coco(out)
+    assert files
