@@ -139,6 +139,70 @@ class DetectionEvaluator:
         return out
 
 
+    # ------------------------------------------------------- persistence
+    def to_parquet(self, output_dir: str, overwrite: bool = False) -> None:
+        """One parquet dataset per member + a JSON sidecar with the
+        class name (reference ``evaluator.py:200-215``)."""
+        import json
+        import os
+        import shutil
+
+        if os.path.exists(output_dir):
+            if not overwrite:
+                raise FileExistsError(output_dir)
+            shutil.rmtree(output_dir)
+        os.makedirs(output_dir)
+        self.groundtruth.to_parquet(os.path.join(output_dir, "groundtruth"))
+        for pname, ds in self.predictions_dictionary.items():
+            ds.to_parquet(os.path.join(output_dir, f"predictions__{pname}"))
+        with open(os.path.join(output_dir, "evaluator.json"), "w") as f:
+            json.dump(
+                {
+                    "__name__": type(self).__name__,
+                    "name": self.name,
+                    "predictions": sorted(self.predictions_dictionary),
+                },
+                f,
+            )
+
+    @classmethod
+    def from_parquet(cls, spark, input_dir: str):
+        """Reload a saved evaluator; refuses a folder written by a
+        different evaluator subclass (reference
+        ``evaluator.py:217-260`` ``__name__`` guard)."""
+        import json
+        import os
+
+        from lours_spark.dataset.core import SparkDataset
+
+        with open(os.path.join(input_dir, "evaluator.json")) as f:
+            meta = json.load(f)
+        if meta["__name__"] != cls.__name__:
+            raise ValueError(
+                f"{input_dir} holds a {meta['__name__']}, not a "
+                f"{cls.__name__} (reference evaluator.py:227-233 semantics)"
+            )
+        gt = SparkDataset.from_parquet(
+            spark, os.path.join(input_dir, "groundtruth")
+        )
+        ev = cls(gt, name=meta.get("name"))
+        for pname in meta["predictions"]:
+            ev.add_predictions_dataset(
+                pname,
+                SparkDataset.from_parquet(
+                    spark, os.path.join(input_dir, f"predictions__{pname}")
+                ),
+            )
+        return ev
+
+    def get_image_attributes(self) -> list:
+        return self.groundtruth.image_attributes()
+
+    def get_annotations_attributes(self) -> list:
+        return self.groundtruth.annotation_attributes()
+
+
+
 class CrowdDetectionEvaluator(DetectionEvaluator):
     """Crowd-counting specialization (reference
     ``crowd_detection_evaluator.py:22-236``): same constructor and
@@ -203,3 +267,4 @@ class CrowdDetectionEvaluator(DetectionEvaluator):
             "nAP is NotImplementedError in the reference as well "
             "(crowd_detection_evaluator.py:238-248)"
         )
+

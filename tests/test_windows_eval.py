@@ -184,3 +184,34 @@ def test_crowd_evaluator_facade(tiny_dataset):
     ).count()
     with _pytest.raises(NotImplementedError):
         ev.compute_normalized_precision_recall()
+
+
+def test_evaluator_parquet_roundtrip(tiny_dataset, tmp_path, spark):
+    import pytest as _pytest
+
+    from lours_spark.evaluation.detection_evaluator import (
+        CrowdDetectionEvaluator,
+        DetectionEvaluator,
+    )
+
+    preds = tiny_dataset.from_template(
+        annotations=tiny_dataset.annotations.withColumn(
+            "id", F.col("id") + 50_000
+        ).withColumn("confidence", F.lit(0.5))
+    )
+    ev = DetectionEvaluator(tiny_dataset, name="roundtrip", model_a=preds)
+    out = str(tmp_path / "eval_pq")
+    ev.to_parquet(out)
+    back = DetectionEvaluator.from_parquet(spark, out)
+    assert back.name == "roundtrip"
+    assert list(back.predictions_dictionary) == ["model_a"]
+    assert (
+        back.predictions_dictionary["model_a"].len_annot() == preds.len_annot()
+    )
+    # class check mirrors the reference's __name__ guard
+    with _pytest.raises(ValueError, match="DetectionEvaluator"):
+        CrowdDetectionEvaluator.from_parquet(spark, out)
+    # overwrite=False refuses to clobber
+    with _pytest.raises(FileExistsError):
+        ev.to_parquet(out)
+    ev.to_parquet(out, overwrite=True)
