@@ -67,3 +67,76 @@ def test_booleanize_roundtrip_property(spark, values):
     back = debooleanize(wide, "tags")
     got = {r["id"]: list(r["tags"]) for r in back.collect()}
     assert got == {i: sorted(v) for i, v in rows}
+
+
+words_st = st.lists(
+    st.sampled_from(["a", "b", "cc", "ddd", "e f"]), min_size=0, max_size=24
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(word_lists=st.lists(words_st, min_size=1, max_size=4))
+def test_repetition_signals_property(spark, word_lists):
+    """Spark repetition metrics == a pure-Python reference on arbitrary
+    word sequences (the 'e f' token exercises grams whose parts contain
+    spaces — joins must not collide)."""
+    from collections import Counter
+
+    from lours_spark.operators.quality import repetition_signals
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    for i, ws in enumerate(word_lists):
+        # Spark split('', '\\s+') yields [''] for empty text — the
+        # reference tokenizer convention shared with the oracle
+        toks = " ".join(ws).strip().lower().split()
+        if not toks:
+            toks = [""]
+        r = got[i]
+        assert r["n_words"] == len(toks)
+        assert r["top_word_count"] == max(Counter(toks).values())
+        bigrams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        assert r["top_bigram_count"] == (
+            max(Counter(bigrams).values()) if bigrams else 0
+        )
+        trigrams = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        assert r["dup_trigram_excess"] == (
+            len(trigrams) - len(set(trigrams)) if trigrams else 0
+        )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(1, 30),
+    slc=st.tuples(
+        st.one_of(st.none(), st.integers(-35, 35)),
+        st.one_of(st.none(), st.integers(-35, 35)),
+        st.one_of(st.none(), st.integers(1, 5)),
+    ),
+)
+def test_iloc_matches_python_slicing(spark, n, slc):
+    """ds.iloc[slice] returns exactly the ids Python list slicing picks
+    (positions = id order)."""
+    from lours_spark.dataset.core import SparkDataset
+    from lours_spark.dataset import schema as S
+
+    images = spark.createDataFrame(
+        [(i, 10, 10, f"{i}.jpg", ".jpg", None) for i in range(n)],
+        S.empty_images_schema(),
+    )
+    ds = SparkDataset(
+        images=images,
+        annotations=spark.createDataFrame([], S.empty_annotations_schema()),
+    )
+    py = list(range(n))[slice(*slc)]
+    got = sorted(r["id"] for r in ds.iloc[slice(*slc)].images.collect())
+    assert got == sorted(py)
