@@ -7,6 +7,14 @@
 ``oracle_sql()`` — DuckDB-equivalent SQL per query for the correctness
 gate; non-SQL-expressible ops (greedy matching, balanced split) are
 intentionally absent → rows-only check.
+
+The gate registry is CONSOLIDATED to exactly 50 queries (the driver
+gates a 50-query prefix): closely-related operator facets are merged
+into combined gate queries via NULL-padded facet unions or same-grain
+joins, each facet keeping its own logic and oracle leg.
+``lours_spark.suite.GATE_FACETS`` maps combined name → original facet
+names; ``lours_spark.suite.ALL_QUERIES`` (68 entries) keeps every
+standalone query for bench.py / scripts / tests.
 """
 
 from __future__ import annotations
