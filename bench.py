@@ -61,6 +61,36 @@ BENCH_QUERIES = [
     "decontaminate",
     "repetition_signals",
     "stratified_sample",
+    # round 2: complete facet coverage — every standalone gate facet is
+    # timed, so BENCH covers exactly what the CORRECTNESS gate covers
+    "filter_annotations_emptied",
+    "remove_empty_images",
+    "anti_join_orphans",
+    "denormalize_category",
+    "remap_classes",
+    "remap_dense_rank",
+    "match_index",
+    "merge_datasets",
+    "booleanize",
+    "debooleanize",
+    "bbox_import_cxcywh",
+    "bbox_export_xyxy",
+    "bbox_relative",
+    "cap_bbox",
+    "average_precision",
+    "interpolated_precision",
+    "crowd_count_error",
+    "balanced_split",
+    "token_count",
+    "language_id",
+    "quality_score",
+    "minhash_signature",
+    "knn_label",
+    "json_extraction",
+    "forward_fill",
+    "resample_count",
+    "grouper_bins",
+    "multimodal_features",
 ]
 
 
