@@ -25,14 +25,28 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    method: str = "expression",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    The query side is broadcast (queries ≪ corpus); scoring is a
-    JVM-side higher-order-function expression; the per-query top-k is a
-    window over (query_id) — shuffles only (query, candidate, score)
-    triples, never the vectors twice.
+    ``method="expression"``: the query side is broadcast (queries ≪
+    corpus); scoring is a JVM-side higher-order-function expression
+    whose left-to-right reduction is bit-identical to the DuckDB
+    oracle (the hash-gated setting); the per-query top-k is a window
+    over (query_id). Every (query, candidate, score) triple crosses
+    the exchange — fine at bench scale, wasteful at corpus scale.
+
+    ``method="blas"``: the 100 TB exact-search shape. The normalized
+    query matrix broadcasts once; each corpus partition computes one
+    (batch × Q) BLAS product and emits only its LOCAL top-k rows per
+    query, so the exchange carries ≤ Q·k·partitions rows no matter how
+    large the corpus is; a final tiny window merges. Same result set
+    (the union of per-partition top-k contains the global top-k); the
+    reduction order differs from the oracle at ~1e-15, which is why
+    the hash-gated query keeps the expression path.
     """
+    if method == "blas":
+        return _brute_force_topk_blas(corpus, queries, id_col, vec_col, k)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -53,6 +67,71 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _brute_force_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-partition BLAS scoring + local top-k (see
+    :func:`brute_force_topk` ``method="blas"``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows])
+    QM = np.stack([np.asarray(r[vec_col], dtype="float64") for r in qrows])
+    qn = np.linalg.norm(QM, axis=1)
+    qn[qn == 0] = 1.0
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, QM / qn[:, None]))
+    kk = int(k)
+
+    def score(batches):
+        ids_q, QU = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            M = np.stack(batch[vec_col].to_numpy()).astype("float64")
+            nn = np.linalg.norm(M, axis=1)
+            nn[nn == 0] = 1.0
+            S = (M / nn[:, None]) @ QU.T  # (batch, Q)
+            nids = batch[id_col].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids_q)):
+                col = S[:, j].copy()
+                col[nids == ids_q[j]] = -np.inf  # self-match excluded
+                take = min(kk, len(col))
+                top = np.argpartition(-col, take - 1)[:take]
+                # deterministic local order: cosine desc, neighbor asc
+                top = top[np.lexsort((nids[top], -col[top]))]
+                out_q.extend([ids_q[j]] * len(top))
+                out_n.extend(nids[top].tolist())
+                out_c.extend(col[top].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    local = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .filter(F.col("cosine") != float("-inf"))
     )
 
 

@@ -349,3 +349,24 @@ def test_stratified_sample_deterministic(spark):
     n1 = [r["id"] for r in deterministic_sample_n(df, 17).collect()]
     n2 = [r["id"] for r in deterministic_sample_n(df.repartition(5), 17).collect()]
     assert n1 == n2 and len(n1) == 17
+
+
+def test_brute_force_topk_blas_matches_expression(spark, vectors):
+    """The BLAS scale path returns the same neighbor sets as the
+    oracle-parity expression path (per-partition local top-k is a
+    lossless cover of the global top-k)."""
+    from lours_spark.operators.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    ).repartition(7)  # force multi-partition local top-k + merge
+    queries = df.filter(F.col("vec_id") < 6)
+    expr = brute_force_topk(df, queries, k=4)
+    blas = brute_force_topk(df, queries, k=4, method="blas")
+    e = {(r["query_id"], r["neighbor_id"]) for r in expr.collect()}
+    b = {(r["query_id"], r["neighbor_id"]) for r in blas.collect()}
+    assert e == b
+    # ranks agree too (well-separated fixture — no 1e-15 rank flips)
+    er = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in expr.collect()}
+    br = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in blas.collect()}
+    assert er == br
