@@ -92,6 +92,23 @@ def session_stream(
     )
 
 
+def dedup_event_stream(
+    events: DataFrame,
+    key_cols: "list[str] | None" = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``operators/dedup.exact_duplicates`` for at-least-once sources
+    (replayed files, Kafka redeliveries): keep the first occurrence of
+    each key, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — duplicates arriving within the
+    watermark window are dropped, state for older keys is evicted, so
+    the operator runs forever at constant memory)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running totals (event count, value sum) carried across

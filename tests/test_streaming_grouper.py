@@ -295,3 +295,43 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     # the closed window neither re-emits nor absorbs the late event
     assert r2[(10, "click")] == 2
     assert r2[(14, "view")] == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Replayed event ids inside the watermark window are dropped —
+    at-least-once sources become effectively-once downstream."""
+    import datetime as dt
+
+    from lours_spark.streaming.events import (
+        dedup_event_stream,
+        read_event_stream,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    data_dir = tmp_path / "dedup_in"
+    data_dir.mkdir()
+    # event 1 delivered twice (redelivery), event 2 once
+    spark.createDataFrame(
+        [
+            (1, base, 1, "click", 1.0, "{}"),
+            (1, base, 1, "click", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=1), 1, "view", 2.0, "{}"),
+        ],
+        schema,
+    ).write.parquet(str(data_dir / "f1"))
+    out = dedup_event_stream(read_event_stream(spark, str(data_dir / "*")))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("dedup_stream").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
