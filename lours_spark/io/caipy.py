@@ -140,6 +140,8 @@ def from_caipy(
     booleanize_enums: dict[str, list[str]] | None = None,
     schema: dict | None = None,
     on_invalid: str = "raise",
+    annotations_root: str | None = None,
+    images_root: str | None = None,
 ) -> SparkDataset:
     """Read a cAIpy tree (reference ``io/caipy.py:30-349``).
 
@@ -162,8 +164,11 @@ def from_caipy(
                 f"caipy tree at {dataset_root} fails schema validation"
                 f" (first {len(bad)}):\n{msgs}"
             )
-    ann_root = os.path.join(dataset_root, "Annotations")
-    splits = _split_dirs(dataset_root, splits)
+    ann_root = annotations_root or os.path.join(dataset_root, "Annotations")
+    splits = splits or sorted(
+        d for d in os.listdir(ann_root)
+        if os.path.isdir(os.path.join(ann_root, d))
+    )
     images_parts = []
     ann_parts = []
     for split in splits:
@@ -216,10 +221,34 @@ def from_caipy(
         images=images,
         annotations=annotations,
         label_map=label_map,
-        images_root=os.path.join(dataset_root, "Images"),
+        images_root=images_root or os.path.join(dataset_root, "Images"),
         booleanized_columns=booleanized,
     )
     return ds.denormalize() if label_map else ds
+
+
+def from_caipy_generic(
+    spark: SparkSession,
+    images_folder: str | None,
+    annotations_folder: str,
+    splits_to_read: list[str] | None = None,
+    booleanize_enums: dict[str, list[str]] | None = None,
+    schema: dict | None = None,
+) -> SparkDataset:
+    """cAIpy read with EXPLICIT image/annotation folders (reference
+    ``io/caipy.py:228-320`` — the shape used for prediction sets and
+    annotation variants that don't live under a single root)."""
+    import os as _os
+
+    return from_caipy(
+        spark,
+        dataset_root=_os.path.dirname(annotations_folder.rstrip("/")) or ".",
+        splits=splits_to_read,
+        booleanize_enums=booleanize_enums,
+        schema=schema,
+        annotations_root=annotations_folder,
+        images_root=images_folder or "",
+    )
 
 
 def dataset_to_caipy(ds: SparkDataset, output_root: str) -> None:

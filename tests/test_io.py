@@ -542,3 +542,34 @@ def test_dataset_to_fiftyone_guarded(tiny_dataset):
     if try_import_fiftyone() is None:
         with pytest.raises(ImportError):
             dataset_to_fiftyone(tiny_dataset, "nope")
+
+
+def test_reference_parity_imports_and_caipy_generic(spark, tmp_path):
+    """Reference import sites port verbatim; from_caipy_generic reads
+    explicit annotation/image folders."""
+    import json as _json
+
+    from lours_spark.dataset import (  # noqa: F401 — import surface IS the test
+        Dataset,
+        from_caipy_generic,
+        from_coco,
+        from_parquet,
+        from_pascalVOC_detection,
+    )
+
+    ann = tmp_path / "preds_annotations" / "train"
+    ann.mkdir(parents=True)
+    doc = {
+        "image": {"id": 1, "file_name": "1.jpg", "width": 10, "height": 10},
+        "annotations": [
+            {"id": 10, "category_id": 1, "category_str": "car",
+             "bbox": [1.0, 1.0, 2.0, 2.0]}
+        ],
+    }
+    (ann / "1.json").write_text(_json.dumps(doc))
+    ds = from_caipy_generic(
+        spark, str(tmp_path / "imgs"), str(tmp_path / "preds_annotations")
+    )
+    assert ds.images.count() == 1
+    assert ds.annotations.first()["category_id"] == 1
+    assert ds.images_root == str(tmp_path / "imgs")
