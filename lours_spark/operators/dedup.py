@@ -349,7 +349,7 @@ def embedding_near_duplicates(
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", V.cosine_similarity(F.col("__va"), F.col("__vb")))
+        .withColumn("cosine", V.cosine_similarity_arrow()(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -428,7 +428,7 @@ def _embedding_near_dup_ivf(
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", V.cosine_similarity(F.col("__va"), F.col("__vb")))
+        .withColumn("cosine", V.cosine_similarity_arrow()(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -492,7 +492,7 @@ def _embedding_near_dup_lsh(
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", V.cosine_similarity(F.col("__va"), F.col("__vb")))
+        .withColumn("cosine", V.cosine_similarity_arrow()(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

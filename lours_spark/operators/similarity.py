@@ -58,7 +58,7 @@ def brute_force_topk(
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", V.cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn("cosine", V.cosine_similarity_arrow()(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -191,7 +191,7 @@ def lsh_bucket_topk(
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", V.cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn("cosine", V.cosine_similarity_arrow()(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -272,7 +272,7 @@ def ivf_topk(
     scored = (
         q_probes.join(assigned, "__centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", V.cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn("cosine", V.cosine_similarity_arrow()(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
