@@ -27,15 +27,25 @@ def hash_fraction(id_col: Column) -> Column:
     """Deterministic uniform [0,1) fraction from a non-negative integer
     id — identical arithmetic in any engine: ((id * K) mod 2^32) / 2^32.
 
-    The multiply is done in DECIMAL(38,0): a 64-bit ``id * K`` silently
-    wraps negative for id ≳ 3.47e9 (2^63 / K), which would funnel every
-    such row into the first split — exactly the scale this splitter is
-    advertised for. The residue is < 2^32 so the final double divide is
-    exact and bit-identical across engines.
+    A naive 64-bit ``id * K`` silently wraps negative for id ≳ 3.47e9
+    (2^63 / K), which would funnel every such row into the first split —
+    exactly the scale this splitter is advertised for. Instead of paying
+    a DECIMAL(38,0) multiply on every row, reduce ``a = id mod 2^32``
+    first and split it into 16-bit halves::
+
+        (a*K) mod 2^32 = ((a>>16)*K mod 2^16) * 2^16 + (a & 0xFFFF)*K,
+                         all mod 2^32
+
+    Every partial product is < 2^48 so the whole computation stays in
+    plain BIGINT (codegen-friendly, no decimal), with residues identical
+    to the wide multiply. The residue is < 2^32 so the final double
+    divide is exact and bit-identical across engines.
     """
-    return (
-        (id_col.cast("decimal(38,0)") * F.lit(_KNUTH)) % F.lit(_M32)
-    ).cast("double") / F.lit(float(_M32))
+    a = id_col.cast("bigint") % F.lit(_M32)
+    hi = F.shiftright(a, 16)
+    lo = a.bitwiseAND(F.lit(0xFFFF))
+    mixed = ((hi * F.lit(_KNUTH)) % F.lit(65536)) * F.lit(65536) + lo * F.lit(_KNUTH)
+    return (mixed % F.lit(_M32)).cast("double") / F.lit(float(_M32))
 
 
 def split_ladder(frac: Column, shares: dict[str, float]) -> Column:

@@ -819,12 +819,17 @@ def q_hash_split(spark, sf_dir):
 
 
 ORACLE_HASH_SPLIT = """
+WITH f AS (
+  SELECT (((((o_orderkey::BIGINT % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+          + ((o_orderkey::BIGINT % 4294967296) % 65536) * 2654435761) % 4294967296 AS h
+  FROM orders
+)
 SELECT CASE
-  WHEN ((o_orderkey::DECIMAL(38,0) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.8 THEN 'train'
-  WHEN ((o_orderkey::DECIMAL(38,0) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.9 THEN 'valid'
+  WHEN h::DOUBLE / 4294967296.0 < 0.8 THEN 'train'
+  WHEN h::DOUBLE / 4294967296.0 < 0.9 THEN 'valid'
   ELSE 'eval' END AS split,
   count(*) AS n
-FROM orders GROUP BY 1
+FROM f GROUP BY 1
 """
 
 
@@ -2166,12 +2171,17 @@ def q_split_quality(spark, sf_dir):
 
 
 ORACLE_SPLIT_QUALITY = """
-WITH s AS (
-  SELECT CASE
-    WHEN ((o_orderkey::DECIMAL(38,0) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.8 THEN 'train'
-    WHEN ((o_orderkey::DECIMAL(38,0) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < 0.9 THEN 'valid'
-    ELSE 'eval' END AS split, o_orderpriority
+WITH f AS (
+  SELECT (((((o_orderkey::BIGINT % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+          + ((o_orderkey::BIGINT % 4294967296) % 65536) * 2654435761) % 4294967296 AS h,
+         o_orderpriority
   FROM orders
+), s AS (
+  SELECT CASE
+    WHEN h::DOUBLE / 4294967296.0 < 0.8 THEN 'train'
+    WHEN h::DOUBLE / 4294967296.0 < 0.9 THEN 'valid'
+    ELSE 'eval' END AS split, o_orderpriority
+  FROM f
 ), hist AS (
   SELECT split, o_orderpriority, count(*) AS n FROM s GROUP BY 1, 2
 ), shares AS (

@@ -40,6 +40,44 @@ def test_hash_split_keeps_existing(spark):
     assert pre == 0
 
 
+def test_hash_fraction_matches_wide_multiply(spark):
+    """The 16-bit split-multiply form (splitter.py) must reproduce the
+    exact residues of the arbitrary-precision (id * K) % 2^32 — in
+    particular for ids past 2^32 and near 2^63, where a naive 64-bit
+    multiply wraps."""
+    from lours_spark.split.splitter import _KNUTH, _M32, hash_fraction
+
+    ids = [0, 1, 65535, 65536, 2**31, 2**32 - 1, 2**32, 2**32 + 12345,
+           3_470_000_000, 10**12, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["f"]
+        for r in df.withColumn("f", hash_fraction(F.col("id"))).collect()
+    }
+    for i in ids:
+        want = ((i * _KNUTH) % _M32) / _M32  # Python bigint: exact
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_hash_fraction_duckdb_oracle_parity(spark):
+    """The BIGINT-only SQL mirrored in ORACLE_HASH_SPLIT computes the
+    same residues in DuckDB."""
+    import duckdb
+
+    from lours_spark.split.splitter import _KNUTH, _M32
+
+    ids = [0, 1, 2**31, 2**32 + 12345, 10**12, 2**62]
+    rows = duckdb.sql(
+        """
+        SELECT i, (((((i::BIGINT % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+               + ((i::BIGINT % 4294967296) % 65536) * 2654435761) % 4294967296 AS h
+        FROM (SELECT unnest($ids) AS i)
+        """.replace("$ids", str(ids))
+    ).fetchall()
+    for i, h in rows:
+        assert h == (i * _KNUTH) % _M32
+
+
 def test_simple_split_shares(spark):
     df = spark.range(10000)
     out = simple_split(df, {"train": 0.7, "valid": 0.3}, seed=1)
