@@ -92,6 +92,10 @@ def cosine_similarity_arrow() -> "object":
                     ],
                     dtype="float64",
                 )
+            if A.shape[1] == 0:
+                # every vector zero-length: n = 0 → cosine 0.0 (the
+                # accumulate scan would be shape (n, 0) and IndexError)
+                return pd.Series(np.zeros(len(a)))
             dot = np.add.accumulate(A * B, axis=1)[:, -1]
             na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
             nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])

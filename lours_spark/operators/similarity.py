@@ -25,28 +25,39 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    method: str = "expression",
+    method: str = "local",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``method="expression"``: the query side is broadcast (queries ≪
-    corpus); scoring is a JVM-side higher-order-function expression
-    whose left-to-right reduction is bit-identical to the DuckDB
-    oracle (the hash-gated setting); the per-query top-k is a window
-    over (query_id). Every (query, candidate, score) triple crosses
-    the exchange — fine at bench scale, wasteful at corpus scale.
+    ``method="local"`` (default): the 100 TB shape WITH oracle bit
+    parity. The raw query matrix broadcasts once; each corpus
+    partition scores its rows against every query with the same
+    strict left-to-right ``np.add.accumulate`` reduction as the HOF /
+    DuckDB ``list_reduce`` form (bit-identical — see
+    :func:`lours_spark.functions.vectors.cosine_similarity_arrow`)
+    and emits only its LOCAL top-k rows per query under the final
+    (cosine desc, neighbor asc) order. The union of per-partition
+    top-k contains the global top-k, and the cut is pure row
+    SELECTION — every surviving double is the value the oracle
+    computes — so the exchange carries ≤ Q·k·partitions rows and the
+    final global window merely reorders survivors.
 
-    ``method="blas"``: the 100 TB exact-search shape. The normalized
-    query matrix broadcasts once; each corpus partition computes one
-    (batch × Q) BLAS product and emits only its LOCAL top-k rows per
-    query, so the exchange carries ≤ Q·k·partitions rows no matter how
-    large the corpus is; a final tiny window merges. Same result set
-    (the union of per-partition top-k contains the global top-k); the
-    reduction order differs from the oracle at ~1e-15, which is why
-    the hash-gated query keeps the expression path.
+    ``method="expression"``: the declarative baseline the local path
+    is verified against — query side broadcast, scoring via the
+    Arrow cosine column, per-query top-k as a window over (query_id).
+    Every (query, candidate, score) triple crosses the exchange —
+    fine at test scale, wasteful at corpus scale.
+
+    ``method="blas"``: normalized-matrix BLAS product per partition,
+    same local-top-k exchange bound. Fastest on very wide embeddings,
+    but the BLAS pairwise summation differs from the oracle's
+    sequential reduction at ~1e-15, so ties can order differently —
+    use when bit-parity with a sequential engine is not required.
     """
     if method == "blas":
         return _brute_force_topk_blas(corpus, queries, id_col, vec_col, k)
+    if method == "local":
+        return _brute_force_topk_local(corpus, queries, id_col, vec_col, k)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -66,6 +77,111 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _brute_force_topk_local(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-partition sequential-accumulate scoring + local top-k cut
+    (see :func:`brute_force_topk` ``method="local"``).
+
+    The kernel is the batch form of ``cosine_similarity_arrow``:
+    ``dot = accumulate(A*B)[-1]``, ``cos = dot / (|A|·|B|)`` with the
+    same zero-norm→0.0 rule, looped per query so each pair's reduction
+    order is exactly the oracle's. Only selection happens after
+    scoring, so bit-parity survives the cut.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _seq_cos(va, qj, nqj):
+        if len(va) == 0:
+            return 0.0
+        d = np.add.accumulate(va * qj[: len(va)])[-1] if len(va) == len(qj) else 0.0
+        na = np.sqrt(np.add.accumulate(va * va)[-1])
+        n = na * nqj
+        return float(d / n) if n > 0 else 0.0
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows])
+    QM = np.stack([np.asarray(r[vec_col], dtype="float64") for r in qrows])
+    # query norms via the same sequential scan as the row kernel
+    qn = (
+        np.sqrt(np.add.accumulate(QM * QM, axis=1)[:, -1])
+        if QM.shape[1]
+        else np.zeros(len(qrows))
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, QM, qn))
+    kk = int(k)
+
+    def score_and_cut(batches):
+        ids_q, Q, nq = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            nids = batch[id_col].to_numpy()
+            try:
+                M = np.stack(batch[vec_col].to_numpy()).astype("float64")
+            except (ValueError, TypeError):
+                # ragged lengths or nulls: row-wise, same sequential math
+                M = None
+                rows = [
+                    None if v is None else np.asarray(v, dtype="float64")
+                    for v in batch[vec_col]
+                ]
+            if M is not None and M.shape[1]:
+                nm = np.sqrt(np.add.accumulate(M * M, axis=1)[:, -1])
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids_q)):
+                if M is None:
+                    # null vectors are not candidates (expression path
+                    # scores them NULL, which desc-sorts last anyway)
+                    col = np.array(
+                        [
+                            -np.inf if v is None else _seq_cos(v, Q[j], nq[j])
+                            for v in rows
+                        ]
+                    )
+                elif M.shape[1] == 0:
+                    col = np.zeros(len(nids))  # zero-norm pairs score 0.0
+                else:
+                    dot = np.add.accumulate(M * Q[j][None, :], axis=1)[:, -1]
+                    d = nm * nq[j]
+                    col = np.where(d > 0, dot / np.where(d > 0, d, 1.0), 0.0)
+                col[nids == ids_q[j]] = -np.inf  # self-match excluded
+                take = min(kk, len(col))
+                top = np.argpartition(-col, take - 1)[:take]
+                top = top[np.lexsort((nids[top], -col[top]))]
+                keep = col[top] != -np.inf
+                top = top[keep]
+                out_q.extend([ids_q[j]] * len(top))
+                out_n.extend(nids[top].tolist())
+                out_c.extend(col[top].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    local = corpus.select(id_col, vec_col).mapInPandas(score_and_cut, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 

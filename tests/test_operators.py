@@ -361,7 +361,7 @@ def test_brute_force_topk_blas_matches_expression(spark, vectors):
         vectors, "vec_id long, embedding array<double>, label int"
     ).repartition(7)  # force multi-partition local top-k + merge
     queries = df.filter(F.col("vec_id") < 6)
-    expr = brute_force_topk(df, queries, k=4)
+    expr = brute_force_topk(df, queries, k=4, method="expression")
     blas = brute_force_topk(df, queries, k=4, method="blas")
     e = {(r["query_id"], r["neighbor_id"]) for r in expr.collect()}
     b = {(r["query_id"], r["neighbor_id"]) for r in blas.collect()}
@@ -370,3 +370,26 @@ def test_brute_force_topk_blas_matches_expression(spark, vectors):
     er = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in expr.collect()}
     br = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in blas.collect()}
     assert er == br
+
+
+def test_brute_force_topk_local_bit_identical_to_expression(spark, vectors):
+    """The default ``method="local"`` (per-partition sequential-
+    accumulate scoring + local top-k cut) is BIT-identical to the
+    declarative expression path — cosine doubles included — because
+    the cut only selects rows, never recomputes them, and the scoring
+    kernel shares the oracle's left-to-right reduction order."""
+    from lours_spark.operators.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    ).repartition(7)  # force multi-partition local top-k + merge
+    queries = df.filter(F.col("vec_id") < 6)
+    expr = sorted(
+        tuple(r)
+        for r in brute_force_topk(df, queries, k=4, method="expression").collect()
+    )
+    local = sorted(
+        tuple(r)
+        for r in brute_force_topk(df, queries, k=4, method="local").collect()
+    )
+    assert expr == local  # exact equality: ids, ranks, AND raw doubles
