@@ -34,14 +34,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # the events table stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects by default; read the raw nanos and rebuild a
-        # microsecond timestamp (integer div — exact), pinning the
-        # session to UTC so rendering matches the oracle's naive values
+        # two generations of the events table exist: TIMESTAMP(NANOS)
+        # (Spark's reader rejects it unless nanos are read as raw longs
+        # and rebuilt) and plain TIMESTAMP/TIMESTAMP_NTZ micros (read
+        # natively). Sniff the loaded type and normalize both to a
+        # microsecond timestamp in a UTC session so rendering matches
+        # the oracle's naive values.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
