@@ -819,8 +819,15 @@ class SparkDataset:
         """Balanced split honoring keep-separate/keep-balanced groups
         (reference ``Dataset.split``, ``dataset.py:4384-4681``):
         annotation-side atomic chunks + distributed histograms + driver
-        greedy assignment, propagated back to images."""
+        greedy assignment, propagated back to images. Images with no
+        annotations get no split from that pass, so — like the
+        reference's second pass, whose doctest assigns all 200 images
+        with only 2 annotations — the remaining NULL-split images are
+        then assigned by a seeded random split at the RESIDUAL target
+        shares (what each split still needs once the annotation-derived
+        assignments are counted)."""
         from lours_spark.split.balanced import balanced_split
+        from lours_spark.split.splitter import residual_shares, simple_split
 
         shares = dict(zip(split_names, target_split_shares))
         dims = list(keep_balanced_groups or ["category_id"])
@@ -841,6 +848,11 @@ class SparkDataset:
             .join(img_split, F.col("id") == F.col("__iid"), "left")
             .drop("__iid")
         )
+        # second pass: annotation-less images keep NULL after the join;
+        # assign them too (simple_split only fills NULL rows) so
+        # get_split()/iter_splits cover every image
+        resid = residual_shares(images, shares)
+        images = simple_split(images, resid, seed=input_seed)
         return self.from_template(images=images, annotations=assigned)
 
     # export delegates (reference to_* methods)
@@ -908,11 +920,22 @@ class _ILocIndexer:
     ``lours/dataset/indexing.py`` — pandas ``iloc`` semantics re-expressed
     against a deterministic total order instead of insertion order).
 
-    Accepts an int, a slice, or a list of ints; negatives count from the
-    end. The position column is a two-phase global row number, so the
-    plan stays parallel at any table size; a contiguous head slice
-    (``[:n]``) compiles to ``orderBy().limit(n)`` instead.
+    Accepts an int, a slice, a list of ints, a boolean mask (a Python
+    list of bools, one per position, or a pyspark boolean ``Column``
+    evaluated against the table — reference
+    ``lours/dataset/indexing.py:32-56`` mask path), or a pyspark
+    ``Column``; negatives count from the end. The position column is a
+    two-phase global row number, so the plan stays parallel at any
+    table size. Slices of every sign/step compile to a range predicate
+    over the position (never a materialized list of positions); a
+    contiguous head slice (``[:n]``) compiles to ``orderBy().limit(n)``;
+    long int lists become a broadcast semi-join instead of an
+    ``isin`` literal.
     """
+
+    #: int lists longer than this join against a broadcast positions
+    #: frame instead of compiling an isin() literal into the plan
+    _ISIN_LITERAL_MAX = 1000
 
     def __init__(self, dataset: SparkDataset, annot: bool) -> None:
         self._ds = dataset
@@ -933,39 +956,85 @@ class _ILocIndexer:
         return self._ds.from_template(images=selected, annotations=annotations)
 
     def __getitem__(self, index) -> SparkDataset:
+        from pyspark.sql import Column
+
         from lours_spark.functions.ids import global_row_number
 
         df = self._table()
+        if isinstance(index, Column):
+            # boolean predicate evaluated against the table itself —
+            # the scalable spelling of the reference's boolean mask
+            return self._wrap(df.filter(index))
         if isinstance(index, int):
             positions = [index]
         elif isinstance(index, slice):
             start, stop, step = index.start, index.stop, index.step or 1
-            if step > 0 and (start or 0) >= 0 and stop is not None and stop >= 0:
+            if step > 0 and (start or 0) >= 0 and (stop is None or stop >= 0):
+                # positive-step, non-negative bounds: range predicate
+                # with NO count() — an open stop is simply unbounded
                 s0 = start or 0
-                if s0 == 0 and step == 1:
+                if s0 == 0 and step == 1 and stop is not None:
                     # head slice: no numbering pass at all
                     return self._wrap(df.orderBy("id").limit(stop))
                 numbered = global_row_number(df, ["id"], "__pos")
+                keep = (F.col("__pos") >= s0) & (
+                    (F.col("__pos") - s0) % step == 0
+                )
+                if stop is not None:
+                    keep &= F.col("__pos") < stop
+                return self._wrap(numbered.filter(keep).drop("__pos"))
+            # negative bounds / reversed step: resolve concrete bounds
+            # from ONE count, then keep the range predicate — never a
+            # materialized list of positions (an O(n) literal would
+            # stall the driver on large tables)
+            n = df.count()
+            s0, s1, st = index.indices(n)
+            numbered = global_row_number(df, ["id"], "__pos")
+            if st > 0:
                 keep = (
                     (F.col("__pos") >= s0)
-                    & (F.col("__pos") < stop)
-                    & ((F.col("__pos") - s0) % step == 0)
+                    & (F.col("__pos") < s1)
+                    & ((F.col("__pos") - s0) % st == 0)
                 )
-                return self._wrap(numbered.filter(keep).drop("__pos"))
-            # open-ended / negative / reversed: resolve against the count
-            n = df.count()
-            positions = list(range(*index.indices(n)))
+            else:
+                keep = (
+                    (F.col("__pos") <= s0)
+                    & (F.col("__pos") > s1)
+                    & ((F.lit(s0) - F.col("__pos")) % (-st) == 0)
+                )
+            return self._wrap(numbered.filter(keep).drop("__pos"))
         elif isinstance(index, (list, tuple)):
-            positions = list(index)
+            items = list(index)
+            if items and all(isinstance(x, bool) for x in items):
+                # boolean mask: positions where True (reference
+                # indexing.py:32-56; length-checked like pandas)
+                n = df.count()
+                if len(items) != n:
+                    raise IndexError(
+                        f"boolean mask length {len(items)} does not match "
+                        f"table length {n}"
+                    )
+                positions = [i for i, keep in enumerate(items) if keep]
+            else:
+                positions = items
         else:
             raise TypeError(
-                f"iloc index must be int, slice or list of ints, got "
-                f"{type(index).__name__}"
+                f"iloc index must be int, slice, list of ints, boolean "
+                f"mask or Column, got {type(index).__name__}"
             )
         if any(p < 0 for p in positions):
             n = df.count()
             positions = [p + n if p < 0 else p for p in positions]
         numbered = global_row_number(df, ["id"], "__pos")
+        if len(positions) <= self._ISIN_LITERAL_MAX:
+            return self._wrap(
+                numbered.filter(F.col("__pos").isin(positions)).drop("__pos")
+            )
+        # long explicit position lists: broadcast semi-join beats an
+        # isin() literal of thousands of terms (plan size, codegen)
+        pos_df = df.sparkSession.createDataFrame(
+            [(int(p),) for p in positions], "__pos bigint"
+        )
         return self._wrap(
-            numbered.filter(F.col("__pos").isin(positions)).drop("__pos")
+            numbered.join(F.broadcast(pos_df), "__pos", "left_semi").drop("__pos")
         )

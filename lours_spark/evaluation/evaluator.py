@@ -110,25 +110,55 @@ def precision_recall_curves(
     groups = list(group_cols)
     results = _results_table(matches, groups, gt_attrs, pred_attrs)
 
-    thresholds = F.array(*[F.lit(float(t)) for t in ious])
-    r = results.withColumn("iou_threshold", F.explode(thresholds))
     keys = groups + ["iou_threshold"]
 
-    is_tp = (
-        F.col("is_groundtruth") & (F.col("iou") > F.col("iou_threshold"))
-    ).cast("long")
     # distinct-confidence collapse (reference util.py:228-234: keep the
     # LAST cumulative point of each equal-confidence run) == cumulative
     # sums over PER-CONFIDENCE aggregates. Aggregating first is the
     # scale move: the groupBy pre-aggregates map-side, so the exchange
-    # carries one row per (group, threshold, distinct confidence)
-    # instead of every result row, and the windows below run over that
-    # tiny frame — no multi-million-row sort in |groups| tasks. It is
-    # also order-free, so no tie-break is needed for determinism.
-    per_conf = r.groupBy(*keys, "confidence").agg(
-        F.sum(is_tp).alias("__tp_c"),
+    # carries one row per (group, distinct confidence) instead of every
+    # result row, and the windows below run over that tiny frame — no
+    # multi-million-row sort in |groups| tasks. It is also order-free,
+    # so no tie-break is needed for determinism. The iou_threshold
+    # fan-out happens AFTER the aggregate, as one conditional-sum
+    # column per threshold exploded into rows: the big results frame is
+    # scanned once regardless of len(ious), and only the tiny
+    # aggregated frame replicates.
+    per_conf_wide = results.groupBy(*groups, "confidence").agg(
+        *[
+            F.sum(
+                (
+                    F.col("is_groundtruth") & (F.col("iou") > F.lit(float(t)))
+                ).cast("long")
+            ).alias(f"__tp_{i}")
+            for i, t in enumerate(ious)
+        ],
         F.count(F.lit(1)).alias("__n_c"),
         F.sum(F.col("is_groundtruth").cast("long")).alias("__gt_c"),
+    )
+    per_conf = per_conf_wide.select(
+        *groups,
+        "confidence",
+        "__n_c",
+        "__gt_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(t)).alias("iou_threshold"),
+                        F.col(f"__tp_{i}").alias("__tp_c"),
+                    )
+                    for i, t in enumerate(ious)
+                ]
+            )
+        ).alias("__e"),
+    ).select(
+        *groups,
+        F.col("__e.iou_threshold").alias("iou_threshold"),
+        "confidence",
+        F.col("__e.__tp_c").alias("__tp_c"),
+        "__n_c",
+        "__gt_c",
     )
     w_cum = (
         Window.partitionBy(*keys)
@@ -153,39 +183,59 @@ def precision_recall_curves(
             F.lit(False).alias("is_pad"),
         )
     )
-    # extremal points (reference util.py:258-262): (recall 0, precision 1)
-    # at confidence 1 and (recall last, precision 0) at confidence 0.
-    # ONE aggregate serves both pads — its key set IS the distinct keys
-    last_recall = curve.groupBy(*keys).agg(F.max("recall").alias("recall"))
     # monotone envelope: running max of precision from the low-confidence
-    # end (reference util.py:271 — np.maximum.accumulate reversed).
-    # Computed BEFORE the pad union: the pads' envelopes are statically
-    # known (head: precision 1.0 is the global max; tail: lowest conf,
-    # nothing below it → its own 0.0), and pre-union the window reuses
-    # the exchange the cumulative windows already created.
+    # end (reference util.py:271 — np.maximum.accumulate reversed). The
+    # pads' envelopes are statically known (head: precision 1.0 is the
+    # global max; tail: lowest conf, nothing below it → its own 0.0).
     w_env = (
         Window.partitionBy(*keys)
         .orderBy(F.asc("confidence"), F.desc("recall"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     curve = curve.withColumn("precision_env", F.max("precision").over(w_env))
-    head = last_recall.select(
-        *keys,
+    # extremal points (reference util.py:258-262): (recall 0, precision 1)
+    # at confidence 1 and (recall last, precision 0) at confidence 0.
+    # Emitted IN the same pass: a union of pad legs would re-run the
+    # whole upstream (matcher included) once per leg — exchange reuse
+    # does not cover the map-side python stage — so instead the first
+    # row of each group carries a 3-element array (itself + both pads)
+    # that explodes into the pad rows. One upstream pass total.
+    w_all = Window.partitionBy(*keys)
+    w_rn = Window.partitionBy(*keys).orderBy(
+        F.desc("confidence"), F.asc("recall")
+    )
+    point_cols = ["confidence", "precision", "recall", "is_pad", "precision_env"]
+    main = F.struct(
+        F.col("confidence"),
+        F.col("precision"),
+        F.col("recall"),
+        F.col("is_pad"),
+        F.col("precision_env"),
+    )
+    head = F.struct(
         F.lit(1.0).alias("confidence"),
         F.lit(1.0).alias("precision"),
         F.lit(0.0).alias("recall"),
         F.lit(True).alias("is_pad"),
         F.lit(1.0).alias("precision_env"),
     )
-    tail = last_recall.select(
-        *keys,
+    tail = F.struct(
         F.lit(0.0).alias("confidence"),
         F.lit(0.0).alias("precision"),
-        F.col("recall"),
+        F.col("__last_recall").alias("recall"),
         F.lit(True).alias("is_pad"),
         F.lit(0.0).alias("precision_env"),
     )
-    return curve.unionByName(head).unionByName(tail)
+    # window expressions can't sit inside a generator — project them to
+    # plain columns first, then explode
+    curve = curve.withColumn(
+        "__last_recall", F.max("recall").over(w_all)
+    ).withColumn("__rn", F.row_number().over(w_rn))
+    points = F.when(
+        F.col("__rn") == 1, F.array(main, head, tail)
+    ).otherwise(F.array(main))
+    exploded = curve.select(*keys, F.explode(points).alias("__p"))
+    return exploded.select(*keys, *[F.col(f"__p.{c}").alias(c) for c in point_cols])
 
 
 def average_precisions(curves: DataFrame, group_cols: Sequence[str] = ("category_id",)) -> DataFrame:
@@ -329,9 +379,14 @@ def compute_precision_recall(
     threshold at acceptance ``iou > t`` — what ``COCOeval`` does; use
     with ``ap_at_recall_grid`` for pycocotools-comparable numbers.
 
-    ``cache_curves`` persists the curve frame (MEMORY_AND_DISK): both
-    AP outputs derive from it, and without the persist evaluating each
-    re-runs the matcher. Pass False if you only consume ``curves``.
+    ``cache_curves`` persists the curve frame (MEMORY_AND_DISK) AND
+    materializes it eagerly: both AP outputs derive from it, and a
+    lazy persist is not enough — a downstream action that consumes
+    ``ap`` and ``ap_grid`` together (e.g. their join) schedules both
+    branch subtrees concurrently, so each would race to compute the
+    unpopulated cache and the expensive matcher would run twice. The
+    eager count() pins one matcher pass before the branches fan out.
+    Pass False if you only consume ``curves``.
     """
     from lours_spark.evaluation.matching import compute_matches
 
@@ -354,6 +409,7 @@ def compute_precision_recall(
         from pyspark.storagelevel import StorageLevel
 
         curves = curves.persist(StorageLevel.MEMORY_AND_DISK)
+        curves.count()  # populate before the ap/ap_grid branches race
     aps = average_precisions(curves, group_cols)
     ap_grid = ap_at_recall_grid(curves, group_cols)
     return {"curves": curves, "ap": aps, "ap_grid": ap_grid}

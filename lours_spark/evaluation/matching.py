@@ -241,40 +241,68 @@ def _bulk_greedy_shape(
         )
 
 
-def _match_batches(
-    batches: Iterator[pd.DataFrame], min_iou: float = 0.0
-) -> Iterator[pd.DataFrame]:
-    """Partition kernel: stream Arrow batches, stitch the carry group
-    across batch boundaries, slice groups via numpy change-detection."""
-    carry: pd.DataFrame | None = None
+_IN_COLS = [
+    "id",
+    "image_id",
+    "category_id",
+    "box_x_min",
+    "box_y_min",
+    "box_width",
+    "box_height",
+    "is_groundtruth",
+    "confidence",
+]
 
-    def process(pdf: pd.DataFrame, is_last: bool) -> tuple[pd.DataFrame, pd.DataFrame | None]:
-        img = pdf["image_id"].to_numpy()
-        cat = pdf["category_id"].to_numpy()
-        if not is_last and len(pdf):
+_NumpyBatch = dict  # str -> np.ndarray, all the same length
+
+
+def _match_batches(
+    batches: Iterator[_NumpyBatch], min_iou: float = 0.0
+) -> Iterator[tuple[dict, list]]:
+    """Partition kernel: stream column dicts of numpy arrays, stitch
+    the carry group across batch boundaries, slice groups via numpy
+    change-detection. Yields (columnar-arrays, row-tuples) pairs —
+    the Arrow/pandas wrapper owns the final output format."""
+    carry: _NumpyBatch | None = None
+
+    def _len(b: _NumpyBatch) -> int:
+        return len(b["image_id"])
+
+    def _slice(b: _NumpyBatch, lo: int, hi: int) -> _NumpyBatch:
+        return {k: v[lo:hi] for k, v in b.items()}
+
+    def process(pdf: _NumpyBatch, is_last: bool) -> tuple[tuple[dict, list], _NumpyBatch | None]:
+        img = pdf["image_id"]
+        cat = pdf["category_id"]
+        if not is_last and _len(pdf):
             # hold back the trailing (possibly incomplete) group: find
             # the first row index of the batch's last (image, category)
             in_last = (img == img[-1]) & (cat == cat[-1])
             tail_start = (
                 int(len(img) - in_last[::-1].argmin()) if not in_last.all() else 0
             )
-            head, tail = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
+            head, tail = _slice(pdf, 0, tail_start), _slice(pdf, tail_start, _len(pdf))
         else:
             head, tail = pdf, None
         out: list = []
         cols: dict[str, list[np.ndarray]] = {c: [] for c in _OUT_COLS}
-        if len(head):
-            h_img = head["image_id"].to_numpy()
-            h_cat = head["category_id"].to_numpy()
-            ids = head["id"].to_numpy()
-            boxes = head[
-                ["box_x_min", "box_y_min", "box_width", "box_height"]
-            ].to_numpy(dtype=float)
-            is_gt = head["is_groundtruth"].to_numpy(dtype=bool)
-            conf = head["confidence"].to_numpy(dtype=float)
+        if _len(head):
+            h_img = head["image_id"]
+            h_cat = head["category_id"]
+            ids = head["id"]
+            boxes = np.column_stack(
+                [
+                    head["box_x_min"],
+                    head["box_y_min"],
+                    head["box_width"],
+                    head["box_height"],
+                ]
+            ).astype(float)
+            is_gt = head["is_groundtruth"].astype(bool)
+            conf = head["confidence"].astype(float)
             change = np.nonzero((h_img[1:] != h_img[:-1]) | (h_cat[1:] != h_cat[:-1]))[0] + 1
             starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(head)]))
+            ends = np.concatenate((change, [_len(head)]))
 
             # bulk paths: per-group python costs ~300µs in numpy-call
             # overhead, so the dominant tiny shapes are vectorized
@@ -368,6 +396,21 @@ def _match_batches(
                 g_ends = ends[general]
                 g_ngt = n_gt_per[general]
                 g_npr = n_pr_per[general]
+                # the packed shape key mis-decodes at n_pr >= 100000
+                # (e.g. (g, 100000) packs like (g+1, 0)) — route such
+                # monster groups straight to the per-group kernel
+                huge = g_npr >= 100000
+                if huge.any():
+                    for s, e in zip(g_starts[huge], g_ends[huge]):
+                        _match_group_arrays(
+                            int(h_img[s]), int(h_cat[s]),
+                            ids[s:e], boxes[s:e], is_gt[s:e],
+                            conf[s:e], out, min_iou=min_iou,
+                        )
+                    g_starts = g_starts[~huge]
+                    g_ends = g_ends[~huge]
+                    g_ngt = g_ngt[~huge]
+                    g_npr = g_npr[~huge]
                 shape_key = g_ngt * 100000 + g_npr
                 for key in np.unique(shape_key):
                     sel = shape_key == key
@@ -387,46 +430,95 @@ def _match_batches(
                         ss, n_gt_s, n_pr_s, emit, min_iou,
                     )
 
-        frames = []
-        if len(cols["image_id"]) > 0:
-            arr = {c: np.concatenate(cols[c]) for c in _OUT_COLS}
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "image_id": arr["image_id"].astype("int64"),
-                        "category_id": arr["category_id"].astype("int32"),
-                        "prediction_id": pd.array(
-                            arr["prediction_id"], dtype="Int64"
-                        ),
-                        "groundtruth_id": pd.array(
-                            arr["groundtruth_id"], dtype="Int64"
-                        ),
-                        "iou": pd.array(arr["iou"], dtype="Float64"),
-                        "confidence": pd.array(arr["confidence"], dtype="Float64"),
-                    }
-                )
-            )
-        if out:
-            frames.append(pd.DataFrame(out, columns=_OUT_COLS))
-        result = (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else pd.DataFrame(columns=_OUT_COLS)
+        arr = (
+            {c: np.concatenate(cols[c]) for c in _OUT_COLS}
+            if cols["image_id"]
+            else None
         )
-        return result, tail
+        return (arr, out), tail
 
-    batch_list = list(batches)
-    for i, pdf in enumerate(batch_list):
+    # one-batch lookahead: is_last is known without materializing the
+    # whole partition's batches up front
+    it = iter(batches)
+    try:
+        cur = next(it)
+    except StopIteration:
+        return
+    while True:
+        try:
+            nxt = next(it)
+            is_last = False
+        except StopIteration:
+            nxt = None
+            is_last = True
         if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
+            cur = {k: np.concatenate([carry[k], cur[k]]) for k in cur}
             carry = None
-        result, carry = process(pdf, is_last=(i == len(batch_list) - 1))
-        if len(result):
+        result, carry = process(cur, is_last=is_last)
+        if result[0] is not None or result[1]:
             yield result
-    if carry is not None and len(carry):
+        if is_last:
+            break
+        cur = nxt
+    if carry is not None and _len(carry):
         result, _ = process(carry, is_last=True)
-        if len(result):
+        if result[0] is not None or result[1]:
             yield result
+
+
+def _result_to_arrow(arr: dict | None, out: list):
+    """Assemble one kernel result into a pyarrow RecordBatch matching
+    MATCH_SCHEMA (nan in the float scratch arrays == SQL NULL)."""
+    import pyarrow as pa
+
+    def nullable_long(a: np.ndarray) -> "pa.Array":
+        mask = np.isnan(a)
+        return pa.array(
+            np.where(mask, 0, a).astype("int64"), type=pa.int64(), mask=mask
+        )
+
+    def nullable_double(a: np.ndarray) -> "pa.Array":
+        return pa.array(a, type=pa.float64(), mask=np.isnan(a))
+
+    if out:
+        # rare per-group-kernel rows (python tuples, None == NULL):
+        # fold them into the columnar arrays
+        o = {
+            c: np.array(
+                [np.nan if r[i] is None else r[i] for r in out], dtype=float
+            )
+            for i, c in enumerate(_OUT_COLS)
+        }
+        if arr is None:
+            arr = o
+        else:
+            arr = {c: np.concatenate([arr[c], o[c]]) for c in _OUT_COLS}
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(arr["image_id"].astype("int64"), type=pa.int64()),
+            pa.array(arr["category_id"].astype("int32"), type=pa.int32()),
+            nullable_long(arr["prediction_id"]),
+            nullable_long(arr["groundtruth_id"]),
+            nullable_double(arr["iou"]),
+            nullable_double(arr["confidence"]),
+        ],
+        names=_OUT_COLS,
+    )
+
+
+def _match_batches_arrow(batches, min_iou: float = 0.0):
+    """mapInArrow kernel: pyarrow RecordBatch in/out, numpy in between —
+    no pandas materialization on either side of the hot loop."""
+    def to_numpy(batch) -> _NumpyBatch:
+        return {
+            name: batch.column(i).to_numpy(zero_copy_only=False)
+            for i, name in enumerate(batch.schema.names)
+        }
+
+    for arr, out in _match_batches(
+        (to_numpy(b) for b in batches), min_iou=min_iou
+    ):
+        yield _result_to_arrow(arr, out)
 
 
 def compute_matches(
@@ -474,12 +566,12 @@ def compute_matches(
     # group's gt and pred rows in different partitions. The derived
     # expression forces a real exchange and still co-locates groups.
     part_key = F.pmod(F.hash(F.col("image_id")), F.lit(int(n)))
-    arranged = both.repartition(int(n), part_key).sortWithinPartitions(
-        "image_id", "category_id", "is_groundtruth", "id"
-    )
+    arranged = both.select(*_IN_COLS).repartition(
+        int(n), part_key
+    ).sortWithinPartitions("image_id", "category_id", "is_groundtruth", "id")
     thr = float(min_iou)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _match_batches(batches, min_iou=thr)
+    def kernel(batches):
+        return _match_batches_arrow(batches, min_iou=thr)
 
-    return arranged.mapInPandas(kernel, MATCH_SCHEMA)
+    return arranged.mapInArrow(kernel, MATCH_SCHEMA)

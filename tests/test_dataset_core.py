@@ -407,6 +407,93 @@ def test_iloc_rejects_bad_index(tiny_dataset):
         tiny_dataset.iloc["nope"]
 
 
+def test_iloc_reversed_and_open_slices_match_pandas(tiny_dataset):
+    """Every slice shape resolves to a range predicate (no literal
+    position list) and agrees with pandas positional semantics."""
+    ids = list(range(40))  # tiny_dataset images are ids 0..39 in order
+    for sl in [
+        slice(None, None, -1),
+        slice(30, 5, -4),
+        slice(-3, None, -1),
+        slice(None, -35, -2),
+        slice(5, None, 7),
+        slice(None, None, 11),
+        slice(-10, None, 3),
+    ]:
+        got = sorted(r["id"] for r in tiny_dataset.iloc[sl].images.collect())
+        want = sorted(ids[sl])
+        assert got == want, sl
+
+
+def test_iloc_boolean_mask(tiny_dataset):
+    """Boolean-mask indexing (reference indexing.py:32-56): a Python
+    bool list selects by position; a pyspark Column filters directly."""
+    import pytest
+
+    mask = [i % 3 == 0 for i in range(40)]
+    sub = tiny_dataset.iloc[mask]
+    assert sorted(r["id"] for r in sub.images.collect()) == [
+        i for i in range(40) if i % 3 == 0
+    ]
+    # pandas parity on the same mask
+    import pandas as pd
+
+    want = list(pd.Series(range(40))[mask])
+    assert sorted(r["id"] for r in sub.images.collect()) == want
+    # length mismatch raises like pandas
+    with pytest.raises(IndexError):
+        tiny_dataset.iloc[[True, False]]
+    # Column predicate: the scalable mask spelling
+    col_sub = tiny_dataset.iloc[F.col("id") % 3 == 0]
+    assert sorted(r["id"] for r in col_sub.images.collect()) == want
+    # annotations follow the selected images (semi-join propagation)
+    assert (
+        col_sub.annotations.filter(F.col("image_id") % 3 != 0).count() == 0
+    )
+
+
+def test_iloc_boolean_mask_matches_pandas_hypothesis(tiny_dataset):
+    """Hypothesis: arbitrary boolean masks agree with pandas boolean
+    indexing over the same 40-position table."""
+    import pytest
+
+    pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pandas as pd
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(mask=st.lists(st.booleans(), min_size=40, max_size=40))
+    def check(mask):
+        got = sorted(
+            r["id"] for r in tiny_dataset.iloc[mask].images.collect()
+        )
+        assert got == list(pd.Series(range(40))[mask])
+
+    check()
+
+
+def test_iloc_long_position_list_uses_semi_join(tiny_dataset):
+    """Position lists past the isin-literal cap still select correctly
+    (broadcast semi-join path)."""
+    from lours_spark.dataset.core import _ILocIndexer
+
+    old = _ILocIndexer._ISIN_LITERAL_MAX
+    _ILocIndexer._ISIN_LITERAL_MAX = 5
+    try:
+        sub = tiny_dataset.iloc[[0, 3, 5, 7, 11, 13, 17, 19]]
+        assert sorted(r["id"] for r in sub.images.collect()) == [
+            0, 3, 5, 7, 11, 13, 17, 19,
+        ]
+    finally:
+        _ILocIndexer._ISIN_LITERAL_MAX = old
+
+
 def test_reference_parity_delegates(tiny_dataset, tmp_path):
     """Reference Dataset-method call sites port verbatim to the facade."""
     renamed = tiny_dataset.rename("other")
@@ -434,6 +521,31 @@ def test_reference_parity_delegates(tiny_dataset, tmp_path):
         F.countDistinct("split").alias("k")
     )
     assert per_img.filter(F.col("k") > 1).count() == 0
+    # second pass: EVERY image has a split, including annotation-less
+    # ones (reference Dataset.split doctest: 200 images, 2 annotations,
+    # all images assigned)
+    assert bal.images.filter(F.col("split").isNull()).count() == 0
+
+
+def test_split_assigns_annotationless_images(spark, tiny_dataset):
+    """Images with no annotations still get split assignments at the
+    residual target shares (reference second pass)."""
+    extra = spark.createDataFrame(
+        [(1000 + i, f"img_{1000 + i}.jpg", 640, 480) for i in range(60)],
+        "id long, relative_path string, width int, height int",
+    )
+    ds = tiny_dataset.from_template(
+        images=tiny_dataset.images.unionByName(extra, allowMissingColumns=True)
+    )
+    out = ds.split(split_names=("train", "valid"), target_split_shares=(0.5, 0.5))
+    assert out.images.filter(F.col("split").isNull()).count() == 0
+    got = {
+        r["split"]: r["n"]
+        for r in out.images.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # both splits get a sensible share of the 100 images
+    assert set(got) == {"train", "valid"}
+    assert min(got.values()) >= 25
 
     with tiny_dataset.annotation_append() as app:
         app.append(image_id=0, category_id=1, bbox=[1.0, 1.0, 2.0, 2.0])
