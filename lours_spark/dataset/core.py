@@ -146,14 +146,17 @@ class SparkDataset:
         ``dataset.py:943-948`` unique ids, ``dataset.py:990-998`` FK
         integrity — run here as explicit actions).
 
-        TWO jobs total: one pass over annotations (joined once to the
+        ONE job total: one pass over annotations (joined once to the
         image-id side for FK checks, then a single groupBy(id) +
         global aggregate folds duplicate/orphan/unknown counts
-        together) and one tiny duplicate-id job on images — not one
-        action per metric, which would rescan the annotation table
-        four times at 100 TB."""
+        together) cross-joined with the tiny duplicate-image-id
+        aggregate, collected in a single action — not one action per
+        metric, which would rescan the annotation table four times at
+        100 TB."""
         dup_images = (
-            self.images.groupBy("id").count().filter(F.col("count") > 1).count()
+            self.images.groupBy("id")
+            .count()
+            .agg(F.count(F.when(F.col("count") > 1, 1)).alias("dup_img"))
         )
         known = (
             F.col("category_id").isin(list(self.label_map.keys()))
@@ -175,13 +178,14 @@ class SparkDataset:
                 F.count(F.when(~known, 1)).alias("__unknown"),
             )
         )
-        row = per_id.agg(
+        ann_agg = per_id.agg(
             F.count(F.when(F.col("__n") > 1, 1)).alias("dup_ann"),
             F.sum("__orphans").alias("orphans"),
             F.sum("__unknown").alias("unknown"),
-        ).collect()[0]
+        )
+        row = ann_agg.crossJoin(dup_images).collect()[0]
         return {
-            "duplicate_image_ids": dup_images,
+            "duplicate_image_ids": int(row["dup_img"] or 0),
             "duplicate_annotation_ids": int(row["dup_ann"] or 0),
             "orphan_annotations": int(row["orphans"] or 0),
             "unknown_categories": int(row["unknown"] or 0),

@@ -547,6 +547,8 @@ def test_split_assigns_annotationless_images(spark, tiny_dataset):
     assert set(got) == {"train", "valid"}
     assert min(got.values()) >= 25
 
+
+def test_append_and_coco_roundtrip_delegates(tiny_dataset, tmp_path):
     with tiny_dataset.annotation_append() as app:
         app.append(image_id=0, category_id=1, bbox=[1.0, 1.0, 2.0, 2.0])
     assert app.result.len_annot() == tiny_dataset.len_annot() + 1
