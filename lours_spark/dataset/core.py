@@ -865,18 +865,26 @@ class SparkDataset:
 
         return dataset_to_coco(self, output_dir)
 
-    def to_caipy(self, output_root: str) -> None:
+    def to_caipy(self, output_root: str, **kw) -> None:
         from lours_spark.io.caipy import dataset_to_caipy
 
-        dataset_to_caipy(self, output_root)
+        dataset_to_caipy(self, output_root, **kw)
 
-    def to_caipy_generic(self, output_root: str) -> None:
-        """Reference ``to_caipy_generic`` (separate image/annotation
-        dirs) — same caipy layout writer here; the directory split is
-        the caipy root convention already."""
-        from lours_spark.io.caipy import dataset_to_caipy
+    def to_caipy_generic(
+        self,
+        output_images_folder: str | None,
+        output_annotations_folder: str,
+        **kw,
+    ) -> None:
+        """cAIpy write into caller-chosen image/annotation folders
+        (reference ``Dataset.to_caipy_generic``,
+        ``dataset.py:4983-5049``). ``output_images_folder=None`` writes
+        annotations only (prediction-set export)."""
+        from lours_spark.io.caipy import dataset_to_caipy_generic
 
-        dataset_to_caipy(self, output_root)
+        dataset_to_caipy_generic(
+            self, output_images_folder, output_annotations_folder, **kw
+        )
 
     def to_darknet(self, output_dir: str) -> None:
         from lours_spark.io.darknet import dataset_to_darknet

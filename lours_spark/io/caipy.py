@@ -251,11 +251,19 @@ def from_caipy_generic(
     )
 
 
-def dataset_to_caipy(ds: SparkDataset, output_root: str) -> None:
-    """Write the cAIpy tree (reference ``io/caipy.py:352-695``): one
-    JSON per image, grouped and serialized on the executors. Tracked
-    booleanized columns are gathered back into list columns first
-    (the reference debooleanizes before export, ``caipy.py:584``)."""
+def _flatten_relative_path(rel: str) -> str:
+    """Reference flatten_paths semantics (``io/caipy.py:458-466``):
+    strip a leading split directory, then join the remaining parts
+    with underscores so every file lands in the split root."""
+    parts = [p for p in rel.replace("\\", "/").split("/") if p]
+    if parts and parts[0] in ("train", "valid", "eval"):
+        parts = parts[1:]
+    return "_".join(parts) if parts else rel
+
+
+def _per_image_docs(ds: SparkDataset) -> tuple[DataFrame, bool]:
+    """images ⟕ collect_list(annotation struct) — the one-JSON-per-image
+    document frame both caipy writers emit from."""
     if ds.booleanized_columns:
         from lours_spark.operators.booleanize import debooleanize
 
@@ -266,7 +274,6 @@ def dataset_to_caipy(ds: SparkDataset, output_root: str) -> None:
             except ValueError:
                 pass  # stale prefix (columns pruned downstream)
         ds = ds.from_template(annotations=ann, booleanized_columns={})
-    img_cols = [c for c in ds.images.columns if c != "split"]
     # image_id is implied by the enclosing document — exclude it from
     # the per-annotation struct (restored on read from image.id)
     ann_cols = [c for c in ds.annotations.columns if c not in ("split", "image_id")]
@@ -274,7 +281,6 @@ def dataset_to_caipy(ds: SparkDataset, output_root: str) -> None:
         c in ann_cols
         for c in ("box_x_min", "box_y_min", "box_width", "box_height")
     )
-
     per_image = (
         ds.annotations.withColumn(
             "__a", F.struct(*[F.col(c) for c in ann_cols])
@@ -285,11 +291,81 @@ def dataset_to_caipy(ds: SparkDataset, output_root: str) -> None:
     joined = ds.images.join(
         per_image, ds.images.id == per_image.image_id, "left"
     ).drop("image_id")
+    return joined, has_bbox
 
-    splits = [s for s, _ in ds.iter_splits()] if "split" in ds.images.columns else [None]
+
+def _write_caipy_split(
+    sub: DataFrame,
+    ann_dir: str,
+    img_dir: str | None,
+    images_root: str,
+    has_bbox: bool,
+    flatten_paths: bool = True,
+    copy_images: bool = True,
+    overwrite_images: bool = True,
+    overwrite_labels: bool = True,
+) -> None:
+    """Write one split's JSON (and optionally image) files from the
+    executors (reference ``split_to_caipy``, ``io/caipy.py:352-466``).
+    The image object serializes ``relative_path`` as ``file_name``
+    (the caipy key — ``from_caipy`` renames it back on read), and the
+    JSON file is named after the image file stem so the reference's
+    stem-match validation (``caipy.py:63-67``) holds on our output."""
+    os.makedirs(ann_dir, exist_ok=True)
+    if img_dir is not None:
+        os.makedirs(img_dir, exist_ok=True)
+
+    def write_partition(rows):
+        import shutil
+
+        for r in rows:
+            d = r.asDict(recursive=True)
+            anns = d.pop("__anns", None) or []
+            image = {k: v for k, v in d.items() if k != "split"}
+            rel = image.pop("relative_path", None)
+            if rel is not None:
+                out_rel = _flatten_relative_path(rel) if flatten_paths else rel
+                image["file_name"] = out_rel
+                stem = os.path.splitext(os.path.basename(out_rel))[0]
+            else:
+                stem = str(image["id"])
+            if has_bbox:
+                for a in anns:
+                    a["bbox"] = [
+                        a.pop("box_x_min"),
+                        a.pop("box_y_min"),
+                        a.pop("box_width"),
+                        a.pop("box_height"),
+                    ]
+            doc = {"image": image, "annotations": anns}
+            out_json = os.path.join(ann_dir, f"{stem}.json")
+            if overwrite_labels or not os.path.exists(out_json):
+                with open(out_json, "w") as f:
+                    json.dump(doc, f, default=str)
+            if img_dir is not None and rel is not None:
+                src = os.path.join(images_root, rel)
+                dst = os.path.join(
+                    img_dir, image.get("file_name", os.path.basename(rel))
+                )
+                if os.path.exists(dst) and not overwrite_images:
+                    continue
+                if copy_images:
+                    shutil.copyfile(src, dst)
+                else:
+                    if os.path.lexists(dst):
+                        os.remove(dst)
+                    os.symlink(os.path.abspath(src), dst)
+
+    sub.foreachPartition(write_partition)
+
+
+def _iter_split_frames(joined: DataFrame, ds: SparkDataset):
+    splits = (
+        [s for s, _ in ds.iter_splits()]
+        if "split" in ds.images.columns
+        else [None]
+    )
     for split in splits:
-        out_dir = os.path.join(output_root, "Annotations", split or "default")
-        os.makedirs(out_dir, exist_ok=True)
         sub = (
             joined.filter(
                 F.col("split").isNull()
@@ -299,22 +375,82 @@ def dataset_to_caipy(ds: SparkDataset, output_root: str) -> None:
             if "split" in joined.columns
             else joined
         )
+        yield split, sub
 
-        def write_partition(rows, out_dir=out_dir):
-            for r in rows:
-                d = r.asDict(recursive=True)
-                anns = d.pop("__anns", None) or []
-                image = {k: v for k, v in d.items() if k != "split"}
-                if has_bbox:
-                    for a in anns:
-                        a["bbox"] = [
-                            a.pop("box_x_min"),
-                            a.pop("box_y_min"),
-                            a.pop("box_width"),
-                            a.pop("box_height"),
-                        ]
-                doc = {"image": image, "annotations": anns}
-                with open(os.path.join(out_dir, f"{image['id']}.json"), "w") as f:
-                    json.dump(doc, f, default=str)
 
-        sub.foreachPartition(write_partition)
+def dataset_to_caipy(
+    ds: SparkDataset,
+    output_root: str,
+    copy_images: bool = False,
+    flatten_paths: bool = True,
+    overwrite_images: bool = True,
+    overwrite_labels: bool = True,
+) -> None:
+    """Write the standard cAIpy tree ``{root}/Annotations/{split}`` (+
+    ``{root}/Images/{split}`` when ``copy_images``) — reference
+    ``io/caipy.py:352-695``: one JSON per image, grouped and serialized
+    on the executors. Tracked booleanized columns are gathered back
+    into list columns first (the reference debooleanizes before export,
+    ``caipy.py:584``)."""
+    joined, has_bbox = _per_image_docs(ds)
+    for split, sub in _iter_split_frames(joined, ds):
+        name = split or "default"
+        _write_caipy_split(
+            sub,
+            ann_dir=os.path.join(output_root, "Annotations", name),
+            img_dir=(
+                os.path.join(output_root, "Images", name) if copy_images else None
+            ),
+            images_root=ds.images_root,
+            has_bbox=has_bbox,
+            flatten_paths=flatten_paths,
+            copy_images=copy_images,
+            overwrite_images=overwrite_images,
+            overwrite_labels=overwrite_labels,
+        )
+
+
+def dataset_to_caipy_generic(
+    ds: SparkDataset,
+    output_images_folder: str | None,
+    output_annotations_folder: str,
+    copy_images: bool = True,
+    flatten_paths: bool = True,
+    overwrite_images: bool = True,
+    overwrite_labels: bool = True,
+) -> None:
+    """cAIpy write with EXPLICIT image/annotation folders (reference
+    ``dataset_to_caipy_generic``, ``io/caipy.py:352-466`` /
+    ``dataset.py:4983-5049``) — the shape used for prediction sets and
+    annotation variants that don't live under one root.
+
+    ``output_images_folder=None`` skips images entirely (reference
+    semantics: useful when saving only predictions). Datasets with a
+    ``split`` column write per-split subfolders under both roots, like
+    the reference's ``Images/{split}`` convention; splitless datasets
+    write directly into the given folders."""
+    joined, has_bbox = _per_image_docs(ds)
+    has_splits = "split" in ds.images.columns
+    for split, sub in _iter_split_frames(joined, ds):
+        if has_splits:
+            name = split or "default"
+            ann_dir = os.path.join(output_annotations_folder, name)
+            img_dir = (
+                os.path.join(output_images_folder, name)
+                if output_images_folder is not None
+                else None
+            )
+        else:
+            ann_dir = output_annotations_folder
+            img_dir = output_images_folder
+        _write_caipy_split(
+            sub,
+            ann_dir=ann_dir,
+            img_dir=img_dir,
+            images_root=ds.images_root,
+            has_bbox=has_bbox,
+            flatten_paths=flatten_paths,
+            copy_images=copy_images,
+            overwrite_images=overwrite_images,
+            overwrite_labels=overwrite_labels,
+        )
