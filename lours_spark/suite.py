@@ -2037,10 +2037,29 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_distributed(spark, sf_dir):
+    """Same clustering as ``dedup_clusters`` but FORCING the
+    distributed min-label-propagation path (driver_threshold=0) — the
+    scale-evidence twin: identical output, convergence bounded by
+    component diameter (near-dup clusters are shallow — a handful of
+    rounds), benched so the 100 TB path has a measured number instead
+    of an untested branch."""
+    from lours_spark.operators.dedup import ngram_jaccard_pairs
+    from lours_spark.split.chunks import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.3)
+    return connected_components(pairs, driver_threshold=0).select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component_id").alias("cluster_id"),
+    )
+
+
 QUERIES.update(
     {
         "bpe_token_count": q_bpe_token_count,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_distributed": q_dedup_clusters_distributed,
     }
 )
 _EXTRA_ORACLES.update({"bpe_token_count": _oracle_bpe})

@@ -195,3 +195,21 @@ def test_connected_components_hybrid(spark):
             for r in connected_components(pairs, driver_threshold=thresh).collect()
         }
         assert out == {1: 1, 5: 1, 9: 1, 10: 1, 2: 2, 3: 2}
+
+
+def test_dedup_clusters_distributed_agrees_on_real_pairs(spark):
+    """The forced-distributed CC twin (bench scale-evidence entry)
+    produces exactly the hybrid query's clusters on the real documents
+    pair set."""
+    from lours_spark.suite import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    hybrid = {
+        (r.doc_id, r.cluster_id)
+        for r in ALL_QUERIES["dedup_clusters"](spark, sf).collect()
+    }
+    forced = {
+        (r.doc_id, r.cluster_id)
+        for r in ALL_QUERIES["dedup_clusters_distributed"](spark, sf).collect()
+    }
+    assert hybrid == forced and len(hybrid) > 0
