@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "decontaminate",
     "repetition_signals",
     "stratified_sample",
+    # round 3: PII detection/redaction (codegen'd regexp pass)
+    "pii_signals",
     # round 2: complete facet coverage — every standalone gate facet is
     # timed, so BENCH covers exactly what the CORRECTNESS gate covers
     "filter_annotations_emptied",

@@ -2339,11 +2339,67 @@ GROUP BY lang
 """
 
 
+def q_pii_signals(spark, sf_dir):
+    """PII detection/redaction signals per document: match counts per
+    kind + redacted text length — pure regexp column expressions, one
+    codegen'd pass, no UDF. Deterministic synthetic PII (an email, an
+    IP and a phone number derived from doc_id) is injected into every
+    third document so the counts exercise all three patterns on both
+    engines."""
+    from lours_spark.operators.pii import pii_signals
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or call +1555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_pii = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, injected).otherwise(F.col("text")),
+    )
+    return pii_signals(with_pii)
+
+
+def _oracle_pii() -> str:
+    from lours_spark.operators.pii import PII_PATTERNS
+
+    email, _ = PII_PATTERNS["email"]
+    ipv4, _ = PII_PATTERNS["ipv4"]
+    phone, _ = PII_PATTERNS["phone"]
+    # the pattern strings use only Java-regex ∩ RE2 syntax, so they are
+    # passed to DuckDB verbatim (single-quoted: no escape processing)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      concat(text, ' contact user', doc_id, '@mail.example.com from 10.0.',
+             doc_id % 256, '.7 or call +1555',
+             lpad((doc_id % 10000)::VARCHAR, 4, '0'))
+    ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{email}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '{ipv4}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(text, '{phone}'))::BIGINT AS n_phone,
+  length(regexp_replace(regexp_replace(regexp_replace(text,
+    '{email}', '[EMAIL]', 'g'), '{ipv4}', '[IP]', 'g'),
+    '{phone}', '[PHONE]', 'g'))::BIGINT AS redacted_len
+FROM t
+"""
+
+
 QUERIES.update(
     {
         "decontaminate": q_decontaminate,
         "repetition_signals": q_repetition_signals,
         "stratified_sample": q_stratified_sample,
+        "pii_signals": q_pii_signals,
     }
 )
 _EXTRA_ORACLES.update(
@@ -2351,6 +2407,7 @@ _EXTRA_ORACLES.update(
         "decontaminate": _oracle_decontaminate,
         "repetition_signals": _oracle_repetition,
         "stratified_sample": _oracle_stratified,
+        "pii_signals": _oracle_pii,
     }
 )
 
@@ -2449,7 +2506,9 @@ _PAIRS: dict[str, tuple[str, str]] = {
     "forward_fill": ("forward_fill", "resample_count"),
 }
 
-_CURATION_FACETS = ("decontaminate", "repetition_signals", "stratified_sample")
+_CURATION_FACETS = (
+    "decontaminate", "repetition_signals", "stratified_sample", "pii_signals",
+)
 
 GATE_FACETS: dict[str, list[str]] = {
     **{k: list(v) for k, v in _PAIRS.items()},
@@ -2482,7 +2541,7 @@ _GATE_ORDER = [
 
 def q_pipeline_quality_gate(spark, sf_dir):
     """Curation-operator facets (decontamination ⊕ repetition signals ⊕
-    stratified sampling) as one NULL-padded facet union."""
+    stratified sampling ⊕ PII signals) as one NULL-padded facet union."""
     return _facet_union(
         *[(n, ALL_QUERIES[n](spark, sf_dir)) for n in _CURATION_FACETS]
     )
@@ -2564,6 +2623,9 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                     "top_bigram_count", "dup_trigram_excess",
                 ],
                 "stratified_sample": ["lang", "n_sampled"],
+                "pii_signals": [
+                    "doc_id", "n_email", "n_ipv4", "n_phone", "redacted_len",
+                ],
             }
             out[name] = _facet_union_sql(
                 *[(n, base[n], leg_cols[n]) for n in _CURATION_FACETS]

@@ -323,6 +323,45 @@ def test_repetition_signals_values(spark):
     assert out[3]["dup_trigram_excess"] == 0
 
 
+def test_pii_signals_and_redaction(spark):
+    """Counts, redaction tokens, and the density filter behave on known
+    PII strings; clean text is untouched."""
+    from lours_spark.operators.pii import (
+        filter_pii_dense,
+        pii_signals,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org or admin@a.io thanks"),
+        (2, "server 192.168.1.250 and 10.0.0.1 rebooted"),
+        (3, "call +33612345678 or 555-123-4567 today"),
+        (4, "perfectly clean prose with numbers 12345 and v1.2 inside"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_signals(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (2, 0, 0)
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 2, 0)
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_phone"]) == (0, 0, 2)
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (0, 0, 0)
+
+    red = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert red[1] == "mail me at [EMAIL] or [EMAIL] thanks"
+    assert red[2] == "server [IP] and [IP] rebooted"
+    assert red[3] == "call [PHONE] or [PHONE] today"
+    assert red[4] == rows[3][1]  # untouched
+
+    clean = filter_pii_dense(df)
+    assert [r["doc_id"] for r in clean.collect()] == [4]
+    loose = filter_pii_dense(df, max_total_pii=2)
+    assert sorted(r["doc_id"] for r in loose.collect()) == [1, 2, 3, 4]
+
+
 def test_stratified_sample_deterministic(spark):
     from lours_spark.operators.sampling import (
         deterministic_sample_n,
