@@ -409,7 +409,14 @@ def compute_precision_recall(
         from pyspark.storagelevel import StorageLevel
 
         curves = curves.persist(StorageLevel.MEMORY_AND_DISK)
-        curves.count()  # populate before the ap/ap_grid branches race
+        n_curve_rows = curves.count()  # populate before the branches race
+        if n_curve_rows <= 100_000:
+            # curve frames are tiny (groups × distinct confidences) but
+            # inherit the window shuffle's partitioning — fan the
+            # downstream AP jobs over a handful of tasks instead of 32
+            # near-empty ones (coalesce on a cached frame reads the
+            # cached blocks; nothing recomputes)
+            curves = curves.coalesce(4)
     aps = average_precisions(curves, group_cols)
     ap_grid = ap_at_recall_grid(curves, group_cols)
     return {"curves": curves, "ap": aps, "ap_grid": ap_grid}
