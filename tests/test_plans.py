@@ -105,6 +105,36 @@ def test_stratified_sample_is_pure_filter(spark, suite):
     assert "text" not in formatted.split("ReadSchema")[1].splitlines()[0]
 
 
+def test_cosine_topk_local_bounds_exchange(spark, suite):
+    """The default exact top-k plan: per-partition scoring+cut in one
+    python stage, with the ONLY row exchange above it (the survivor
+    merge) — no broadcast-nested-loop crossJoin of query x corpus, so
+    the exchange carries at most Q*k*partitions rows at any corpus
+    size."""
+    from lours_spark.operators.similarity import brute_force_topk
+    from lours_spark.suite import _t
+
+    emb = _t(spark, SF, "embeddings")
+    plan = _plan(brute_force_topk(emb, emb.filter("vec_id < 5"), k=3))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # the fused score+cut stage
+    # exactly one row exchange: the post-cut merge under the window
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_signals_single_pass_no_shuffle(spark, suite):
+    """PII signals are one codegen'd projection: no exchange, no python
+    stage, and the unused document columns never reach the scan."""
+    df = suite.q_pii_signals(spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    formatted = _formatted(df)
+    read_schema = formatted.split("ReadSchema")[1].splitlines()[0]
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+
 def test_embedding_near_dup_ivf_no_cartesian(spark, suite):
     """The IVF candidate path must stay bucketed — candidates come
     from the centroid equi-join, never an all-pairs product."""
