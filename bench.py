@@ -61,8 +61,10 @@ BENCH_QUERIES = [
     "decontaminate",
     "repetition_signals",
     "stratified_sample",
-    # round 3: PII detection/redaction (codegen'd regexp pass)
+    # round 3: PII detection/redaction (codegen'd regexp pass) +
+    # global paragraph-level dedup (Dolma-style)
     "pii_signals",
+    "paragraph_dedup",
     # round 2: complete facet coverage — every standalone gate facet is
     # timed, so BENCH covers exactly what the CORRECTNESS gate covers
     "filter_annotations_emptied",

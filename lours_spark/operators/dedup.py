@@ -55,6 +55,68 @@ def exact_duplicates(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Global paragraph-level exact dedup (the Dolma-style pass between
+    document-level dedup and quality filtering): every paragraph that
+    already appeared earlier in the corpus — in ANY document — is
+    removed; the first occurrence (lowest (doc id, position)) survives
+    and documents are reassembled with their remaining paragraphs in
+    original order.
+
+    Spark shape: posexplode → one row per paragraph; global first
+    occurrence via ``min(struct(id, pos))`` per paragraph value (an
+    aggregation, not a window — partial aggregation runs map-side so
+    the exchange carries one row per DISTINCT paragraph, not one per
+    paragraph occurrence); survivors rebuild with
+    ``array_sort(collect_list(struct(pos, para)))``. Two shuffles
+    total (paragraph hash + doc reassembly) regardless of corpus size;
+    paragraph strings never leave the executors except as hashes would
+    at true scale (the value itself is the join key here for oracle
+    exactness — swap in ``md5(para)`` as the key at 100 TB to keep the
+    exchange narrow).
+
+    Returns (id_col, text, n_paras_before, n_paras_after).
+    """
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    first = paras.groupBy("__para").agg(
+        F.min(F.struct("__id", "__pos")).alias("__first")
+    )
+    kept = paras.join(first, "__para").filter(
+        (F.col("__first.__id") == F.col("__id"))
+        & (F.col("__first.__pos") == F.col("__pos"))
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_paras_after"),
+    )
+    before = paras.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_paras_before")
+    )
+    return (
+        before.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_paras_before",
+            F.coalesce(F.col("n_paras_after"), F.lit(0)).alias("n_paras_after"),
+        )
+    )
+
+
 def with_minhash(
     df: DataFrame,
     id_col: str = "doc_id",

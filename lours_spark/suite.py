@@ -2394,12 +2394,71 @@ FROM t
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Global paragraph-level exact dedup (the Dolma-style pass):
+    paragraphs repeated anywhere in the corpus keep only their first
+    (doc, position) occurrence; documents reassemble in order. A shared
+    boilerplate paragraph is prepended to every 4th document so the
+    dedup has real work on both engines; the gate row is per-doc
+    paragraph counts plus the md5 of the reassembled text."""
+    from lours_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    with_boiler = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("SHARED BOILERPLATE FOOTER\n\n"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    out = paragraph_dedup(with_boiler)
+    return out.select(
+        "doc_id",
+        "n_paras_before",
+        "n_paras_after",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _oracle_paragraph_dedup() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+      THEN 'SHARED BOILERPLATE FOOTER' || chr(10) || chr(10) || text
+    ELSE text END AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM t
+), p AS (
+  SELECT doc_id, unnest(generate_series(1, len(parts))) AS i, parts FROM s
+), p2 AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS para FROM p
+), k AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM p2
+), r AS (
+  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+         count(*) AS n_paras_after
+  FROM k WHERE rn = 1 GROUP BY doc_id
+), b AS (
+  SELECT doc_id, count(*) AS n_paras_before FROM p2 GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_paras_before::BIGINT AS n_paras_before,
+       coalesce(r.n_paras_after, 0)::BIGINT AS n_paras_after,
+       md5(coalesce(r.text, '')) AS text_md5
+FROM b LEFT JOIN r USING (doc_id)
+"""
+
+
 QUERIES.update(
     {
         "decontaminate": q_decontaminate,
         "repetition_signals": q_repetition_signals,
         "stratified_sample": q_stratified_sample,
         "pii_signals": q_pii_signals,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 )
 _EXTRA_ORACLES.update(
@@ -2408,6 +2467,7 @@ _EXTRA_ORACLES.update(
         "repetition_signals": _oracle_repetition,
         "stratified_sample": _oracle_stratified,
         "pii_signals": _oracle_pii,
+        "paragraph_dedup": _oracle_paragraph_dedup,
     }
 )
 
@@ -2508,6 +2568,7 @@ _PAIRS: dict[str, tuple[str, str]] = {
 
 _CURATION_FACETS = (
     "decontaminate", "repetition_signals", "stratified_sample", "pii_signals",
+    "paragraph_dedup",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -2625,6 +2686,9 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 "stratified_sample": ["lang", "n_sampled"],
                 "pii_signals": [
                     "doc_id", "n_email", "n_ipv4", "n_phone", "redacted_len",
+                ],
+                "paragraph_dedup": [
+                    "doc_id", "n_paras_before", "n_paras_after", "text_md5",
                 ],
             }
             out[name] = _facet_union_sql(

@@ -323,6 +323,28 @@ def test_repetition_signals_values(spark):
     assert out[3]["dup_trigram_excess"] == 0
 
 
+def test_paragraph_dedup_global_first_occurrence(spark):
+    """Repeated paragraphs keep only their first (doc, pos) occurrence
+    corpus-wide; docs reassemble in original order; fully-duplicated
+    docs come back empty with their before-count intact."""
+    from lours_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\n\nshared one\n\nbeta"),
+        (2, "shared one\n\ngamma\n\nshared two"),
+        (3, "shared two\n\nshared one"),  # nothing survives
+        (4, "delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    got = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert got[1]["text"] == "alpha\n\nshared one\n\nbeta"
+    assert got[2]["text"] == "gamma\n\nshared two"
+    assert got[3]["text"] == "" and got[3]["n_paras_after"] == 0
+    assert got[4]["text"] == "delta"
+    assert got[3]["n_paras_before"] == 2
+    assert got[2]["n_paras_before"] == 3 and got[2]["n_paras_after"] == 2
+
+
 def test_pii_signals_and_redaction(spark):
     """Counts, redaction tokens, and the density filter behave on known
     PII strings; clean text is untouched."""
