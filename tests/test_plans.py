@@ -123,6 +123,32 @@ def test_cosine_topk_local_bounds_exchange(spark, suite):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_pr_curves_single_matcher_pass(spark, suite):
+    """The PR-curve frame must execute the greedy matcher exactly once:
+    the pad points are emitted inside the window pass. A pad-union
+    regression re-runs the whole matcher per union leg (exchange reuse
+    does not cover map-side python stages) — that bug showed as 3
+    MapInArrow nodes in this exact plan."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.evaluation.evaluator import precision_recall_curves
+    from lours_spark.evaluation.matching import compute_matches
+    from lours_spark.functions.bbox import import_bbox
+    from lours_spark.suite import _boxes
+
+    ann = import_bbox(
+        _boxes(spark, SF), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
+    ).withColumn("category_id", (F.col("id") % 3).cast("int"))
+    pred = ann.withColumn("id", F.col("id") + 10000000).withColumn(
+        "confidence", ((F.col("id") % 97).cast("double") / 97.0)
+    )
+    curves = precision_recall_curves(
+        compute_matches(ann, pred), [0.2, 0.5], ["category_id"]
+    )
+    plan = _plan(curves)
+    assert plan.count("MapInArrow") == 1
+
+
 def test_pii_signals_single_pass_no_shuffle(spark, suite):
     """PII signals are one codegen'd projection: no exchange, no python
     stage, and the unused document columns never reach the scan."""
