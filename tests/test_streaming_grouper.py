@@ -49,6 +49,52 @@ def test_streaming_hourly_rollup(spark, tmp_path):
     assert out[(11, "view")] == 1
 
 
+def test_streaming_curation_operators_unchanged(spark, tmp_path):
+    """The curation operators are stateless column transforms, so the
+    SAME functions run over a Structured Streaming source untouched —
+    unified batch/stream: pii_signals + quality/language columns on a
+    file stream, drained with availableNow."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.functions.text import language_id, quality_score
+    from lours_spark.operators.pii import pii_signals, redact_pii
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog went to the market"),
+        (2, "email me at a@b.co from 10.1.2.3"),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    data_dir = str(tmp_path / "docs_in")
+    src.write.parquet(data_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(data_dir)
+    )
+    assert stream.isStreaming
+    out = pii_signals(stream).join(
+        stream.select(
+            "doc_id",
+            language_id(F.col("text")).alias("lang_pred"),
+            quality_score(F.col("text")).alias("quality"),
+            redact_pii(F.col("text")).alias("redacted"),
+        ),
+        "doc_id",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curation_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.table("curation_stream").collect()}
+    assert got[1]["n_email"] == 0 and got[1]["lang_pred"] == "en"
+    assert got[2]["n_email"] == 1 and got[2]["n_ipv4"] == 1
+    assert got[2]["redacted"] == "email me at [EMAIL] from [IP]"
+
+
 def test_streaming_sessions(spark, tmp_path):
     import datetime as dt
 
