@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     # global paragraph-level dedup (Dolma-style)
     "pii_signals",
     "paragraph_dedup",
+    "table_profile",
     # round 2: complete facet coverage — every standalone gate facet is
     # timed, so BENCH covers exactly what the CORRECTNESS gate covers
     "filter_annotations_emptied",

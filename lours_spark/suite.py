@@ -2452,6 +2452,43 @@ FROM b LEFT JOIN r USING (doc_id)
 """
 
 
+def q_table_profile(spark, sf_dir):
+    """Data-profiling pass over lineitem's numeric measure columns: ONE
+    wide aggregation (single exchange of a single row) unpivoted to
+    long form — counts, null rate, exact distinct, range, mean, exact
+    p50/p90/p99. Mean and quantiles round to 6dp (summation order and
+    interpolation ulps differ across engines)."""
+    from lours_spark.operators.profile import profile_table
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = profile_table(l, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "column", "n", "n_null", "distinct",
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("mean", 6).alias("mean"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
+def _oracle_table_profile() -> str:
+    legs = []
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        legs.append(f"""
+SELECT '{c}' AS column, count({c}) AS n,
+  count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+  count(DISTINCT {c})::BIGINT AS distinct,
+  round(min({c})::DOUBLE, 6) AS min, round(max({c})::DOUBLE, 6) AS max,
+  round(avg({c}), 6) AS mean,
+  round(quantile_cont({c}, 0.5)::DOUBLE, 6) AS p50,
+  round(quantile_cont({c}, 0.9)::DOUBLE, 6) AS p90,
+  round(quantile_cont({c}, 0.99)::DOUBLE, 6) AS p99
+FROM lineitem""")
+    return " UNION ALL ".join(legs)
+
+
 QUERIES.update(
     {
         "decontaminate": q_decontaminate,
@@ -2459,6 +2496,7 @@ QUERIES.update(
         "stratified_sample": q_stratified_sample,
         "pii_signals": q_pii_signals,
         "paragraph_dedup": q_paragraph_dedup,
+        "table_profile": q_table_profile,
     }
 )
 _EXTRA_ORACLES.update(
@@ -2468,6 +2506,7 @@ _EXTRA_ORACLES.update(
         "stratified_sample": _oracle_stratified,
         "pii_signals": _oracle_pii,
         "paragraph_dedup": _oracle_paragraph_dedup,
+        "table_profile": _oracle_table_profile,
     }
 )
 
@@ -2568,7 +2607,7 @@ _PAIRS: dict[str, tuple[str, str]] = {
 
 _CURATION_FACETS = (
     "decontaminate", "repetition_signals", "stratified_sample", "pii_signals",
-    "paragraph_dedup",
+    "paragraph_dedup", "table_profile",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -2689,6 +2728,10 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 ],
                 "paragraph_dedup": [
                     "doc_id", "n_paras_before", "n_paras_after", "text_md5",
+                ],
+                "table_profile": [
+                    "column", "n", "n_null", "distinct", "min", "max",
+                    "mean", "p50", "p90", "p99",
                 ],
             }
             out[name] = _facet_union_sql(

@@ -323,6 +323,34 @@ def test_repetition_signals_values(spark):
     assert out[3]["dup_trigram_excess"] == 0
 
 
+def test_profile_table_metrics(spark):
+    """Exact metrics on a known frame; approximate mode keeps the
+    schema and the exact count/min/max/mean while sketching distinct
+    and quantiles."""
+    import pytest as _pytest
+
+    from lours_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(float(i), i % 3, None if i == 9 else i) for i in range(10)],
+        "x double, y int, z int",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["x"]["n"] == 10 and got["x"]["n_null"] == 0
+    assert got["x"]["min"] == 0.0 and got["x"]["max"] == 9.0
+    assert got["x"]["mean"] == _pytest.approx(4.5)
+    assert got["x"]["p50"] == _pytest.approx(4.5)  # linear interpolation
+    assert got["y"]["distinct"] == 3
+    assert got["z"]["n"] == 9 and got["z"]["n_null"] == 1
+
+    approx = {r["column"]: r for r in profile_table(df, approximate=True).collect()}
+    assert approx["x"]["n"] == 10 and approx["x"]["max"] == 9.0
+    assert set(approx["x"].asDict()) == set(got["x"].asDict())
+
+    with _pytest.raises(ValueError):
+        profile_table(spark.createDataFrame([("a",)], "s string"))
+
+
 def test_paragraph_dedup_global_first_occurrence(spark):
     """Repeated paragraphs keep only their first (doc, pos) occurrence
     corpus-wide; docs reassemble in original order; fully-duplicated
