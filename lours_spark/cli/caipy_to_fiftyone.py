@@ -170,11 +170,20 @@ def run(argv: list[str] | None = None) -> int:
                 checkpoint_dir=os.path.join(tmp, "ckpt"),
             )
             try:
+                # refresh fiftyone once per NEW progress entry that
+                # delivered rows — lastProgress lingers until the next
+                # (possibly empty) micro-batch replaces it, so keying
+                # on batchId avoids one full reconversion per second
+                # after a single file drop
+                last_refreshed_batch = -1
                 while query.isActive:
-                    # refresh fiftyone whenever the stream delivered data
-                    if query.lastProgress and (
-                        query.lastProgress.get("numInputRows") or 0
+                    progress = query.lastProgress
+                    if (
+                        progress
+                        and (progress.get("numInputRows") or 0)
+                        and progress.get("batchId", -1) != last_refreshed_batch
                     ):
+                        last_refreshed_batch = progress.get("batchId", -1)
                         ds, _ = _load(spark, args)
                         fo_dataset.delete()
                         fo_dataset = dataset_to_fiftyone(ds, name)

@@ -466,13 +466,36 @@ def _match_batches(
             yield result
 
 
+def _none_if_nan(v):
+    """nan == SQL NULL in the kernel's scratch values (tuple rows may
+    carry either None or nan for a missing iou/confidence)."""
+    if v is None:
+        return None
+    f = float(v)
+    return None if f != f else f
+
+
 def _result_to_arrow(arr: dict | None, out: list):
-    """Assemble one kernel result into a pyarrow RecordBatch matching
-    MATCH_SCHEMA (nan in the float scratch arrays == SQL NULL)."""
+    """Assemble one kernel result into pyarrow RecordBatches matching
+    MATCH_SCHEMA (nan in the float scratch arrays == SQL NULL).
+
+    Returns a LIST of batches: the bulk-path columnar arrays and the
+    per-group-kernel tuple rows become separate batches so the tuple
+    rows' ids stay exact Python ints end-to-end — never folded through
+    float64 (which would silently round ids >= 2**53). The bulk path's
+    nullable prediction/groundtruth ids still ride a float64 scratch
+    array, bounding THOSE ids to exact-at-2**53; asserted below."""
     import pyarrow as pa
 
     def nullable_long(a: np.ndarray) -> "pa.Array":
         mask = np.isnan(a)
+        # float64 scratch is exact only up to 2**53 — fail loud rather
+        # than emit a rounded id (bulk path only; tuple rows are exact)
+        if a.size and np.nanmax(np.abs(a), initial=0.0) >= 2.0**53:
+            raise ValueError(
+                "annotation id magnitude >= 2**53 is not representable in"
+                " the match kernel's float64 scratch columns"
+            )
         return pa.array(
             np.where(mask, 0, a).astype("int64"), type=pa.int64(), mask=mask
         )
@@ -480,30 +503,49 @@ def _result_to_arrow(arr: dict | None, out: list):
     def nullable_double(a: np.ndarray) -> "pa.Array":
         return pa.array(a, type=pa.float64(), mask=np.isnan(a))
 
-    if out:
-        # rare per-group-kernel rows (python tuples, None == NULL):
-        # fold them into the columnar arrays
-        o = {
-            c: np.array(
-                [np.nan if r[i] is None else r[i] for r in out], dtype=float
+    batches = []
+    if arr is not None:
+        batches.append(
+            pa.RecordBatch.from_arrays(
+                [
+                    pa.array(arr["image_id"].astype("int64"), type=pa.int64()),
+                    pa.array(arr["category_id"].astype("int32"), type=pa.int32()),
+                    nullable_long(arr["prediction_id"]),
+                    nullable_long(arr["groundtruth_id"]),
+                    nullable_double(arr["iou"]),
+                    nullable_double(arr["confidence"]),
+                ],
+                names=_OUT_COLS,
             )
-            for i, c in enumerate(_OUT_COLS)
-        }
-        if arr is None:
-            arr = o
-        else:
-            arr = {c: np.concatenate([arr[c], o[c]]) for c in _OUT_COLS}
-    return pa.RecordBatch.from_arrays(
-        [
-            pa.array(arr["image_id"].astype("int64"), type=pa.int64()),
-            pa.array(arr["category_id"].astype("int32"), type=pa.int32()),
-            nullable_long(arr["prediction_id"]),
-            nullable_long(arr["groundtruth_id"]),
-            nullable_double(arr["iou"]),
-            nullable_double(arr["confidence"]),
-        ],
-        names=_OUT_COLS,
-    )
+        )
+    if out:
+        # per-group-kernel rows (python tuples, None == NULL): ids go
+        # straight from int to int64 arrow columns, exact at any magnitude
+        cols = list(zip(*out))
+        batches.append(
+            pa.RecordBatch.from_arrays(
+                [
+                    pa.array([int(v) for v in cols[0]], type=pa.int64()),
+                    pa.array([int(v) for v in cols[1]], type=pa.int32()),
+                    pa.array(
+                        [None if v is None else int(v) for v in cols[2]],
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        [None if v is None else int(v) for v in cols[3]],
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        [_none_if_nan(v) for v in cols[4]], type=pa.float64()
+                    ),
+                    pa.array(
+                        [_none_if_nan(v) for v in cols[5]], type=pa.float64()
+                    ),
+                ],
+                names=_OUT_COLS,
+            )
+        )
+    return batches
 
 
 def _match_batches_arrow(batches, min_iou: float = 0.0):
@@ -518,7 +560,7 @@ def _match_batches_arrow(batches, min_iou: float = 0.0):
     for arr, out in _match_batches(
         (to_numpy(b) for b in batches), min_iou=min_iou
     ):
-        yield _result_to_arrow(arr, out)
+        yield from _result_to_arrow(arr, out)
 
 
 def compute_matches(

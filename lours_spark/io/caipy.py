@@ -172,10 +172,29 @@ def from_caipy(
     images_parts = []
     ann_parts = []
     for split in splits:
-        docs = spark.read.option("multiLine", "true").json(
-            os.path.join(ann_root, split, "*.json")
+        # recursive lookup: unflattened exports keep subdirectories
+        # under the split folder; the subdir is rejoined into
+        # relative_path below (reference reader, caipy.py:61-68)
+        docs = (
+            spark.read.option("multiLine", "true")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.json")
+            .json(os.path.join(ann_root, split))
         )
-        img = docs.select("image.*").withColumn("split", F.lit(split))
+        abs_base = os.path.abspath(os.path.join(ann_root, split)).replace(
+            "\\", "/"
+        )
+        src = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+        rel_json = F.substring(src, len(abs_base) + 2, 65536)
+        rel_dir = F.when(
+            rel_json.contains("/"),
+            F.regexp_extract(rel_json, r"^(.*)/[^/]*$", 1),
+        ).otherwise(F.lit(""))
+        img = (
+            docs.select("image.*")
+            .withColumn("split", F.lit(split))
+            .withColumn("__reldir", rel_dir)
+        )
         images_parts.append(img)
         ann = docs.select(
             F.col("image.id").alias("image_id"),
@@ -192,6 +211,14 @@ def from_caipy(
     images = union_all(images_parts)
     if "file_name" in images.columns:
         images = images.withColumnRenamed("file_name", "relative_path")
+        images = images.withColumn(
+            "relative_path",
+            F.when(
+                F.col("__reldir") != "",
+                F.concat_ws("/", F.col("__reldir"), F.col("relative_path")),
+            ).otherwise(F.col("relative_path")),
+        )
+    images = images.drop("__reldir")
     annotations = union_all(ann_parts)
     if "bbox" in annotations.columns:
         annotations = (
@@ -251,14 +278,18 @@ def from_caipy_generic(
     )
 
 
-def _flatten_relative_path(rel: str) -> str:
-    """Reference flatten_paths semantics (``io/caipy.py:458-466``):
-    strip a leading split directory, then join the remaining parts
-    with underscores so every file lands in the split root."""
+def _output_relative_path(rel: str, flatten_paths: bool) -> str:
+    """Reference output-path semantics (``io/caipy.py:458-467``): strip
+    a leading split directory unconditionally (it is re-added by the
+    per-split output folder), then either join the remaining parts with
+    underscores (``flatten_paths=True`` — every file lands in the split
+    root) or keep the subdirectory structure as-is."""
     parts = [p for p in rel.replace("\\", "/").split("/") if p]
     if parts and parts[0] in ("train", "valid", "eval"):
         parts = parts[1:]
-    return "_".join(parts) if parts else rel
+    if not parts:
+        return rel
+    return "_".join(parts) if flatten_paths else "/".join(parts)
 
 
 def _per_image_docs(ds: SparkDataset) -> tuple[DataFrame, bool]:
@@ -324,11 +355,15 @@ def _write_caipy_split(
             image = {k: v for k, v in d.items() if k != "split"}
             rel = image.pop("relative_path", None)
             if rel is not None:
-                out_rel = _flatten_relative_path(rel) if flatten_paths else rel
-                image["file_name"] = out_rel
-                stem = os.path.splitext(os.path.basename(out_rel))[0]
+                out_rel = _output_relative_path(rel, flatten_paths)
+                # file_name is the basename only, like the reference
+                # (caipy.py:468,496) — the subdir lives in the JSON's
+                # own path and is rejoined on read.
+                image["file_name"] = os.path.basename(out_rel)
+                out_stem = os.path.splitext(out_rel)[0]
             else:
-                stem = str(image["id"])
+                out_rel = None
+                out_stem = str(image["id"])
             if has_bbox:
                 for a in anns:
                     a["bbox"] = [
@@ -338,15 +373,18 @@ def _write_caipy_split(
                         a.pop("box_height"),
                     ]
             doc = {"image": image, "annotations": anns}
-            out_json = os.path.join(ann_dir, f"{stem}.json")
+            # JSON path mirrors the (split-stripped) relative path, so
+            # unflattened exports keep subdirs and a/x.jpg vs b/x.jpg
+            # never collide (reference caipy.py:489-491).
+            out_json = os.path.join(ann_dir, f"{out_stem}.json")
+            os.makedirs(os.path.dirname(out_json), exist_ok=True)
             if overwrite_labels or not os.path.exists(out_json):
                 with open(out_json, "w") as f:
                     json.dump(doc, f, default=str)
             if img_dir is not None and rel is not None:
                 src = os.path.join(images_root, rel)
-                dst = os.path.join(
-                    img_dir, image.get("file_name", os.path.basename(rel))
-                )
+                dst = os.path.join(img_dir, out_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
                 if os.path.exists(dst) and not overwrite_images:
                     continue
                 if copy_images:
@@ -381,7 +419,7 @@ def _iter_split_frames(joined: DataFrame, ds: SparkDataset):
 def dataset_to_caipy(
     ds: SparkDataset,
     output_root: str,
-    copy_images: bool = False,
+    copy_images: bool = True,
     flatten_paths: bool = True,
     overwrite_images: bool = True,
     overwrite_labels: bool = True,
@@ -391,7 +429,9 @@ def dataset_to_caipy(
     ``io/caipy.py:352-695``: one JSON per image, grouped and serialized
     on the executors. Tracked booleanized columns are gathered back
     into list columns first (the reference debooleanizes before export,
-    ``caipy.py:584``)."""
+    ``caipy.py:584``). ``copy_images`` defaults True like the
+    reference ``Dataset.to_caipy`` (``dataset.py`` export surface);
+    pass False to export annotations only."""
     joined, has_bbox = _per_image_docs(ds)
     for split, sub in _iter_split_frames(joined, ds):
         name = split or "default"

@@ -201,7 +201,7 @@ def test_caipy_roundtrip(spark, tmp_path, tiny_dataset):
     # caipy needs non-null splits
     ds = tiny_dataset.filter_images(F.col("split").isNotNull())
     root = str(tmp_path / "caipy")
-    dataset_to_caipy(ds, root)
+    dataset_to_caipy(ds, root, copy_images=False)
     back = from_caipy(spark, root)
     assert back.images.count() == ds.images.count()
     assert back.annotations.count() == ds.annotations.count()
@@ -281,7 +281,7 @@ def test_caipy_booleanize_roundtrip(spark, tmp_path, tiny_dataset):
         annotations=wide, booleanized_columns={"colors": set(domain)}
     )
     root = str(tmp_path / "caipy_bool")
-    dataset_to_caipy(ds, root)  # debooleanizes on write
+    dataset_to_caipy(ds, root, copy_images=False)  # debooleanizes on write
     back = from_caipy(
         spark, root, booleanize_enums={"colors": ["blue", "red"]}
     )
@@ -632,3 +632,61 @@ def test_to_caipy_generic_copies_images(spark, tmp_path, tiny_dataset):
         len(os.listdir(os.path.join(img_dir, s))) for s in os.listdir(img_dir)
     )
     assert n_imgs == 6
+
+
+def test_to_caipy_unflattened_keeps_subdirs(spark, tmp_path):
+    """flatten_paths=False mirrors the reference (caipy.py:463-491):
+    the leading split dir is stripped in both modes, JSONs keep the
+    subdirectory structure (so a/x.jpg and b/x.jpg never collide),
+    image copies get their parent dirs created, file_name stores the
+    basename only, and the nested tree round-trips through from_caipy."""
+    import os
+
+    from lours_spark.dataset.core import SparkDataset
+    from lours_spark.io.caipy import dataset_to_caipy, from_caipy
+
+    images_df = spark.createDataFrame(
+        [
+            (0, 10, 10, "train/a/x.jpg", ".jpg", "train"),
+            (1, 20, 20, "b/x.jpg", ".jpg", "train"),
+            (2, 30, 30, "plain.jpg", ".jpg", "train"),
+        ],
+        "id long, width int, height int, relative_path string, "
+        "type string, split string",
+    )
+    ann_df = spark.createDataFrame(
+        [(0, 0, 1, 1.0, 1.0, 2.0, 2.0)],
+        "id long, image_id long, category_id int, box_x_min double, "
+        "box_y_min double, box_width double, box_height double",
+    )
+    src_root = tmp_path / "srcs"
+    for rel in ["train/a/x.jpg", "b/x.jpg", "plain.jpg"]:
+        p = src_root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"img:" + rel.encode())
+    ds = SparkDataset(
+        images=images_df,
+        annotations=ann_df,
+        label_map={1: "car"},
+        images_root=str(src_root),
+    ).denormalize()
+
+    root = tmp_path / "caipy"
+    dataset_to_caipy(ds, str(root), flatten_paths=False)
+    ann_train = root / "Annotations" / "train"
+    # split dir stripped unconditionally; subdirs preserved; no collision
+    assert (ann_train / "a" / "x.json").is_file()
+    assert (ann_train / "b" / "x.json").is_file()
+    assert (ann_train / "plain.json").is_file()
+    # image copies land in mirrored subdirs whose parents were created
+    img_train = root / "Images" / "train"
+    assert (img_train / "a" / "x.jpg").read_bytes() == b"img:train/a/x.jpg"
+    assert (img_train / "b" / "x.jpg").read_bytes() == b"img:b/x.jpg"
+    # file_name is the basename only, like the reference
+    doc = json.loads((ann_train / "a" / "x.json").read_text())
+    assert doc["image"]["file_name"] == "x.jpg"
+
+    back = from_caipy(spark, str(root))
+    paths = {r["id"]: r["relative_path"] for r in back.images.collect()}
+    assert paths == {0: "a/x.jpg", 1: "b/x.jpg", 2: "plain.jpg"}
+    assert back.annotations.count() == 1

@@ -108,3 +108,41 @@ def test_greedy_match_against_reference_random():
             ious[ious > 0.8] = 0.9
         conf = np.round(rng.random(n_pred), 1)  # tied confidences too
         assert greedy_match(ious, conf) == _reference_greedy(ious, conf)
+
+
+def test_compute_matches_preserves_huge_ids(spark):
+    """Annotation ids >= 2**53 survive the per-group kernel exactly:
+    its tuple rows go int -> int64 arrow columns without a float64
+    detour (ADVICE r3: the old path rounded such ids silently). A
+    20x20 group (product > 256) routes to the per-group kernel."""
+    base = 2**53
+    n = 20
+    gt_rows = [
+        (base + 2 * i + 1, 5, 0, float(20 * i), 0.0, 10.0, 10.0)
+        for i in range(n)
+    ]
+    pred_rows = [
+        (base + 10_000 + 2 * i + 1, 5, 0, float(20 * i) + 1.0, 0.0, 10.0,
+         10.0, 0.5 + i / 100)
+        for i in range(n)
+    ]
+    gt = spark.createDataFrame(
+        gt_rows,
+        "id long, image_id long, category_id int, box_x_min double, "
+        "box_y_min double, box_width double, box_height double",
+    )
+    pred = spark.createDataFrame(
+        pred_rows,
+        "id long, image_id long, category_id int, box_x_min double, "
+        "box_y_min double, box_width double, box_height double, "
+        "confidence double",
+    )
+    rows = compute_matches(gt, pred).collect()
+    got_pred = {r["prediction_id"] for r in rows if r["prediction_id"] is not None}
+    got_gt = {r["groundtruth_id"] for r in rows if r["groundtruth_id"] is not None}
+    # odd offsets are NOT float64-representable around 2**53 — exact
+    # equality proves ids never rode a float column
+    assert got_pred == {r[0] for r in pred_rows}
+    assert got_gt == {r[0] for r in gt_rows}
+    matched = [r for r in rows if r["prediction_id"] and r["groundtruth_id"]]
+    assert len(matched) == n
