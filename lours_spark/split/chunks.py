@@ -125,15 +125,22 @@ def atomic_chunks_distributed(
             .groupBy("row_id")
             .agg(F.min("vlabel").alias("new_label"))
         )
-        merged = labels.join(new_labels, "row_id", "left").withColumn(
-            "next", F.least(F.col("label"), F.coalesce(F.col("new_label"), F.col("label")))
+        # one materializing job per round (see connected_components):
+        # checkpoint the round's output, then probe convergence from
+        # the checkpointed partitions
+        merged = (
+            labels.join(new_labels, "row_id", "left")
+            .withColumn(
+                "next",
+                F.least(F.col("label"), F.coalesce(F.col("new_label"), F.col("label"))),
+            )
+            .withColumn("__changed", F.col("next") != F.col("label"))
+            .select("row_id", F.col("next").alias("label"), "__changed")
+            .localCheckpoint()  # also truncates lineage per round
         )
-        changed = merged.filter(F.col("next") != F.col("label")).limit(1).count()
-        labels = merged.select("row_id", F.col("next").alias("label"))
-        if changed == 0:
+        labels = merged.drop("__changed")
+        if merged.filter("__changed").limit(1).count() == 0:
             break
-        labels = labels.localCheckpoint()  # truncate lineage per round
-    labels = labels.localCheckpoint()  # pin before releasing the edges
     edges.unpersist()
     return labels.select(F.col("row_id").alias(id_col), F.col("label").alias("chunk_id"))
 
@@ -149,16 +156,32 @@ def connected_components(
     member node: (node_id, component_id = min node id of component).
 
     Hybrid execution, sized by the EDGE list, not the corpus: dedup
-    pair graphs are tiny relative to the data that produced them, so up
-    to ``driver_threshold`` edges a single ``limit(k+1).collect()``
-    feeds a union-find on the driver (one action, no iteration). Bigger
-    graphs run iterative distributed min-label propagation over
-    node→neighbor min-joins (O(component diameter) rounds, one
-    convergence action per round) — the same algorithm GraphFrames
-    uses, no driver materialization.
+    pair graphs are tiny relative to the data that produced them. The
+    pair projection is persisted once and counted EXACTLY — the
+    driver/distributed decision depends only on the true edge count
+    (not a nondeterministic ``limit`` sample), and both paths reuse the
+    persisted projection so the pair-mining pipeline runs once either
+    way. At or under ``driver_threshold`` edges a ``collect()`` feeds a
+    union-find on the driver; bigger graphs run iterative distributed
+    min-label propagation over node→neighbor min-joins (O(component
+    diameter) rounds, ONE materializing job per round — the
+    convergence check scans the round's checkpointed output) — the
+    same algorithm GraphFrames uses, no driver materialization.
     """
-    sample = pairs.select(src, dst).limit(driver_threshold + 1).collect()
-    if len(sample) <= driver_threshold:
+    from pyspark.storagelevel import StorageLevel
+
+    # materialize the (tiny) edge projection once: the exact count
+    # decides the path, and every downstream action — driver collect
+    # or per-round joins — reads this instead of re-running the
+    # pair-mining pipeline that produced the edges (at sf0.1 that
+    # re-mining was ~2.5s/round against milliseconds for the joins)
+    pe = pairs.select(
+        F.col(src).alias("__a"), F.col(dst).alias("__b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = pe.count()
+    if n_edges <= driver_threshold:
+        sample = pe.collect()
+        pe.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -179,21 +202,23 @@ def connected_components(
             comp, "node_id long, component_id long"
         )
 
-    from pyspark.storagelevel import StorageLevel
-
-    a, b = F.col(src).alias("node_id"), F.col(dst).alias("__nbr")
-    # materialize the (tiny) edge list once: every round joins it, and
-    # without the persist each round's job re-runs the pair-mining
-    # pipeline that produced the edges — at sf0.1 that re-mining was
-    # ~2.5s/round against milliseconds for the joins themselves
+    # size the propagation's partitioning to the measured edge count
+    # (~500k edges/partition): per-round job overhead at tiny edge
+    # counts is otherwise dominated by empty-task scheduling, while at
+    # scale the cap keeps partitions executor-memory-sized
+    spark = pairs.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = max(1, min(default_parts, -(-n_edges // 500_000)))
     edges = (
-        pairs.select(a, b)
+        pe.select(F.col("__a").alias("node_id"), F.col("__b").alias("__nbr"))
         .unionByName(
-            pairs.select(F.col(dst).alias("node_id"), F.col(src).alias("__nbr"))
+            pe.select(F.col("__b").alias("node_id"), F.col("__a").alias("__nbr"))
         )
+        .repartition(n_parts, "node_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges.count()
+    pe.unpersist()
     labels = (
         edges.select("node_id").distinct().withColumn("label", F.col("node_id"))
     )
@@ -208,15 +233,22 @@ def connected_components(
             .groupBy("node_id")
             .agg(F.min("__l").alias("__nl"))
         )
-        merged = labels.join(nbr_min, "node_id", "left").withColumn(
-            "next",
-            F.least(F.col("label"), F.coalesce(F.col("__nl"), F.col("label"))),
+        # ONE materializing job per round: the eager localCheckpoint
+        # runs the join+agg pipeline and pins its output; the
+        # convergence probe then only scans the checkpointed
+        # partitions instead of re-running the round's pipeline
+        merged = (
+            labels.join(nbr_min, "node_id", "left")
+            .withColumn(
+                "next",
+                F.least(F.col("label"), F.coalesce(F.col("__nl"), F.col("label"))),
+            )
+            .withColumn("__changed", F.col("next") != F.col("label"))
+            .select("node_id", F.col("next").alias("label"), "__changed")
+            .localCheckpoint()
         )
-        changed = merged.filter(F.col("next") != F.col("label")).limit(1).count()
-        labels = merged.select("node_id", F.col("next").alias("label"))
-        if changed == 0:
+        labels = merged.drop("__changed")
+        if merged.filter("__changed").limit(1).count() == 0:
             break
-        labels = labels.localCheckpoint()
-    labels = labels.localCheckpoint()  # pin before releasing the edges
     edges.unpersist()
     return labels.select("node_id", F.col("label").alias("component_id"))
