@@ -20,8 +20,16 @@ from lours_spark.dataset.core import SparkDataset
 
 
 def _sniff_size(payload: bytes) -> tuple[int, int]:
-    """Minimal PNG/JPEG/BMP size sniffing from header bytes (the
+    """Minimal PNG/JPEG/BMP/PPM size sniffing from header bytes (the
     ``imagesize``-style probe; deliberately dependency-free)."""
+    if payload[:2] in (b"P6", b"P5"):  # binary netpbm: tokens after magic
+        import re
+
+        # strip comments, then width/height are the first two ints
+        head = re.sub(rb"#[^\n]*", b"", payload[2:256])
+        nums = re.findall(rb"\d+", head)
+        if len(nums) >= 2:
+            return int(nums[0]), int(nums[1])
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         w, h = struct.unpack(">II", payload[16:24])
         return int(w), int(h)
@@ -58,7 +66,7 @@ def _size_udf(content: bytes):
 def from_folder(
     spark: SparkSession,
     images_root: str,
-    pattern: str = "*.{png,jpg,jpeg,bmp}",
+    pattern: str = "*.{png,jpg,jpeg,bmp,ppm,pgm}",
     with_sizes: bool = True,
 ) -> SparkDataset:
     """Dataset with an empty annotation table from an image directory."""

@@ -9,16 +9,22 @@ row objects. For multi-MB payloads, size
 fits executor memory (the operators stream batch-by-batch and hold no
 more than one batch of pixels at a time).
 
-Decoder availability: the real codecs (PIL/cv2/ffmpeg) are NOT in this
-container. Every operator therefore takes a ``decoder`` argument —
+Decoder availability: the heavyweight codecs (PIL/cv2/ffmpeg) are NOT
+in this container, but netpbm (PPM/PGM) is a real image format with a
+spec simple enough to decode in pure numpy — so the decode path below
+runs for REAL on real bytes, no dependencies. Every operator takes a
+``decoder`` argument —
 
-- ``"auto"``: use PIL when importable, else raise with instructions
-  (the seam a real cluster image plugs into);
+- ``"auto"``: use PIL when importable; otherwise decode binary
+  PPM/PGM (P6/P5) payloads with the pure-numpy decoder and raise with
+  instructions for any other format (the seam a real cluster image
+  plugs into);
+- ``"ppm"``: the pure-numpy netpbm decoder only (P6 → H×W×3,
+  P5 → H×W×1; maxval ≤ 255 and 16-bit big-endian both handled);
 - ``"fake"``: a clearly-marked deterministic fake — dimensions sniffed
   from the real PNG/JPEG/BMP header (``io/folder._sniff_size``), pixels
-  generated from an md5-seeded byte pattern — so the ENTIRE Spark
-  pipeline (schemas, batching, partitioning, downstream numpy
-  transforms) is exercised end-to-end in tests;
+  generated from an md5-seeded byte pattern — for plumbing tests of
+  formats whose codecs are absent;
 - any callable ``bytes -> np.ndarray(H, W, C) uint8`` for custom
   codecs.
 
@@ -53,11 +59,66 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.tile(seed, n // len(seed) + 1)[:n].reshape(h, w, 3)
 
 
+def ppm_decode(payload: bytes) -> np.ndarray:
+    """Pure-numpy binary netpbm decoder — a REAL, dependency-free
+    decode path. P6 (RGB) → (H, W, 3) uint8, P5 (grayscale) →
+    (H, W, 1) uint8. Handles the spec's whitespace/comment header
+    grammar and both maxval ranges (≤255 one byte per sample, ≤65535
+    two bytes big-endian, scaled down to uint8)."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload (magic {magic!r})")
+    # header: magic, width, height, maxval — tokens separated by
+    # whitespace, '#' comments run to end of line; pixel data starts
+    # after the single whitespace byte following maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated netpbm header")
+        b = payload[pos : pos + 1]
+        if b == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif b.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    channels = 3 if magic == b"P6" else 1
+    n = w * h * channels
+    if maxval < 256:
+        arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    else:
+        wide = np.frombuffer(payload, dtype=">u2", count=n, offset=pos)
+        arr = (wide.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+    return arr.reshape(h, w, channels)
+
+
+def _auto_decode(payload: bytes) -> np.ndarray:
+    """No-PIL ``auto`` fallback: real decode for netpbm, loud seam for
+    everything else."""
+    if payload[:2] in (b"P6", b"P5"):
+        return ppm_decode(payload)
+    raise NotImplementedError(
+        "decoding this image format requires PIL/cv2 on the executors — "
+        "install one there, or pass decoder=<callable> / "
+        'decoder="fake" for plumbing tests (PPM/PGM decode for real '
+        "without any dependency)"
+    )
+
+
 def _resolve_decoder(decoder):
     if callable(decoder):
         return decoder
     if decoder == "fake":
         return _fake_decode
+    if decoder == "ppm":
+        return ppm_decode
     if decoder == "auto":
         try:
             from PIL import Image  # type: ignore
@@ -67,11 +128,7 @@ def _resolve_decoder(decoder):
                 Image.open(io.BytesIO(payload)).convert("RGB")
             )
         except ImportError:
-            raise NotImplementedError(
-                "image decoding requires PIL/cv2 on the executors — "
-                "install one there, or pass decoder=<callable> / "
-                'decoder="fake" for plumbing tests'
-            ) from None
+            return _auto_decode
     raise ValueError(f"unknown decoder {decoder!r}")
 
 
@@ -210,22 +267,6 @@ def sample_video_frames(
             )
 
     return df.select(id_col, binary_col).mapInPandas(kernel, FRAME_SCHEMA)
-
-
-# ------------------------------------------------------------------ legacy
-def decode_image(payload: bytes) -> "object":
-    """STUB: decode one encoded image to HxWxC. Needs PIL/cv2 — see
-    :func:`decode_images` for the batch operator with the same seam."""
-    raise NotImplementedError(
-        "image decoding requires PIL/cv2 on the executors; "
-        "wire your decoder in here"
-    )
-
-
-def sample_frames(payload: bytes, every_n: int = 30) -> "list[object]":
-    """STUB: sample frames from one video payload (ffmpeg seam); see
-    :func:`sample_video_frames` for the batch operator."""
-    raise NotImplementedError("video decoding requires ffmpeg on the executors")
 
 
 FEATURE_SCHEMA = T.StructType(

