@@ -15,6 +15,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _ann_params() -> dict:
+    """The ANN tuning the gated queries actually resolve to (recorded
+    in the bench JSON so parameter changes are visible round-over-round)."""
+    import math
+
+    from lours_spark import suite
+
+    threshold, r, target_recall = 0.95, 12, 0.9999
+    p = 1.0 - math.acos(min(threshold, 0.9999)) / math.pi
+    pr = p**r
+    L = max(4, min(64, math.ceil(math.log(1 - target_recall) / math.log(1 - pr))))
+    return {
+        "embedding_near_dup": {
+            "planes_per_table": r,
+            "num_tables_auto": L,
+            "threshold": threshold,
+            "target_recall": target_recall,
+        },
+        "lsh_bucket_topk": {
+            "num_planes": suite._LSH_PLANES,
+            "dim": suite._EMB_DIM,
+            "k": 5,
+            "join": "broadcast(queries)",
+        },
+    }
+
 #: headline queries: the TPC-H-style relational core + the heavy
 #: training-data-pipeline operators (dedup, ANN, windows, matcher)
 BENCH_QUERIES = [
@@ -202,6 +229,9 @@ def main() -> None:
                     "spark_range_sum_sec": cal_spark,
                     "numpy_matmul_2000_sec": cal_numpy,
                 },
+                # ANN tuning actually used by the gated queries, so
+                # perf deltas can be attributed to parameters vs code
+                "ann_params": _ann_params(),
             }
         )
     )

@@ -152,7 +152,18 @@ class SparkDataset:
         together) cross-joined with the tiny duplicate-image-id
         aggregate, collected in a single action — not one action per
         metric, which would rescan the annotation table four times at
-        100 TB."""
+        100 TB.
+
+        Example (executable spec, reference ``dataset.py:100-163``
+        style):
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> ds.check() == {'duplicate_image_ids': 0,
+        ...     'duplicate_annotation_ids': 0, 'orphan_annotations': 0,
+        ...     'unknown_categories': 0}
+        True
+        """
         dup_images = (
             self.images.groupBy("id")
             .count()
@@ -194,7 +205,14 @@ class SparkDataset:
     # ----------------------------------------------------------- filtering
     def filter_images(self, predicate: Column | str) -> "SparkDataset":
         """Filter the image table; annotations follow via left-semi join
-        (reference ``lours/dataset/indexing.py:49-51``)."""
+        (reference ``lours/dataset/indexing.py:49-51``).
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> sub = ds.filter_images("width > 1000")
+        >>> sub.images.count(), sub.annotations.count()
+        (2, 7)
+        """
         images = self.images.filter(predicate)
         annotations = self.annotations.join(
             images.select(F.col("id").alias("image_id")), "image_id", "left_semi"
@@ -208,7 +226,17 @@ class SparkDataset:
     ) -> "SparkDataset":
         """Filter the annotation table. With ``remove_emptied_images``,
         drop images that HAD annotations but lost them all, keeping
-        originally-empty images (reference ``indexing.py:106-119``)."""
+        originally-empty images (reference ``indexing.py:106-119``).
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> sub = ds.filter_annotations("category_id = 7",
+        ...                             remove_emptied_images=True)
+        >>> sub.annotations.count()  # the five class_2 boxes survive
+        5
+        >>> sub.images.count()  # image 3 lost all its boxes; 2 never had any
+        3
+        """
         new_ann = self.annotations.filter(predicate)
         images = self.images
         if remove_emptied_images:
@@ -233,7 +261,13 @@ class SparkDataset:
 
     def remove_empty_images(self) -> "SparkDataset":
         """Keep only images referenced by ≥1 annotation (reference
-        ``dataset.py:2863-2917``) — a left-semi join."""
+        ``dataset.py:2863-2917``) — a left-semi join.
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> ds.remove_empty_images().images.count()
+        3
+        """
         images = self.images.join(
             self.annotations.select(F.col("image_id").alias("id")).distinct(),
             "id",
@@ -282,7 +316,16 @@ class SparkDataset:
             yield v, self.get_split(v)
 
     def keep_classes(self, keep: list[int]) -> "SparkDataset":
-        """Category whitelist (reference ``dataset.py:4137``)."""
+        """Category whitelist (reference ``dataset.py:4137``).
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> sub = ds.keep_classes([1, 4])
+        >>> sorted(sub.label_map.items())
+        [(1, 'class_0'), (4, 'class_1')]
+        >>> sub.annotations.count()
+        3
+        """
         ann = self.annotations.filter(F.col("category_id").isin(keep))
         lm = {k: v for k, v in self.label_map.items() if k in set(keep)}
         return self.from_template(annotations=ann, label_map=lm)
@@ -326,7 +369,16 @@ class SparkDataset:
         """First-n images in id order (the closest stable analog of the
         reference's positional ``iloc`` slicing — Spark has no stable
         row positions, so positional access is defined only under an
-        explicit ordering)."""
+        explicit ordering).
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> two = ds.take_images(2)
+        >>> [r['id'] for r in two.images.orderBy('id').collect()]
+        [0, 1]
+        >>> two.annotations.count()  # image 0 has 4 boxes, image 1 has 1
+        5
+        """
         head = self.images.orderBy("id").limit(n)
         annotations = self.annotations.join(
             head.select(F.col("id").alias("image_id")), "image_id", "left_semi"
@@ -427,6 +479,15 @@ class SparkDataset:
 
         Implemented as a literal-map lookup (label spaces are tiny) —
         no join, no shuffle; the drop is a plain filter.
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> m = ds.remap_classes({1: 0, 4: 0, 7: 1},
+        ...                      new_names={0: 'small', 1: 'big'})
+        >>> sorted(m.label_map.items())
+        [(0, 'small'), (1, 'big')]
+        >>> m.annotations.filter("category_str = 'big'").count()
+        5
         """
         full = dict(mapping)
         if keep_unmapped:
@@ -524,7 +585,16 @@ class SparkDataset:
 
     def remap_sequential(self) -> tuple["SparkDataset", dict[int, int]]:
         """Remap category ids to contiguous 0..n-1 ordered by old id —
-        the darknet-export remap (reference ``io/darknet.py:613-616``)."""
+        the darknet-export remap (reference ``io/darknet.py:613-616``).
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> seq, mapping = ds.remap_sequential()
+        >>> mapping
+        {1: 0, 4: 1, 7: 2}
+        >>> sorted(seq.label_map)
+        [0, 1, 2]
+        """
         mapping = {k: i for i, k in enumerate(sorted(self.label_map))}
         names = {mapping[k]: v for k, v in self.label_map.items()}
         return self.remap_classes(mapping, new_names=names), mapping
@@ -543,6 +613,14 @@ class SparkDataset:
         (``functions/ids.py``) — range partition + per-partition offset
         — never a single-partition window, so the export path survives
         a 100 TB table.
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> r = ds.reset_index(start_image_id=100, start_annotation_id=1000)
+        >>> [row['id'] for row in r.images.orderBy('id').collect()]
+        [100, 101, 102, 103]
+        >>> r.annotations.agg({'id': 'min'}).first()[0]
+        1000
         """
         from lours_spark.functions.ids import global_row_number
 
@@ -619,7 +697,14 @@ class SparkDataset:
         """Align this dataset's image ids to another's via a shared key
         column; returns the (old_id, new_id) mapping (reference
         ``dataset.py:2203-2334``). Duplicate keys on either side are a
-        correctness error surfaced by ``check``-style counts upstream."""
+        correctness error surfaced by ``check``-style counts upstream.
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> m = ds.match_index(ds.reset_index(start_image_id=10))
+        >>> m.orderBy('old_id').first()
+        Row(old_id=0, new_id=10)
+        """
         left = self.images.select(F.col("id").alias("old_id"), F.col(key))
         right = other.images.select(F.col("id").alias("new_id"), F.col(key))
         return left.join(right, key, "inner").select("old_id", "new_id")
@@ -636,6 +721,13 @@ class SparkDataset:
 
         ``unionByName(allowMissingColumns=True)`` keeps this a pure
         narrow transformation — no shuffle.
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> both = ds.merge(ds.reset_index(start_image_id=100,
+        ...                                start_annotation_id=100))
+        >>> both.images.count(), both.annotations.count()
+        (8, 16)
         """
         from lours_spark.dataset.merge import merge_datasets
 
@@ -646,7 +738,14 @@ class SparkDataset:
 
     def diff(self, other: "SparkDataset") -> dict[str, DataFrame]:
         """Three-way image diff (left_only / right_only / common) with
-        null-safe row equality (reference ``difftools.py:10-186``)."""
+        null-safe row equality (reference ``difftools.py:10-186``).
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+        >>> d = ds.diff(ds.filter_images("width > 1000"))
+        >>> d['left_only'].count(), d['common'].count()
+        (2, 2)
+        """
         from lours_spark.dataset.diff import dataset_diff
 
         return dataset_diff(self, other)
@@ -747,7 +846,18 @@ class SparkDataset:
         domain: list[str] | None = None,
     ) -> "SparkDataset":
         """One-hot-expand a list column in place (reference
-        ``dataset.py`` ``booleanize`` → ``column_booleanizer.py``)."""
+        ``dataset.py`` ``booleanize`` → ``column_booleanizer.py``).
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=3, n_annot=6,
+        ...                    n_list_columns_annotations=1, seed=3)
+        >>> bz = ds.booleanize('ann_tags_0')
+        >>> sorted(bz.booleanized_columns) == ['ann_tags_0']
+        True
+        >>> back = bz.debooleanize('ann_tags_0')
+        >>> back.booleanized_columns
+        {}
+        """
         from lours_spark.operators.booleanize import booleanize as _bz
 
         df = self.annotations if table == "annotations" else self.images
@@ -799,7 +909,19 @@ class SparkDataset:
     ) -> "SparkDataset":
         """Seeded random image split (reference ``simple_split``,
         ``dataset.py:4257-4382``); prefer :meth:`hash_split_images`
-        for retry-stable assignment at scale."""
+        for retry-stable assignment at scale. Only NULL-split rows are
+        (re)assigned — existing assignments are preserved.
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=20, n_annot=20,
+        ...                    split_names=None, seed=1)
+        >>> s = ds.simple_split(split_names=("train", "valid"),
+        ...                     target_split_shares=(0.5, 0.5))
+        >>> s.images.filter("split IS NULL").count()
+        0
+        >>> s.images.select("split").distinct().count()
+        2
+        """
         from lours_spark.split.splitter import simple_split as _ss
 
         shares = dict(zip(split_names, target_split_shares))
@@ -829,7 +951,18 @@ class SparkDataset:
         with only 2 annotations — the remaining NULL-split images are
         then assigned by a seeded random split at the RESIDUAL target
         shares (what each split still needs once the annotation-derived
-        assignments are counted)."""
+        assignments are counted).
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> ds = dummy_dataset(spark, n_imgs=20, n_annot=40,
+        ...                    split_names=None, seed=1)
+        >>> b = ds.split(split_names=("train", "valid"),
+        ...              target_split_shares=(0.5, 0.5))
+        >>> b.images.filter("split IS NULL").count()
+        0
+        >>> b.annotations.select("split").distinct().count()  # both used
+        2
+        """
         from lours_spark.split.balanced import balanced_split
         from lours_spark.split.splitter import residual_shares, simple_split
 

@@ -18,7 +18,20 @@ from pyspark.sql import functions as F
 
 
 class DetectionEvaluator:
-    """Reference-parity evaluator facade (``DetectionEvaluator``)."""
+    """Reference-parity evaluator facade (``DetectionEvaluator``).
+
+    >>> from lours_spark.testing import dummy_dataset
+    >>> gt = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3, seed=1)
+    >>> pred = dummy_dataset(spark, n_imgs=4, n_annot=8, n_labels=3,
+    ...                      seed=1, add_confidence=True)
+    >>> ev = DetectionEvaluator(gt, model=pred)
+    >>> matches = ev.compute_matches()['model']
+    >>> matches.filter("prediction_id IS NOT NULL "
+    ...                "AND groundtruth_id IS NOT NULL").count()
+    4
+    >>> sorted(matches.columns)[:3]
+    ['category_id', 'confidence', 'groundtruth_id']
+    """
 
     def __init__(self, groundtruth, name: str | None = None, **predictions):
         self.groundtruth = groundtruth

@@ -541,12 +541,20 @@ def _embedding_near_dup_lsh(
     sig = df.select(id_col, vec_col).mapInPandas(
         signatures, "__id long, table int, sig long"
     )
-    a = sig.select(F.col("__id").alias("id_a"), "table", "sig")
-    b = sig.select(F.col("__id").alias("id_b"), "table", "sig")
+    # bucket via ONE groupBy instead of a self-join: the join's two
+    # legs would re-execute the signature mapInPandas once each
+    # (exchange reuse does not cover map-side Python stages), doubling
+    # the dominant BLAS pass and adding a shuffle. Pair fan-out within
+    # a bucket is a narrow double-explode, JVM-side.
+    buckets = (
+        sig.groupBy("table", "sig")
+        .agg(F.collect_list("__id").alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
     candidates = (
-        a.join(b, ["table", "sig"])
+        buckets.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()  # a pair may collide in several tables
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))

@@ -304,8 +304,11 @@ def lsh_bucket_topk(
         F.col(vec_col).alias("__qv"),
         bucket_expr(F.col(vec_col)).alias("bucket"),
     )
+    # queries ≪ corpus in any real ANN lookup: broadcast the query
+    # side so the corpus is scanned in place — no shuffle on the
+    # low-cardinality (2^num_planes values, skewed) bucket key
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", V.cosine_similarity_arrow()(F.col("__qv"), F.col("__cv")))
     )

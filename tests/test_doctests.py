@@ -1,0 +1,43 @@
+"""Executable docstring examples (reference ``--doctest-modules``
+discipline, ``/root/reference/pyproject.toml:95-99`` — e.g.
+``dataset.py:100-163`` are executable specs).
+
+The facade's doctests need a live ``spark`` global; this harness runs
+them through :func:`doctest.testmod` with the session injected, wired
+into the default ``pytest tests/`` run. ``pytest --doctest-modules
+lours_spark/dataset/core.py`` also works via the ``doctest_namespace``
+fixture in conftest.
+"""
+
+from __future__ import annotations
+
+import doctest
+
+
+def _run_module_doctests(module, spark, min_attempted: int) -> None:
+    # passing globs REPLACES the module namespace, so rebuild it with
+    # the session added (examples use module names like the reference's)
+    results = doctest.testmod(
+        module,
+        globs=dict(vars(module), spark=spark),
+        optionflags=doctest.NORMALIZE_WHITESPACE,
+        verbose=False,
+    )
+    assert results.failed == 0, f"{results.failed} doctest failures in {module.__name__}"
+    # guard against the examples silently not being collected
+    assert results.attempted >= min_attempted, (
+        f"only {results.attempted} doctest examples collected from "
+        f"{module.__name__}, expected >= {min_attempted}"
+    )
+
+
+def test_core_facade_doctests(spark):
+    import lours_spark.dataset.core as core
+
+    _run_module_doctests(core, spark, min_attempted=30)
+
+
+def test_evaluator_doctests(spark):
+    import lours_spark.evaluation.detection_evaluator as de
+
+    _run_module_doctests(de, spark, min_attempted=4)
