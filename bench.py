@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "sessionize",
     "hourly_rollup",
     "greedy_matching",
+    "matcher_skew",
     "detection_pr_ap",
     # round 2: every formerly-ungated facet is timed too, so the bench
     # covers what the gate covers

@@ -93,15 +93,20 @@ def greedy_match(
     if n_gt == 0 or n_pred == 0:
         return []
     order = np.lexsort((np.arange(n_pred), -confidences))
-    masked = ious.copy()
+    # iterate over CONTIGUOUS per-prediction rows of the transpose and
+    # mask taken groundtruths with a boolean instead of writing -1
+    # rows into the matrix: on crowded groups (thousands of boxes) the
+    # strided column walk thrashes cache and dominates wall time
+    ious_t = np.ascontiguousarray(ious.T)
+    taken = np.zeros(n_gt, dtype=bool)
     matches: list[tuple[int, int, float]] = []
     for p in order:
-        col = masked[:, p]
+        col = np.where(taken, -1.0, ious_t[p])
         g = int(np.argmax(col))
         best = col[g]
         if best > min_iou:
             matches.append((g, int(p), float(ious[g, p])))
-            masked[g, :] = -1.0  # groundtruth taken
+            taken[g] = True
     return matches
 
 

@@ -1375,6 +1375,64 @@ def q_greedy_matching(spark, sf_dir):
     )
 
 
+def q_matcher_skew(spark, sf_dir):
+    """Skewed-matcher stress facet: 1/20 of all boxes rerouted into ONE
+    monster (image, category) group among the ~15k tiny groups — at
+    sf0.1 that is a ~3000 gt × 3000 pred group, far over the kernel's
+    256-product bulk cap, so the per-group numpy fallback
+    (matching.py per-group kernel) runs inside one extremely skewed
+    shuffle partition while the bulk shape-stacked path handles the
+    tiny groups around it. Output: per-status counts split
+    monster/rest (small, stable). Kernel-vs-standalone identity for
+    the monster group is asserted in
+    tests/test_matching.py::test_skewed_group_routes_to_per_group_kernel
+    and ::test_compute_matches_skewed_identical_to_standalone."""
+    from lours_spark.evaluation.matching import compute_matches
+    from lours_spark.functions.bbox import import_bbox
+
+    ann = import_bbox(
+        _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
+    )
+    # id = orderkey*10 + linenumber(1..7): route line 3 of every 20th
+    # order into the monster image (~0.7% of boxes → ~4k at sf0.1)
+    ann = ann.withColumn(
+        "image_id",
+        F.when(
+            (F.col("id") % 10 == 3) & (F.col("image_id") % 20 == 0), F.lit(-1)
+        ).otherwise(F.col("image_id")),
+    ).withColumn(
+        "category_id",
+        F.when(F.col("image_id") == -1, F.lit(0))
+        .otherwise(F.col("id") % 3)
+        .cast("int"),
+    )
+    gt = ann
+    pred = (
+        ann.withColumn("id", F.col("id") + 10000000)
+        .withColumn("box_x_min", F.col("box_x_min") + 2.0)
+        .withColumn("confidence", ((F.col("id") % 97).cast("double") / 97.0))
+    )
+    matches = compute_matches(gt, pred)
+    status = (
+        F.when(
+            F.col("prediction_id").isNotNull()
+            & F.col("groundtruth_id").isNotNull(),
+            F.lit("tp"),
+        )
+        .when(F.col("prediction_id").isNotNull(), F.lit("fp"))
+        .otherwise(F.lit("fn"))
+    )
+    return (
+        matches.select(
+            status.alias("status"),
+            (F.col("image_id") == -1).alias("is_monster"),
+        )
+        .groupBy("status", "is_monster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status", "is_monster")
+    )
+
+
 def q_detection_pr_ap(spark, sf_dir):
     """End-to-end multi-IoU grouped detection evaluation: ONE greedy
     matching → per-(category × iou_threshold) reference-protocol AP and
@@ -1447,6 +1505,7 @@ QUERIES: dict[str, QueryFn] = {
     "average_precision": q_average_precision,
     "crowd_count_error": q_crowd_count_error,
     "greedy_matching": q_greedy_matching,
+    "matcher_skew": q_matcher_skew,
     "detection_pr_ap": q_detection_pr_ap,
     # split
     "hash_split": q_hash_split,

@@ -146,3 +146,130 @@ def test_compute_matches_preserves_huge_ids(spark):
     assert got_gt == {r[0] for r in gt_rows}
     matched = [r for r in rows if r["prediction_id"] and r["groundtruth_id"]]
     assert len(matched) == n
+
+
+def _batch_from_groups(groups):
+    """Build a kernel input batch dict sorted like compute_matches
+    arranges partitions: (image_id, category_id, is_groundtruth, id)."""
+    rows = []
+    for (img, cat), (n_gt, n_pr, rng) in groups.items():
+        for i in range(n_pr):  # predictions block first (is_gt False)
+            rows.append((img, cat, 1_000_000 + img * 1000 + i, False,
+                         rng.uniform(0, 80), rng.uniform(0, 80),
+                         rng.uniform(5, 20), rng.uniform(5, 20),
+                         rng.uniform(0.1, 1.0)))
+        for i in range(n_gt):
+            rows.append((img, cat, 2_000_000 + img * 1000 + i, True,
+                         rng.uniform(0, 80), rng.uniform(0, 80),
+                         rng.uniform(5, 20), rng.uniform(5, 20),
+                         np.nan))
+    rows.sort(key=lambda r: (r[0], r[1], r[3], r[2]))
+    cols = list(zip(*rows))
+    return {
+        "image_id": np.array(cols[0], dtype=np.int64),
+        "category_id": np.array(cols[1], dtype=np.int64),
+        "id": np.array(cols[2], dtype=np.int64),
+        "is_groundtruth": np.array(cols[3], dtype=bool),
+        "box_x_min": np.array(cols[4], dtype=float),
+        "box_y_min": np.array(cols[5], dtype=float),
+        "box_width": np.array(cols[6], dtype=float),
+        "box_height": np.array(cols[7], dtype=float),
+        "confidence": np.array(cols[8], dtype=float),
+    }
+
+
+def test_skewed_group_routes_to_per_group_kernel(monkeypatch):
+    """A big-product group (30x30 > 256 cap) must bypass the bulk
+    shape-stacked path and run the per-group kernel, with output
+    identical to greedy_match run standalone on that group."""
+    import lours_spark.evaluation.matching as M
+
+    rng = np.random.default_rng(5)
+    groups = {(100, 0): (30, 30, rng)}
+    for img in range(10):  # tiny groups around the monster
+        groups[(img, 0)] = (2, 2, rng)
+    batch = _batch_from_groups(groups)
+
+    bulk_shapes = []
+    orig_bulk = M._bulk_greedy_shape
+
+    def spy(h_img, h_cat, ids, boxes, conf, ss, n_gt_s, n_pr_s, emit, min_iou):
+        bulk_shapes.append((n_gt_s, n_pr_s))
+        return orig_bulk(h_img, h_cat, ids, boxes, conf, ss, n_gt_s, n_pr_s,
+                         emit, min_iou)
+
+    monkeypatch.setattr(M, "_bulk_greedy_shape", spy)
+    results = list(M._match_batches(iter([batch])))
+    assert (30, 30) not in bulk_shapes  # monster went per-group
+
+    # reconstruct the monster group's matches from the kernel output
+    got = set()
+    for arr, out in results:
+        if arr is not None:
+            for i in range(len(arr["image_id"])):
+                if arr["image_id"][i] == 100:
+                    got.add((arr["prediction_id"][i], arr["groundtruth_id"][i]))
+        for t in out:
+            if t[0] == 100:
+                got.add((
+                    np.nan if t[2] is None else float(t[2]),
+                    np.nan if t[3] is None else float(t[3]),
+                ))
+    matched_got = {(int(p), int(g)) for p, g in got
+                   if p == p and g == g}  # drop nan (FN/FP rows)
+
+    # standalone reference on the same group
+    sel = batch["image_id"] == 100
+    is_gt = batch["is_groundtruth"][sel]
+    boxes = np.column_stack([batch[c][sel] for c in
+                             ("box_x_min", "box_y_min", "box_width", "box_height")])
+    ids = batch["id"][sel]
+    conf = batch["confidence"][sel]
+    ious = iou_matrix(boxes[is_gt], boxes[~is_gt])
+    ref = {(int(ids[~is_gt][p]), int(ids[is_gt][g]))
+           for g, p, _ in greedy_match(ious, conf[~is_gt])}
+    assert matched_got == ref
+    assert len(matched_got) > 0
+
+
+def test_compute_matches_skewed_identical_to_standalone(spark):
+    """End-to-end skew: one monster image (300 gt + 300 pred) among
+    200 tiny images — the distributed matcher's output for the monster
+    group equals greedy_match run standalone on the same boxes."""
+    rng = np.random.default_rng(13)
+
+    def rows(img, n, id_base, jitter):
+        return [
+            (id_base + i, img, 0,
+             float(rng.uniform(0, 500)) + jitter, float(rng.uniform(0, 500)),
+             float(rng.uniform(5, 30)), float(rng.uniform(5, 30)),
+             float(rng.uniform(0.1, 1.0)))
+            for i in range(n)
+        ]
+
+    gt_rows, pred_rows = [], []
+    gt_rows += rows(-1, 300, 0, 0.0)
+    pred_rows += rows(-1, 300, 5_000_000, 0.0)
+    for img in range(200):
+        gt_rows += rows(img, 2, 10_000 + img * 10, 0.0)
+        pred_rows += rows(img, 2, 6_000_000 + img * 10, 0.0)
+    schema = (
+        "id long, image_id long, category_id int, box_x_min double, "
+        "box_y_min double, box_width double, box_height double, "
+        "confidence double"
+    )
+    gt = spark.createDataFrame(gt_rows, schema).drop("confidence")
+    pred = spark.createDataFrame(pred_rows, schema)
+    matches = compute_matches(gt, pred).filter("image_id = -1").collect()
+    got = {(r["prediction_id"], r["groundtruth_id"]) for r in matches
+           if r["prediction_id"] is not None and r["groundtruth_id"] is not None}
+
+    g = np.array([r[3:7] for r in gt_rows if r[1] == -1])
+    p = np.array([r[3:7] for r in pred_rows if r[1] == -1])
+    gids = np.array([r[0] for r in gt_rows if r[1] == -1])
+    pids = np.array([r[0] for r in pred_rows if r[1] == -1])
+    conf = np.array([r[7] for r in pred_rows if r[1] == -1])
+    ref = {(int(pids[pi]), int(gids[gi]))
+           for gi, pi, _ in greedy_match(iou_matrix(g, p), conf)}
+    assert got == ref
+    assert len(got) > 50  # dense canvas: plenty of true matches
