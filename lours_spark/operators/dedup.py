@@ -190,16 +190,20 @@ def minhash_lsh_pairs(
             ),
         )
         band_rows = one if band_rows is None else band_rows.unionByName(one)
-    l = band_rows.select(
-        F.col("band"), F.col("band_key"), F.col("__id").alias("id_a")
-    )
-    r = band_rows.select(
-        F.col("band"), F.col("band_key"), F.col("__id").alias("id_b")
+    # bucket via ONE groupBy instead of a self-join: the join's two
+    # legs each re-walk the (cached, but population-racing) signature
+    # subtree; the groupBy shape scans it once and fans out pairs with
+    # a narrow JVM-side double-explode (same shape as the embedding
+    # LSH path)
+    buckets = (
+        band_rows.groupBy("band", "band_key")
+        .agg(F.collect_list("__id").alias("__ids"))
+        .filter(F.size("__ids") > 1)
     )
     candidates = (
-        l.join(r, ["band", "band_key"])
+        buckets.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a"))

@@ -151,6 +151,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     driver_threshold: int = 2_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list → one row per
     member node: (node_id, component_id = min node id of component).
@@ -179,6 +180,10 @@ def connected_components(
         F.col(src).alias("__a"), F.col(dst).alias("__b")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = pe.count()
+    if stats is not None:  # observability for scale evidence (SCALING.md)
+        stats["edges"] = n_edges
+        stats["path"] = "driver" if n_edges <= driver_threshold else "distributed"
+        stats["rounds"] = 0
     if n_edges <= driver_threshold:
         sample = pe.collect()
         pe.unpersist()
@@ -248,6 +253,8 @@ def connected_components(
             .localCheckpoint()
         )
         labels = merged.drop("__changed")
+        if stats is not None:
+            stats["rounds"] += 1
         if merged.filter("__changed").limit(1).count() == 0:
             break
     edges.unpersist()

@@ -1,0 +1,90 @@
+"""Scale-evidence runner: the six heaviest pipelines at sf0.1 (1x) and
+at the 10x replica from scripts/make_scale_data.py, with CC round /
+edge-count observability and driver-RSS tracking.
+
+Usage: python scripts/run_scaling.py [scaled_dir]
+Prints one JSON line; scripts/render_scaling.py turns it into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+QUERIES = [
+    "minhash_lsh_pairs",
+    "paragraph_dedup",
+    "dedup_clusters_distributed",
+    "balanced_split",
+    "greedy_matching",
+    "detection_pr_ap",
+]
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def cc_stats(spark, sf_dir: str) -> dict:
+    """dedup_clusters_distributed with the stats out-param: edge count,
+    chosen path, convergence rounds."""
+    from lours_spark.operators.dedup import ngram_jaccard_pairs
+    from lours_spark.split.chunks import connected_components
+    from lours_spark.suite import _t
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.3)
+    stats: dict = {}
+    n = connected_components(pairs, driver_threshold=0, stats=stats).count()
+    stats["members"] = n
+    return stats
+
+
+def main() -> None:
+    scaled = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_data/sf1x10"
+
+    from pyspark.sql import SparkSession
+
+    from lours_spark import suite
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    # warm JVM + python workers once, like bench.py
+    suite.ALL_QUERIES["multimodal_features"](spark, BASE).count()
+
+    out: dict = {"scales": {}}
+    for label, sf_dir in (("1x", BASE), (f"10x", scaled)):
+        res: dict = {"rss_mb_before": round(rss_mb(), 1)}
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows = suite.ALL_QUERIES[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            if dt > 5.0:  # bench.py protocol: re-run long queries, keep min
+                spark.catalog.clearCache()
+                t0 = time.time()
+                suite.ALL_QUERIES[name](spark, sf_dir).count()
+                dt = min(dt, time.time() - t0)
+            res[name] = {"sec": round(dt, 2), "rows": rows}
+            print(f"# {label} {name}: {dt:.2f}s ({rows} rows)", file=sys.stderr)
+        res["cc"] = cc_stats(spark, sf_dir)
+        res["rss_mb_after"] = round(rss_mb(), 1)
+        out["scales"][label] = res
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
