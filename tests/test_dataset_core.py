@@ -556,3 +556,43 @@ def test_append_and_coco_roundtrip_delegates(tiny_dataset, tmp_path):
     out = str(tmp_path / "coco_out")
     files = tiny_dataset.to_coco(out)
     assert files
+
+
+def test_display_utilities(spark, tiny_dataset):
+    """Display layer (reference dataframe_formatter.py:7-34 +
+    notebook_utils.py:25-56): required-first/nested-last column order,
+    MultiIndex nesting, booleanized gather — driver-side head only."""
+    import pandas as pd
+
+    from lours_spark.display import (
+        head_for_display,
+        nested_multi_index,
+        reorder_columns,
+        show_dataset,
+    )
+
+    df = tiny_dataset.annotations.withColumn(
+        "attributes.color", F.lit("red")
+    ).withColumn("zz_extra", F.lit(1))
+    ordered = reorder_columns(df, ["id", "image_id", "category_id"])
+    cols = ordered.columns
+    assert cols[:3] == ["id", "image_id", "category_id"]
+    assert cols[-1] == "attributes.color"  # nested names trail
+    rest = cols[3:-1]
+    assert rest == sorted(rest)
+
+    mi = nested_multi_index(["id", "attributes.color", "a.b.c"])
+    assert mi.nlevels == 3
+    assert mi[0] == ("id", "", "")
+    assert mi[1] == ("attributes", "color", "")
+
+    pdf = head_for_display(ordered, n=5)
+    assert isinstance(pdf.columns, pd.MultiIndex)
+    assert len(pdf) == 5
+
+    out = show_dataset(tiny_dataset, n=4)
+    assert list(out) == ["images", "annotations"]
+    assert list(out["images"].columns[:4]) == [
+        "id", "width", "height", "relative_path",
+    ]
+    assert len(out["annotations"]) == 4

@@ -41,3 +41,9 @@ def test_evaluator_doctests(spark):
     import lours_spark.evaluation.detection_evaluator as de
 
     _run_module_doctests(de, spark, min_attempted=4)
+
+
+def test_display_doctests(spark):
+    import lours_spark.display as display
+
+    _run_module_doctests(display, spark, min_attempted=2)
