@@ -241,12 +241,20 @@ def ngram_jaccard_pairs(
     UNDER-count, so pairs can only be missed, never invented — leave
     it None (default) when exact results are required (the oracle-gated
     setting)."""
-    sh = _widen(df).select(
+    # ONE walk of the (interpreted, expensive) shingle HOF: the set
+    # size rides along each exploded row, per-shingle doc lists come
+    # from a single groupBy, and pair counting is a narrow
+    # double-explode — the former self-join + two size joins walked
+    # the shingle expression four times (no exchange reuse) and cost
+    # three extra shuffles
+    exploded = _widen(df).select(
         F.col(id_col).alias("__id"),
         TX.word_shingles(F.col(text_col), k=k).alias("__sh"),
-    ).withColumn("__n", F.size("__sh"))
-    sizes = sh.select("__id", "__n")
-    exploded = sh.select("__id", F.explode("__sh").alias("shingle"))
+    ).select(
+        "__id",
+        F.size("__sh").alias("__n"),  # shingles are distinct per doc
+        F.explode("__sh").alias("shingle"),
+    )
     if max_doc_freq is not None:
         n_docs = df.count()
         cap = int(max_doc_freq * n_docs)
@@ -259,19 +267,32 @@ def ngram_jaccard_pairs(
         exploded = exploded.join(
             F.broadcast(common_shingles), "shingle", "left_anti"
         )
-    a = exploded.select(F.col("__id").alias("id_a"), "shingle")
-    b = exploded.select(F.col("__id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    buckets = (
+        exploded.groupBy("shingle")
+        .agg(F.collect_list(F.struct("__id", "__n")).alias("__docs"))
+        .filter(F.size("__docs") > 1)
     )
-    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
-    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    pairs = (
+        buckets.select(F.explode("__docs").alias("a"), "__docs")
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("a.__n").alias("n_a"),
+            F.explode("__docs").alias("b"),
+        )
+        .filter(F.col("id_a") < F.col("b.__id"))
+        .select(
+            "id_a", "n_a",
+            F.col("b.__id").alias("id_b"),
+            F.col("b.__n").alias("n_b"),
+        )
+    )
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
