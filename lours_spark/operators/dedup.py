@@ -42,7 +42,15 @@ def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Group by normalized-text fingerprint; keep the min id as the
-    canonical representative. Output: (doc_id, group_size) per kept doc."""
+    canonical representative. Output: (doc_id, group_size) per kept doc.
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+    ...     "doc_id long, text string")
+    >>> rows = sorted(exact_duplicates(df).collect())
+    >>> [(r["doc_id"], r["group_size"]) for r in rows]
+    [(1, 2), (3, 1)]
+    """
     fp = TX.fingerprint(F.col(text_col))
     return (
         df.select(F.col(id_col), fp.alias("fingerprint"))
@@ -81,6 +89,14 @@ def paragraph_dedup(
     exchange narrow).
 
     Returns (id_col, text, n_paras_before, n_paras_after).
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "a\\n\\nb"), (2, "b\\n\\nc")], "doc_id long, text string")
+    >>> rows = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    >>> rows[2]["text"]  # 'b' already appeared in doc 1
+    'c'
+    >>> (rows[2]["n_paras_before"], rows[2]["n_paras_after"])
+    (2, 1)
     """
     paras = df.select(
         F.col(id_col).alias("__id"),
@@ -168,11 +184,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
-    Plan: signatures (narrow) → unpivot band keys (narrow) → self-join
-    on (band, band_key) — the only shuffle, over tiny rows — → distinct
-    candidate pairs → verify with exact shingle Jaccard (second join on
-    doc ids to fetch shingles). Returns pairs (id_a < id_b) with their
-    exact jaccard ≥ threshold.
+    Plan: signatures (narrow) → unpivot band keys (narrow) → ONE
+    groupBy on (band, band_key) collecting each bucket's ids — the
+    only candidate shuffle, over tiny rows — → narrow double-explode
+    into distinct candidate pairs → verify with exact shingle Jaccard
+    (join on doc ids to fetch shingles). Returns pairs (id_a < id_b)
+    with their exact jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
     sig = _minhash_agg(df, id_col, text_col, k, num_hashes).withColumnRenamed(

@@ -29,6 +29,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
+    >>> corpus = spark.createDataFrame(
+    ...     [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+    ...     "vec_id long, embedding array<double>")
+    >>> queries = corpus.filter("vec_id = 1")
+    >>> rows = brute_force_topk(corpus, queries, k=2).collect()
+    >>> [(r["neighbor_id"], r["rank"]) for r in
+    ...  sorted(rows, key=lambda r: r["rank"])]
+    [(3, 1), (2, 2)]
+
     ``method="local"`` (default): the 100 TB shape WITH oracle bit
     parity. The raw query matrix broadcasts once; each corpus
     partition scores its rows against every query with the same

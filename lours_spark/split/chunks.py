@@ -168,6 +168,18 @@ def connected_components(
     diameter) rounds, ONE materializing job per round — the
     convergence check scans the round's checkpointed output) — the
     same algorithm GraphFrames uses, no driver materialization.
+
+    >>> pairs = spark.createDataFrame(
+    ...     [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    >>> comp = {r["node_id"]: r["component_id"]
+    ...         for r in connected_components(pairs).collect()}
+    >>> comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    True
+    >>> stats = {}
+    >>> _ = connected_components(pairs, driver_threshold=0,
+    ...                          stats=stats).collect()
+    >>> stats["path"], stats["edges"], stats["rounds"] <= 3
+    ('distributed', 3, True)
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -47,3 +47,13 @@ def test_display_doctests(spark):
     import lours_spark.display as display
 
     _run_module_doctests(display, spark, min_attempted=2)
+
+
+def test_operator_doctests(spark):
+    import lours_spark.operators.dedup as dedup
+    import lours_spark.operators.similarity as similarity
+    import lours_spark.split.chunks as chunks
+
+    _run_module_doctests(dedup, spark, min_attempted=5)
+    _run_module_doctests(similarity, spark, min_attempted=3)
+    _run_module_doctests(chunks, spark, min_attempted=4)
