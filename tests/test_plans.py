@@ -184,3 +184,39 @@ def test_repetition_signals_partial_aggregation(spark, suite):
     plan = _plan(suite.q_repetition_signals(spark, SF))
     assert "partial_count" in plan or "partial count" in plan.lower()
     assert "BatchEvalPython" not in plan  # no row UDFs anywhere
+
+
+def test_lsh_candidate_stages_run_once(spark, suite):
+    """Round-4 shapes: LSH candidate generation must be a single scan
+    of the signature stage (groupBy bucket + narrow double-explode),
+    never a self-join whose legs re-execute it — one MapInPandas node
+    for the embedding path, one shingle-HOF walk for ngram Jaccard."""
+    from lours_spark.operators.dedup import (
+        embedding_near_duplicates,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_near_duplicates(emb, threshold=0.95))
+    assert plan.count("MapInPandas") == 1
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # ngram: the interpreted shingle transform appears in ONE scan
+    # subtree (the explode side); sizes ride along, no size joins
+    nplan = _plan(ngram_jaccard_pairs(docs, threshold=0.3))
+    assert nplan.count("Generate") == 3  # shingle explode + pair fan-out
+    assert "SortMergeJoin" not in nplan and "BroadcastHashJoin" not in nplan
+
+    # minhash: bucket groupBy feeds the pair fan-out; the only joins
+    # left are the shingle-fetch verify joins
+    mplan = _plan(minhash_lsh_pairs(docs))
+    assert mplan.count("Generate") >= 2
+
+
+def test_lsh_bucket_topk_broadcasts_queries(spark, suite):
+    """The query side of the ANN bucket join must broadcast (queries
+    << corpus in any real lookup) — a shuffle on the low-cardinality
+    bucket key would move the corpus instead."""
+    plan = _plan(suite.ALL_QUERIES["lsh_bucket_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
