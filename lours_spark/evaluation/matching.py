@@ -77,6 +77,55 @@ def iou_matrix(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
     return out
 
 
+def _iou_row(box: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """IoU of ONE pred box against all gt rows — the same elementwise
+    arithmetic as :func:`iou_matrix` (identical IEEE results), O(n_gt)
+    memory instead of a row of the full matrix."""
+    gx, gy, gw, gh = gt[:, 0], gt[:, 1], gt[:, 2], gt[:, 3]
+    px, py, pw, ph = box
+    ix = np.maximum(0.0, np.minimum(gx + gw, px + pw) - np.maximum(gx, px))
+    iy = np.maximum(0.0, np.minimum(gy + gh, py + ph) - np.maximum(gy, py))
+    inter = ix * iy
+    union = gw * gh + pw * ph - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
+
+
+def greedy_match_streaming(
+    gt_boxes: np.ndarray,
+    pr_boxes: np.ndarray,
+    confidences: np.ndarray,
+    min_iou: float = 0.0,
+) -> list[tuple[int, int, float]]:
+    """:func:`greedy_match` without the O(n_gt × n_pred) matrix: each
+    prediction's IoU column is computed on the fly inside the (already
+    sequential-by-semantics) loop — O(n_gt) live memory, identical
+    matches (elementwise arithmetic matches :func:`iou_matrix` exactly,
+    tie-break order unchanged). The memory-safe path for crowded
+    groups: a 50k × 50k group would need a 20 GB matrix; this needs
+    400 KB."""
+    n_gt, n_pred = len(gt_boxes), len(pr_boxes)
+    if n_gt == 0 or n_pred == 0:
+        return []
+    order = np.lexsort((np.arange(n_pred), -confidences))
+    taken = np.zeros(n_gt, dtype=bool)
+    matches: list[tuple[int, int, float]] = []
+    for p in order:
+        row = _iou_row(pr_boxes[p], gt_boxes)
+        col = np.where(taken, -1.0, row)
+        g = int(np.argmax(col))
+        best = col[g]
+        if best > min_iou:
+            matches.append((g, int(p), float(row[g])))
+            taken[g] = True
+    return matches
+
+
+#: above this many iou cells, the per-group kernel streams per-pred
+#: rows instead of materializing the full matrix (64M cells = 512 MB)
+_MATRIX_CELL_CAP = 64_000_000
+
+
 def greedy_match(
     ious: np.ndarray,
     confidences: np.ndarray,
@@ -127,8 +176,15 @@ def _match_group_arrays(
     pr_ids, pr_boxes, pr_conf = ids[:split], boxes[:split], conf[:split]
     gt_ids, gt_boxes = ids[split:], boxes[split:]
 
-    ious = iou_matrix(gt_boxes, pr_boxes)
-    matches = greedy_match(ious, pr_conf, min_iou=min_iou)
+    if len(gt_boxes) * len(pr_boxes) > _MATRIX_CELL_CAP:
+        # crowded group: stream per-pred iou rows — O(n_gt) memory,
+        # identical matches (see greedy_match_streaming)
+        matches = greedy_match_streaming(
+            gt_boxes, pr_boxes, pr_conf, min_iou=min_iou
+        )
+    else:
+        ious = iou_matrix(gt_boxes, pr_boxes)
+        matches = greedy_match(ious, pr_conf, min_iou=min_iou)
     matched_gt = set()
     matched_pred = set()
     for g, p, iou in matches:

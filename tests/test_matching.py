@@ -273,3 +273,24 @@ def test_compute_matches_skewed_identical_to_standalone(spark):
            for gi, pi, _ in greedy_match(iou_matrix(g, p), conf)}
     assert got == ref
     assert len(got) > 50  # dense canvas: plenty of true matches
+
+
+def test_greedy_match_streaming_identical_to_matrix():
+    """The O(n_gt)-memory streaming greedy produces IDENTICAL matches
+    to the matrix form on random crowded groups (same elementwise
+    arithmetic, same tie-breaks)."""
+    from lours_spark.evaluation.matching import greedy_match_streaming
+
+    rng = np.random.default_rng(21)
+    for trial in range(5):
+        n_gt, n_pr = rng.integers(1, 120, size=2)
+        gt = rng.uniform(0, 100, size=(n_gt, 4))
+        pr = rng.uniform(0, 100, size=(n_pr, 4))
+        gt[:, 2:] = rng.uniform(1, 30, size=(n_gt, 2))
+        pr[:, 2:] = rng.uniform(1, 30, size=(n_pr, 2))
+        conf = rng.uniform(0, 1, size=n_pr)
+        # duplicate some confidences to exercise tie-break parity
+        conf[: n_pr // 3] = conf[0]
+        ref = greedy_match(iou_matrix(gt, pr), conf)
+        got = greedy_match_streaming(gt, pr, conf)
+        assert got == ref
