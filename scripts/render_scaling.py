@@ -33,7 +33,9 @@ def main() -> None:
         "lineitem/orders copies; documents word-mutated per copy so dedup\n"
         "pair structure scales ~linearly and cross-copy Jaccard stays below\n"
         "every threshold). Protocol matches bench.py (warmed JVM, cleared\n"
-        "cache, queries >5s re-run once and the min kept); local[32].\n"
+        "cache, queries >5s re-run once and the min kept; this table is\n"
+        "the per-query MIN of two full passes on a steal-time-prone VM);\n"
+        "local[32].\n"
     )
     print("| query | driving table | 1x sec | 10x sec | time ratio | 1x rows out | 10x rows out |")
     print("|---|---|---|---|---|---|---|")
