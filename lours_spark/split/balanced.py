@@ -37,14 +37,20 @@ def chunk_histograms(
 ) -> dict[int, dict[tuple, int]]:
     """Distributed per-chunk histogram over the balance dims; collects
     the sparse (chunk, bin) → count table."""
-    rows = (
+    pdf = (
         df.groupBy(chunk_col, *dims)
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .toPandas()  # Arrow transfer: ~10x faster than Row collect()
     )
     out: dict[int, dict[tuple, int]] = defaultdict(dict)
-    for r in rows:
-        out[r[chunk_col]][tuple(r[d] for d in dims)] = r["n"]
+    chunk_vals = pdf[chunk_col].tolist()
+    # NULL bins must stay None (NaN breaks bin-key equality across chunks)
+    dim_cols = [
+        pdf[d].astype(object).where(pdf[d].notna(), None).tolist() for d in dims
+    ]
+    n_vals = pdf["n"].tolist()
+    for i, cid in enumerate(chunk_vals):
+        out[cid][tuple(c[i] for c in dim_cols)] = n_vals[i]
     return dict(out)
 
 
@@ -96,15 +102,20 @@ def greedy_assign(
     histogram-KL + share cost (reference ``dataset_splitter.py:299-580``).
     Deterministic for a given seed.
 
-    Driver-side but FLAT: histograms live as dense per-bin lists over
-    the global bin index (plus a cached per-split bin-count and size),
-    so each trial cost is one K-length loop of float math — no dict
-    unions, no per-call array allocation (numpy's per-call overhead on
-    the tiny K≈5-100 bins of real balance dims costs more than the
-    arithmetic; measured: dict form 10.2s, numpy form 5.0s, this form
-    <1s at 15k chunks). Semantics identical to the scalar dict form:
-    same eps smoothing, same visit order, same first-improvement
-    polish.
+    Driver-side but FLAT and INCREMENTAL: histograms live as dense
+    per-bin lists over the global bin index, so each trial cost is one
+    K-length loop of float math — no dict unions, no per-call array
+    allocation (numpy's per-call overhead on the tiny K≈5-100 bins of
+    real balance dims costs more than the arithmetic; measured: dict
+    form 10.2s, numpy form 5.0s, flat form <1s at 15k chunks). On top
+    of that, per-split KL values are CACHED and only recomputed for
+    the (one or two) splits an assignment/move/swap actually touches —
+    trial costs never rebuild untouched splits. Histogram entries are
+    integer counts (exact in float64), so every cached value equals
+    the from-scratch recomputation bit-for-bit: same eps smoothing,
+    same visit order, same first-improvement polish, identical
+    assignments to the non-incremental form (asserted by
+    tests/test_split.py parity test).
     """
     from math import log
 
@@ -145,11 +156,10 @@ def greedy_assign(
             kl += pj * (log(pj) - log_gq[j])
         return kl
 
-    def _kl_plus(vec: list, add: list) -> float:
-        """KL of (vec + add) without materializing the sum."""
-        sp = 0.0
-        for j in range(K):
-            sp += vec[j] + add[j]
+    def _kl_plus(vec: list, add: list, sp: float) -> float:
+        """KL of (vec + add) without materializing the sum. ``sp`` is
+        the known sum of the combined vector (counts are integers, so
+        the running split size equals the elementwise sum exactly)."""
         sp = sp or 1.0
         kl = 0.0
         for j in range(K):
@@ -157,8 +167,28 @@ def greedy_assign(
             kl += pj * (log(pj) - log_gq[j])
         return kl
 
-    def _share_cost(sizes: list) -> float:
-        tot = sum(sizes) or 1.0
+    def _kl_minus(vec: list, sub: list, sp: float) -> float:
+        """KL of (vec - sub) — the move-trial from-split form."""
+        sp = sp or 1.0
+        kl = 0.0
+        for j in range(K):
+            pj = (vec[j] - sub[j]) / sp + eps
+            kl += pj * (log(pj) - log_gq[j])
+        return kl
+
+    def _kl_delta(vec: list, sub: list, add: list, sp: float) -> float:
+        """KL of (vec - sub + add) — the swap-trial form."""
+        sp = sp or 1.0
+        kl = 0.0
+        for j in range(K):
+            pj = (vec[j] - sub[j] + add[j]) / sp + eps
+            kl += pj * (log(pj) - log_gq[j])
+        return kl
+
+    def _share_cost(sizes: list, tot: float) -> float:
+        """1 − IoU vs target shares. ``tot`` is the known sum of
+        ``sizes`` (invariant across trials once assignment is done)."""
+        tot = tot or 1.0
         inter = 0.0
         union = 0.0
         for j in range(S):
@@ -172,36 +202,41 @@ def greedy_assign(
     sizes = [0.0] * S
     assignment: dict[int, str] = {}
     sindex = {s: i for i, s in enumerate(splits)}
+    hsize = {cid: sum(v) for cid, v in hvec.items()}  # chunk row counts
 
     chunk_ids = sorted(hists)
     rng = random.Random(seed)
     rng.shuffle(chunk_ids)
 
+    # cached per-split KL — recomputed ONLY for splits whose histogram
+    # changed; always equals _kl(A[j]) bit-for-bit (integer counts)
+    cur_kl = [_kl(A[j]) for j in range(S)]
+    n_assigned = 0.0  # == sum(sizes): integer counts, so exact
+
     for cid in chunk_ids:
         h = hvec[cid]
-        hn = sum(h)
+        hn = hsize[cid]
         if preassigned and cid in preassigned:
             winner = sindex[preassigned[cid]]
         else:
             # size-weighted total divergence after each trial assignment
             # (reference dataset_splitter.py:111-118)
-            n_total = sum(sizes) + hn
-            base_kl = [_kl(A[j]) for j in range(S)]
+            n_total = n_assigned + hn
             best_cost, winner = None, 0
             for i in range(S):
-                trial_kl_i = _kl_plus(A[i], h)
+                trial_kl_i = _kl_plus(A[i], h, sizes[i] + hn)
                 trial_sizes = list(sizes)
                 trial_sizes[i] += hn
                 if n_total:
                     hist_cost = 0.0
                     for j in range(S):
-                        klj = trial_kl_i if j == i else base_kl[j]
+                        klj = trial_kl_i if j == i else cur_kl[j]
                         hist_cost += trial_sizes[j] / n_total * klj
                 else:
                     hist_cost = 0.0
                 cost = (
                     hist_cost_weight * hist_cost
-                    + share_cost_weight * _share_cost(trial_sizes)
+                    + share_cost_weight * _share_cost(trial_sizes, n_total)
                 )
                 if best_cost is None or cost < best_cost:
                     best_cost, winner = cost, i
@@ -209,16 +244,32 @@ def greedy_assign(
         for j in range(K):
             aw[j] += h[j]
         sizes[winner] += hn
+        n_assigned += hn
+        cur_kl[winner] = _kl(aw)
         assignment[cid] = splits[winner]
 
+    # from here on every trial preserves the total: n_assigned is THE
+    # sum of sizes (exact — integer counts)
     def total_cost() -> float:
-        n_total = sum(sizes) or 1.0
+        n_total = n_assigned or 1.0
         hist_cost = sum(
-            (sizes[j] / n_total) * _kl(A[j]) for j in range(S) if sizes[j]
+            (sizes[j] / n_total) * cur_kl[j] for j in range(S) if sizes[j]
         )
         return (
             hist_cost_weight * hist_cost
-            + share_cost_weight * _share_cost(sizes)
+            + share_cost_weight * _share_cost(sizes, n_assigned)
+        )
+
+    def _cost_from(kl: list, sz: list) -> float:
+        """total_cost of a TRIAL state given per-split kl + sizes —
+        same summation order/skip rule as total_cost."""
+        n_total = n_assigned or 1.0
+        hist_cost = sum(
+            (sz[j] / n_total) * kl[j] for j in range(S) if sz[j]
+        )
+        return (
+            hist_cost_weight * hist_cost
+            + share_cost_weight * _share_cost(sz, n_assigned)
         )
 
     def _shift(h: list, hn: float, frm: int, to: int) -> None:
@@ -231,27 +282,42 @@ def greedy_assign(
 
     # local-improvement polish: greedy is order-sensitive, so early
     # assignments can leave residual imbalance; a couple of move passes
-    # (still O(chunks · splits) driver work on vectors) settle it
+    # settle it. Trials never touch A — each candidate move recomputes
+    # KL for only the two affected splits from the UN-shifted state
+    # (exact: counts are integers), so a rejected trial costs O(K)
+    # instead of O(S·K)+shift/unshift.
     for _ in range(2):
         moved = False
+        cur_total = total_cost()  # carried: exact post-move trial cost
         for cid in sorted(assignment):
             if preassigned and cid in preassigned:
                 continue
             h = hvec[cid]
-            hn = sum(h)
+            hn = hsize[cid]
             cur = sindex[assignment[cid]]
-            best_cost, best_split = total_cost(), cur
+            best_cost, best_split = cur_total, cur
+            best_kl_from = best_kl_to = 0.0
+            kl_from = _kl_minus(A[cur], h, sizes[cur] - hn)
             for i in range(S):
                 if i == cur:
                     continue
-                _shift(h, hn, cur, i)
-                cost = total_cost()
-                _shift(h, hn, i, cur)
+                kl_to = _kl_plus(A[i], h, sizes[i] + hn)
+                tkl = list(cur_kl)
+                tkl[cur] = kl_from
+                tkl[i] = kl_to
+                tsz = list(sizes)
+                tsz[cur] -= hn
+                tsz[i] += hn
+                cost = _cost_from(tkl, tsz)
                 if cost < best_cost - 1e-12:
                     best_cost, best_split = cost, i
+                    best_kl_from, best_kl_to = kl_from, kl_to
             if best_split != cur:
                 _shift(h, hn, cur, best_split)
+                cur_kl[cur] = best_kl_from
+                cur_kl[best_split] = best_kl_to
                 assignment[cid] = splits[best_split]
+                cur_total = best_cost
                 moved = True
         if not moved:
             break
@@ -262,11 +328,6 @@ def greedy_assign(
     # budget: few chunks → wide scan (where single swaps matter most),
     # many chunks → a handful of strided candidates each, so driver
     # polish time stays flat in n.
-    def _apply(cid, frm, to):
-        h = hvec[cid]
-        _shift(h, sum(h), frm, to)
-        assignment[cid] = splits[to]
-
     movable = [
         c for c in sorted(assignment) if not (preassigned and c in preassigned)
     ]
@@ -281,22 +342,38 @@ def greedy_assign(
             break  # already balanced to noise — swaps can't help
         for idx, ca in enumerate(movable):
             sa = sindex[assignment[ca]]
+            ha = hvec[ca]
+            han = hsize[ca]
             stride = max(1, len(movable) // cap)
             candidates = movable[(idx + 1) % stride :: stride][:cap]
             for cb in candidates:
                 sb = sindex[assignment[cb]]
                 if sb == sa or cb == ca:
                     continue
-                _apply(ca, sa, sb)
-                _apply(cb, sb, sa)
-                cost = total_cost()
+                # trial swap without touching A: only splits sa/sb move
+                hb = hvec[cb]
+                hbn = hsize[cb]
+                sza = sizes[sa] - han + hbn
+                szb = sizes[sb] - hbn + han
+                kla = _kl_delta(A[sa], ha, hb, sza)
+                klb = _kl_delta(A[sb], hb, ha, szb)
+                tkl = list(cur_kl)
+                tkl[sa] = kla
+                tkl[sb] = klb
+                tsz = list(sizes)
+                tsz[sa] = sza
+                tsz[sb] = szb
+                cost = _cost_from(tkl, tsz)
                 if cost < base - 1e-12:
+                    _shift(ha, han, sa, sb)
+                    _shift(hb, hbn, sb, sa)
+                    cur_kl[sa] = kla
+                    cur_kl[sb] = klb
+                    assignment[ca] = splits[sb]
+                    assignment[cb] = splits[sa]
                     base = cost
-                    sa = sindex[assignment[ca]]
+                    sa = sindex[assignment[ca]]  # ca now lives in sb
                     improved = True
-                else:
-                    _apply(cb, sa, sb)
-                    _apply(ca, sb, sa)
         if not improved:
             break
     return assignment

@@ -213,3 +213,192 @@ def test_dedup_clusters_distributed_agrees_on_real_pairs(spark):
         for r in ALL_QUERIES["dedup_clusters_distributed"](spark, sf).collect()
     }
     assert hybrid == forced and len(hybrid) > 0
+
+
+def _greedy_assign_reference(hists, target_shares, seed=0,
+                             hist_cost_weight=1.0, share_cost_weight=1.0,
+                             preassigned=None):
+    """Non-incremental scalar form of greedy_assign (the shape the
+    production code's KL caching is verified against): recomputes every
+    per-split KL and every total from scratch at each step. Costs
+    O(chunks·S²·K) — test-only."""
+    import math as _m
+    import random as _r
+
+    splits = list(target_shares)
+    S = len(splits)
+    eps = 1e-12
+    keys, seen = [], set()
+    for h in hists.values():
+        for k in h:
+            if k not in seen:
+                seen.add(k)
+                keys.append(k)
+    K = max(1, len(keys))
+    kidx = {k: i for i, k in enumerate(keys)}
+    G = [0.0] * K
+    hvec = {}
+    for cid, h in hists.items():
+        v = [0.0] * K
+        for k, n in h.items():
+            v[kidx[k]] = float(n)
+        hvec[cid] = v
+        for j in range(K):
+            G[j] += v[j]
+    gs = sum(G) or 1.0
+    log_gq = [_m.log(G[j] / gs + eps) for j in range(K)]
+    tshare = [float(target_shares[s]) for s in splits]
+
+    def _kl(vec):
+        sp = sum(vec) or 1.0
+        return sum((vec[j] / sp + eps) * (_m.log(vec[j] / sp + eps) - log_gq[j])
+                   for j in range(K))
+
+    def _share(sz):
+        tot = sum(sz) or 1.0
+        inter = sum(min(sz[j] / tot, tshare[j]) for j in range(S))
+        union = sum(max(sz[j] / tot, tshare[j]) for j in range(S))
+        return 1.0 - (inter / union if union else 0.0)
+
+    A = [[0.0] * K for _ in range(S)]
+    sizes = [0.0] * S
+    assignment = {}
+    sindex = {s: i for i, s in enumerate(splits)}
+    chunk_ids = sorted(hists)
+    _r.Random(seed).shuffle(chunk_ids)
+
+    def _cost(trialA, trial_sizes):
+        n_total = sum(trial_sizes) or 1.0
+        hist_cost = sum((trial_sizes[j] / n_total) * _kl(trialA[j])
+                        for j in range(S) if trial_sizes[j])
+        return hist_cost_weight * hist_cost + share_cost_weight * _share(trial_sizes)
+
+    for cid in chunk_ids:
+        h = hvec[cid]
+        hn = sum(h)
+        if preassigned and cid in preassigned:
+            winner = sindex[preassigned[cid]]
+        else:
+            n_total = sum(sizes) + hn
+            best_cost, winner = None, 0
+            for i in range(S):
+                trialA = [list(a) for a in A]
+                for j in range(K):
+                    trialA[i][j] += h[j]
+                trial_sizes = list(sizes)
+                trial_sizes[i] += hn
+                if n_total:
+                    hist_cost = sum(trial_sizes[j] / n_total * _kl(trialA[j])
+                                    for j in range(S))
+                else:
+                    hist_cost = 0.0
+                cost = (hist_cost_weight * hist_cost
+                        + share_cost_weight * _share(trial_sizes))
+                if best_cost is None or cost < best_cost:
+                    best_cost, winner = cost, i
+        for j in range(K):
+            A[winner][j] += h[j]
+        sizes[winner] += hn
+        assignment[cid] = splits[winner]
+
+    # naive polish: identical decision rules to production's move/swap
+    # passes, but every trial cost is recomputed from scratch
+    def total_cost():
+        n_total = sum(sizes) or 1.0
+        hist_cost = sum((sizes[j] / n_total) * _kl(A[j])
+                        for j in range(S) if sizes[j])
+        return hist_cost_weight * hist_cost + share_cost_weight * _share(sizes)
+
+    def _shift(h, hn, frm, to):
+        for j in range(K):
+            A[frm][j] -= h[j]
+            A[to][j] += h[j]
+        sizes[frm] -= hn
+        sizes[to] += hn
+
+    for _ in range(2):
+        moved = False
+        for cid in sorted(assignment):
+            if preassigned and cid in preassigned:
+                continue
+            h = hvec[cid]
+            hn = sum(h)
+            cur = sindex[assignment[cid]]
+            best_cost, best_split = total_cost(), cur
+            for i in range(S):
+                if i == cur:
+                    continue
+                _shift(h, hn, cur, i)
+                cost = total_cost()
+                _shift(h, hn, i, cur)
+                if cost < best_cost - 1e-12:
+                    best_cost, best_split = cost, i
+            if best_split != cur:
+                _shift(h, hn, cur, best_split)
+                assignment[cid] = splits[best_split]
+                moved = True
+        if not moved:
+            break
+
+    def _apply(cid, frm, to):
+        h = hvec[cid]
+        _shift(h, sum(h), frm, to)
+        assignment[cid] = splits[to]
+
+    movable = [c for c in sorted(assignment)
+               if not (preassigned and c in preassigned)]
+    cap = len(movable) if len(movable) <= 256 else max(
+        2, min(32, 50_000 // len(movable)))
+    for _ in range(2):
+        improved = False
+        base = total_cost()
+        if base < 1e-6:
+            break
+        for idx, ca in enumerate(movable):
+            sa = sindex[assignment[ca]]
+            stride = max(1, len(movable) // cap)
+            candidates = movable[(idx + 1) % stride :: stride][:cap]
+            for cb in candidates:
+                sb = sindex[assignment[cb]]
+                if sb == sa or cb == ca:
+                    continue
+                _apply(ca, sa, sb)
+                _apply(cb, sb, sa)
+                cost = total_cost()
+                if cost < base - 1e-12:
+                    base = cost
+                    sa = sindex[assignment[ca]]
+                    improved = True
+                else:
+                    _apply(cb, sa, sb)
+                    _apply(ca, sb, sa)
+        if not improved:
+            break
+    return assignment
+
+
+def test_greedy_assign_incremental_matches_scratch_recompute():
+    """The production greedy's cached-KL trials (assignment, move
+    polish, swap polish) must make the same decision at every step as
+    from-scratch recomputation — EXACTLY, not approximately: counts
+    are integers (exact in float64), so every cached sum and KL is
+    bit-identical to its recomputation and the assignments must be
+    equal as dicts."""
+    import random as _r
+
+    for trial in range(6):
+        rng = _r.Random(100 + trial)
+        hists = {}
+        for cid in range(rng.choice([40, 200])):
+            h = {("b", b): rng.randint(1, 9)
+                 for b in range(rng.choice([2, 4, 7])) if rng.random() < 0.8}
+            hists[cid] = h or {("b", 0): 1}
+        shares = {"train": 0.7, "valid": 0.2, "eval": 0.1}
+        pre = {0: "valid", 3: "train"} if trial % 2 else None
+        ref = _greedy_assign_reference(hists, shares, seed=trial,
+                                       preassigned=pre)
+        got = greedy_assign(hists, shares, seed=trial, preassigned=pre)
+        assert ref == got, (
+            f"trial {trial}: incremental diverged from scratch recompute "
+            f"on {sum(1 for c in ref if ref[c] != got[c])}/{len(ref)} chunks"
+        )
