@@ -292,6 +292,92 @@ def ap_at_recall_grid(
     )
 
 
+def average_precisions_both(
+    curves: DataFrame,
+    group_cols: Sequence[str] = ("category_id",),
+    n_points: int = 101,
+) -> DataFrame:
+    """Riemann AP and COCO-grid AP in ONE aggregation pass — the
+    small-curve fast path.
+
+    :func:`average_precisions` + :func:`ap_at_recall_grid` each shuffle
+    the curve frame again (window + groupBy, explode×grid + 2 groupBys)
+    and are then joined — ~8 stage waves for frames that are tiny by
+    construction (one row per group × distinct confidence). Here each
+    (group × iou_threshold) key gathers its curve points into a sorted
+    array once and evaluates both definitions as array expressions:
+
+    - Riemann sum (reference ``util.py:305-321``): fold over points in
+      (recall asc, confidence desc) order accumulating
+      ``Σ precision_env · Δrecall`` — same order and same per-element
+      arithmetic as the window form's ``lag``-difference.
+    - grid AP (COCOeval accumulate): for each of the ``n_points`` grid
+      recalls ``r``, ``max(precision_env | recall ≥ r)`` over non-pad
+      points (envelope is non-increasing, so max == value at the first
+      qualifying point), 0 past max recall; AP = mean.
+
+    One shuffle, no explode, no join. Use when the collapsed curve
+    frame is small (``compute_precision_recall`` routes on its existing
+    row-count probe); at corpus scale with millions of distinct
+    confidences per group, keep the distributed window/explode forms —
+    a per-key array would concentrate a whole group in one task.
+    Parity with the window forms is asserted in
+    ``tests/test_evaluator.py``.
+    """
+    keys = [*group_cols, "iou_threshold"]
+    pt = F.struct(
+        F.col("recall").alias("recall"),
+        (-F.col("confidence")).alias("negc"),
+        F.col("precision_env").alias("env"),
+        F.col("is_pad").alias("is_pad"),
+    )
+    agg = curves.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(pt)).alias("__pts")
+    )
+    # Riemann: fold with (prev_recall, acc); first element's Δ is 0,
+    # matching the window form's coalesce(lag, recall)
+    riemann = F.aggregate(
+        F.col("__pts"),
+        F.struct(
+            F.element_at("__pts", 1).getField("recall").alias("prev"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda acc, x: F.struct(
+            x.getField("recall").alias("prev"),
+            (
+                acc.getField("s")
+                + x.getField("env") * (x.getField("recall") - acc.getField("prev"))
+            ).alias("s"),
+        ),
+        lambda acc: acc.getField("s"),
+    )
+    agg = agg.withColumn(
+        "__np", F.expr("filter(__pts, x -> NOT x.is_pad)")
+    ).withColumn("average_precision", riemann)
+    grid = F.array(*[F.lit(i / (n_points - 1)) for i in range(n_points)])
+    samples = F.transform(
+        grid,
+        lambda r: F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(
+                        F.col("__np"), lambda x: x.getField("recall") >= r
+                    ),
+                    lambda x: x.getField("env"),
+                )
+            ),
+            F.lit(0.0),
+        ),
+    )
+    mean_grid = (
+        F.aggregate(samples, F.lit(0.0), lambda acc, p: acc + p)
+        / F.lit(float(n_points))
+    )
+    return agg.withColumn("ap", mean_grid).select(
+        *keys, "average_precision", "ap"
+    )
+
+
 def compute_confusion_matrix(
     groundtruth: DataFrame,
     predictions: DataFrame,
@@ -405,6 +491,7 @@ def compute_precision_recall(
         curves = per_t[0]
         for c in per_t[1:]:
             curves = curves.unionByName(c)
+    tiny = False
     if cache_curves:
         from pyspark.storagelevel import StorageLevel
 
@@ -417,6 +504,15 @@ def compute_precision_recall(
             # near-empty ones (coalesce on a cached frame reads the
             # cached blocks; nothing recomputes)
             curves = curves.coalesce(4)
+            tiny = True
     aps = average_precisions(curves, group_cols)
     ap_grid = ap_at_recall_grid(curves, group_cols)
-    return {"curves": curves, "ap": aps, "ap_grid": ap_grid}
+    # both-APs-in-one-pass frame: on tiny curve frames the single
+    # sorted-array aggregation (no explode, no join) replaces ~8 stage
+    # waves with 2; past the size probe, fall back to joining the
+    # distributed window/explode forms
+    if tiny:
+        ap_both = average_precisions_both(curves, group_cols)
+    else:
+        ap_both = aps.join(ap_grid, [*group_cols, "iou_threshold"])
+    return {"curves": curves, "ap": aps, "ap_grid": ap_grid, "ap_both": ap_both}

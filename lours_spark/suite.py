@@ -1454,15 +1454,11 @@ def q_detection_pr_ap(spark, sf_dir):
     res = compute_precision_recall(
         ann, pred, ious=[0.2, 0.5], group_cols=["category_id"]
     )
-    return (
-        res["ap"]
-        .join(res["ap_grid"], ["category_id", "iou_threshold"])
-        .select(
-            "category_id",
-            "iou_threshold",
-            F.round("average_precision", 6).alias("ap"),
-            F.round("ap", 6).alias("ap_coco_grid"),
-        )
+    return res["ap_both"].select(
+        "category_id",
+        "iou_threshold",
+        F.round("average_precision", 6).alias("ap"),
+        F.round("ap", 6).alias("ap_coco_grid"),
     )
 
 

@@ -215,3 +215,72 @@ def test_evaluator_parquet_roundtrip(tiny_dataset, tmp_path, spark):
     with _pytest.raises(FileExistsError):
         ev.to_parquet(out)
     ev.to_parquet(out, overwrite=True)
+
+
+def test_average_precisions_both_matches_window_forms(spark):
+    """The single-aggregation tiny-curve path (sorted-array fold +
+    grid sampling as array expressions) must reproduce the distributed
+    window/explode forms' AP values on the same curve frame."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lours_spark.evaluation.evaluator import (
+        ap_at_recall_grid,
+        average_precisions,
+        average_precisions_both,
+        compute_precision_recall,
+    )
+
+    rng = random.Random(3)
+    gt = spark.createDataFrame(
+        [
+            (i, i % 50, i % 4, 10.0 * (i % 7), 8.0 * (i % 5), 20.0, 16.0)
+            for i in range(400)
+        ],
+        "id long, image_id long, category_id int, box_x_min double,"
+        " box_y_min double, box_width double, box_height double",
+    )
+    pred = spark.createDataFrame(
+        [
+            (
+                1000 + i,
+                i % 50,
+                i % 4,
+                10.0 * (i % 7) + rng.uniform(-4, 4),
+                8.0 * (i % 5) + rng.uniform(-4, 4),
+                20.0,
+                16.0,
+                rng.random(),
+            )
+            for i in range(360)
+        ],
+        "id long, image_id long, category_id int, box_x_min double,"
+        " box_y_min double, box_width double, box_height double,"
+        " confidence double",
+    )
+    res = compute_precision_recall(gt, pred, ious=[0.3, 0.5])
+    curves = res["curves"]
+    keys = ["category_id", "iou_threshold"]
+    want_ap = {
+        tuple(r[k] for k in keys): r["average_precision"]
+        for r in average_precisions(curves).collect()
+    }
+    want_grid = {
+        tuple(r[k] for k in keys): r["ap"]
+        for r in ap_at_recall_grid(curves).collect()
+    }
+    got = average_precisions_both(curves).collect()
+    assert len(got) == len(want_ap) > 0
+    for r in got:
+        k = tuple(r[x] for x in keys)
+        assert r["average_precision"] == pytest.approx(want_ap[k], abs=1e-9), k
+        assert r["ap"] == pytest.approx(want_grid[k], abs=1e-9), k
+    # and the ap_both frame the evaluator returns is the same thing
+    both = {
+        tuple(r[x] for x in keys): (r["average_precision"], r["ap"])
+        for r in res["ap_both"].collect()
+    }
+    for k, (a, g) in both.items():
+        assert a == pytest.approx(want_ap[k], abs=1e-9)
+        assert g == pytest.approx(want_grid[k], abs=1e-9)
