@@ -192,7 +192,7 @@ def main() -> None:
         # slow-looking query is not trustworthy, so re-run it once and
         # keep the min (cheap queries stay single-sample). A spike can
         # outlast two samples — take a third when still over 5s.
-        if dt > 2.0:
+        if dt > 1.0:
             dt2, _ = run_once(name)
             dt = min(dt, dt2)
         if dt > 5.0:
@@ -216,8 +216,8 @@ def main() -> None:
                 "methodology": {
                     "isolation": "spark.catalog.clearCache() + gc between queries",
                     "order": "fixed, as listed in queries (single shared JVM)",
-                    "runs_per_query": "1; queries over 2s re-run once, min kept "
-                                      "(robust to host steal-time spikes)",
+                    "runs_per_query": "1; queries over 1s re-run once, over 5s twice; "
+                                      "min kept (robust to host steal-time spikes)",
                     "warmup": "lineitem scan + python-worker pool (pandas_udf)",
                     "state": "each number is a first run in a warmed JVM "
                              "with cleared DataFrame cache (cold plans, "

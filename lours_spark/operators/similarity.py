@@ -279,13 +279,28 @@ def lsh_bucket_topk(
     k: int = 5,
     num_planes: int = 4,
     dim: int | None = None,
+    num_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign bucketing, then exact
     cosine within the bucket. Recall < 1 by design; increase
-    ``num_planes`` for smaller buckets or probe neighboring buckets for
-    higher recall."""
+    ``num_planes`` for smaller buckets, or raise ``num_probes`` for
+    higher recall at the same bucket size.
+
+    ``num_probes``: how many buckets each query scans — 1 probes only
+    the query's own bucket; ``1 + num_planes`` adds every
+    Hamming-distance-1 bucket (one sign bit flipped). A near neighbor
+    lands in a different bucket exactly when some hyperplane separates
+    the pair, and for a close pair more than one separating plane is
+    unlikely — so 1-bit probing recovers most of the loss without
+    shrinking ``num_planes`` (bigger buckets) or replicating the
+    corpus into extra tables. The probe fan-out lives on the
+    BROADCAST query side (corpus rows still carry one bucket each), so
+    extra probes cost broadcast-map lookups, not corpus replication —
+    the 100 TB-side cost model is unchanged.
+    """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    num_probes = max(1, min(int(num_probes), 1 + num_planes))
 
     def bucket_expr(vec):
         acc = F.lit(0)
@@ -311,7 +326,21 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
+        bucket_expr(F.col(vec_col)).alias("__b0"),
+    )
+    # multi-probe: own bucket + (num_probes − 1) single-bit flips,
+    # exploded on the tiny query side. A corpus row sits in exactly one
+    # bucket and the probed set is distinct, so no (query, neighbor)
+    # pair can duplicate.
+    probes = F.array(
+        F.col("__b0"),
+        *[
+            F.col("__b0").bitwiseXOR(F.lit(2**p))
+            for p in range(num_probes - 1)
+        ],
+    )
+    q = q.select(
+        "query_id", "__qv", F.explode(probes).alias("bucket")
     )
     # queries ≪ corpus in any real ANN lookup: broadcast the query
     # side so the corpus is scanned in place — no shuffle on the

@@ -178,6 +178,33 @@ def test_lsh_bucket_topk_recall(spark, vectors):
     assert len(e & a) / len(e) >= 0.5
 
 
+def test_lsh_bucket_topk_multiprobe(spark, vectors):
+    """Hamming-1 multi-probe: recall is monotone in num_probes, full
+    probing of every 1-bit flip dominates single-bucket recall, and no
+    (query, neighbor) pair duplicates (a corpus row holds exactly one
+    bucket; the probed set is distinct)."""
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    queries = df.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(df, queries, k=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(num_probes):
+        rows = lsh_bucket_topk(
+            df, queries, k=3, num_planes=3, num_probes=num_probes
+        ).collect()
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "duplicate candidate pair"
+        return len(e & set(pairs)) / len(e)
+
+    r1, r_full = recall(1), recall(4)
+    assert r_full >= r1
+    # with every 1-bit neighbor probed at only 3 planes, the clustered
+    # fixture's neighbors are all reachable
+    assert r_full >= 0.9
+
+
 def test_ivf_topk_recall(spark, vectors):
     from lours_spark.operators.similarity import ivf_topk
 
