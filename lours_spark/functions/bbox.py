@@ -179,7 +179,14 @@ def import_bbox(
     drop_input: bool = True,
 ) -> DataFrame:
     """Convert bbox columns in ``input_format`` to canonical XYWH
-    absolute (reference ``bbox_converter.py:141-312``)."""
+    absolute (reference ``bbox_converter.py:141-312``).
+
+    >>> df = spark.createDataFrame([(10.0, 10.0, 4.0, 2.0)],
+    ...                            "cx double, cy double, w double, h double")
+    >>> r = import_bbox(df, "CXCYWH", ["cx", "cy", "w", "h"]).first()
+    >>> (r["box_x_min"], r["box_y_min"], r["box_width"], r["box_height"])
+    (8.0, 9.0, 4.0, 2.0)
+    """
     fmt = parse_bbox_format(input_format)
     input_columns = input_columns or fmt.column_names
     if len(input_columns) != 4:

@@ -22,7 +22,16 @@ def iou_columns(
     x2: Column, y2: Column, w2: Column, h2: Column,
 ) -> Column:
     """IoU of two XYWH boxes as a single expression (reference
-    ``util.py:75-95``). Degenerate/disjoint pairs → 0."""
+    ``util.py:75-95``). Degenerate/disjoint pairs → 0.
+
+    >>> df = spark.createDataFrame(
+    ...     [(0.0, 0.0, 2.0, 2.0, 1.0, 0.0, 2.0, 2.0)],
+    ...     "x1 double, y1 double, w1 double, h1 double,"
+    ...     " x2 double, y2 double, w2 double, h2 double")
+    >>> df.select(iou_columns(*[F.col(c) for c in
+    ...     ["x1","y1","w1","h1","x2","y2","w2","h2"]]).alias("iou")).first()["iou"]
+    0.3333333333333333
+    """
     ix = F.greatest(
         F.lit(0.0), F.least(x1 + w1, x2 + w2) - F.greatest(x1, x2)
     )

@@ -35,7 +35,12 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count.
+
+    >>> df = spark.createDataFrame([("The quick  brown fox",)], ["text"])
+    >>> df.select(token_count(F.col("text")).alias("n")).first()["n"]
+    4
+    """
     return F.size(tokens(text))
 
 
@@ -62,7 +67,12 @@ def _bind(value: Column, fn) -> Column:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles of a document (tokens evaluated
-    once via lambda binding — see ``_bind``)."""
+    once via lambda binding — see ``_bind``).
+
+    >>> df = spark.createDataFrame([("a b c d",)], ["text"])
+    >>> df.select(word_shingles(F.col("text")).alias("s")).first()["s"]
+    ['a b c', 'b c d']
+    """
 
     def build(w: Column) -> Column:
         n = F.size(w)
@@ -132,7 +142,14 @@ def simhash(tokens_col: Column, bits: int = 16) -> Column:
 
 def language_id(text: Column) -> Column:
     """n-gram/stopword language heuristic: count stopword hits per
-    language, pick the argmax (ties broken by language code order)."""
+    language, pick the argmax (ties broken by language code order).
+
+    >>> df = spark.createDataFrame(
+    ...     [("the cat and the dog were here",),
+    ...      ("el perro es una de las cosas que",)], ["text"])
+    >>> [r["l"] for r in df.select(language_id(F.col("text")).alias("l")).collect()]
+    ['en', 'es']
+    """
     w = tokens(text)
     scores = [
         (
@@ -179,6 +196,14 @@ def quality_score(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
-    token set — catches token-permutation near-duplicates."""
+    token set — catches token-permutation near-duplicates.
+
+    >>> df = spark.createDataFrame(
+    ...     [("the quick brown fox", "fox brown QUICK the", "another doc")],
+    ...     ["a", "b", "c"])
+    >>> r = df.select(*[fingerprint(F.col(c)).alias(c) for c in "abc"]).first()
+    >>> r["a"] == r["b"], r["a"] == r["c"]
+    (True, False)
+    """
     normalized = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
     return F.md5(normalized)

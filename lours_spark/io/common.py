@@ -7,7 +7,15 @@ _KNOWN_SPLITS = {"train", "valid", "val", "eval", "test"}
 
 def parse_annotation_name(stem: str) -> tuple[str | None, str | None]:
     """Infer (dataset_name, split) from a ``<name>_<split>`` filename
-    stem (reference ``io/common.py:144-164``)."""
+    stem (reference ``io/common.py:144-164``).
+
+    >>> parse_annotation_name("coco_train")
+    ('coco', 'train')
+    >>> parse_annotation_name("plain")
+    ('plain', None)
+    >>> parse_annotation_name("multi_word_name_eval")
+    ('multi_word_name', 'eval')
+    """
     if "_" in stem:
         name, _, suffix = stem.rpartition("_")
         if suffix in _KNOWN_SPLITS:

@@ -27,6 +27,12 @@ def hash_fraction(id_col: Column) -> Column:
     """Deterministic uniform [0,1) fraction from a non-negative integer
     id — identical arithmetic in any engine: ((id * K) mod 2^32) / 2^32.
 
+    >>> df = spark.createDataFrame([(0,), (1,), (2**62,)], "id long")
+    >>> got = [r["f"] for r in
+    ...        df.select(hash_fraction(F.col("id")).alias("f")).collect()]
+    >>> got == [((i * _KNUTH) % _M32) / _M32 for i in (0, 1, 2**62)]
+    True
+
     A naive 64-bit ``id * K`` silently wraps negative for id ≳ 3.47e9
     (2^63 / K), which would funnel every such row into the first split —
     exactly the scale this splitter is advertised for. Instead of paying

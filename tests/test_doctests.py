@@ -57,3 +57,17 @@ def test_operator_doctests(spark):
     _run_module_doctests(dedup, spark, min_attempted=5)
     _run_module_doctests(similarity, spark, min_attempted=3)
     _run_module_doctests(chunks, spark, min_attempted=4)
+
+
+def test_function_module_doctests(spark):
+    import lours_spark.functions.bbox as bbox
+    import lours_spark.functions.geometry as geometry
+    import lours_spark.functions.text as text
+    import lours_spark.io.common as io_common
+    import lours_spark.split.splitter as splitter
+
+    _run_module_doctests(text, spark, min_attempted=8)
+    _run_module_doctests(geometry, spark, min_attempted=2)
+    _run_module_doctests(bbox, spark, min_attempted=2)
+    _run_module_doctests(splitter, spark, min_attempted=3)
+    _run_module_doctests(io_common, spark, min_attempted=3)
