@@ -220,3 +220,38 @@ def test_lsh_bucket_topk_broadcasts_queries(spark, suite):
     bucket key would move the corpus instead."""
     plan = _plan(suite.ALL_QUERIES["lsh_bucket_topk"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ap_both_tiny_path_single_aggregation(spark, suite):
+    """On small curve frames the combined-AP frame must be ONE
+    aggregation over the cached curves: a single hash exchange, no
+    grid explode, no join — the window/explode forms (with their ~8
+    stage waves) are reserved for curve frames past the size probe."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.evaluation.evaluator import compute_precision_recall
+    from lours_spark.functions.bbox import import_bbox
+    from lours_spark.suite import _boxes
+
+    ann = import_bbox(
+        _boxes(spark, SF), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
+    ).withColumn("category_id", (F.col("id") % 3).cast("int"))
+    pred = ann.withColumn("id", F.col("id") + 10000000).withColumn(
+        "confidence", ((F.col("id") % 97).cast("double") / 97.0)
+    )
+    res = compute_precision_recall(ann, pred, ious=[0.2, 0.5])
+    try:
+        plan = _plan(res["ap_both"])
+        # reads the persisted curve frame, not the matcher pipeline
+        assert "InMemoryTableScan" in plan
+        # the InMemoryRelation node embeds the cached frame's LINEAGE
+        # (matcher, windows, explodes) in its description — only the
+        # operators ABOVE the cache read actually execute here
+        above = plan.split("InMemoryRelation")[0]
+        assert "MapInArrow" not in above and "MapInPandas" not in above
+        # one aggregation exchange; no join nodes, no grid explode
+        assert above.count("Exchange hashpartitioning") == 1
+        assert "Join" not in above
+        assert "Generate explode" not in above
+    finally:
+        res["curves"].unpersist()
