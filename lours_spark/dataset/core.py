@@ -72,6 +72,51 @@ class SparkDataset:
             annotations=spark.createDataFrame([], S.empty_annotations_schema()),
         )
 
+    @staticmethod
+    def create(
+        images: DataFrame,
+        annotations: DataFrame,
+        label_map: dict[int, str] | None = None,
+        dataset_name: str | None = None,
+        images_root: str = ".",
+        strict: bool = False,
+    ) -> "SparkDataset":
+        """Construct a dataset, optionally validating EAGERLY.
+
+        The reference constructor asserts unique ids and FK integrity
+        at build time (``dataset.py:943-948``, ``:990-998``); the lazy
+        facade defers those to the explicit :meth:`check` action.
+        ``strict=True`` restores reference behavior: run the (single
+        job) validation pass now and raise ``ValueError`` on any
+        violation — the eager-UX mode for interactive use; leave False
+        in pipelines so plans stay action-free until the sink.
+
+        >>> from lours_spark.testing import dummy_dataset
+        >>> d = dummy_dataset(spark, n_imgs=3, n_annot=5, n_labels=2, seed=3)
+        >>> ds = SparkDataset.create(d.images, d.annotations,
+        ...                          label_map=d.label_map, strict=True)
+        >>> ds.images.count()
+        3
+        >>> bad = d.annotations.withColumn("image_id", F.lit(999))
+        >>> SparkDataset.create(d.images, bad, label_map=d.label_map,
+        ...                     strict=True)  # doctest: +IGNORE_EXCEPTION_DETAIL
+        Traceback (most recent call last):
+        ValueError: ...
+        """
+        ds = SparkDataset(
+            images=images,
+            annotations=annotations,
+            label_map=dict(label_map or {}),
+            dataset_name=dataset_name,
+            images_root=images_root,
+        )
+        if strict:
+            counts = ds.check()
+            bad = {k: v for k, v in counts.items() if v}
+            if bad:
+                raise ValueError(f"dataset failed strict validation: {bad}")
+        return ds
+
     def from_template(self, **kwargs) -> "SparkDataset":
         """Cheap structural copy with overrides (reference
         ``dataset.py:192-313``). Lazy frames make this nearly free."""

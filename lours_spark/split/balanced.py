@@ -396,7 +396,22 @@ def balanced_split(
     the driver."""
     from lours_spark.split.chunks import atomic_chunks_distributed
 
-    if keep_separate:
+    if keep_separate and len(keep_separate) == 1:
+        # single keep-separate column: components ARE the column's
+        # distinct values (atomic_chunks_distributed fast path) — attach
+        # the chunk id as a window column instead of computing an
+        # (id, chunk_id) frame and self-joining the whole table on id
+        from pyspark.sql import Window
+
+        c = keep_separate[0]
+        w = Window.partitionBy(c)
+        with_chunks = df.withColumn(
+            "chunk_id",
+            F.when(F.col(c).isNotNull(), F.min(id_col).over(w)).otherwise(
+                F.col(id_col)
+            ),
+        )
+    elif keep_separate:
         chunks = atomic_chunks_distributed(df, id_col, keep_separate)
         with_chunks = df.join(chunks, id_col)
     else:

@@ -33,10 +33,21 @@ def main() -> None:
         "lineitem/orders copies; documents word-mutated per copy so dedup\n"
         "pair structure scales ~linearly and cross-copy Jaccard stays below\n"
         "every threshold). Protocol matches bench.py (warmed JVM, cleared\n"
-        "cache, queries >5s re-run once and the min kept; this table is\n"
-        "the per-query MIN of two full passes on a steal-time-prone VM);\n"
-        "local[32].\n"
+        "cache; every sample is min-of-2, a third taken while over 5s —\n"
+        "the VM has bursty hypervisor steal); local[32]. Each pass records\n"
+        "the bench calibration workloads so the two scales can be checked\n"
+        "for comparable host speed.\n"
     )
+    if "calibration" in s1:
+        print("| pass | spark_range_sum_sec | numpy_matmul_2000_sec |")
+        print("|---|---|---|")
+        for label, s in (("1x", s1), ("10x", s10)):
+            c = s["calibration"]
+            print(
+                f"| {label} | {c['spark_range_sum_sec']} "
+                f"| {c['numpy_matmul_2000_sec']} |"
+            )
+        print()
     print("| query | driving table | 1x sec | 10x sec | time ratio | 1x rows out | 10x rows out |")
     print("|---|---|---|---|---|---|---|")
     for q, table in ROWS.items():

@@ -65,19 +65,62 @@ def main() -> None:
     # warm JVM + python workers once, like bench.py
     suite.ALL_QUERIES["multimodal_features"](spark, BASE).count()
 
+    def calibration() -> dict:
+        """Fixed reference workloads (same as bench.py): the host has
+        bursty hypervisor steal; scale ratios are only trustworthy when
+        both passes ran at comparable calibration speed. Gated on the
+        same calm-window probe as the samples, so the recorded numbers
+        describe the conditions the samples were actually taken in."""
+        import numpy as np
+
+        wait_for_calm()
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id * 2) as s").collect()
+        cal_spark = round(time.time() - t0, 3)
+        A = np.random.default_rng(0).random((2000, 2000))
+        t0 = time.time()
+        _ = A @ A
+        cal_numpy = round(time.time() - t0, 3)
+        return {"spark_range_sum_sec": cal_spark, "numpy_matmul_2000_sec": cal_numpy}
+
+    def wait_for_calm(max_wait: float = 300.0) -> None:
+        """Block until a quick numpy probe shows the hypervisor isn't
+        stealing (bursts last minutes and inflate wall clock 3-10x —
+        min-of-N can't save a sample taken inside one). Gives up after
+        ``max_wait`` so a permanently-loaded host still produces
+        numbers (flagged by the recorded calibration)."""
+        import numpy as np
+
+        A = np.random.default_rng(0).random((1200, 1200))
+        _ = A @ A  # warm
+        deadline = time.time() + max_wait
+        while time.time() < deadline:
+            t0 = time.time()
+            _ = A @ A
+            if time.time() - t0 < 0.05:  # ~1.5x true cost tolerance
+                return
+            time.sleep(10)
+        print("# WARNING: host never calmed; numbers are steal-inflated",
+              file=sys.stderr)
+
+    def timed(name, sf_dir) -> tuple[float, int]:
+        wait_for_calm()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        rows = suite.ALL_QUERIES[name](spark, sf_dir).count()
+        return time.time() - t0, rows
+
     out: dict = {"scales": {}}
     for label, sf_dir in (("1x", BASE), (f"10x", scaled)):
         res: dict = {"rss_mb_before": round(rss_mb(), 1)}
+        res["calibration"] = calibration()
         for name in QUERIES:
-            spark.catalog.clearCache()
-            t0 = time.time()
-            rows = suite.ALL_QUERIES[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            if dt > 5.0:  # bench.py protocol: re-run long queries, keep min
-                spark.catalog.clearCache()
-                t0 = time.time()
-                suite.ALL_QUERIES[name](spark, sf_dir).count()
-                dt = min(dt, time.time() - t0)
+            # every sample is steal-spike-suspect: min-of-2 always,
+            # a third sample while still over 5s
+            dt, rows = timed(name, sf_dir)
+            dt = min(dt, timed(name, sf_dir)[0])
+            if dt > 5.0:
+                dt = min(dt, timed(name, sf_dir)[0])
             res[name] = {"sec": round(dt, 2), "rows": rows}
             print(f"# {label} {name}: {dt:.2f}s ({rows} rows)", file=sys.stderr)
         res["cc"] = cc_stats(spark, sf_dir)
