@@ -122,8 +122,14 @@ def greedy_match_streaming(
 
 
 #: above this many iou cells, the per-group kernel streams per-pred
-#: rows instead of materializing the full matrix (64M cells = 512 MB)
-_MATRIX_CELL_CAP = 64_000_000
+#: rows instead of materializing the full matrix. This is the measured
+#: PERFORMANCE crossover, not just a memory guard: past ~4M cells the
+#: matrix form turns allocation-bound (its ~8 full-matrix temporaries
+#: are >250 MB of memory traffic at 4k×4k — 1.1s warm vs 0.46s
+#: streamed, and far worse under memory pressure), while the streamed
+#: form's python-loop overhead only wins below ~2k×2k. Matches are
+#: bit-identical either way (parity test in tests/test_matching.py).
+_MATRIX_CELL_CAP = 4_000_000
 
 
 def greedy_match(
