@@ -196,17 +196,31 @@ def minhash_lsh_pairs(
         id_col, "__id"
     )
     sig.cache()
-    band_rows = None
-    for b in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        one = sig.select(
-            "__id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(
-                "band_key"
-            ),
-        )
-        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    # all band keys in ONE projection + explode (a per-band union would
+    # re-read the cached signature frame once per leg and quadruple the
+    # plan): each row fans out to (band, md5(band's signature slice))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh_{i}").cast("string")
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = sig.select("__id", F.explode(band_structs).alias("__b")).select(
+        "__id", F.col("__b.band").alias("band"), F.col("__b.band_key").alias("band_key")
+    )
     # bucket via ONE groupBy instead of a self-join: the join's two
     # legs each re-walk the (cached, but population-racing) signature
     # subtree; the groupBy shape scans it once and fans out pairs with
