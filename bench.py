@@ -195,7 +195,7 @@ def main() -> None:
         if dt > 1.0:
             dt2, _ = run_once(name)
             dt = min(dt, dt2)
-        if dt > 5.0:
+        if dt > 2.5:
             dt3, _ = run_once(name)
             dt = min(dt, dt3)
         timings[name] = dt
@@ -216,7 +216,7 @@ def main() -> None:
                 "methodology": {
                     "isolation": "spark.catalog.clearCache() + gc between queries",
                     "order": "fixed, as listed in queries (single shared JVM)",
-                    "runs_per_query": "1; queries over 1s re-run once, over 5s twice; "
+                    "runs_per_query": "1; queries over 1s re-run once, over 2.5s twice; "
                                       "min kept (robust to host steal-time spikes)",
                     "warmup": "lineitem scan + python-worker pool (pandas_udf)",
                     "state": "each number is a first run in a warmed JVM "
