@@ -37,7 +37,18 @@ def booleanize(
     drop_source: bool = True,
 ) -> tuple[DataFrame, list[str]]:
     """Expand array column → one bool column per domain value, columns
-    named ``{column}.{value}`` (backtick-safe in Spark)."""
+    named ``{column}.{value}`` (backtick-safe in Spark).
+
+    >>> df = spark.createDataFrame([(1, ["a", "c"]), (2, ["b"])],
+    ...                            "id long, tags array<string>")
+    >>> out, domain = booleanize(df, "tags", domain=["a", "b", "c"])
+    >>> sorted(out.columns)
+    ['id', 'tags.a', 'tags.b', 'tags.c']
+    >>> r = {row["id"]: (row["tags.a"], row["tags.b"], row["tags.c"])
+    ...      for row in out.collect()}
+    >>> r[1], r[2]
+    ((True, False, True), (False, True, False))
+    """
     domain = domain if domain is not None else discover_domain(df, column)
     out = df
     for v in domain:
@@ -56,7 +67,14 @@ def debooleanize(
     drop_bool_columns: bool = True,
 ) -> DataFrame:
     """Inverse: gather ``prefix.*`` bool columns into a sorted array of
-    the true values (reference ``column_booleanizer.py:204-256``)."""
+    the true values (reference ``column_booleanizer.py:204-256``).
+
+    >>> df = spark.createDataFrame([(1, ["c", "a"])],
+    ...                            "id long, tags array<string>")
+    >>> out, dom = booleanize(df, "tags", domain=["a", "b", "c"])
+    >>> debooleanize(out, "tags").first()["tags"]
+    ['a', 'c']
+    """
     bool_cols = get_bool_columns(df, prefix)
     if not bool_cols:
         raise ValueError(f"no booleanized columns with prefix {prefix!r}")

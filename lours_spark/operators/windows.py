@@ -152,7 +152,15 @@ def forward_fill(
     out_name: str | None = None,
 ) -> DataFrame:
     """Last-observation-carried-forward (reference's reindex+ffill onto
-    a confidence grid, ``util.py:353-355``)."""
+    a confidence grid, ``util.py:353-355``).
+
+    >>> df = spark.createDataFrame(
+    ...     [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0), ("a", 4, None)],
+    ...     "g string, t long, v double")
+    >>> out = forward_fill(df, ["g"], [F.col("t")], "v")
+    >>> [r["v"] for r in out.orderBy("t").collect()]
+    [10.0, 10.0, 30.0, 30.0]
+    """
     w = (
         Window.partitionBy(*partition_by)
         .orderBy(*order_by)

@@ -71,3 +71,11 @@ def test_function_module_doctests(spark):
     _run_module_doctests(bbox, spark, min_attempted=2)
     _run_module_doctests(splitter, spark, min_attempted=3)
     _run_module_doctests(io_common, spark, min_attempted=3)
+
+
+def test_window_and_pivot_operator_doctests(spark):
+    import lours_spark.operators.booleanize as booleanize
+    import lours_spark.operators.windows as windows
+
+    _run_module_doctests(booleanize, spark, min_attempted=6)
+    _run_module_doctests(windows, spark, min_attempted=2)
