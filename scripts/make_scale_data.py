@@ -42,6 +42,9 @@ def main() -> None:
         )
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        # a factor-N replica is an N-leg union plan; large factors OOM
+        # the default 1g driver heap at planning/write time
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
     os.makedirs(out_dir, exist_ok=True)

@@ -1,0 +1,119 @@
+"""100x scale-evidence runner: the document-dedup pipelines and the
+matcher at a 100x replica (`make_scale_data.py <dir> 100`), with the
+same calm-gated min-of-2 protocol as run_scaling.py.
+
+Two decades of scale (1x -> 10x -> 100x) for the paths whose cost is
+corpus-shaped: LSH candidate volume, CC edge counts / convergence
+rounds, matcher group fan-out. Usage:
+
+    python scripts/run_scaling100.py [scaled_dir]
+
+Prints one JSON line to append to scripts/scaling_r4.json's evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+QUERIES = [
+    "minhash_lsh_pairs",
+    "paragraph_dedup",
+    "dedup_clusters_distributed",
+    "greedy_matching",
+]
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main() -> None:
+    scaled = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_data/sf1x100"
+
+    from pyspark.sql import SparkSession
+
+    from lours_spark import suite
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    suite.ALL_QUERIES["paragraph_dedup"](spark, BASE).count()  # warm
+
+    def wait_for_calm(max_wait: float = 300.0) -> None:
+        import numpy as np
+
+        A = np.random.default_rng(0).random((1200, 1200))
+        _ = A @ A
+        deadline = time.time() + max_wait
+        while time.time() < deadline:
+            t0 = time.time()
+            _ = A @ A
+            if time.time() - t0 < 0.05:
+                return
+            time.sleep(10)
+        print("# WARNING: host never calmed", file=sys.stderr)
+
+    def calibration() -> dict:
+        import numpy as np
+
+        wait_for_calm()
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id * 2) as s").collect()
+        cal_spark = round(time.time() - t0, 3)
+        A = np.random.default_rng(0).random((2000, 2000))
+        t0 = time.time()
+        _ = A @ A
+        return {
+            "spark_range_sum_sec": cal_spark,
+            "numpy_matmul_2000_sec": round(time.time() - t0, 3),
+        }
+
+    def timed(name: str) -> tuple[float, int]:
+        wait_for_calm()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        rows = suite.ALL_QUERIES[name](spark, scaled).count()
+        return time.time() - t0, rows
+
+    out: dict = {
+        "scale": "100x",
+        "rss_mb_before": round(rss_mb(), 1),
+        "calibration": calibration(),
+    }
+    for name in QUERIES:
+        dt, rows = timed(name)
+        dt = min(dt, timed(name)[0])
+        out[name] = {"sec": round(dt, 2), "rows": rows}
+        print(f"# 100x {name}: {dt:.2f}s ({rows} rows)", file=sys.stderr)
+
+    # CC observability at 100x
+    from lours_spark.operators.dedup import ngram_jaccard_pairs
+    from lours_spark.split.chunks import connected_components
+    from lours_spark.suite import _t
+
+    wait_for_calm()
+    d = _t(spark, scaled, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.3)
+    stats: dict = {}
+    n = connected_components(pairs, driver_threshold=0, stats=stats).count()
+    stats["members"] = n
+    out["cc"] = stats
+    out["rss_mb_after"] = round(rss_mb(), 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
