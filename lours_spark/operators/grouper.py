@@ -40,7 +40,13 @@ def bin_edges(
     df: DataFrame, spec: ContinuousGroup, relative_error: float = 1e-4
 ) -> list[float]:
     """Compute bin edges: quantile (approxQuantile) or equal-width
-    (min/max agg, optionally in log space)."""
+    (min/max agg, optionally in log space).
+
+    >>> df = spark.createDataFrame([(float(v),) for v in range(11)],
+    ...                            "x double")
+    >>> bin_edges(df, ContinuousGroup("x", bins=2))
+    [0.0, 5.0, 10.0]
+    """
     if spec.qcut:
         qs = [i / spec.bins for i in range(spec.bins + 1)]
         edges = df.approxQuantile(spec.column, qs, relative_error)
@@ -71,7 +77,15 @@ def bin_edges(
 
 def bin_column(edges: list[float], spec: ContinuousGroup) -> Column:
     """The binning expression: width_bucket over explicit edges, with
-    the top edge closed (pd.cut semantics) and out-of-range → NULL."""
+    the top edge closed (pd.cut semantics) and out-of-range → NULL.
+
+    >>> df = spark.createDataFrame([(0.0,), (4.9,), (5.0,), (10.0,), (11.0,)],
+    ...                            "x double")
+    >>> spec = ContinuousGroup("x", bins=2, label="mid")
+    >>> col = bin_column([0.0, 5.0, 10.0], spec)
+    >>> [r["b"] for r in df.select(col.alias("b")).collect()]
+    [2.5, 2.5, 7.5, 7.5, None]
+    """
     c = F.col(spec.column).cast("double")
     # width_bucket assumes uniform spacing; explicit (possibly
     # non-uniform) edges take a when-ladder — bins are few by design

@@ -79,3 +79,9 @@ def test_window_and_pivot_operator_doctests(spark):
 
     _run_module_doctests(booleanize, spark, min_attempted=6)
     _run_module_doctests(windows, spark, min_attempted=2)
+
+
+def test_grouper_doctests(spark):
+    import lours_spark.operators.grouper as grouper
+
+    _run_module_doctests(grouper, spark, min_attempted=4)
