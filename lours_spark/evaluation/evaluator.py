@@ -325,8 +325,15 @@ def average_precisions_both(
     ``tests/test_evaluator.py``.
     """
     keys = [*group_cols, "iou_threshold"]
+    # recall is NULL for zero-groundtruth groups (compute_precision_recall
+    # emits None when __ntargets == 0); the window form's F.sum skips the
+    # NULL env·Δrecall products and returns 0.0 there, but a fold
+    # null-propagates through the accumulator. Coalesce to 0.0: every
+    # delta in such a group is then 0, so the fold also yields 0.0, and
+    # the grid samples stay 0.0 because env is 0 on all non-pad points
+    # (no groundtruth → no true positives → precision 0).
     pt = F.struct(
-        F.col("recall").alias("recall"),
+        F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall"),
         (-F.col("confidence")).alias("negc"),
         F.col("precision_env").alias("env"),
         F.col("is_pad").alias("is_pad"),

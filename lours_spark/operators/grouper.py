@@ -76,15 +76,19 @@ def bin_edges(
 
 
 def bin_column(edges: list[float], spec: ContinuousGroup) -> Column:
-    """The binning expression: width_bucket over explicit edges, with
-    the top edge closed (pd.cut semantics) and out-of-range → NULL.
+    """The binning expression: a when-ladder over explicit edges with
+    pd.cut(+include_lowest) semantics — right-closed intervals
+    ``(e_i, e_{i+1}]``, the first interval closed on both ends
+    ``[e_0, e_1]`` — and out-of-range → NULL. A value landing exactly
+    on an interior edge therefore falls in the LOWER bin, matching the
+    reference's ``pandas.cut`` (reference ``grouper.py:106-187``).
 
     >>> df = spark.createDataFrame([(0.0,), (4.9,), (5.0,), (10.0,), (11.0,)],
     ...                            "x double")
     >>> spec = ContinuousGroup("x", bins=2, label="mid")
     >>> col = bin_column([0.0, 5.0, 10.0], spec)
     >>> [r["b"] for r in df.select(col.alias("b")).collect()]
-    [2.5, 2.5, 7.5, 7.5, None]
+    [2.5, 2.5, 2.5, 7.5, None]
     """
     c = F.col(spec.column).cast("double")
     # width_bucket assumes uniform spacing; explicit (possibly
@@ -92,8 +96,8 @@ def bin_column(edges: list[float], spec: ContinuousGroup) -> Column:
     expr = None
     n = len(edges) - 1
     for i in range(n):
-        hi_ok = c <= edges[i + 1] if i == n - 1 else c < edges[i + 1]
-        cond = (c >= edges[i]) & hi_ok
+        lo_ok = c >= edges[i] if i == 0 else c > edges[i]
+        cond = lo_ok & (c <= edges[i + 1])
         expr = F.when(cond, i) if expr is None else expr.when(cond, i)
     idx = expr.otherwise(F.lit(None))
 

@@ -1613,9 +1613,11 @@ def _oracle_grouper() -> str:
     for i in range(b):
         lo_e = f"(lo + (hi - lo) * {i} / {b})"
         hi_e = f"(lo + (hi - lo) * {i + 1} / {b})"
-        hi_cmp = "<=" if i == b - 1 else "<"
+        # pd.cut(+include_lowest) intervals: (lo, hi] with the first
+        # interval closed on both ends — mirrors operators.grouper
+        lo_cmp = ">=" if i == 0 else ">"
         cases.append(
-            f"WHEN v >= {lo_e} AND v {hi_cmp} {hi_e} THEN ({lo_e} + {hi_e})/2"
+            f"WHEN v {lo_cmp} {lo_e} AND v <= {hi_e} THEN ({lo_e} + {hi_e})/2"
         )
     return f"""
 WITH stats AS (

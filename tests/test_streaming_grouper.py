@@ -166,6 +166,32 @@ def test_bin_edges_and_groups(spark):
     assert len(labels) == 4  # four midpoints
 
 
+def test_bin_column_matches_pandas_cut(spark):
+    """Interior-edge values must land in the LOWER bin — pd.cut is
+    right-closed and the reference bins with pandas.cut (ADVICE r4)."""
+    import pandas as pd
+
+    from lours_spark.operators.grouper import bin_column
+
+    edges = [0.0, 5.0, 10.0, 15.0]
+    vals = [0.0, 2.5, 5.0, 5.1, 10.0, 14.9, 15.0, 16.0, -1.0]
+    # labels=False → integer bin codes; pandas nudges the first
+    # breakpoint for include_lowest, so mids are computed from the
+    # unadjusted edges rather than taken off the Interval objects
+    codes = pd.cut(pd.Series(vals), bins=edges, include_lowest=True, labels=False)
+    want = [
+        None if pd.isna(c) else (edges[int(c)] + edges[int(c) + 1]) / 2
+        for c in codes
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    spec = ContinuousGroup("x", bins=3, label="mid")
+    got = [
+        r["b"]
+        for r in df.select(bin_column(edges, spec).alias("b")).collect()
+    ]
+    assert got == [None if w is None else pytest.approx(float(w)) for w in want]
+
+
 def test_qcut_bins(spark):
     df = spark.range(1000).select((F.col("id") % 10).cast("double").alias("v"))
     spec = ContinuousGroup("v", bins=2, qcut=True)

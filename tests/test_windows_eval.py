@@ -241,12 +241,16 @@ def test_average_precisions_both_matches_window_forms(spark):
         "id long, image_id long, category_id int, box_x_min double,"
         " box_y_min double, box_width double, box_height double",
     )
+    # i % 5 (vs the groundtruth's i % 4) makes category 4 a
+    # zero-groundtruth group: its recall is NULL end-to-end, which the
+    # window form's NULL-skipping F.sum turns into AP 0.0 — the fold
+    # path must agree instead of null-propagating (ADVICE r4).
     pred = spark.createDataFrame(
         [
             (
                 1000 + i,
                 i % 50,
-                i % 4,
+                i % 5,
                 10.0 * (i % 7) + rng.uniform(-4, 4),
                 8.0 * (i % 5) + rng.uniform(-4, 4),
                 20.0,
@@ -270,6 +274,11 @@ def test_average_precisions_both_matches_window_forms(spark):
         tuple(r[k] for k in keys): r["ap"]
         for r in ap_at_recall_grid(curves).collect()
     }
+    zero_gt = [k for k in want_ap if k[0] == 4]
+    assert zero_gt, "category 4 must reach the curve frame with no GT"
+    for k in zero_gt:
+        assert want_ap[k] == pytest.approx(0.0, abs=1e-12)
+        assert want_grid[k] == pytest.approx(0.0, abs=1e-12)
     got = average_precisions_both(curves).collect()
     assert len(got) == len(want_ap) > 0
     for r in got:
