@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "interpolated_precision",
     "crowd_count_error",
     "balanced_split",
+    # round 5: opt-in bounded-driver approximate greedy (scale path)
+    "balanced_split_approx",
     "token_count",
     "language_id",
     "quality_score",

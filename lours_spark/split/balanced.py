@@ -379,6 +379,212 @@ def greedy_assign(
     return assignment
 
 
+def greedy_assign_approx(
+    hists: dict[int, dict[tuple, int]],
+    target_shares: dict[str, float],
+    seed: int = 0,
+    hist_cost_weight: float = 1.0,
+    share_cost_weight: float = 1.0,
+    preassigned: dict[int, str] | None = None,
+    quant_levels: int = 16,
+    polish_budget: int = 4096,
+) -> dict[int, str]:
+    """Bounded-driver approximate variant of :func:`greedy_assign` for
+    corpus-scale chunk counts (the exact greedy is a sequential
+    ``O(n·S·K)`` pure-python loop — semantics-inherent, every decision
+    depends on all previous ones — which at millions of chunks becomes
+    a single-threaded driver bottleneck with zero cluster parallelism).
+
+    Approximation, fully vectorized (numpy, no per-chunk python trial
+    loop):
+
+    1. **Quantize + bucket**: normalize each chunk histogram, round
+       each bin share to ``quant_levels`` levels, group identical
+       quantized vectors with ``np.unique`` — chunks in one bucket are
+       interchangeable for the histogram cost (within 1/quant_levels
+       per bin).
+    2. **Proportional apportionment**: walk chunks bucket-grouped (a
+       seeded permutation inside each bucket) assigning each to the
+       currently most-underweight split (largest row deficit vs target
+       share). Contiguous near-identical chunks therefore spread across
+       splits in target proportion — per-split histograms track the
+       global histogram by construction (KL → 0 as buckets fill) and
+       shares track the targets to within one chunk.
+    3. **Exact polish, budget-capped**: per-split histograms are then
+       rebuilt EXACTLY (one ``np.add.at`` over the full matrix) and a
+       single move pass over ≤ ``polish_budget`` evenly-strided chunks
+       repairs residual quantization error using the same
+       cost = ``hist_cost_weight·Σ(sizeⱼ/n)·KLⱼ +
+       share_cost_weight·(1−IoU)`` objective as the exact greedy.
+
+    Driver wall time is ``O(n·K)`` in vectorized numpy plus an
+    ``O(n·S)`` scalar apportion walk and an ``O(polish_budget·S·K)``
+    polish — flat-per-chunk constants ~100× smaller than the exact
+    loop, so millions of chunks stay sub-minute on the driver.
+    Deterministic for a given seed. NOT bit-identical to the reference
+    greedy — use the default exact mode when that matters; quality
+    parity (share + KL distance within noise of exact) is asserted in
+    ``tests/test_split.py``.
+    """
+    import numpy as np
+
+    splits = list(target_shares)
+    S = len(splits)
+    sindex = {s: i for i, s in enumerate(splits)}
+    tshare = np.asarray([float(target_shares[s]) for s in splits])
+    if tshare.sum():
+        tshare = tshare / tshare.sum()
+    eps = 1e-12
+
+    # global bin index (same insertion order as the exact greedy)
+    keys: list = []
+    seen = set()
+    for h in hists.values():
+        for k in h:
+            if k not in seen:
+                seen.add(k)
+                keys.append(k)
+    K = max(1, len(keys))
+    kidx = {k: i for i, k in enumerate(keys)}
+
+    cids = sorted(hists)
+    n = len(cids)
+    if n == 0:
+        return {}
+    # flat build: three comprehensions + one fancy-index store beats a
+    # per-chunk nested loop ~2x at millions of chunks
+    hvals = [hists[cid] for cid in cids]
+    lens = np.fromiter((len(h) for h in hvals), dtype=np.int64, count=n)
+    flat_k = np.fromiter(
+        (kidx[k] for h in hvals for k in h), dtype=np.int64, count=int(lens.sum())
+    )
+    flat_v = np.fromiter(
+        (v for h in hvals for v in h.values()),
+        dtype=np.float64,
+        count=int(lens.sum()),
+    )
+    H = np.zeros((n, K))
+    H[np.repeat(np.arange(n), lens), flat_k] = flat_v
+    hn = H.sum(axis=1)
+    hn_safe = np.where(hn > 0, hn, 1.0)
+
+    G = H.sum(axis=0)
+    gq = G / (G.sum() or 1.0) + eps
+    log_gq = np.log(gq)
+
+    assign = np.full(n, -1, dtype=np.int64)
+    sizes = np.zeros(S)
+    if preassigned:
+        for r, cid in enumerate(cids):
+            if cid in preassigned:
+                j = sindex[preassigned[cid]]
+                assign[r] = j
+                sizes[j] += hn[r]
+
+    free = np.flatnonzero(assign < 0)
+    if free.size:
+        Qm = np.rint(
+            H[free] / hn_safe[free, None] * quant_levels
+        ).astype(np.int64)
+        # bucket key = random-vector hash of the quantized row: a 1D
+        # uint64 unique is ~5x faster than np.unique(axis=0)'s
+        # structured sort at millions of rows; a collision merely
+        # merges two buckets (quality, not correctness) and is
+        # ~n²/2⁶⁴-improbable. Seeded → deterministic.
+        rng = np.random.default_rng(seed)
+        hv = rng.integers(1, 2**63 - 1, size=K, dtype=np.int64) | np.int64(1)
+        with np.errstate(over="ignore"):
+            bucket = (Qm * hv[None, :]).sum(axis=1, dtype=np.int64)
+        perm = rng.permutation(free.size)
+        # bucket-grouped walk, seeded order within each bucket
+        order = free[perm[np.argsort(bucket[perm], kind="stable")]]
+        # largest-deficit apportionment: assign each chunk to the split
+        # whose row count is furthest below its target share of the new
+        # total. Pure-python scalars: S is tiny (2-5), so per-iteration
+        # numpy calls would cost ~10x the arithmetic.
+        hn_l = hn.tolist()
+        ts_l = tshare.tolist()
+        sz_l = sizes.tolist()
+        tot = float(sizes.sum())
+        assign_l = assign.tolist()
+        for r in order.tolist():
+            tot += hn_l[r]
+            best_j, best_d = 0, ts_l[0] * tot - sz_l[0]
+            for j in range(1, S):
+                d = ts_l[j] * tot - sz_l[j]
+                if d > best_d:
+                    best_j, best_d = j, d
+            assign_l[r] = best_j
+            sz_l[best_j] += hn_l[r]
+        assign = np.asarray(assign_l, dtype=np.int64)
+        sizes = np.asarray(sz_l)
+
+    # exact per-split histograms for the polish + returned state
+    A = np.zeros((S, K))
+    np.add.at(A, assign, H)
+    n_assigned = float(hn.sum())
+
+    def _kl(vec: np.ndarray, sp: float) -> float:
+        p = vec / (sp or 1.0) + eps
+        return float(np.sum(p * (np.log(p) - log_gq)))
+
+    def _share_cost(sz: np.ndarray) -> float:
+        tot = sz.sum() or 1.0
+        sh = sz / tot
+        return 1.0 - (
+            np.minimum(sh, tshare).sum() / (np.maximum(sh, tshare).sum() or 1.0)
+        )
+
+    def _cost(kl: list, sz: np.ndarray) -> float:
+        ntot = n_assigned or 1.0
+        hist_cost = sum(
+            (sz[j] / ntot) * kl[j] for j in range(S) if sz[j]
+        )
+        return hist_cost_weight * hist_cost + share_cost_weight * _share_cost(sz)
+
+    # single budget-capped move-polish pass over evenly-strided chunks
+    movable = np.flatnonzero(
+        np.ones(n, dtype=bool)
+        if not preassigned
+        else np.asarray([cids[r] not in preassigned for r in range(n)])
+    )
+    if movable.size:
+        if movable.size > polish_budget:
+            pick = np.linspace(0, movable.size - 1, polish_budget).astype(int)
+            movable = movable[pick]
+        kl_cur = [_kl(A[j], sizes[j]) for j in range(S)]
+        base = _cost(kl_cur, sizes)
+        for r in movable:
+            a = int(assign[r])
+            h = H[r]
+            hnr = hn[r]
+            kl_from = _kl(A[a] - h, sizes[a] - hnr)
+            best_cost, best_b, best_kl_to = base, a, 0.0
+            for b in range(S):
+                if b == a:
+                    continue
+                kl_to = _kl(A[b] + h, sizes[b] + hnr)
+                tkl = list(kl_cur)
+                tkl[a] = kl_from
+                tkl[b] = kl_to
+                tsz = sizes.copy()
+                tsz[a] -= hnr
+                tsz[b] += hnr
+                c = _cost(tkl, tsz)
+                if c < best_cost - 1e-12:
+                    best_cost, best_b, best_kl_to = c, b, kl_to
+            if best_b != a:
+                A[a] -= h
+                A[best_b] += h
+                sizes[a] -= hnr
+                sizes[best_b] += hnr
+                kl_cur[a] = kl_from
+                kl_cur[best_b] = best_kl_to
+                assign[r] = best_b
+                base = best_cost
+    return {cids[r]: splits[int(assign[r])] for r in range(n)}
+
+
 def balanced_split(
     df: DataFrame,
     shares: dict[str, float],
@@ -387,13 +593,20 @@ def balanced_split(
     id_col: str = "id",
     seed: int = 0,
     out_col: str = "split",
+    mode: str = "exact",
 ) -> DataFrame:
     """End-to-end balanced split (reference ``Dataset.split``,
     ``dataset.py:4384-4681``): atomic chunks → distributed histograms →
     driver greedy → broadcast-join the assignment back. Chunking uses
     the distributed propagation (single keep-separate column → one
     window, no iteration) — only (chunk × bin) histograms ever reach
-    the driver."""
+    the driver.
+
+    ``mode="exact"`` (default) runs the reference-identical sequential
+    greedy; ``mode="approximate"`` runs the vectorized bounded-driver
+    variant (:func:`greedy_assign_approx`) — use it when chunk counts
+    reach corpus scale (≳10⁵) and bit-identity with the reference
+    greedy is not required."""
     from lours_spark.split.chunks import atomic_chunks_distributed
 
     if keep_separate and len(keep_separate) == 1:
@@ -417,7 +630,12 @@ def balanced_split(
     else:
         with_chunks = df.withColumn("chunk_id", F.col(id_col))
     hists = chunk_histograms(with_chunks, "chunk_id", dims)
-    assignment = greedy_assign(hists, shares, seed=seed)
+    if mode == "approximate":
+        assignment = greedy_assign_approx(hists, shares, seed=seed)
+    elif mode == "exact":
+        assignment = greedy_assign(hists, shares, seed=seed)
+    else:
+        raise ValueError(f"unknown balanced_split mode {mode!r}")
     spark = df.sparkSession
     adf = F.broadcast(
         spark.createDataFrame(

@@ -873,6 +873,25 @@ def q_balanced_split(spark, sf_dir):
     )
 
 
+def q_balanced_split_approx(spark, sf_dir):
+    """Same split problem in the opt-in bounded-driver approximate mode
+    (bench/scale-evidence only — the gate pins the exact greedy)."""
+    from lours_spark.split.balanced import balanced_split
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "id")
+    out = balanced_split(
+        o,
+        {"train": 0.8, "valid": 0.1, "eval": 0.1},
+        dims=["o_orderpriority"],
+        keep_separate=["o_custkey"],
+        seed=42,
+        mode="approximate",
+    )
+    return out.groupBy("split", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis / dedup (training-data pipeline operators)
 # --------------------------------------------------------------------------
@@ -1507,6 +1526,7 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "atomic_chunks": q_atomic_chunks,
     "balanced_split": q_balanced_split,
+    "balanced_split_approx": q_balanced_split_approx,
     # text / dedup
     "token_count": q_token_count,
     "language_id": q_language_id,

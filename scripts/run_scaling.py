@@ -22,6 +22,7 @@ QUERIES = [
     "paragraph_dedup",
     "dedup_clusters_distributed",
     "balanced_split",
+    "balanced_split_approx",
     "greedy_matching",
     "detection_pr_ap",
 ]

@@ -7,6 +7,7 @@ from lours_spark.split.balanced import (
     balanced_split,
     emd_1d,
     greedy_assign,
+    greedy_assign_approx,
     kl_divergence,
     share_distance,
 )
@@ -129,6 +130,109 @@ def test_greedy_assign_shares():
     assignment = greedy_assign(hists, {"train": 0.8, "valid": 0.2}, seed=0)
     n_train = sum(1 for v in assignment.values() if v == "train")
     assert abs(n_train / 100 - 0.8) < 0.05
+
+
+def _split_objective(hists, assignment, shares):
+    """The greedy's combined objective recomputed from dict form:
+    size-weighted per-split KL vs the global histogram + share cost."""
+    from collections import defaultdict
+
+    glob: dict = defaultdict(int)
+    per = {s: defaultdict(int) for s in shares}
+    sizes = {s: 0 for s in shares}
+    for cid, h in hists.items():
+        s = assignment[cid]
+        for k, v in h.items():
+            glob[k] += v
+            per[s][k] += v
+        sizes[s] += sum(h.values())
+    tot = sum(sizes.values()) or 1
+    hist_cost = sum(
+        sizes[s] / tot * kl_divergence(dict(per[s]), dict(glob))
+        for s in shares
+        if sizes[s]
+    )
+    return hist_cost + share_distance(sizes, shares)
+
+
+def test_greedy_assign_approx_quality_and_determinism():
+    """The bounded-driver approximate mode must land within noise of
+    the exact greedy on the combined objective, be deterministic for a
+    seed, and respect preassignments."""
+    import random as _r
+
+    rng = _r.Random(7)
+    hists = {}
+    for cid in range(3000):
+        h = {
+            ("cat", b): rng.randint(1, 40)
+            for b in range(6)
+            if rng.random() < 0.7
+        }
+        hists[cid] = h or {("cat", 0): 1}
+    shares = {"train": 0.7, "valid": 0.2, "eval": 0.1}
+
+    exact = greedy_assign(hists, shares, seed=3)
+    approx = greedy_assign_approx(hists, shares, seed=3)
+    assert set(approx) == set(hists)
+    cost_exact = _split_objective(hists, exact, shares)
+    cost_approx = _split_objective(hists, approx, shares)
+    # both objectives are ~0 for a balanceable corpus; approx may not
+    # beat exact but must stay within noise of it
+    assert cost_approx <= cost_exact + 0.02, (cost_exact, cost_approx)
+    # shares: each split's row count within a chunk of its target
+    sizes = {s: 0 for s in shares}
+    for cid, s in approx.items():
+        sizes[s] += sum(hists[cid].values())
+    tot = sum(sizes.values())
+    for s, t in shares.items():
+        assert abs(sizes[s] / tot - t) < 0.02, (s, sizes[s] / tot, t)
+
+    assert greedy_assign_approx(hists, shares, seed=3) == approx
+    assert greedy_assign_approx(hists, shares, seed=4) != approx
+
+    pre = {0: "eval", 17: "eval", 42: "train"}
+    got = greedy_assign_approx(hists, shares, seed=3, preassigned=pre)
+    for cid, s in pre.items():
+        assert got[cid] == s
+
+
+def test_balanced_split_approximate_end_to_end(spark):
+    df = (
+        spark.range(2000)
+        .withColumn("group", (F.col("id") % 200))
+        .withColumn("dim", (F.col("id") % 4).cast("string"))
+    )
+    out = balanced_split(
+        df,
+        {"train": 0.8, "valid": 0.2},
+        dims=["dim"],
+        keep_separate=["group"],
+        seed=1,
+        mode="approximate",
+    )
+    viol = (
+        out.groupBy("group")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert viol == 0
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    rows = out.groupBy("split", "dim").agg(F.count(F.lit(1)).alias("n")).collect()
+    by_split: dict = {}
+    for r in rows:
+        by_split.setdefault(r["split"], {})[r["dim"]] = r["n"]
+    for split, hist in by_split.items():
+        total = sum(hist.values())
+        for dim, nn in hist.items():
+            assert abs(nn / total - 0.25) < 0.05, (split, dim)
+    with pytest.raises(ValueError, match="mode"):
+        balanced_split(df, {"a": 1.0}, dims=["dim"], mode="nope")
 
 
 def test_balanced_split_end_to_end(spark):
