@@ -41,6 +41,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: curve frames at or below this row count take the single-aggregation
+#: array AP path (average_precisions_both); larger frames keep the
+#: distributed window/explode forms — a per-key array would concentrate
+#: a whole group's curve in one task
+TINY_CURVE_ROWS = 100_000
+
 
 def _results_table(
     matches: DataFrame,
@@ -265,8 +271,16 @@ def ap_at_recall_grid(
     Because the envelope is non-increasing along the curve while recall
     is non-decreasing, "value at first recall ≥ r" ==
     ``max(precision_env | recall ≥ r)`` — which aggregates without a
-    join-back. The grid fan-out is a literal 101-element explode per
-    curve row group, shuffled once on the same (groups, threshold) key.
+    join-back. The grid fan-out is a literal 101-element explode,
+    shuffled once on the same (groups, threshold) key — but it explodes
+    the DISTINCT-(recall) collapse of the curve, not every curve row:
+    for equal-recall runs only the maximum envelope (== the run's first
+    point, envelope non-increasing) can ever be sampled, so a
+    map-side-combining ``groupBy(keys, recall).max(env)`` first shrinks
+    the explode input from |curve| to |distinct recalls| — at corpus
+    scale (millions of distinct confidences, bounded distinct recalls)
+    that divides the generated-row volume by orders of magnitude with
+    bit-identical output (same doubles compared).
     """
     keys = [*group_cols, "iou_threshold"]
     grid = F.array(
@@ -277,7 +291,8 @@ def ap_at_recall_grid(
     # would otherwise inflate the r=0 sample by a full grid share
     pts = (
         curves.filter(~F.col("is_pad"))
-        .select(*keys, "recall", "precision_env")
+        .groupBy(*keys, "recall")
+        .agg(F.max("precision_env").alias("precision_env"))
         .withColumn("r", F.explode(grid))
     )
     per_point = pts.groupBy(*keys, "r").agg(
@@ -461,6 +476,7 @@ def compute_precision_recall(
     gt_attrs: DataFrame | None = None,
     pred_attrs: DataFrame | None = None,
     cache_curves: bool = True,
+    stats: dict | None = None,
 ) -> dict[str, DataFrame]:
     """End-to-end multi-IoU grouped evaluation (reference
     ``compute_precision_recall(ious=[...], groups=...)``).
@@ -504,7 +520,9 @@ def compute_precision_recall(
 
         curves = curves.persist(StorageLevel.MEMORY_AND_DISK)
         n_curve_rows = curves.count()  # populate before the branches race
-        if n_curve_rows <= 100_000:
+        if stats is not None:
+            stats["n_curve_rows"] = n_curve_rows
+        if n_curve_rows <= TINY_CURVE_ROWS:
             # curve frames are tiny (groups × distinct confidences) but
             # inherit the window shuffle's partitioning — fan the
             # downstream AP jobs over a handful of tasks instead of 32
@@ -522,4 +540,6 @@ def compute_precision_recall(
         ap_both = average_precisions_both(curves, group_cols)
     else:
         ap_both = aps.join(ap_grid, [*group_cols, "iou_threshold"])
+    if stats is not None:
+        stats["ap_both_path"] = "array_fast" if tiny else "distributed_join"
     return {"curves": curves, "ap": aps, "ap_grid": ap_grid, "ap_both": ap_both}

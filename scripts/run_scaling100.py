@@ -27,7 +27,46 @@ QUERIES = [
     "paragraph_dedup",
     "dedup_clusters_distributed",
     "greedy_matching",
+    # round 5: the relational/split side of the 100x decade
+    "detection_pr_ap",
+    "balanced_split",
+    "balanced_split_approx",
 ]
+
+
+def pr_ap_routing_probe(spark, sf_dir: str) -> dict:
+    """Drive a LARGE curve frame through compute_precision_recall and
+    record the row-count probe + chosen AP path: detection_pr_ap's own
+    data quantizes confidence to 97 levels (tiny curve, array path —
+    correct), so this probe uses near-unique confidences (what a real
+    detector emits) on a prediction slice, proving frames past
+    TINY_CURVE_ROWS route to the distributed window/explode forms and
+    complete at 100x."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.evaluation.evaluator import compute_precision_recall
+    from lours_spark.functions.bbox import import_bbox
+    from lours_spark.suite import _boxes
+
+    ann = import_bbox(
+        _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
+    ).withColumn("category_id", (F.col("id") % 3).cast("int"))
+    pred = (
+        ann.withColumn("id", F.col("id") + 1_000_000_000)
+        .withColumn("box_x_min", F.col("box_x_min") + 2.0)
+        .withColumn(
+            "confidence",
+            (F.abs(F.xxhash64("id")) % 10_000_019).cast("double") / 10_000_019.0,
+        )
+        .filter(F.col("id") % 41 == 0)  # ~2.4% slice: >>TINY_CURVE_ROWS,
+        # but the 101-point grid explode stays in the seconds range
+    )
+    stats: dict = {}
+    t0 = time.time()
+    res = compute_precision_recall(ann, pred, ious=[0.2, 0.5], stats=stats)
+    stats["ap_rows"] = res["ap_both"].count()
+    stats["sec"] = round(time.time() - t0, 2)
+    return stats
 
 
 def rss_mb() -> float:
@@ -98,6 +137,12 @@ def main() -> None:
         dt = min(dt, timed(name)[0])
         out[name] = {"sec": round(dt, 2), "rows": rows}
         print(f"# 100x {name}: {dt:.2f}s ({rows} rows)", file=sys.stderr)
+
+    # large-curve AP routing observability at 100x
+    wait_for_calm()
+    spark.catalog.clearCache()
+    out["pr_ap_routing"] = pr_ap_routing_probe(spark, scaled)
+    print(f"# 100x pr_ap_routing: {out['pr_ap_routing']}", file=sys.stderr)
 
     # CC observability at 100x
     from lours_spark.operators.dedup import ngram_jaccard_pairs

@@ -217,6 +217,50 @@ def test_evaluator_parquet_roundtrip(tiny_dataset, tmp_path, spark):
     ev.to_parquet(out, overwrite=True)
 
 
+def test_ap_both_routing_probe(spark, monkeypatch):
+    """compute_precision_recall routes ap_both on the curve row-count
+    probe: small frames → single-aggregation array path, frames past
+    TINY_CURVE_ROWS → the distributed window/explode join. Both paths
+    must return the same values, and the stats out-param must report
+    the probe + chosen path (scale-evidence observability)."""
+    from lours_spark.evaluation import evaluator as ev
+
+    gt = spark.createDataFrame(
+        [(i, i % 10, i % 2, 5.0 * (i % 6), 4.0 * (i % 5), 10.0, 8.0)
+         for i in range(60)],
+        "id long, image_id long, category_id int, box_x_min double,"
+        " box_y_min double, box_width double, box_height double",
+    )
+    pred = gt.select(
+        (F.col("id") + 1000).alias("id"), "image_id", "category_id",
+        (F.col("box_x_min") + 1.0).alias("box_x_min"), "box_y_min",
+        "box_width", "box_height",
+        ((F.col("id") % 13) / 13.0).alias("confidence"),
+    )
+    s_small: dict = {}
+    res_small = ev.compute_precision_recall(gt, pred, ious=[0.3], stats=s_small)
+    small = {
+        (r["category_id"], r["iou_threshold"]): (r["average_precision"], r["ap"])
+        for r in res_small["ap_both"].collect()
+    }
+    assert s_small["ap_both_path"] == "array_fast"
+    assert s_small["n_curve_rows"] > 0
+
+    monkeypatch.setattr(ev, "TINY_CURVE_ROWS", 1)
+    s_big: dict = {}
+    res_big = ev.compute_precision_recall(gt, pred, ious=[0.3], stats=s_big)
+    big = {
+        (r["category_id"], r["iou_threshold"]): (r["average_precision"], r["ap"])
+        for r in res_big["ap_both"].collect()
+    }
+    assert s_big["ap_both_path"] == "distributed_join"
+    assert s_big["n_curve_rows"] == s_small["n_curve_rows"]
+    assert set(big) == set(small)
+    for k in small:
+        assert big[k][0] == pytest.approx(small[k][0], abs=1e-9)
+        assert big[k][1] == pytest.approx(small[k][1], abs=1e-9)
+
+
 def test_average_precisions_both_matches_window_forms(spark):
     """The single-aggregation tiny-curve path (sorted-array fold +
     grid sampling as array expressions) must reproduce the distributed
