@@ -220,7 +220,15 @@ def export_bbox(
     drop_canonical: bool = False,
 ) -> DataFrame:
     """Convert canonical XYWH columns to ``output_format`` (reference
-    ``bbox_converter.py:315-445``)."""
+    ``bbox_converter.py:315-445``).
+
+    >>> df = spark.createDataFrame([(8.0, 9.0, 4.0, 2.0)],
+    ...     "box_x_min double, box_y_min double,"
+    ...     " box_width double, box_height double")
+    >>> r = export_bbox(df, "XYXY", ["x1", "y1", "x2", "y2"]).first()
+    >>> (r["x1"], r["y1"], r["x2"], r["y2"])
+    (8.0, 9.0, 12.0, 11.0)
+    """
     fmt = parse_bbox_format(output_format)
     output_columns = output_columns or fmt.column_names
     df = annotations
@@ -253,7 +261,15 @@ def convert_bbox(
     output_columns: list[str] | None = None,
     images: DataFrame | None = None,
 ) -> DataFrame:
-    """import ∘ export composition (reference ``bbox_converter.py:448``)."""
+    """import ∘ export composition (reference ``bbox_converter.py:448``).
+
+    >>> df = spark.createDataFrame([(10.0, 10.0, 4.0, 2.0)],
+    ...                            "cx double, cy double, w double, h double")
+    >>> r = convert_bbox(df, "CXCYWH", "XYXY",
+    ...                  ["cx", "cy", "w", "h"], ["x1", "y1", "x2", "y2"]).first()
+    >>> (r["x1"], r["y1"], r["x2"], r["y2"])
+    (8.0, 9.0, 12.0, 11.0)
+    """
     df = import_bbox(
         annotations, input_format, input_columns, images=images, drop_input=True
     )

@@ -155,7 +155,25 @@ def from_caipy(
     validated executor-side before the read (reference
     ``caipy.py:37-48``). ``on_invalid="raise"`` raises with the first
     few violations; ``"skip"`` proceeds with the read regardless (the
-    report is still computed; fetch it via :func:`validate_caipy`)."""
+    report is still computed; fetch it via :func:`validate_caipy`).
+
+    One JSON document per image under ``Annotations/<split>/``:
+
+    >>> import json, os, tempfile
+    >>> root = tempfile.mkdtemp()
+    >>> os.makedirs(os.path.join(root, "Annotations", "train"))
+    >>> doc = {"image": {"id": 1, "width": 64, "height": 48,
+    ...                  "file_name": "a.jpg"},
+    ...        "annotations": [{"id": 10, "category_id": 0,
+    ...                         "category_str": "cat",
+    ...                         "bbox": [2.0, 3.0, 10.0, 8.0]}]}
+    >>> _ = open(os.path.join(root, "Annotations", "train", "a.json"),
+    ...          "w").write(json.dumps(doc))
+    >>> ds = from_caipy(spark, root)
+    >>> r = ds.annotations.first()
+    >>> (r["split"], r["box_width"], r["category_str"])
+    ('train', 10.0, 'cat')
+    """
     if schema is not None and on_invalid == "raise":
         bad = validate_caipy(spark, dataset_root, schema, splits).take(5)
         if bad:

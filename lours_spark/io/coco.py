@@ -60,7 +60,21 @@ def from_coco(
     drop_crowd: bool = True,
 ) -> SparkDataset:
     """Parse a COCO JSON into a SparkDataset (reference
-    ``io/coco.py:22-133``)."""
+    ``io/coco.py:22-133``).
+
+    >>> import json, os, tempfile
+    >>> root = tempfile.mkdtemp()
+    >>> doc = {"images": [{"id": 1, "width": 64, "height": 48,
+    ...                    "file_name": "a.jpg"}],
+    ...        "annotations": [{"id": 10, "image_id": 1, "category_id": 0,
+    ...                         "bbox": [2.0, 3.0, 10.0, 8.0]}],
+    ...        "categories": [{"id": 0, "name": "cat"}]}
+    >>> p = os.path.join(root, "demo_train.json")
+    >>> _ = open(p, "w").write(json.dumps(doc))
+    >>> ds = from_coco(spark, p, images_root=root)
+    >>> ds.images.first()["split"], ds.len_annot(), ds.label_map
+    ('train', 1, {0: 'cat'})
+    """
     with open(annotations_file) as f:
         doc = json.load(f)
     name, deduced_split = parse_annotation_name(Path(annotations_file).stem)
@@ -116,7 +130,27 @@ def from_coco(
 
 def dataset_to_coco(ds: SparkDataset, output_dir: str) -> list[str]:
     """Write one COCO JSON per split (reference ``io/coco.py:177-335``).
-    Collect-based by design: COCO is a single driver-side document."""
+    Collect-based by design: COCO is a single driver-side document.
+
+    Round-trips :func:`from_coco`:
+
+    >>> import json, os, tempfile
+    >>> root = tempfile.mkdtemp()
+    >>> doc = {"images": [{"id": 1, "width": 64, "height": 48,
+    ...                    "file_name": "a.jpg"}],
+    ...        "annotations": [{"id": 10, "image_id": 1, "category_id": 0,
+    ...                         "bbox": [2.0, 3.0, 10.0, 8.0]}],
+    ...        "categories": [{"id": 0, "name": "cat"}]}
+    >>> p = os.path.join(root, "demo_train.json")
+    >>> _ = open(p, "w").write(json.dumps(doc))
+    >>> ds = from_coco(spark, p, images_root=root)
+    >>> out = tempfile.mkdtemp()
+    >>> [os.path.basename(f) for f in dataset_to_coco(ds, out)]
+    ['demo_train.json']
+    >>> back = json.load(open(os.path.join(out, "demo_train.json")))
+    >>> back["annotations"][0]["bbox"]
+    [2.0, 3.0, 10.0, 8.0]
+    """
     os.makedirs(output_dir, exist_ok=True)
     written = []
     has_conf = "confidence" in ds.annotations.columns

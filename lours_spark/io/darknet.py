@@ -36,6 +36,19 @@ def from_darknet(
     ``images_df`` must carry (id, width, height, relative_path) where
     the label file for an image is ``<stem>.txt`` — sizes come from the
     image table because darknet files store relative coords.
+
+    >>> import os, tempfile
+    >>> labels = tempfile.mkdtemp()
+    >>> _ = open(os.path.join(labels, "im1.txt"), "w").write(
+    ...     "0 0.5 0.5 0.25 0.5\\n")
+    >>> imgs = spark.createDataFrame(
+    ...     [(1, 100, 100, "im1.jpg")],
+    ...     "id long, width int, height int, relative_path string")
+    >>> ds = from_darknet(spark, labels, imgs, names=["person"], split="train")
+    >>> r = ds.annotations.first()
+    >>> (r["box_x_min"], r["box_y_min"], r["box_width"], r["box_height"],
+    ...  r["category_str"])
+    (37.5, 25.0, 25.0, 50.0, 'person')
     """
     raw = spark.read.text(f"{labels_dir}/*.txt").withColumn(
         "__file", F.input_file_name()

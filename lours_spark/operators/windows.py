@@ -48,6 +48,13 @@ def pr_curve(
     Rows ordered by confidence descending;
     ``precision = cum_tp / rank``, ``recall = cum_tp / total_tp`` —
     the reference's cumsum construction (``util.py:225-240``).
+
+    >>> df = spark.createDataFrame(
+    ...     [("c", 0.9, 1), ("c", 0.7, 0), ("c", 0.5, 1)],
+    ...     "g string, conf double, tp int")
+    >>> out = pr_curve(df, ["g"], "conf", "tp").orderBy(F.desc("conf"))
+    >>> [(r["precision"], r["recall"]) for r in out.collect()]
+    [(1.0, 0.5), (0.5, 0.5), (0.6666666666666666, 1.0)]
     """
     order = [F.desc(confidence_col)]
     if tie_break:
@@ -186,6 +193,13 @@ def resample_count(
     single groupBy pass, codegen'd) then unpivoted — no join, no
     per-threshold scan. The window+as-of formulation is equivalent but
     costs a sort; this shape is the 100 TB-friendly one.
+
+    >>> df = spark.createDataFrame(
+    ...     [("a", 1.0), ("a", 2.5), ("a", 4.0)], "g string, v double")
+    >>> out = resample_count(df, ["g"], "v", [0.0, 2.0, 4.0])
+    >>> [(r["threshold"], r["count_at_least"])
+    ...  for r in out.orderBy("threshold").collect()]
+    [(0.0, 3), (2.0, 2), (4.0, 1)]
     """
     aggs = [
         F.count(F.when(F.col(value_col) >= t, 1)).alias(f"__c_{i}")
@@ -227,6 +241,16 @@ def sessionize(
     decisions are deterministic and engine-independent. Pass
     ``tie_break`` (a unique column) so the ordering is a total order —
     required whenever two events of one user share a timestamp.
+
+    >>> import datetime as dt
+    >>> t0 = dt.datetime(2024, 1, 1)
+    >>> df = spark.createDataFrame(
+    ...     [(1, t0), (1, t0 + dt.timedelta(seconds=10)),
+    ...      (1, t0 + dt.timedelta(seconds=2000))],
+    ...     "user_id long, ts timestamp")
+    >>> out = sessionize(df, gap_seconds=1800).orderBy("ts")
+    >>> [r["session_seq"] for r in out.collect()]
+    [1, 1, 2]
     """
     order = [F.asc(ts_col)]
     if tie_break:

@@ -54,6 +54,51 @@ def chunk_histograms(
     return dict(out)
 
 
+def chunk_histogram_table(df: DataFrame, chunk_col: str, dims: list[str]):
+    """The sparse (chunk, bins..., n) table as a pandas frame — the
+    same distributed aggregation as :func:`chunk_histograms` without
+    the driver-side dict-of-dicts build (a python loop over every
+    (chunk × bin) row, ~1s/750k rows — the approximate mode consumes
+    arrays, so it factorizes this frame directly instead)."""
+    agg = df.groupBy(chunk_col, *dims).agg(F.count(F.lit(1)).alias("n"))
+    # toArrow() transfers in Arrow batches regardless of the session's
+    # spark.sql.execution.arrow.pyspark.enabled — toPandas() silently
+    # falls back to row-at-a-time collect (~10x slower at 500k+ rows)
+    # when a caller-built session lacks the flag
+    if hasattr(agg, "toArrow"):
+        return agg.toArrow().to_pandas()
+    return agg.toPandas()
+
+
+def _approx_assignment_from_table(
+    pdf, chunk_col: str, dims: list[str], shares: dict[str, float], seed: int
+) -> dict[int, str]:
+    """Vectorized (chunk, bins, n) table → assignment: factorize chunk
+    ids and bin tuples to dense codes, scatter counts into the (n × K)
+    matrix, delegate to the array core. No per-row python loop."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) == 0:
+        return {}
+    chunk_codes, chunk_vals = pd.factorize(pdf[chunk_col], sort=True)
+    # combine per-dim codes into one bin index (strided mixed radix);
+    # use_na_sentinel=False keeps NULL bins as their own code
+    bin_codes = np.zeros(len(pdf), dtype=np.int64)
+    for d in dims:
+        c, u = pd.factorize(pdf[d], use_na_sentinel=False)
+        bin_codes = bin_codes * max(1, len(u)) + c
+    if len(dims) > 1:
+        # re-densify the mixed-radix codes (most combinations are empty)
+        bin_codes, _ = pd.factorize(bin_codes)
+    K = int(bin_codes.max()) + 1
+    H = np.zeros((len(chunk_vals), K))
+    np.add.at(H, (chunk_codes, bin_codes), pdf["n"].to_numpy(np.float64))
+    # .tolist() gives plain python scalars — createDataFrame on the
+    # assignment rejects numpy int64 keys
+    return _assign_approx_arrays(chunk_vals.tolist(), H, shares, seed=seed)
+
+
 def kl_divergence(p: dict, q: dict, eps: float = 1e-12) -> float:
     """KL(p ‖ q) over sparse histograms (normalized, eps-smoothed)."""
     keys = set(p) | set(q)
@@ -428,14 +473,6 @@ def greedy_assign_approx(
     """
     import numpy as np
 
-    splits = list(target_shares)
-    S = len(splits)
-    sindex = {s: i for i, s in enumerate(splits)}
-    tshare = np.asarray([float(target_shares[s]) for s in splits])
-    if tshare.sum():
-        tshare = tshare / tshare.sum()
-    eps = 1e-12
-
     # global bin index (same insertion order as the exact greedy)
     keys: list = []
     seen = set()
@@ -465,6 +502,47 @@ def greedy_assign_approx(
     )
     H = np.zeros((n, K))
     H[np.repeat(np.arange(n), lens), flat_k] = flat_v
+    return _assign_approx_arrays(
+        cids,
+        H,
+        target_shares,
+        seed=seed,
+        hist_cost_weight=hist_cost_weight,
+        share_cost_weight=share_cost_weight,
+        preassigned=preassigned,
+        quant_levels=quant_levels,
+        polish_budget=polish_budget,
+    )
+
+
+def _assign_approx_arrays(
+    cids: list,
+    H,
+    target_shares: dict[str, float],
+    seed: int = 0,
+    hist_cost_weight: float = 1.0,
+    share_cost_weight: float = 1.0,
+    preassigned: dict[int, str] | None = None,
+    quant_levels: int = 16,
+    polish_budget: int = 4096,
+) -> dict[int, str]:
+    """Array core of :func:`greedy_assign_approx`: ``H[i]`` is chunk
+    ``cids[i]``'s dense bin-count vector. Split out so table-shaped
+    entry points (``chunk_histogram_table``) can skip the dict-of-dicts
+    round trip entirely."""
+    import numpy as np
+
+    splits = list(target_shares)
+    S = len(splits)
+    sindex = {s: i for i, s in enumerate(splits)}
+    tshare = np.asarray([float(target_shares[s]) for s in splits])
+    if tshare.sum():
+        tshare = tshare / tshare.sum()
+    eps = 1e-12
+
+    n, K = H.shape
+    if n == 0:
+        return {}
     hn = H.sum(axis=1)
     hn_safe = np.where(hn > 0, hn, 1.0)
 
@@ -609,6 +687,39 @@ def balanced_split(
     greedy is not required."""
     from lours_spark.split.chunks import atomic_chunks_distributed
 
+    if mode == "approximate" and keep_separate and len(keep_separate) == 1:
+        # approximate mode is free to pick ANY collision-free chunk key
+        # (chunk ids are internal; only exact mode needs the reference's
+        # min-id labels for bit-identical greedy decisions) — so use the
+        # keep-separate value itself, type-tagged against id collisions.
+        # This turns the chunk-id window (a full shuffle+sort of the
+        # table) into a plain projection: the histogram groupBy then
+        # map-side combines straight off the scan, and the join-back
+        # recomputes a projection instead of a second window pass.
+        c = keep_separate[0]
+        with_chunks = df.withColumn(
+            "chunk_id",
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(F.lit("c:"), F.col(c).cast("string")),
+            ).otherwise(F.concat(F.lit("i:"), F.col(id_col).cast("string"))),
+        )
+        pdf = chunk_histogram_table(with_chunks, "chunk_id", dims)
+        assignment = _approx_assignment_from_table(
+            pdf, "chunk_id", dims, shares, seed
+        )
+        spark = df.sparkSession
+        adf = F.broadcast(
+            spark.createDataFrame(
+                list(assignment.items()), "chunk_id string, __assigned string"
+            )
+        )
+        return (
+            with_chunks.join(adf, "chunk_id", "left")
+            .withColumn(out_col, F.col("__assigned"))
+            .drop("__assigned", "chunk_id")
+        )
+
     if keep_separate and len(keep_separate) == 1:
         # single keep-separate column: components ARE the column's
         # distinct values (atomic_chunks_distributed fast path) — attach
@@ -629,10 +740,13 @@ def balanced_split(
         with_chunks = df.join(chunks, id_col)
     else:
         with_chunks = df.withColumn("chunk_id", F.col(id_col))
-    hists = chunk_histograms(with_chunks, "chunk_id", dims)
     if mode == "approximate":
-        assignment = greedy_assign_approx(hists, shares, seed=seed)
+        pdf = chunk_histogram_table(with_chunks, "chunk_id", dims)
+        assignment = _approx_assignment_from_table(
+            pdf, "chunk_id", dims, shares, seed
+        )
     elif mode == "exact":
+        hists = chunk_histograms(with_chunks, "chunk_id", dims)
         assignment = greedy_assign(hists, shares, seed=seed)
     else:
         raise ValueError(f"unknown balanced_split mode {mode!r}")

@@ -51,7 +51,22 @@ def hourly_rollup_stream(
 ) -> DataFrame:
     """Tumbling-window rollup with late-data watermark — the streaming
     twin of ``suite.q_hourly_rollup``. State is bounded by the
-    watermark: windows older than it are finalized and evicted."""
+    watermark: windows older than it are finalized and evicted.
+
+    Offline end-to-end (file source → availableNow → memory sink):
+
+    >>> import datetime as dt, os, tempfile
+    >>> src, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+    >>> t0 = dt.datetime(2024, 1, 1, 12, 10)
+    >>> spark.createDataFrame(
+    ...     [(1, t0, 7, "click", 2.0, "{}"),
+    ...      (2, t0.replace(minute=50), 7, "click", 3.0, "{}")],
+    ...     schema=EVENTS_SCHEMA).write.parquet(os.path.join(src, "d"))
+    >>> stream = read_event_stream(spark, os.path.join(src, "d"))
+    >>> run_available_now(hourly_rollup_stream(stream), "doc_rollup", ckpt)
+    >>> spark.table("doc_rollup").select("n_events", "sum_value").first()
+    Row(n_events=2, sum_value=5.0)
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))

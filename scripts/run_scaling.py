@@ -50,18 +50,18 @@ def cc_stats(spark, sf_dir: str) -> dict:
 def main() -> None:
     scaled = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_data/sf1x10"
 
-    from pyspark.sql import SparkSession
-
     from lours_spark import suite
+    from lours_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
-        .getOrCreate()
+    # engine defaults (Arrow boundaries, AQE) — the same session shape
+    # bench.py measures; a bare session silently disables Arrow and
+    # penalizes every toPandas boundary ~10x
+    spark = get_spark(
+        "lours-scaling",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g"),
+        },
     )
     # warm JVM + python workers once, like bench.py
     suite.ALL_QUERIES["multimodal_features"](spark, BASE).count()
