@@ -24,7 +24,15 @@ class LabelMapConflictError(ValueError):
 
 def merge_label_maps(a: dict[int, str], b: dict[int, str]) -> dict[int, str]:
     """Outer merge; same id must carry the same name (reference
-    ``label_map_merger.py:9-28``)."""
+    ``label_map_merger.py:9-28``).
+
+    >>> merge_label_maps({0: "cat"}, {1: "dog"})
+    {0: 'cat', 1: 'dog'}
+    >>> merge_label_maps({0: "cat"}, {0: "dog"})
+    Traceback (most recent call last):
+        ...
+    lours_spark.dataset.merge.LabelMapConflictError: label map conflict for id 0: 'cat' != 'dog'
+    """
     out = dict(a)
     for k, v in b.items():
         if k in out and out[k] != v:

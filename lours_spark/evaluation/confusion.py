@@ -25,6 +25,15 @@ def confusion_counts(
     Unmatched rows are represented with the ``none_label`` class, which
     the reference places last (``util.py:377-380``); share = count /
     row-total over the true class.
+
+    >>> df = spark.createDataFrame(
+    ...     [("cat", "cat"), ("cat", "dog"), ("dog", None)],
+    ...     "groundtruth_label string, prediction_label string")
+    >>> out = confusion_counts(df).orderBy("groundtruth_label",
+    ...                                    "prediction_label")
+    >>> [(r["groundtruth_label"], r["prediction_label"], r["count"],
+    ...   r["share"]) for r in out.collect()]
+    [('cat', 'cat', 1, 0.5), ('cat', 'dog', 1, 0.5), ('dog', 'None', 1, 1.0)]
     """
     df = pairs.select(
         F.coalesce(F.col(gt_col), F.lit(none_label)).alias("groundtruth_label"),

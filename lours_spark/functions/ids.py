@@ -27,7 +27,13 @@ def global_row_number(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add a contiguous 0-based (plus ``start``) global row number in
-    ``order_cols`` order without a single-partition window."""
+    ``order_cols`` order without a single-partition window.
+
+    >>> df = spark.createDataFrame([("c",), ("a",), ("b",)], "k string")
+    >>> out = global_row_number(df, ["k"], start=10)
+    >>> sorted((r["k"], r["row_number"]) for r in out.collect())
+    [('a', 10), ('b', 11), ('c', 12)]
+    """
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )

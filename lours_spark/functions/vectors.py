@@ -17,7 +17,13 @@ def _as_double(v: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-order dot product of two equal-length arrays."""
+    """Sequential-order dot product of two equal-length arrays.
+
+    >>> df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])],
+    ...                            "a array<double>, b array<double>")
+    >>> df.select(dot(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    11.0
+    """
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -32,11 +38,28 @@ def norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine of the angle between two arrays; 0.0 when either norm
+    is zero (degenerate vectors never count as similar).
+
+    >>> df = spark.createDataFrame(
+    ...     [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+    ...     "a array<double>, b array<double>")
+    >>> [r["c"] for r in
+    ...  df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()]
+    [1.0, 0.0]
+    """
     d = norm(a) * norm(b)
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
 def l2_distance(a: Column, b: Column) -> Column:
+    """Euclidean distance between two equal-length arrays.
+
+    >>> df = spark.createDataFrame([([0.0, 3.0], [4.0, 0.0])],
+    ...                            "a array<double>, b array<double>")
+    >>> df.select(l2_distance(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    5.0
+    """
     return F.sqrt(
         F.aggregate(
             F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),

@@ -38,6 +38,15 @@ def benchmark_overlap(
 
     ``broadcast_benchmark=False`` falls back to a shuffle join for the
     rare huge-benchmark case.
+
+    >>> docs = spark.createDataFrame(
+    ...     [(1, "the quick brown fox jumps"), (2, "totally unrelated words")],
+    ...     "doc_id long, text string")
+    >>> bench = spark.createDataFrame(
+    ...     [("the quick brown fox",)], "text string")
+    >>> [(r["doc_id"], r["overlap"]) for r in benchmark_overlap(
+    ...     docs, bench).collect()]
+    [(1, 2)]
     """
     d = docs.select(
         F.col(id_col),

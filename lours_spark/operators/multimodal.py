@@ -64,7 +64,13 @@ def ppm_decode(payload: bytes) -> np.ndarray:
     decode path. P6 (RGB) → (H, W, 3) uint8, P5 (grayscale) →
     (H, W, 1) uint8. Handles the spec's whitespace/comment header
     grammar and both maxval ranges (≤255 one byte per sample, ≤65535
-    two bytes big-endian, scaled down to uint8)."""
+    two bytes big-endian, scaled down to uint8).
+
+    >>> img = ppm_decode(b"P6\\n# comment\\n2 1\\n255\\n" +
+    ...                  bytes([255, 0, 0, 0, 255, 0]))
+    >>> img.shape, img[0, 1].tolist()
+    ((1, 2, 3), [0, 255, 0])
+    """
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
         raise ValueError(f"not a binary PPM/PGM payload (magic {magic!r})")

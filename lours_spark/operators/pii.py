@@ -48,7 +48,13 @@ def pii_counts(text: Column) -> dict[str, Column]:
 
 def redact_pii(text: Column) -> Column:
     """Text with every PII match replaced by its placeholder token,
-    applied in the declared pattern order."""
+    applied in the declared pattern order.
+
+    >>> df = spark.createDataFrame(
+    ...     [("mail bob@example.com from 10.0.0.1",)], "text string")
+    >>> df.select(redact_pii(F.col("text")).alias("t")).first()["t"]
+    'mail [EMAIL] from [IP]'
+    """
     out = text
     for pat, token in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, token)
@@ -84,7 +90,13 @@ def filter_pii_dense(
 ) -> DataFrame:
     """Documents whose total PII match count is within the threshold
     (the drop-the-rest filtering pass). Predicate-only: pushes down to
-    the scan like any other filter."""
+    the scan like any other filter.
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "clean text"), (2, "leak: a@b.io")], "doc_id long, text string")
+    >>> [r["doc_id"] for r in filter_pii_dense(df).collect()]
+    [1]
+    """
     counts = pii_counts(F.col(text_col))
     total = None
     for c in counts.values():

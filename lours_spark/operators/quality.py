@@ -30,7 +30,17 @@ from lours_spark.functions.text import _bind, tokens, word_shingles
 def repetition_signals(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-document repetition metrics (see module docstring)."""
+    """Per-document repetition metrics (see module docstring).
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "spam spam spam spam"), (2, "four distinct words here")],
+    ...     "doc_id long, text string")
+    >>> rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    >>> rows[1]["top_word_count"], rows[2]["top_word_count"]
+    (4, 1)
+    >>> rows[1]["dup_trigram_excess"]  # 2 total trigrams, 1 distinct
+    1
+    """
     toks = tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col),

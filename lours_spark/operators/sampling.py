@@ -43,7 +43,15 @@ def hash_sample(
 ) -> DataFrame:
     """Deterministic Bernoulli sample: keep rows whose hash fraction
     falls below ``fraction``. A pure filter — pushes down, costs no
-    shuffle, and the same (id, seed) always makes the same decision."""
+    shuffle, and the same (id, seed) always makes the same decision.
+
+    >>> df = spark.range(1000)
+    >>> n = hash_sample(df, 0.25).count()
+    >>> 200 < n < 300
+    True
+    >>> hash_sample(df, 0.25).count() == n  # deterministic
+    True
+    """
     return df.filter(sample_fraction(F.col(id_col), seed) < fraction)
 
 

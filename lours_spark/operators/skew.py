@@ -37,6 +37,13 @@ def salted_aggregate(
     agg_name in {count, sum, min, max}. A heavy-hitter group key is
     spread over ``salt_buckets`` partial groups before the final
     merge, so no single reducer sees the whole hot key.
+
+    >>> df = spark.createDataFrame(
+    ...     [("hot", 1.0)] * 50 + [("cold", 2.0)], "k string, v double")
+    >>> out = salted_aggregate(df, ["k"], [("count", "v", "n"),
+    ...                                    ("sum", "v", "s")])
+    >>> sorted((r["k"], r["n"], r["s"]) for r in out.collect())
+    [('cold', 1, 2.0), ('hot', 50, 50.0)]
     """
     salted = df.withColumn(
         "__salt", (F.rand() * salt_buckets).cast("int")

@@ -61,15 +61,29 @@ def atomic_chunks_driver(
 
     for e in edges:
         union(("r", e["row_id"]), ("v", e["group_value"]))
-    row_ids = [r[0] for r in df.select(id_col).collect()]
+    # only rows that PARTICIPATE in an edge need driver treatment: a
+    # row absent from the edge list has every group value NULL, so it
+    # is its own singleton component — resolved distributed below via
+    # coalesce, keeping driver state size-of-edges, not size-of-table
+    row_ids = sorted({e["row_id"] for e in edges})
     comp_min: dict = {}
     assignments = []
-    for rid in sorted(row_ids):
+    for rid in row_ids:
         root = find(("r", rid))
         comp_min.setdefault(root, rid)
         assignments.append((rid, comp_min[root]))
     spark = df.sparkSession
-    return spark.createDataFrame(assignments, f"{id_col} long, chunk_id long")
+    adf = F.broadcast(
+        spark.createDataFrame(assignments, f"{id_col} long, __chunk long")
+    )
+    return (
+        df.select(id_col)
+        .join(adf, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__chunk"), F.col(id_col)).alias("chunk_id"),
+        )
+    )
 
 
 def atomic_chunks_distributed(

@@ -13,6 +13,7 @@ ROWS = {
     "paragraph_dedup": "documents",
     "dedup_clusters_distributed": "documents",
     "balanced_split": "orders",
+    "balanced_split_approx": "orders",
     "greedy_matching": "lineitem",
     "detection_pr_ap": "lineitem",
 }
@@ -25,7 +26,7 @@ TABLE_ROWS = {
 def main() -> None:
     data = json.load(sys.stdin)
     s1, s10 = data["scales"]["1x"], data["scales"]["10x"]
-    print("# SCALING — 10x scale evidence (round 4)")
+    print("# SCALING — 10x scale evidence (round 5)")
     print()
     print(
         "The six heaviest pipelines at sf0.1 and at a structure-preserving\n"
