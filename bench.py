@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "quality_score",
     "minhash_signature",
     "knn_label",
+    "ivf_topk",
     "json_extraction",
     "forward_fill",
     "resample_count",

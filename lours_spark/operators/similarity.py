@@ -360,6 +360,22 @@ def lsh_bucket_topk(
     )
 
 
+def _l2sq_expr(a, b):
+    """Squared L2 distance as a sequential left fold — the SAME element
+    order and arithmetic as DuckDB's ``list_reduce`` twin, so centroid
+    argmin decisions agree bit-for-bit across engines."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -369,6 +385,8 @@ def ivf_topk(
     num_centroids: int = 16,
     num_probes: int = 3,
     seed: int = 42,
+    centroids: "list[list[float]] | None" = None,
+    use_arrow_cosine: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: MLlib k-means partitions the corpus
     into inverted lists; each query scans only its ``num_probes``
@@ -379,57 +397,101 @@ def ivf_topk(
     join is per-(query, probed-centroid) — at 1000 executors the join
     fans out by centroid id so no task sees the whole corpus. Recall
     rises with ``num_probes`` (→ exact at num_probes = num_centroids).
+
+    ``centroids``: fixed coarse centers instead of k-means training —
+    the deterministic, oracle-expressible mode (assignment and probe
+    selection become pure literal-array expressions; ties break toward
+    the lower centroid index). ``use_arrow_cosine=False`` swaps the
+    vectorized numpy cosine for the sequential-fold column expression
+    whose summation order matches the DuckDB oracle exactly.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if centroids is not None:
+        C = len(centroids)
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
 
-    corpus_v = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("__features"),
-    )
-    km = KMeans(
-        k=num_centroids, seed=seed, featuresCol="__features",
-        predictionCol="__centroid",
-    )
-    model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select(
-        "neighbor_id", "__cv", "__centroid"
-    )
+        def ranked_pairs(vec):
+            dists = F.transform(cent_arr, lambda cv: _l2sq_expr(vec, cv))
+            return F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(C - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
 
-    centers = model.clusterCenters()
-    center_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
-    centers_df = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            center_rows, "centroid int, cvec array<double>"
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.array_min(ranked_pairs(F.col(vec_col)))
+            .getField("i")
+            .alias("__centroid"),
         )
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    # nearest num_probes centroids per query (small cross join: |q|×C)
-    q_probes = (
-        q.crossJoin(centers_df)
-        .withColumn(
-            "__dist", V.l2_distance(F.col("__qv"), F.col("cvec"))
+        probe_structs = F.slice(
+            F.sort_array(ranked_pairs(F.col(vec_col))), 1, num_probes
         )
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.asc("__dist"), F.asc("centroid")
-                )
-            ),
+        q_probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(
+                F.transform(probe_structs, lambda s: s.getField("i"))
+            ).alias("__centroid"),
         )
-        .filter(F.col("__rk") <= num_probes)
-        .select("query_id", "__qv", F.col("centroid").alias("__centroid"))
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus_v = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("__features"),
+        )
+        km = KMeans(
+            k=num_centroids, seed=seed, featuresCol="__features",
+            predictionCol="__centroid",
+        )
+        model = km.fit(corpus_v)
+        assigned = model.transform(corpus_v).select(
+            "neighbor_id", "__cv", "__centroid"
+        )
+
+        centers = model.clusterCenters()
+        center_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
+        centers_df = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                center_rows, "centroid int, cvec array<double>"
+            )
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        # nearest num_probes centroids per query (small cross join: |q|×C)
+        q_probes = (
+            q.crossJoin(centers_df)
+            .withColumn(
+                "__dist", V.l2_distance(F.col("__qv"), F.col("cvec"))
+            )
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.asc("__dist"), F.asc("centroid")
+                    )
+                ),
+            )
+            .filter(F.col("__rk") <= num_probes)
+            .select("query_id", "__qv", F.col("centroid").alias("__centroid"))
+        )
+    cosine = (
+        V.cosine_similarity_arrow()(F.col("__qv"), F.col("__cv"))
+        if use_arrow_cosine
+        else V.cosine_similarity(F.col("__qv"), F.col("__cv"))
     )
     scored = (
         q_probes.join(assigned, "__centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", V.cosine_similarity_arrow()(F.col("__qv"), F.col("__cv")))
+        .withColumn("cosine", cosine)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -30,6 +30,7 @@ from collections import defaultdict
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def chunk_histograms(
@@ -66,21 +67,27 @@ def chunk_histogram_table(df: DataFrame, chunk_col: str, dims: list[str]):
     # falls back to row-at-a-time collect (~10x slower at 500k+ rows)
     # when a caller-built session lacks the flag
     if hasattr(agg, "toArrow"):
-        return agg.toArrow().to_pandas()
+        # strings_to_categorical: dim columns land as Categorical
+        # (integer codes + tiny dictionary) instead of millions of
+        # python string objects — factorize consumes either
+        return agg.toArrow().to_pandas(strings_to_categorical=True)
     return agg.toPandas()
 
 
 def _approx_assignment_from_table(
     pdf, chunk_col: str, dims: list[str], shares: dict[str, float], seed: int
-) -> dict[int, str]:
-    """Vectorized (chunk, bins, n) table → assignment: factorize chunk
-    ids and bin tuples to dense codes, scatter counts into the (n × K)
-    matrix, delegate to the array core. No per-row python loop."""
+):
+    """Vectorized (chunk, bins, n) table → assignment FRAME: factorize
+    chunk ids and bin tuples to dense codes, scatter counts into the
+    (n × K) matrix, delegate to the array core. Returns a pandas frame
+    (chunk_col, __assigned) — no per-row python loop and no
+    size-of-chunk-count python dict; the caller ships it back through
+    Arrow ``createDataFrame``."""
     import numpy as np
     import pandas as pd
 
     if len(pdf) == 0:
-        return {}
+        return pd.DataFrame({chunk_col: [], "__assigned": []})
     chunk_codes, chunk_vals = pd.factorize(pdf[chunk_col], sort=True)
     # combine per-dim codes into one bin index (strided mixed radix);
     # use_na_sentinel=False keeps NULL bins as their own code
@@ -94,13 +101,27 @@ def _approx_assignment_from_table(
     K = int(bin_codes.max()) + 1
     H = np.zeros((len(chunk_vals), K))
     np.add.at(H, (chunk_codes, bin_codes), pdf["n"].to_numpy(np.float64))
-    # .tolist() gives plain python scalars — createDataFrame on the
-    # assignment rejects numpy int64 keys
-    return _assign_approx_arrays(chunk_vals.tolist(), H, shares, seed=seed)
+    assign, splits = _assign_approx_arrays(
+        list(range(len(chunk_vals))), H, shares, seed=seed, _raw=True
+    )
+    return pd.DataFrame(
+        {
+            chunk_col: np.asarray(chunk_vals),
+            "__assigned": pd.Categorical.from_codes(
+                assign, categories=list(splits)
+            ).astype(str),
+        }
+    )
 
 
 def kl_divergence(p: dict, q: dict, eps: float = 1e-12) -> float:
-    """KL(p ‖ q) over sparse histograms (normalized, eps-smoothed)."""
+    """KL(p ‖ q) over sparse histograms (normalized, eps-smoothed).
+
+    >>> round(kl_divergence({"a": 5, "b": 5}, {"a": 5, "b": 5}), 9)
+    0.0
+    >>> kl_divergence({"a": 10}, {"a": 5, "b": 5}) > 0
+    True
+    """
     keys = set(p) | set(q)
     sp = sum(p.values()) or 1.0
     sq = sum(q.values()) or 1.0
@@ -114,7 +135,16 @@ def kl_divergence(p: dict, q: dict, eps: float = 1e-12) -> float:
 
 def emd_1d(p: dict, q: dict) -> float:
     """Exact 1D earth-mover distance between normalized histograms whose
-    keys are orderable bin labels: cumulative-difference sum."""
+    keys are orderable bin labels: cumulative-difference sum.
+
+    Bins are positions in the sorted key sequence (adjacent-step
+    ground metric), matching the reference's unit-spaced bins:
+
+    >>> emd_1d({1: 1}, {3: 1})
+    1.0
+    >>> emd_1d({1: 1, 2: 1}, {1: 1, 2: 1})
+    0.0
+    """
     keys = sorted(set(p) | set(q), key=lambda x: (x is None, x))
     sp = sum(p.values()) or 1.0
     sq = sum(q.values()) or 1.0
@@ -128,7 +158,13 @@ def emd_1d(p: dict, q: dict) -> float:
 
 def share_distance(sizes: dict[str, float], targets: dict[str, float]) -> float:
     """1 − IoU of the normalized share histograms (reference
-    ``balanced_groups.py:320-344``)."""
+    ``balanced_groups.py:320-344``).
+
+    >>> share_distance({"t": 80, "v": 20}, {"t": 0.8, "v": 0.2})
+    0.0
+    >>> round(share_distance({"t": 100}, {"t": 0.5, "v": 0.5}), 3)
+    0.667
+    """
     s = sum(sizes.values()) or 1.0
     inter = sum(min(sizes.get(k, 0) / s, targets.get(k, 0)) for k in targets)
     union = sum(max(sizes.get(k, 0) / s, targets.get(k, 0)) for k in targets)
@@ -525,6 +561,7 @@ def _assign_approx_arrays(
     preassigned: dict[int, str] | None = None,
     quant_levels: int = 16,
     polish_budget: int = 4096,
+    _raw: bool = False,
 ) -> dict[int, str]:
     """Array core of :func:`greedy_assign_approx`: ``H[i]`` is chunk
     ``cids[i]``'s dense bin-count vector. Split out so table-shaped
@@ -660,6 +697,8 @@ def _assign_approx_arrays(
                 kl_cur[best_b] = best_kl_to
                 assign[r] = best_b
                 base = best_cost
+    if _raw:
+        return assign, splits
     return {cids[r]: splits[int(assign[r])] for r in range(n)}
 
 
@@ -696,22 +735,41 @@ def balanced_split(
         # table) into a plain projection: the histogram groupBy then
         # map-side combines straight off the scan, and the join-back
         # recomputes a projection instead of a second window pass.
+        # Numeric keep-separate columns get LONG chunk keys (even =
+        # group value, odd = row id — disjoint); others fall back to
+        # tagged strings. Long keys keep the collected histogram frame
+        # and the assignment transfer at 8 bytes/key instead of a
+        # python string object each (~3x driver RSS at millions of
+        # chunks).
+        import pandas as pd
+
         c = keep_separate[0]
-        with_chunks = df.withColumn(
-            "chunk_id",
-            F.when(
+        numeric = isinstance(
+            df.schema[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ) and isinstance(
+            df.schema[id_col].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
+        if numeric:
+            chunk_expr = F.when(
+                F.col(c).isNotNull(), F.col(c).cast("long") * 2
+            ).otherwise(F.col(id_col).cast("long") * 2 + 1)
+            key_type = "long"
+        else:
+            chunk_expr = F.when(
                 F.col(c).isNotNull(),
                 F.concat(F.lit("c:"), F.col(c).cast("string")),
-            ).otherwise(F.concat(F.lit("i:"), F.col(id_col).cast("string"))),
-        )
+            ).otherwise(F.concat(F.lit("i:"), F.col(id_col).cast("string")))
+            key_type = "string"
+        with_chunks = df.withColumn("chunk_id", chunk_expr)
         pdf = chunk_histogram_table(with_chunks, "chunk_id", dims)
-        assignment = _approx_assignment_from_table(
-            pdf, "chunk_id", dims, shares, seed
-        )
+        apdf = _approx_assignment_from_table(pdf, "chunk_id", dims, shares, seed)
         spark = df.sparkSession
         adf = F.broadcast(
             spark.createDataFrame(
-                list(assignment.items()), "chunk_id string, __assigned string"
+                apdf,
+                schema=f"chunk_id {key_type}, __assigned string",
             )
         )
         return (

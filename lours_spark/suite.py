@@ -1179,6 +1179,82 @@ def q_knn_label(spark, sf_dir):
     )
 
 
+_IVF_CENTROID_IDS = 8
+_IVF_PROBES = 3
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN candidate path with FIXED deterministic coarse centers
+    (the embeddings of the first ``_IVF_CENTROID_IDS`` vec_ids): corpus
+    rows assign to their nearest center (inverted lists), each query
+    scans its ``_IVF_PROBES`` nearest lists, cosine top-k over the
+    candidates. Distances and cosines are sequential-fold column
+    expressions whose arithmetic order matches the DuckDB twin
+    bit-for-bit, so the gate hashes exactly (the production k-means
+    mode stays recall-tested in tests/test_operators.py)."""
+    from lours_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < _IVF_CENTROID_IDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk(
+        emb,
+        queries,
+        k=5,
+        num_probes=_IVF_PROBES,
+        centroids=cents,
+        use_arrow_cosine=False,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 9).alias("cosine")
+    )
+
+
+_DD_L2SQ = (
+    "list_reduce(list_transform(generate_series(1, {n}), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), "
+    "(x,y) -> x+y)"
+)
+
+
+def _oracle_ivf_topk() -> str:
+    l2 = _DD_L2SQ.format(a="d.embedding", b="d.cvec", n=_EMB_DIM)
+    cos = _dd_cosine("p.qemb", "a.cemb")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_IVF_CENTROID_IDS}
+), d AS (
+  SELECT e.vec_id, e.embedding, c.cid, c.cvec FROM embeddings e CROSS JOIN cents c
+), dist AS (
+  SELECT vec_id, embedding, cid, {l2} AS dsq FROM d
+), assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS cemb, cid AS centroid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rk
+        FROM dist) WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qemb, cid AS centroid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rk
+        FROM dist WHERE vec_id < 10) WHERE rk <= {_IVF_PROBES}
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, {cos} AS cosine
+  FROM probes p JOIN assigned a
+    ON p.centroid = a.centroid AND p.query_id != a.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 def _oracle_knn_label() -> str:
     cos = _dd_cosine("q.embedding", "c.embedding")
     return f"""
@@ -1539,6 +1615,7 @@ QUERIES: dict[str, QueryFn] = {
     # embeddings
     "cosine_topk": q_cosine_topk,
     "knn_label": q_knn_label,
+    "ivf_topk": q_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     # events
     "sessionize": q_sessionize,
@@ -1591,6 +1668,7 @@ def oracles() -> dict[str, str]:
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "simhash": _oracle_simhash(),
         "cosine_topk": _oracle_cosine_topk(),
+        "ivf_topk": _oracle_ivf_topk(),
         "knn_label": _oracle_knn_label(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "sessionize": ORACLE_SESSIONIZE,
@@ -2678,6 +2756,7 @@ _PAIRS: dict[str, tuple[str, str]] = {
     "minhash_signature": ("minhash_signature", "minhash_lsh_pairs"),
     "top_terms": ("top_terms", "tfidf_top_term"),
     "cosine_topk": ("cosine_topk", "lsh_bucket_topk"),
+    "knn_label": ("knn_label", "ivf_topk"),
     "salted_aggregate": ("salted_aggregate", "grouper_bins"),
     "forward_fill": ("forward_fill", "resample_count"),
 }
@@ -2767,6 +2846,8 @@ def _gate_oracles() -> dict[str, str]:
         "tfidf_top_term": ["doc_id", "term", "tfidf"],
         "cosine_topk": ["query_id", "neighbor_id", "rank", "cosine"],
         "lsh_bucket_topk": ["query_id", "neighbor_id", "rank", "cosine"],
+        "knn_label": ["query_id", "predicted_label", "votes"],
+        "ivf_topk": ["query_id", "neighbor_id", "rank", "cosine"],
         "salted_aggregate": ["l_returnflag", "n", "min_qty", "max_qty"],
         "grouper_bins": ["bin_mid", "n"],
         "forward_fill": ["event_id", "user_id", "last_purchase_value"],

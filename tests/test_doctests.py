@@ -50,6 +50,7 @@ MIN_EXAMPLES = {
     "lours_spark.operators.similarity": 3,
     "lours_spark.operators.skew": 3,
     "lours_spark.operators.windows": 12,
+    "lours_spark.split.balanced": 6,
     "lours_spark.split.chunks": 4,
     "lours_spark.split.splitter": 3,
     "lours_spark.streaming.events": 7,

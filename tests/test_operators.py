@@ -223,6 +223,38 @@ def test_ivf_topk_recall(spark, vectors):
     assert f == e
 
 
+def test_ivf_topk_fixed_centroids(spark, vectors):
+    """The deterministic fixed-centroid mode (the oracle-gated path):
+    probing EVERY list must reproduce brute force exactly, and the
+    default partial probing must return a subset of it with no
+    duplicate pairs."""
+    from lours_spark.operators.similarity import ivf_topk
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    queries = df.filter(F.col("vec_id") < 4)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in df.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    exact = brute_force_topk(df, queries, k=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    full = ivf_topk(
+        df, queries, k=3, num_probes=len(cents), centroids=cents,
+        use_arrow_cosine=False,
+    )
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f == e
+    part_rows = ivf_topk(
+        df, queries, k=3, num_probes=2, centroids=cents,
+        use_arrow_cosine=False,
+    ).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in part_rows]
+    assert len(pairs) == len(set(pairs)), "duplicate candidate pair"
+    assert len(set(pairs) & e) / len(e) >= 0.5
+
+
 def test_embedding_near_dup_lsh_matches_exact(spark, vectors):
     """The default LSH path and the opt-in exact broadcast path must
     find the SAME pair set on a clustered corpus (recall target then
