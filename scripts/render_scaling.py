@@ -29,7 +29,7 @@ def main() -> None:
     print("# SCALING — 10x scale evidence (round 5)")
     print()
     print(
-        "The six heaviest pipelines at sf0.1 and at a structure-preserving\n"
+        "The heaviest pipelines at sf0.1 and at a structure-preserving\n"
         "10x replica (`scripts/make_scale_data.py`: key-shifted\n"
         "lineitem/orders copies; documents word-mutated per copy so dedup\n"
         "pair structure scales ~linearly and cross-copy Jaccard stays below\n"
