@@ -798,22 +798,23 @@ def balanced_split(
         with_chunks = df.join(chunks, id_col)
     else:
         with_chunks = df.withColumn("chunk_id", F.col(id_col))
+    spark = df.sparkSession
     if mode == "approximate":
         pdf = chunk_histogram_table(with_chunks, "chunk_id", dims)
-        assignment = _approx_assignment_from_table(
-            pdf, "chunk_id", dims, shares, seed
+        apdf = _approx_assignment_from_table(pdf, "chunk_id", dims, shares, seed)
+        adf = F.broadcast(
+            spark.createDataFrame(apdf, schema="chunk_id long, __assigned string")
         )
     elif mode == "exact":
         hists = chunk_histograms(with_chunks, "chunk_id", dims)
         assignment = greedy_assign(hists, shares, seed=seed)
+        adf = F.broadcast(
+            spark.createDataFrame(
+                list(assignment.items()), "chunk_id long, __assigned string"
+            )
+        )
     else:
         raise ValueError(f"unknown balanced_split mode {mode!r}")
-    spark = df.sparkSession
-    adf = F.broadcast(
-        spark.createDataFrame(
-            list(assignment.items()), "chunk_id long, __assigned string"
-        )
-    )
     return (
         with_chunks.join(adf, "chunk_id", "left")
         .withColumn(out_col, F.col("__assigned"))

@@ -235,6 +235,50 @@ def test_balanced_split_approximate_end_to_end(spark):
         balanced_split(df, {"a": 1.0}, dims=["dim"], mode="nope")
 
 
+def test_balanced_split_approximate_generic_paths(spark):
+    """The approximate mode must also work through the generic chunking
+    branches: multi-column keep-separate (distributed CC chunking) and
+    no keep-separate (row-per-chunk)."""
+    df = (
+        spark.range(600)
+        .withColumn("g1", (F.col("id") % 60))
+        .withColumn("g2", ((F.col("id") + 7) % 60))
+        .withColumn("dim", (F.col("id") % 3).cast("string"))
+    )
+    out = balanced_split(
+        df,
+        {"train": 0.75, "valid": 0.25},
+        dims=["dim"],
+        keep_separate=["g1", "g2"],
+        seed=5,
+        mode="approximate",
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(counts.values()) == 600
+    # two overlapping 60-valued group columns chain everything into few
+    # big components; shares can be lumpy but every row lands somewhere
+    assert set(counts) <= {"train", "valid"}
+    viol = (
+        out.groupBy("g1")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert viol == 0
+
+    solo = balanced_split(
+        df, {"a": 0.5, "b": 0.5}, dims=["dim"], seed=5, mode="approximate"
+    )
+    c2 = {
+        r["split"]: r["n"]
+        for r in solo.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(c2["a"] / 600 - 0.5) < 0.05
+
+
 def test_balanced_split_end_to_end(spark):
     df = (
         spark.range(2000)
