@@ -25,6 +25,14 @@ def frame_diff(
     Returns a DataFrame of (key, diff_status) using null-safe equality
     per shared column so NULL == NULL counts as equal (the reference's
     NaN==NaN semantics, ``difftools.py``).
+
+    >>> l = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)],
+    ...                           "id long, v string")
+    >>> r = spark.createDataFrame([(2, "B"), (3, None), (4, "d")],
+    ...                           "id long, v string")
+    >>> out = frame_diff(l, r).orderBy("id")
+    >>> [(row["id"], row["diff_status"]) for row in out.collect()]
+    [(1, 'left_only'), (2, 'changed'), (3, 'common'), (4, 'right_only')]
     """
     shared = [c for c in left.columns if c in right.columns and c != key]
     l = left.select(key, *shared).alias("l")

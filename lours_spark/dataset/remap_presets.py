@@ -59,7 +59,17 @@ def register_preset(name: str, rows: list[tuple[int, int, str]]) -> None:
 
 def list_available_presets() -> list[str]:
     """Registered preset names, including implicit inverses of
-    bijective presets (reference auto-inversion, ``__init__.py:37-50``)."""
+    bijective presets (reference auto-inversion, ``__init__.py:37-50``).
+
+    >>> register_preset("foo_to_bar", [(0, 1, "thing")])
+    >>> "foo_to_bar" in list_available_presets()
+    True
+    >>> "bar_to_foo" in list_available_presets()  # implicit inverse
+    True
+    >>> get_preset("bar_to_foo")[0]
+    {1: 0}
+    >>> del PRESETS["foo_to_bar"]
+    """
     names = list(PRESETS)
     for name in list(PRESETS):
         if "_to_" in name:

@@ -20,7 +20,17 @@ def per_image_counts(
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """gt count ⟗ pred count per image (full outer, zero-filled —
-    reference ``crowd_detection_evaluator.py:193``)."""
+    reference ``crowd_detection_evaluator.py:193``).
+
+    >>> gt = spark.createDataFrame([(1, 1), (2, 1), (3, 2)],
+    ...                            "id long, image_id long")
+    >>> pr = spark.createDataFrame([(9, 1, 0.9), (8, 3, 0.2)],
+    ...                            "id long, image_id long, confidence double")
+    >>> out = per_image_counts(gt, pr).orderBy("image_id")
+    >>> [(r["image_id"], r["gt_count"], r["pred_count"], r["error"])
+    ...  for r in out.collect()]
+    [(1, 2, 1, -1), (2, 1, 0, -1)]
+    """
     group_cols = group_cols or []
     gt = groundtruth.groupBy("image_id", *group_cols).agg(
         F.count(F.lit(1)).alias("gt_count")

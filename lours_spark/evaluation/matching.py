@@ -63,7 +63,15 @@ _OUT_COLS = [
 
 def iou_matrix(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
     """IoU between every (gt, pred) box pair; boxes are XYWH rows.
-    Same broadcasted-numpy shape as reference ``util.py:75-95``."""
+    Same broadcasted-numpy shape as reference ``util.py:75-95``.
+
+    >>> import numpy as np
+    >>> gt = np.array([[0.0, 0.0, 10.0, 10.0]])
+    >>> pred = np.array([[0.0, 0.0, 10.0, 10.0], [5.0, 0.0, 10.0, 10.0],
+    ...                  [20.0, 20.0, 5.0, 5.0]])
+    >>> iou_matrix(gt, pred).round(4).tolist()
+    [[1.0, 0.3333, 0.0]]
+    """
     if len(gt) == 0 or len(pred) == 0:
         return np.zeros((len(gt), len(pred)))
     gx, gy, gw, gh = (gt[:, i][:, None] for i in range(4))

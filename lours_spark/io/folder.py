@@ -21,7 +21,18 @@ from lours_spark.dataset.core import SparkDataset
 
 def _sniff_size(payload: bytes) -> tuple[int, int]:
     """Minimal PNG/JPEG/BMP/PPM size sniffing from header bytes (the
-    ``imagesize``-style probe; deliberately dependency-free)."""
+    ``imagesize``-style probe; deliberately dependency-free).
+
+    >>> import struct
+    >>> _sniff_size(b"P6\\n# c\\n640 480\\n255\\n" + b"\\x00" * 8)
+    (640, 480)
+    >>> png = (b"\\x89PNG\\r\\n\\x1a\\n" + b"\\x00" * 8
+    ...        + struct.pack(">II", 32, 16))
+    >>> _sniff_size(png)
+    (32, 16)
+    >>> _sniff_size(b"not an image")
+    (0, 0)
+    """
     if payload[:2] in (b"P6", b"P5"):  # binary netpbm: tokens after magic
         import re
 

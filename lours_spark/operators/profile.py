@@ -35,7 +35,14 @@ def profile_table(
     ``columns`` defaults to every numeric column. ``approximate``
     swaps exact percentile/countDistinct for their sketch forms —
     the scale setting (exact percentile materializes per-group value
-    multisets; the sketches are fixed-size)."""
+    multisets; the sketches are fixed-size).
+
+    >>> df = spark.createDataFrame([(1, 2.0), (2, None), (3, 4.0)],
+    ...                            "k long, v double")
+    >>> r = {row["column"]: row for row in profile_table(df).collect()}
+    >>> (r["v"]["n"], r["v"]["n_null"], r["v"]["min"], r["v"]["max"])
+    (2, 1, 2.0, 4.0)
+    """
     numeric = {
         f.name
         for f in df.schema.fields

@@ -21,7 +21,16 @@ def assert_frames_equal(
     ignore_columns: list[str] | None = None,
 ) -> None:
     """Order-insensitive frame equality: same columns (as sets), same
-    row multiset (``exceptAll`` both ways empty)."""
+    row multiset (``exceptAll`` both ways empty).
+
+    >>> a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    >>> b = spark.createDataFrame([(2, "y"), (1, "x")], "id long, v string")
+    >>> assert_frames_equal(a, b)  # order-insensitive: passes
+    >>> assert_frames_equal(a, b.limit(1))
+    Traceback (most recent call last):
+        ...
+    AssertionError: 1 rows only in left, 0 rows only in right
+    """
     drop = set(ignore_columns or [])
     ca = sorted(set(a.columns) - drop)
     cb = sorted(set(b.columns) - drop)
