@@ -527,14 +527,12 @@ def greedy_assign_approx(
     # flat build: three comprehensions + one fancy-index store beats a
     # per-chunk nested loop ~2x at millions of chunks
     hvals = [hists[cid] for cid in cids]
-    lens = np.fromiter((len(h) for h in hvals), dtype=np.int64, count=n)
-    flat_k = np.fromiter(
-        (kidx[k] for h in hvals for k in h), dtype=np.int64, count=int(lens.sum())
+    lens = np.array([len(h) for h in hvals], dtype=np.int64)
+    flat_k = np.array(
+        [kidx[k] for h in hvals for k in h], dtype=np.int64
     )
-    flat_v = np.fromiter(
-        (v for h in hvals for v in h.values()),
-        dtype=np.float64,
-        count=int(lens.sum()),
+    flat_v = np.array(
+        [v for h in hvals for v in h.values()], dtype=np.float64
     )
     H = np.zeros((n, K))
     H[np.repeat(np.arange(n), lens), flat_k] = flat_v
@@ -657,7 +655,10 @@ def _assign_approx_arrays(
         )
         return hist_cost_weight * hist_cost + share_cost_weight * _share_cost(sz)
 
-    # single budget-capped move-polish pass over evenly-strided chunks
+    # budget-capped move polish over evenly-strided chunks, repeated
+    # until a pass makes no move (≤4 passes): one first-improvement
+    # pass leaves the per-bucket apportionment remainders (±1 chunk per
+    # bin) in place, which on small corpora dominates the residual KL
     movable = np.flatnonzero(
         np.ones(n, dtype=bool)
         if not preassigned
@@ -669,34 +670,98 @@ def _assign_approx_arrays(
             movable = movable[pick]
         kl_cur = [_kl(A[j], sizes[j]) for j in range(S)]
         base = _cost(kl_cur, sizes)
-        for r in movable:
-            a = int(assign[r])
-            h = H[r]
-            hnr = hn[r]
-            kl_from = _kl(A[a] - h, sizes[a] - hnr)
-            best_cost, best_b, best_kl_to = base, a, 0.0
-            for b in range(S):
-                if b == a:
-                    continue
-                kl_to = _kl(A[b] + h, sizes[b] + hnr)
-                tkl = list(kl_cur)
-                tkl[a] = kl_from
-                tkl[b] = kl_to
-                tsz = sizes.copy()
-                tsz[a] -= hnr
-                tsz[b] += hnr
-                c = _cost(tkl, tsz)
-                if c < best_cost - 1e-12:
-                    best_cost, best_b, best_kl_to = c, b, kl_to
-            if best_b != a:
-                A[a] -= h
-                A[best_b] += h
-                sizes[a] -= hnr
-                sizes[best_b] += hnr
-                kl_cur[a] = kl_from
-                kl_cur[best_b] = best_kl_to
-                assign[r] = best_b
-                base = best_cost
+        # polish depth scales with what it can fix: per-bucket
+        # apportionment remainders are ±1 chunk per (bucket, split), so
+        # their KL contribution shrinks ~(buckets/n)² — at small chunk
+        # counts they dominate (multi-pass move + swap polish recovers
+        # exact-greedy quality); past ~1k chunks they are noise and one
+        # move pass suffices (keeps the polish out of the scale path's
+        # wall clock)
+        deep = movable.size <= 1024
+        for _pass in range(4 if deep else 1):
+            moved = False
+            for r in movable:
+                a = int(assign[r])
+                h = H[r]
+                hnr = hn[r]
+                kl_from = _kl(A[a] - h, sizes[a] - hnr)
+                best_cost, best_b, best_kl_to = base, a, 0.0
+                for b in range(S):
+                    if b == a:
+                        continue
+                    kl_to = _kl(A[b] + h, sizes[b] + hnr)
+                    tkl = list(kl_cur)
+                    tkl[a] = kl_from
+                    tkl[b] = kl_to
+                    tsz = sizes.copy()
+                    tsz[a] -= hnr
+                    tsz[b] += hnr
+                    c = _cost(tkl, tsz)
+                    if c < best_cost - 1e-12:
+                        best_cost, best_b, best_kl_to = c, b, kl_to
+                if best_b != a:
+                    A[a] -= h
+                    A[best_b] += h
+                    sizes[a] -= hnr
+                    sizes[best_b] += hnr
+                    kl_cur[a] = kl_from
+                    kl_cur[best_b] = best_kl_to
+                    assign[r] = best_b
+                    base = best_cost
+                    moved = True
+            if not moved:
+                break
+        # swap polish (mirrors the exact greedy's): moves cannot reduce
+        # histogram KL without disturbing the share balance, but
+        # exchanging two similar-size chunks between splits can — this
+        # is what clears the per-bucket apportionment remainders.
+        # First-improvement over strided candidates, budget-bounded.
+        if movable.size <= 256:
+            cap = int(movable.size)
+        else:
+            cap = max(2, min(32, 50_000 // int(movable.size)))
+        for _pass in range(2 if deep else 0):
+            improved = False
+            if base < 1e-9:
+                break
+            stride = max(1, movable.size // cap)
+            for idx in range(movable.size):
+                ra = int(movable[idx])
+                sa = int(assign[ra])
+                ha = H[ra]
+                han = hn[ra]
+                for cb in movable[(idx + 1) % stride::stride][:cap]:
+                    rb = int(cb)
+                    sb = int(assign[rb])
+                    if sb == sa or rb == ra:
+                        continue
+                    hb = H[rb]
+                    hbn = hn[rb]
+                    sza = sizes[sa] - han + hbn
+                    szb = sizes[sb] - hbn + han
+                    kla = _kl(A[sa] - ha + hb, sza)
+                    klb = _kl(A[sb] - hb + ha, szb)
+                    tkl = list(kl_cur)
+                    tkl[sa] = kla
+                    tkl[sb] = klb
+                    tsz = sizes.copy()
+                    tsz[sa] = sza
+                    tsz[sb] = szb
+                    c = _cost(tkl, tsz)
+                    if c < base - 1e-12:
+                        A[sa] += hb - ha
+                        A[sb] += ha - hb
+                        sizes[sa] = sza
+                        sizes[sb] = szb
+                        kl_cur[sa] = kla
+                        kl_cur[sb] = klb
+                        assign[ra] = sb
+                        assign[rb] = sa
+                        base = c
+                        sa = sb
+                        improved = True
+            if not improved:
+                break
     if _raw:
         return assign, splits
     return {cids[r]: splits[int(assign[r])] for r in range(n)}

@@ -235,6 +235,45 @@ def test_balanced_split_approximate_end_to_end(spark):
         balanced_split(df, {"a": 1.0}, dims=["dim"], mode="nope")
 
 
+def test_approximate_split_quality_matches_exact_on_suite_data(spark):
+    """The reference quality bar (VERDICT r4 item 1): on the real
+    orders table, the approximate mode's split must land within noise
+    of the exact mode on BOTH quality axes — per-split KL against the
+    global dim histogram and share distance to the targets."""
+    import os
+
+    from lours_spark.suite import _t
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    o = _t(spark, sf, "orders").withColumnRenamed("o_orderkey", "id")
+    shares = {"train": 0.8, "valid": 0.1, "eval": 0.1}
+
+    def quality(mode):
+        out = balanced_split(
+            o, shares, dims=["o_orderpriority"],
+            keep_separate=["o_custkey"], seed=42, mode=mode,
+        )
+        rows = out.groupBy("split", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        per: dict = {}
+        glob: dict = {}
+        sizes: dict = {}
+        for r in rows:
+            per.setdefault(r["split"], {})[r["o_orderpriority"]] = r["n"]
+            glob[r["o_orderpriority"]] = glob.get(r["o_orderpriority"], 0) + r["n"]
+            sizes[r["split"]] = sizes.get(r["split"], 0) + r["n"]
+        kl = max(kl_divergence(h, glob) for h in per.values())
+        return kl, share_distance(sizes, shares)
+
+    kl_e, sd_e = quality("exact")
+    kl_a, sd_a = quality("approximate")
+    # both modes balance this corpus to near-zero cost; approx must not
+    # be more than noise worse on either axis
+    assert kl_a <= kl_e + 5e-3, (kl_e, kl_a)
+    assert sd_a <= sd_e + 5e-3, (sd_e, sd_a)
+
+
 def test_balanced_split_approximate_generic_paths(spark):
     """The approximate mode must also work through the generic chunking
     branches: multi-column keep-separate (distributed CC chunking) and
