@@ -488,8 +488,13 @@ def ivf_topk(
         if use_arrow_cosine
         else V.cosine_similarity(F.col("__qv"), F.col("__cv"))
     )
+    # queries ≪ corpus in any real ANN lookup: broadcast the probe
+    # frame so the corpus (inverted lists) is scanned in place — the
+    # centroid key has only num_centroids values, so a shuffle join
+    # here would funnel the whole corpus through a handful of skewed
+    # reducer keys (same shape as lsh_bucket_topk's bucket join)
     scored = (
-        q_probes.join(assigned, "__centroid")
+        F.broadcast(q_probes).join(assigned, "__centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine)
     )

@@ -255,3 +255,13 @@ def test_ap_both_tiny_path_single_aggregation(spark, suite):
         assert "Generate explode" not in above
     finally:
         res["curves"].unpersist()
+
+
+def test_ivf_topk_broadcasts_probe_side(spark, suite):
+    """The IVF search join must broadcast the (tiny) query-probe frame:
+    the centroid key has only num_centroids distinct values, so a
+    shuffle join would funnel the whole corpus through a handful of
+    skewed reducer keys."""
+    plan = _plan(suite.ALL_QUERIES["ivf_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
