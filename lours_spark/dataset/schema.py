@@ -56,7 +56,11 @@ def empty_annotations_schema(
 
 
 def image_attribute_columns(columns: list[str]) -> list[str]:
-    """Columns beyond the default image schema (open-schema attributes)."""
+    """Columns beyond the default image schema (open-schema attributes).
+
+    >>> image_attribute_columns(["id", "width", "camera_id"])
+    ['camera_id']
+    """
     return [c for c in columns if c not in IMAGES_DEFAULT_TYPES]
 
 

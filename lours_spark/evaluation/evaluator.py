@@ -252,6 +252,8 @@ def average_precisions(curves: DataFrame, group_cols: Sequence[str] = ("category
         F.asc("recall"), F.desc("confidence")
     )
     d = F.col("recall") - F.coalesce(F.lag("recall").over(w), F.col("recall"))
+    # (docstring example lives on compute_precision_recall, the public
+    # entry point)
     return (
         curves.withColumn("__d", d)
         .groupBy(*keys)
@@ -496,6 +498,21 @@ def compute_precision_recall(
     unpopulated cache and the expensive matcher would run twice. The
     eager count() pins one matcher pass before the branches fan out.
     Pass False if you only consume ``curves``.
+
+    One perfectly-matched prediction per groundtruth → AP 1.0:
+
+    >>> gt = spark.createDataFrame(
+    ...     [(i, 0, 0, 10.0 * i, 0.0, 8.0, 8.0) for i in range(3)],
+    ...     "id long, image_id long, category_id int, box_x_min double,"
+    ...     " box_y_min double, box_width double, box_height double")
+    >>> pred = gt.select(
+    ...     (F.col("id") + 100).alias("id"), "image_id", "category_id",
+    ...     "box_x_min", "box_y_min", "box_width", "box_height",
+    ...     (0.9 - F.col("id") * 0.1).alias("confidence"))
+    >>> res = compute_precision_recall(gt, pred, ious=[0.5])
+    >>> r = res["ap_both"].first()
+    >>> (r["category_id"], r["iou_threshold"], round(r["average_precision"], 6))
+    (0, 0.5, 1.0)
     """
     from lours_spark.evaluation.matching import compute_matches
 

@@ -39,7 +39,22 @@ def from_mot(
     label_map: dict[int, str] | None = None,
 ) -> SparkDataset:
     """Parse a MOT gt.txt; ``images_df`` carries one row per frame with
-    (id == frame number, width, height, relative_path)."""
+    (id == frame number, width, height, relative_path).
+
+    >>> import os, tempfile
+    >>> p = os.path.join(tempfile.mkdtemp(), "gt.txt")
+    >>> _ = open(p, "w").write(
+    ...     "1,7,10,20,30,40,1,1,1\\n"   # conf 1 -> groundtruth (conf NULL)
+    ...     "1,8,50,60,30,40,0,1,1\\n")  # conf 0 -> ignore region, dropped
+    >>> imgs = spark.createDataFrame(
+    ...     [(1, 640, 480, "000001.jpg")],
+    ...     "id long, width int, height int, relative_path string")
+    >>> ds = from_mot(spark, p, imgs)
+    >>> rows = ds.annotations.collect()
+    >>> (len(rows), rows[0]["track_id"], rows[0]["box_x_min"],
+    ...  rows[0]["category_str"])
+    (1, 7, 10.0, 'pedestrian')
+    """
     raw = spark.read.csv(gt_file, schema=MOT_SCHEMA)
     ann = (
         raw.filter(F.col("confidence") != 0)  # conf==0 → ignore region

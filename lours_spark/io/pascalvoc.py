@@ -29,7 +29,17 @@ from lours_spark.dataset.core import SparkDataset
 def _parse_voc_object(obj) -> dict:
     """One ``<object>`` (or ``<part>``) element → flat dict with the
     reference's column breadth (``pascalvoc.py:108-152``): bbox,
-    difficult/truncated/occluded booleans, pose, ``actions.*`` flags."""
+    difficult/truncated/occluded booleans, pose, ``actions.*`` flags.
+
+    >>> import xml.etree.ElementTree as ET
+    >>> obj = ET.fromstring(
+    ...     "<object><name>cat</name><difficult>1</difficult>"
+    ...     "<bndbox><xmin>1</xmin><ymin>2</ymin>"
+    ...     "<xmax>11</xmax><ymax>22</ymax></bndbox></object>")
+    >>> d = _parse_voc_object(obj)
+    >>> (d["name"], d["difficult"], d["xmax"] - d["xmin"])
+    ('cat', True, 10.0)
+    """
     out: dict = {"name": obj.findtext("name") or "unknown"}
     b = obj.find("bndbox")
     if b is not None:
