@@ -71,12 +71,17 @@ def tiny_dataset(spark) -> SparkDataset:
 
 
 def pytest_addoption(parser):
-    parser.addoption(
-        "--force-regen",
-        action="store_true",
-        default=False,
-        help="regenerate dataset_regression recordings",
-    )
+    # the same option is registered by the shipped plugin
+    # (lours_spark.pytest_plugin) when the package is installed
+    try:
+        parser.addoption(
+            "--force-regen",
+            action="store_true",
+            default=False,
+            help="regenerate dataset_regression recordings",
+        )
+    except ValueError:
+        pass
 
 
 @pytest.fixture

@@ -143,3 +143,15 @@ def test_dataset_regression_fixture_smoke(dataset_regression, tiny_dataset):
     with _pytest.raises(AssertionError, match="generated"):
         dataset_regression.check(tiny_dataset, basename="fixture_smoke")
     dataset_regression.check(tiny_dataset, basename="fixture_smoke")
+
+
+def test_pytest_plugin_module_exposes_fixture():
+    """The shippable plugin (entry point lours_spark.pytest_plugin,
+    reference parity with its regression_testing pytest11 entry) must
+    define the dataset_regression fixture and the --force-regen hook."""
+    import lours_spark.pytest_plugin as plug
+
+    assert hasattr(plug, "dataset_regression")
+    assert callable(plug.pytest_addoption)
+    # the fixture is a real pytest fixture object
+    assert hasattr(plug.dataset_regression, "_pytestfixturefunction")
