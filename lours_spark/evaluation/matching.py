@@ -36,7 +36,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -644,42 +644,18 @@ def compute_matches(
     match_by_category: bool = True,
     num_partitions: int | None = None,
     min_iou: float = 0.0,
-    sql_degenerate: bool = False,
 ) -> DataFrame:
     """Distributed match computation (reference
     ``detection_evaluator.py:54-179``): concat gt+pred with a flag, one
-    hash shuffle on the group key, then greedy matching per
-    (image, category) group.
+    hash shuffle on image_id, in-partition sort by group key, then the
+    batched numpy kernel via ``mapInPandas``.
 
     ``min_iou``: greedy acceptance threshold (strict ``iou > min_iou``,
     the reference's convention — for COCO-protocol ``iou >= t``
     semantics pass a threshold off the achievable-IoU lattice or
     ``t - eps``). Matching PER threshold (COCO rematch) = calling this
     once per threshold; the reference's single-match-then-threshold
-    protocol = calling once at 0 and filtering ``iou`` downstream.
-
-    ``sql_degenerate=True`` (opt-in): groups where the greedy is
-    closed-form — no predictions, no groundtruths, a single
-    groundtruth, or a single prediction — are resolved ENTIRELY
-    JVM-side with window/join expressions; only ambiguous groups
-    (≥2 gt AND ≥2 pred) cross the Arrow boundary into the numpy
-    kernel, producing IDENTICAL matches (greedy with one gt = first
-    prediction in (confidence desc, id asc) order with iou >
-    threshold; greedy with one pred = the (iou desc, gt id asc)-best
-    groundtruth — equivalence asserted on randomized fixtures in
-    tests/test_matching.py).
-
-    When to use: the Python worker round trip costs ~5s/10M rows even
-    for a no-op kernel (measured; the greedy kernel itself is ~1s), so
-    on SPARSE workloads — most (image, category) groups holding at
-    most one groundtruth or at most one prediction, the common case
-    for per-category real detection data — the split removes most of
-    the matcher wall clock. It stays opt-in because the split's own
-    JVM machinery (group-count window, pair join, rank windows, and
-    the upstream evaluated once per leg) costs more than it saves when
-    ambiguous groups hold the bulk of the rows: on the TPC-H-derived
-    bench boxes (~2x2 groups, 67% of rows ambiguous) it measured 4x
-    SLOWER — exactly the regime the kernel path is tuned for."""
+    protocol = calling once at 0 and filtering ``iou`` downstream."""
     box_cols = ["box_x_min", "box_y_min", "box_width", "box_height"]
     gt = groundtruth.select(
         "id", "image_id", "category_id", *box_cols,
@@ -700,180 +676,19 @@ def compute_matches(
     n = num_partitions or both.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
+    # partition on a DERIVED key, not image_id itself: when both union
+    # legs are already hash-partitioned on image_id (e.g. after a
+    # denormalize join) the planner elides a repartition("image_id") as
+    # satisfied — but Union concatenates leg partitions, leaving a
+    # group's gt and pred rows in different partitions. The derived
+    # expression forces a real exchange and still co-locates groups.
+    part_key = F.pmod(F.hash(F.col("image_id")), F.lit(int(n)))
+    arranged = both.select(*_IN_COLS).repartition(
+        int(n), part_key
+    ).sortWithinPartitions("image_id", "category_id", "is_groundtruth", "id")
     thr = float(min_iou)
 
     def kernel(batches):
         return _match_batches_arrow(batches, min_iou=thr)
 
-    if not sql_degenerate:
-        # partition on a DERIVED key, not image_id itself: when both
-        # union legs are already hash-partitioned on image_id (e.g.
-        # after a denormalize join) the planner elides a
-        # repartition("image_id") as satisfied — but Union concatenates
-        # leg partitions, leaving a group's gt and pred rows in
-        # different partitions. The derived expression forces a real
-        # exchange and still co-locates groups.
-        part_key = F.pmod(F.hash(F.col("image_id")), F.lit(int(n)))
-        arranged = both.select(*_IN_COLS).repartition(
-            int(n), part_key
-        ).sortWithinPartitions(
-            "image_id", "category_id", "is_groundtruth", "id"
-        )
-        return arranged.mapInArrow(kernel, MATCH_SCHEMA)
-
-    from lours_spark.functions.geometry import iou_columns
-
-    # ONE exchange: explicit repartition on the group key; the window
-    # below and the pair join both reuse it (hash partitioning on
-    # (image_id, category_id) satisfies their clustering requirements),
-    # and the hard leg's kernel input is already co-located.
-    wg = Window.partitionBy("image_id", "category_id")
-    counted = (
-        both.select(*_IN_COLS)
-        .repartition(int(n), "image_id", "category_id")
-        .withColumn(
-            "__n_gt", F.sum(F.col("is_groundtruth").cast("long")).over(wg)
-        )
-        .withColumn("__n_all", F.count(F.lit(1)).over(wg))
-    )
-    counted = counted.withColumn("__n_pr", F.col("__n_all") - F.col("__n_gt"))
-    degen = (F.col("__n_gt") <= 1) | (F.col("__n_pr") <= 1)
-
-    hard_out = (
-        counted.filter(~degen)
-        .select(*_IN_COLS)
-        .sortWithinPartitions(
-            "image_id", "category_id", "is_groundtruth", "id"
-        )
-        .mapInArrow(kernel, MATCH_SCHEMA)
-    )
-
-    easy = counted.filter(degen)
-    gseg = easy.filter(F.col("is_groundtruth")).select(
-        "image_id",
-        "category_id",
-        F.col("id").alias("__gt_id"),
-        *[F.col(c).alias(f"__g_{c}") for c in box_cols],
-        F.col("__n_gt").alias("__n_gt_g"),
-    )
-    pseg = easy.filter(~F.col("is_groundtruth")).select(
-        "image_id",
-        "category_id",
-        F.col("id").alias("__pred_id"),
-        F.col("confidence").alias("__conf"),
-        *[F.col(c).alias(f"__p_{c}") for c in box_cols],
-        F.col("__n_gt").alias("__n_gt_p"),
-    )
-    # degenerate groups make this join ≤ max(n_gt, n_pr) rows per
-    # group, never a quadratic blowup; full outer keeps gt-only and
-    # pred-only groups
-    pairs = gseg.join(pseg, ["image_id", "category_id"], "full_outer")
-    iou = F.when(
-        F.col("__gt_id").isNotNull() & F.col("__pred_id").isNotNull(),
-        iou_columns(
-            F.col("__g_box_x_min"),
-            F.col("__g_box_y_min"),
-            F.col("__g_box_width"),
-            F.col("__g_box_height"),
-            F.col("__p_box_x_min"),
-            F.col("__p_box_y_min"),
-            F.col("__p_box_width"),
-            F.col("__p_box_height"),
-        ),
-    )
-    n_gt_grp = F.coalesce(F.col("__n_gt_g"), F.col("__n_gt_p"))
-    pairs = (
-        pairs.withColumn("__iou", iou)
-        .withColumn(
-            "__qual", (F.col("__iou") > F.lit(thr)).cast("int")
-        )
-        .fillna({"__qual": 0})
-        # greedy order among QUALIFYING pairs: single-gt groups take
-        # the first prediction by (confidence desc, id asc) — the
-        # confidence-descending greedy with one free gt; single-pred
-        # groups take the (iou desc, gt id asc) argmax — the kernel's
-        # first-occurrence argmax over id-ascending groundtruths
-        .withColumn(
-            "__ord1",
-            F.when(n_gt_grp <= 1, -F.col("__conf")).otherwise(-F.col("__iou")),
-        )
-        .withColumn(
-            "__ord2",
-            F.when(n_gt_grp <= 1, F.col("__pred_id")).otherwise(
-                F.col("__gt_id")
-            ),
-        )
-    )
-    w_win = wg.orderBy(
-        F.desc("__qual"), F.asc_nulls_first("__ord1"), F.asc_nulls_first("__ord2")
-    )
-    pairs = pairs.withColumn(
-        "__matched",
-        (F.row_number().over(w_win) == 1) & (F.col("__qual") == 1),
-    )
-    w_gt = Window.partitionBy("image_id", "category_id", "__gt_id")
-    w_pr = Window.partitionBy("image_id", "category_id", "__pred_id")
-    pairs = (
-        pairs.withColumn(
-            "__gt_matched", F.max(F.col("__matched").cast("int")).over(w_gt) == 1
-        )
-        .withColumn(
-            "__pr_matched", F.max(F.col("__matched").cast("int")).over(w_pr) == 1
-        )
-        .withColumn(
-            "__first_for_gt",
-            F.row_number().over(w_gt.orderBy(F.asc_nulls_first("__pred_id"))) == 1,
-        )
-        .withColumn(
-            "__first_for_pr",
-            F.row_number().over(w_pr.orderBy(F.asc_nulls_first("__gt_id"))) == 1,
-        )
-    )
-    null_long = F.lit(None).cast("long")
-    null_dbl = F.lit(None).cast("double")
-    match_row = F.struct(
-        F.col("image_id").cast("long").alias("image_id"),
-        F.col("category_id").cast("int").alias("category_id"),
-        F.col("__pred_id").cast("long").alias("prediction_id"),
-        F.col("__gt_id").cast("long").alias("groundtruth_id"),
-        F.col("__iou").cast("double").alias("iou"),
-        F.col("__conf").cast("double").alias("confidence"),
-    )
-    fn_row = F.struct(
-        F.col("image_id").cast("long").alias("image_id"),
-        F.col("category_id").cast("int").alias("category_id"),
-        null_long.alias("prediction_id"),
-        F.col("__gt_id").cast("long").alias("groundtruth_id"),
-        null_dbl.alias("iou"),
-        null_dbl.alias("confidence"),
-    )
-    fp_row = F.struct(
-        F.col("image_id").cast("long").alias("image_id"),
-        F.col("category_id").cast("int").alias("category_id"),
-        F.col("__pred_id").cast("long").alias("prediction_id"),
-        null_long.alias("groundtruth_id"),
-        null_dbl.alias("iou"),
-        F.col("__conf").cast("double").alias("confidence"),
-    )
-    empty = F.array().cast(
-        "array<struct<image_id:bigint,category_id:int,prediction_id:bigint,"
-        "groundtruth_id:bigint,iou:double,confidence:double>>"
-    )
-    rows = F.when(F.col("__matched"), F.array(match_row)).otherwise(
-        F.concat(
-            F.when(
-                F.col("__gt_id").isNotNull()
-                & F.col("__first_for_gt")
-                & ~F.col("__gt_matched"),
-                F.array(fn_row),
-            ).otherwise(empty),
-            F.when(
-                F.col("__pred_id").isNotNull()
-                & F.col("__first_for_pr")
-                & ~F.col("__pr_matched"),
-                F.array(fp_row),
-            ).otherwise(empty),
-        )
-    )
-    easy_out = pairs.select(F.explode(rows).alias("__r")).select("__r.*")
-    return easy_out.unionByName(hard_out)
+    return arranged.mapInArrow(kernel, MATCH_SCHEMA)

@@ -294,65 +294,3 @@ def test_greedy_match_streaming_identical_to_matrix():
         ref = greedy_match(iou_matrix(gt, pr), conf)
         got = greedy_match_streaming(gt, pr, conf)
         assert got == ref
-
-
-def test_sql_degenerate_split_identical_to_kernel(spark):
-    """compute_matches' JVM-side resolution of degenerate groups (no
-    gt / no pred / single gt / single pred) must produce the SAME match
-    table as forcing every group through the Arrow kernel — across a
-    randomized mix of group shapes including confidence ties and
-    boundary IoUs."""
-    import random as _r
-
-    from lours_spark.evaluation.matching import compute_matches
-
-    rng = _r.Random(11)
-    gt_rows, pr_rows = [], []
-    gid, pid = 0, 1_000_000
-    for img in range(60):
-        for cat in range(2):
-            n_gt = rng.choice([0, 0, 1, 1, 1, 2, 3, 5])
-            n_pr = rng.choice([0, 1, 1, 1, 2, 2, 4, 6])
-            for _ in range(n_gt):
-                gt_rows.append(
-                    (gid, img, cat, rng.uniform(0, 80), rng.uniform(0, 80),
-                     rng.uniform(4, 30), rng.uniform(4, 30))
-                )
-                gid += 1
-            base_conf = round(rng.random(), 2)  # coarse → frequent ties
-            for k in range(n_pr):
-                # half the predictions hug a groundtruth box (high IoU),
-                # half are random (often zero IoU — boundary behavior)
-                if gt_rows and rng.random() < 0.5:
-                    g = gt_rows[-1 - rng.randrange(min(3, len(gt_rows)))]
-                    x, y, w, h = g[3] + rng.uniform(-3, 3), g[4], g[5], g[6]
-                else:
-                    x, y, w, h = (rng.uniform(0, 80), rng.uniform(0, 80),
-                                  rng.uniform(4, 30), rng.uniform(4, 30))
-                pr_rows.append(
-                    (pid, img, cat, x, y, w, h,
-                     base_conf if k % 2 == 0 else round(rng.random(), 2))
-                )
-                pid += 1
-    schema_gt = ("id long, image_id long, category_id int, box_x_min double,"
-                 " box_y_min double, box_width double, box_height double")
-    gt = spark.createDataFrame(gt_rows, schema_gt)
-    pred = spark.createDataFrame(pr_rows, schema_gt + ", confidence double")
-
-    def norm(df):
-        out = []
-        for r in df.collect():
-            out.append((
-                r["image_id"], r["category_id"], r["prediction_id"],
-                r["groundtruth_id"],
-                None if r["iou"] is None else round(r["iou"], 12),
-                None if r["confidence"] is None else round(r["confidence"], 12),
-            ))
-        return sorted(out, key=lambda t: tuple((x is None, x) for x in t))
-
-    for thr in (0.0, 0.3):
-        split = norm(compute_matches(gt, pred, min_iou=thr))
-        kernel = norm(
-            compute_matches(gt, pred, min_iou=thr, sql_degenerate=False)
-        )
-        assert split == kernel, f"min_iou={thr}"
