@@ -29,7 +29,23 @@ def from_crowd_human(
     use_full_box: bool = True,
 ) -> SparkDataset:
     """Parse an .odgt file; ``images_df`` maps image stem ``ID`` to
-    (id, width, height, relative_path)."""
+    (id, width, height, relative_path).
+
+    >>> import json, os, tempfile
+    >>> p = os.path.join(tempfile.mkdtemp(), "ann.odgt")
+    >>> rec = {"ID": "im1", "gtboxes": [
+    ...     {"tag": "person", "fbox": [0, 0, 10, 20], "vbox": [0, 0, 10, 10],
+    ...      "hbox": [2, 0, 6, 6]},
+    ...     {"tag": "mask", "fbox": [5, 5, 4, 4], "vbox": [5, 5, 4, 4]}]}
+    >>> _ = open(p, "w").write(json.dumps(rec))
+    >>> imgs = spark.createDataFrame([(1, 640, 480, "im1.jpg")],
+    ...     "id long, width int, height int, relative_path string")
+    >>> ds = from_crowd_human(spark, p, imgs)
+    >>> rows = sorted(ds.annotations.collect(), key=lambda r: r["category_id"])
+    >>> [(r["category_str"], r["box_width"], r["visible_share"])
+    ...  for r in rows]  # mask tag dropped; head box carries no share
+    [('person', 10.0, 0.5), ('head', 6.0, None)]
+    """
     raw = spark.read.json(odgt_file)
     boxes = raw.select(
         F.col("ID").alias("__stem"), F.explode("gtboxes").alias("g")

@@ -51,7 +51,17 @@ def make_fiftyone_compatible(
     """Rename columns fiftyone can't store (reference
     ``fiftyone_convert.py:16-56``): ``.`` → ``replacement_string`` and
     the ``attributes`` prefix → ``attr`` (the fiftyone web app crashes
-    filtering on columns named ``attributes*``)."""
+    filtering on columns named ``attributes*``).
+
+    >>> df = spark.createDataFrame([(1, 2, 3)],
+    ...     "`attributes.color` int, plain int, `a.b` int")
+    >>> out, names = make_fiftyone_compatible(
+    ...     df, ["attributes.color", "plain", "a.b"])
+    >>> names
+    ['attr->color', 'plain', 'a->b']
+    >>> sorted(out.columns)
+    ['a->b', 'attr->color', 'plain']
+    """
     if not column_names:
         return df, []
     renamed = df

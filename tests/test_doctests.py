@@ -43,6 +43,8 @@ MIN_EXAMPLES = {
     "lours_spark.io.caipy": 8,
     "lours_spark.io.coco": 15,
     "lours_spark.io.common": 3,
+    "lours_spark.io.crowdhuman": 8,
+    "lours_spark.io.fiftyone": 4,
     "lours_spark.io.folder": 5,
     "lours_spark.io.darknet": 7,
     "lours_spark.io.mot": 7,
@@ -69,7 +71,7 @@ MIN_EXAMPLES = {
 
 #: total across the package — the discipline guard: deleting examples
 #: wholesale fails even if no single module drops below its floor
-PACKAGE_MIN = 215
+PACKAGE_MIN = 225
 
 
 def _walk_modules():

@@ -140,3 +140,35 @@ def test_iloc_matches_python_slicing(spark, n, slc):
     py = list(range(n))[slice(*slc)]
     got = sorted(r["id"] for r in ds.iloc[slice(*slc)].images.collect())
     assert got == sorted(py)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=60),  # chunk size seed
+            st.integers(min_value=0, max_value=4),   # dominant bin
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=25, deadline=None)
+def test_greedy_assign_approx_properties(chunks, seed):
+    """Pure-driver properties of the approximate greedy: total
+    assignment (every chunk, only known splits), determinism per seed,
+    and preassignments respected — for arbitrary chunk histograms."""
+    from lours_spark.split.balanced import greedy_assign_approx
+
+    hists = {
+        cid: {("b", dom): size, ("b", (dom + 1) % 5): 1 + size % 3}
+        for cid, (size, dom) in enumerate(chunks)
+    }
+    shares = {"train": 0.6, "valid": 0.4}
+    out = greedy_assign_approx(hists, shares, seed=seed)
+    assert set(out) == set(hists)
+    assert set(out.values()) <= set(shares)
+    assert out == greedy_assign_approx(hists, shares, seed=seed)
+    pre = {0: "valid"}
+    got = greedy_assign_approx(hists, shares, seed=seed, preassigned=pre)
+    assert got[0] == "valid"
