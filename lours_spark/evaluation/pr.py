@@ -25,6 +25,16 @@ def precision_recall(
     prediction with a groundtruth at IoU ≥ min_iou; prediction rows
     without (good enough) groundtruth are FPs; groundtruth rows count
     toward the positives total (reference ``detection_evaluator.py:586-648``).
+
+    >>> m = spark.createDataFrame(
+    ...     [(1, 0, 100, 10, 0.8, 0.9),    # TP at 0.5
+    ...      (1, 0, 101, None, None, 0.7), # FP
+    ...      (1, 0, None, 11, None, None)],  # unmatched gt
+    ...     "image_id long, category_id int, prediction_id long,"
+    ...     " groundtruth_id long, iou double, confidence double")
+    >>> out = precision_recall(m).orderBy(F.desc("confidence"))
+    >>> [(r["precision"], r["recall"]) for r in out.collect()]
+    [(1.0, 0.5), (0.5, 0.5)]
     """
     group_cols = group_cols or ["category_id"]
     preds = matches.filter(F.col("prediction_id").isNotNull()).withColumn(

@@ -83,7 +83,24 @@ def add_detection_annotation(
     **attributes: Any,
 ) -> SparkDataset:
     """Append detections from arrays with scalar broadcasting
-    (reference ``annotations_appender.py:117-230``)."""
+    (reference ``annotations_appender.py:117-230``).
+
+    >>> from lours_spark.dataset.core import SparkDataset
+    >>> imgs = spark.createDataFrame(
+    ...     [(1, 64, 48, "a.jpg", ".jpg", None)],
+    ...     "id long, width int, height int, relative_path string,"
+    ...     " type string, split string")
+    >>> from lours_spark.dataset.schema import empty_annotations_schema
+    >>> ann = spark.createDataFrame([], empty_annotations_schema())
+    >>> ds = SparkDataset(images=imgs, annotations=ann, label_map={0: "cat"})
+    >>> out = add_detection_annotation(
+    ...     ds, image_id=1, category_id=0,
+    ...     bbox=[[1.0, 2.0, 10.0, 5.0], [3.0, 3.0, 4.0, 4.0]])
+    >>> out.len_annot()
+    2
+    >>> sorted(r["area"] for r in out.annotations.collect())
+    [16.0, 50.0]
+    """
     if bbox and not isinstance(bbox[0], (list, tuple)):
         bbox = [bbox]  # single box
     kwargs: dict[str, Any] = {

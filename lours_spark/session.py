@@ -28,6 +28,12 @@ def get_spark(
     shuffle_partitions:
         default shuffle width; AQE coalesces down at runtime so a
         slightly-high value is safe.
+
+    >>> s = get_spark("doctest-session")
+    >>> s.conf.get("spark.sql.adaptive.enabled")
+    'true'
+    >>> s.conf.get("spark.sql.execution.arrow.pyspark.enabled")
+    'true'
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     builder = (
