@@ -34,7 +34,24 @@ def get_invalid_images(
 ) -> DataFrame:
     """Error report (id, reason, additional_info) for images whose file
     is missing, unreadable, or inconsistent with the table's metadata
-    (reference ``testing.py:252-380`` report semantics)."""
+    (reference ``testing.py:252-380`` report semantics).
+
+    Executor-side file checks (mapInPandas over the image table — the
+    driver never stats a file):
+
+    >>> import os, tempfile
+    >>> root = tempfile.mkdtemp()
+    >>> _ = open(os.path.join(root, "ok.ppm"), "wb").write(
+    ...     b"P6\\n2 1\\n255\\n" + bytes(6))
+    >>> imgs = spark.createDataFrame(
+    ...     [(1, 2, 1, "ok.ppm"), (2, 2, 1, "missing.ppm"),
+    ...      (3, 9, 9, "ok.ppm")],
+    ...     "id long, width int, height int, relative_path string")
+    >>> rows = sorted(get_invalid_images(imgs, root).collect(),
+    ...               key=lambda r: r["id"])
+    >>> [(r["id"], r["reason"]) for r in rows]
+    [(2, 'Not a valid path'), (3, 'Image metadata mismatch')]
+    """
     import pandas as pd
 
     root = str(images_root)

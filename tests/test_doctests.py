@@ -32,6 +32,7 @@ MIN_EXAMPLES = {
     "lours_spark.evaluation.confusion": 3,
     "lours_spark.evaluation.crowd": 4,
     "lours_spark.dataset.schema": 1,
+    "lours_spark.dataset.validation": 6,
     "lours_spark.evaluation.detection_evaluator": 4,
     "lours_spark.evaluation.evaluator": 5,
     "lours_spark.evaluation.matching": 4,
@@ -74,7 +75,7 @@ MIN_EXAMPLES = {
 
 #: total across the package — the discipline guard: deleting examples
 #: wholesale fails even if no single module drops below its floor
-PACKAGE_MIN = 235
+PACKAGE_MIN = 240
 
 
 def _walk_modules():
