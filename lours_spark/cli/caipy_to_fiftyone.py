@@ -28,7 +28,14 @@ from pathlib import Path
 
 def get_argparser() -> ArgumentParser:
     """Argparse surface mirroring the reference CLI
-    (``caipy_to_fiftyone.py:131-249``)."""
+    (``caipy_to_fiftyone.py:131-249``).
+
+    >>> p = get_argparser()
+    >>> a = p.parse_args(["--mode", "vanilla", "--input-folder", "/d",
+    ...                   "--no-app", "--watch"])
+    >>> (a.mode, a.persistent, a.watch, a.launch_app)
+    ('vanilla', True, True, False)
+    """
     parser = ArgumentParser(
         description=(
             "Directly convert a Caipy folder into fiftyone for quick inspection"

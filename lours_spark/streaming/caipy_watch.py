@@ -50,7 +50,24 @@ def watch_caipy(
     New ``Annotations/{split}/*.json`` files are parsed and appended to
     ``{output_root}/images`` and ``{output_root}/annotations`` parquet
     directories. ``available_now=True`` drains the current backlog and
-    stops (test/offline mode)."""
+    stops (test/offline mode).
+
+    >>> import json, os, tempfile
+    >>> root, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    >>> os.makedirs(os.path.join(root, "Annotations", "train"))
+    >>> doc = {"image": {"id": 1, "width": 64, "height": 48,
+    ...                  "file_name": "a.jpg"},
+    ...        "annotations": [{"id": 10, "category_id": 0,
+    ...                         "bbox": [1.0, 2.0, 3.0, 4.0]}]}
+    >>> _ = open(os.path.join(root, "Annotations", "train", "a.json"),
+    ...          "w").write(json.dumps(doc))
+    >>> q = watch_caipy(spark, root, os.path.join(out, "o"),
+    ...                 os.path.join(out, "ckpt"), available_now=True)
+    >>> q.awaitTermination(60)
+    True
+    >>> spark.read.parquet(os.path.join(out, "o", "annotations")).count()
+    1
+    """
     ann_root = os.path.join(dataset_root, "Annotations")
     schema = schema or _doc_schema(spark, ann_root)
     docs = (
