@@ -16,6 +16,10 @@ Usage in a downstream test::
                                        # --force-regen, diffs after
 
 Recordings are parquet dumps under ``<testdir>/regression_data/``.
+
+>>> callable(pytest_addoption), hasattr(dataset_regression,
+...                                     "_pytestfixturefunction")
+(True, True)
 """
 
 from __future__ import annotations

@@ -14,6 +14,16 @@ Determinism rules used throughout (so value-hashes match the oracle):
 - every window and LIMIT has a total-order tie-break;
 - genuinely order-free float reductions (cosine) are computed strictly
   left-to-right in BOTH engines so they agree bitwise.
+
+The gate registry is CONSOLIDATED to exactly 50 queries; combined
+names map back to their facets:
+
+>>> len(QUERIES), len(ALL_QUERIES)
+(50, 75)
+>>> GATE_FACETS["knn_label"]
+['knn_label', 'ivf_topk']
+>>> sorted(GATE_FACETS["balanced_split"])
+['balanced_split', 'simple_split']
 """
 
 from __future__ import annotations
