@@ -387,6 +387,7 @@ def ivf_topk(
     seed: int = 42,
     centroids: "list[list[float]] | None" = None,
     use_arrow_cosine: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: MLlib k-means partitions the corpus
     into inverted lists; each query scans only its ``num_probes``
@@ -404,6 +405,15 @@ def ivf_topk(
     the lower centroid index). ``use_arrow_cosine=False`` swaps the
     vectorized numpy cosine for the sequential-fold column expression
     whose summation order matches the DuckDB oracle exactly.
+
+    ``broadcast_queries`` (default True) assumes the usual ANN shape:
+    queries ≪ corpus. The broadcast side is the exploded
+    (|queries| × num_probes) probe frame INCLUDING the full embedding
+    vectors, so a query frame of millions of wide vectors can exceed
+    driver/executor memory — pass ``broadcast_queries=False`` there to
+    fall back to a shuffle join on ``__centroid`` (degrades gracefully;
+    the centroid key has only ``num_centroids`` values, so expect
+    skewed reducers — AQE skew-join splitting mitigates).
     """
     if centroids is not None:
         C = len(centroids)
@@ -492,9 +502,12 @@ def ivf_topk(
     # frame so the corpus (inverted lists) is scanned in place — the
     # centroid key has only num_centroids values, so a shuffle join
     # here would funnel the whole corpus through a handful of skewed
-    # reducer keys (same shape as lsh_bucket_topk's bucket join)
+    # reducer keys (same shape as lsh_bucket_topk's bucket join).
+    # broadcast_queries=False opts out when the query frame itself is
+    # too large to materialize on every executor (see docstring).
+    probe_side = F.broadcast(q_probes) if broadcast_queries else q_probes
     scored = (
-        F.broadcast(q_probes).join(assigned, "__centroid")
+        probe_side.join(assigned, "__centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine)
     )

@@ -74,6 +74,19 @@ def chunk_histogram_table(df: DataFrame, chunk_col: str, dims: list[str]):
     return agg.toPandas()
 
 
+def _bin_sort_key(k: tuple):
+    """Total order over bin-label tuples that may mix None, strings and
+    numbers — (is-null, type-name, str) per element never compares
+    across python types, so ``sorted`` is safe on any collected dim mix.
+
+    >>> sorted([("b", 2), (None, 1), ("a", 10)], key=_bin_sort_key)
+    [('a', 10), ('b', 2), (None, 1)]
+    """
+    return tuple(
+        (e is None, type(e).__name__, str(e)) for e in k
+    )
+
+
 def _approx_assignment_from_table(
     pdf, chunk_col: str, dims: list[str], shares: dict[str, float], seed: int
 ):
@@ -92,12 +105,17 @@ def _approx_assignment_from_table(
     # combine per-dim codes into one bin index (strided mixed radix);
     # use_na_sentinel=False keeps NULL bins as their own code
     bin_codes = np.zeros(len(pdf), dtype=np.int64)
+    # sort=True everywhere: code values must not depend on row
+    # appearance order (Spark collect order is not stable), because the
+    # bin index feeds the seeded bucket hash in _assign_approx_arrays —
+    # unsorted factorize made the same seed produce different splits
+    # across runs of the same data
     for d in dims:
-        c, u = pd.factorize(pdf[d], use_na_sentinel=False)
+        c, u = pd.factorize(pdf[d], use_na_sentinel=False, sort=True)
         bin_codes = bin_codes * max(1, len(u)) + c
     if len(dims) > 1:
         # re-densify the mixed-radix codes (most combinations are empty)
-        bin_codes, _ = pd.factorize(bin_codes)
+        bin_codes, _ = pd.factorize(bin_codes, sort=True)
     K = int(bin_codes.max()) + 1
     H = np.zeros((len(chunk_vals), K))
     np.add.at(H, (chunk_codes, bin_codes), pdf["n"].to_numpy(np.float64))
@@ -509,14 +527,16 @@ def greedy_assign_approx(
     """
     import numpy as np
 
-    # global bin index (same insertion order as the exact greedy)
-    keys: list = []
+    # global bin index, SORTED: bin order feeds the seeded bucket hash
+    # (hv below), so insertion order — which upstream comes from a Spark
+    # collect with no stable ordering guarantee — would make the same
+    # seed yield different splits across runs (train/eval membership
+    # churn). The sort key totals-orders heterogeneous bin labels
+    # (None/str/int/float mixes) without relying on cross-type "<".
     seen = set()
     for h in hists.values():
-        for k in h:
-            if k not in seen:
-                seen.add(k)
-                keys.append(k)
+        seen.update(h)
+    keys = sorted(seen, key=_bin_sort_key)
     K = max(1, len(keys))
     kidx = {k: i for i, k in enumerate(keys)}
 
@@ -805,9 +825,11 @@ def balanced_split(
         # tagged strings. Long keys keep the collected histogram frame
         # and the assignment transfer at 8 bytes/key instead of a
         # python string object each (~3x driver RSS at millions of
-        # chunks).
-        import pandas as pd
-
+        # chunks). The *2 / *2+1 encoding needs |value| < 2^62 — Spark
+        # long multiply wraps SILENTLY outside ANSI mode, which would
+        # merge unrelated chunks — so rows beyond the bound fail loud
+        # via raise_error instead (a codegen'd comparison on the
+        # non-overflow path; real id/group columns never hit it).
         c = keep_separate[0]
         numeric = isinstance(
             df.schema[c].dataType,
@@ -817,9 +839,28 @@ def balanced_split(
             (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
         )
         if numeric:
+            bound = F.lit(2**62)
+
+            def _checked(col):
+                return F.when(
+                    (col > -bound) & (col < bound), col
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "balanced_split numeric chunk key "
+                                "overflows long encoding (|value| >= "
+                                "2^62): "
+                            ),
+                            col.cast("string"),
+                        )
+                    ).cast("long")
+                )
+
             chunk_expr = F.when(
-                F.col(c).isNotNull(), F.col(c).cast("long") * 2
-            ).otherwise(F.col(id_col).cast("long") * 2 + 1)
+                F.col(c).isNotNull(),
+                _checked(F.col(c).cast("long")) * 2,
+            ).otherwise(_checked(F.col(id_col).cast("long")) * 2 + 1)
             key_type = "long"
         else:
             chunk_expr = F.when(

@@ -2679,13 +2679,14 @@ _EXTRA_ORACLES.update(
 # Gate consolidation (round 2)
 # ==========================================================================
 # Round 1's CORRECTNESS snapshot contained exactly the first 50 entries of
-# this registry, in order — the driver gates at most 50 queries, so 15 of
-# 65 standalone queries never got a correctness row. The registry below
+# this registry, in order — the driver gates at most 50 queries, so a
+# third of the standalone queries never got a correctness row. The registry below
 # merges closely related queries into combined gate queries (each facet
 # keeps its exact round-1 logic and oracle; schemas are aligned by
 # NULL-padded facet unions or same-grain joins) so that EVERY operator
 # facet is inside the gated prefix. GATE_FACETS records the combined-name
-# -> original-names mapping; ALL_QUERIES keeps the 65 standalone queries
+# -> original-names mapping; ALL_QUERIES keeps every standalone query
+# (see test_suite.py's registry-count guard for the current total)
 # for bench.py / scripts / tests.
 
 

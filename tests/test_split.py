@@ -197,6 +197,86 @@ def test_greedy_assign_approx_quality_and_determinism():
         assert got[cid] == s
 
 
+def test_greedy_assign_approx_order_independent():
+    """Same histograms presented in a different order (outer dict AND
+    inner bin-dict insertion order both reversed) must yield the SAME
+    assignment for the same seed — upstream order comes from a Spark
+    collect with no stable-order guarantee, so order sensitivity here
+    means train/eval membership churn across re-runs (round-5 ADVICE
+    medium: unsorted bin indexing flipped 394/800 assignments)."""
+    import random as _r
+
+    rng = _r.Random(11)
+    hists = {}
+    for cid in range(800):
+        h = {
+            ("cat", b): rng.randint(1, 40)
+            for b in range(8)
+            if rng.random() < 0.6
+        }
+        hists[cid] = h or {("cat", 0): 1}
+    shares = {"train": 0.7, "valid": 0.2, "eval": 0.1}
+
+    base = greedy_assign_approx(hists, shares, seed=3)
+    reordered = {
+        cid: dict(reversed(list(hists[cid].items())))
+        for cid in reversed(list(hists))
+    }
+    assert greedy_assign_approx(reordered, shares, seed=3) == base
+
+
+def test_approx_assignment_from_table_order_independent():
+    """Row order of the collected (chunk, bins, n) table must not
+    change the assignment: factorize codes feed the seeded bucket
+    hash, so appearance-order codes would make the same seed split
+    differently across Spark collect orders."""
+    import random as _r
+
+    import pandas as pd
+
+    from lours_spark.split.balanced import _approx_assignment_from_table
+
+    rng = _r.Random(5)
+    rows = []
+    for cid in range(400):
+        for b in range(6):
+            if rng.random() < 0.6:
+                rows.append((cid, f"bin{b}", rng.randint(1, 30)))
+    pdf = pd.DataFrame(rows, columns=["chunk_id", "dim", "n"])
+    shares = {"train": 0.8, "valid": 0.2}
+
+    base = _approx_assignment_from_table(pdf, "chunk_id", ["dim"], shares, 3)
+    shuffled = pdf.sample(frac=1.0, random_state=9).reset_index(drop=True)
+    got = _approx_assignment_from_table(
+        shuffled, "chunk_id", ["dim"], shares, 3
+    )
+    base_m = dict(zip(base["chunk_id"], base["__assigned"]))
+    got_m = dict(zip(got["chunk_id"], got["__assigned"]))
+    assert got_m == base_m
+
+
+def test_balanced_split_numeric_key_overflow_fails_loud(spark):
+    """The approximate mode's long chunk-key encoding (value*2 /
+    id*2+1) wraps silently past 2^62 outside ANSI mode, which would
+    merge unrelated chunks — the guard must raise instead."""
+    import pytest as _pt
+
+    df = (
+        spark.range(10)
+        .withColumn("group", F.col("id") + F.lit(2**62))
+        .withColumn("dim", (F.col("id") % 2).cast("string"))
+    )
+    with _pt.raises(Exception, match="overflows long encoding"):
+        balanced_split(
+            df,
+            {"train": 0.8, "valid": 0.2},
+            dims=["dim"],
+            keep_separate=["group"],
+            seed=1,
+            mode="approximate",
+        ).collect()
+
+
 def test_balanced_split_approximate_end_to_end(spark):
     df = (
         spark.range(2000)
