@@ -83,6 +83,47 @@ def head_for_display(
     return pdf
 
 
+def display_confusion_matrix(confusion_matrix: pd.DataFrame, title: str = ""):
+    """Render a confusion matrix as a matplotlib
+    ``ConfusionMatrixDisplay`` — reference
+    ``evaluation/detection/util.py:391-441``, including its font-size
+    heuristic (cell text shrinks as label count / longest label grows).
+    The input is the small (labels × labels) pandas frame that
+    ``confusion_matrix``'s normalized pivot collects — display is a
+    driver concern, nothing distributed happens here. Raises
+    ``ImportError`` when the plotting extras are absent, exactly like
+    the reference's ``plot-utils`` extra."""
+    try:
+        import matplotlib.pyplot as plt
+        from sklearn.metrics import ConfusionMatrixDisplay
+    except ImportError as e:
+        raise ImportError(
+            "Plotting libraries could not be loaded, make sure matplotlib"
+            " and scikit-learn are installed (the reference's 'plot-utils'"
+            " extra)"
+        ) from e
+
+    display_labels = [str(c) for c in confusion_matrix.columns]
+    text_kw = {}
+    n_labels = len(display_labels) + max(map(len, display_labels), default=0) / 3
+    if n_labels > 15:
+        text_kw["fontsize"] = "xx-small"
+    elif n_labels > 11:
+        text_kw["fontsize"] = "x-small"
+    elif n_labels > 9:
+        text_kw["fontsize"] = "small"
+
+    plot = ConfusionMatrixDisplay(
+        confusion_matrix.values.round(2), display_labels=display_labels
+    )
+    fig, ax = plt.subplots(figsize=(10, 10))
+    plot.plot(
+        ax=ax, xticks_rotation="vertical", colorbar=False, text_kw=text_kw
+    )
+    ax.set_title(title)
+    return plot
+
+
 def show_dataset(ds, n: int = 20, separator: str = ".") -> dict[str, pd.DataFrame]:
     """Formatted display heads for a :class:`SparkDataset` — images and
     annotations with required columns first (the constructor-invariant

@@ -101,7 +101,22 @@ def _approx_assignment_from_table(
 
     if len(pdf) == 0:
         return pd.DataFrame({chunk_col: [], "__assigned": []})
-    chunk_codes, chunk_vals = pd.factorize(pdf[chunk_col], sort=True)
+
+    def _value_sorted(col):
+        # factorize(sort=True) on a Categorical sorts by CATEGORY
+        # order, not value — and the Arrow strings_to_categorical
+        # dictionary order is partition/collect-order dependent, so
+        # category order must be normalized to value order first or
+        # the same seed splits differently across partitionings
+        if isinstance(col.dtype, pd.CategoricalDtype):
+            cats = col.cat.categories
+            if not cats.is_monotonic_increasing:
+                col = col.cat.reorder_categories(cats.sort_values())
+        return col
+
+    chunk_codes, chunk_vals = pd.factorize(
+        _value_sorted(pdf[chunk_col]), sort=True
+    )
     # combine per-dim codes into one bin index (strided mixed radix);
     # use_na_sentinel=False keeps NULL bins as their own code
     bin_codes = np.zeros(len(pdf), dtype=np.int64)
@@ -111,7 +126,9 @@ def _approx_assignment_from_table(
     # unsorted factorize made the same seed produce different splits
     # across runs of the same data
     for d in dims:
-        c, u = pd.factorize(pdf[d], use_na_sentinel=False, sort=True)
+        c, u = pd.factorize(
+            _value_sorted(pdf[d]), use_na_sentinel=False, sort=True
+        )
         bin_codes = bin_codes * max(1, len(u)) + c
     if len(dims) > 1:
         # re-densify the mixed-radix codes (most combinations are empty)

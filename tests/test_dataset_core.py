@@ -596,3 +596,27 @@ def test_display_utilities(spark, tiny_dataset):
         "id", "width", "height", "relative_path",
     ]
     assert len(out["annotations"]) == 4
+
+
+def test_display_confusion_matrix_import_seam():
+    """display_confusion_matrix mirrors the reference's plot-utils
+    extra (evaluation/detection/util.py:391): with matplotlib/sklearn
+    absent it must raise a loud ImportError, not fail obscurely; with
+    them present it returns a ConfusionMatrixDisplay (untestable in
+    this sandbox — packages absent by design)."""
+    import pandas as pd
+    import pytest as _pt
+
+    from lours_spark.display import display_confusion_matrix
+
+    cm = pd.DataFrame(
+        [[0.9, 0.1], [0.2, 0.8]], index=["cat", "dog"], columns=["cat", "dog"]
+    )
+    try:
+        import matplotlib  # noqa: F401
+        from sklearn.metrics import ConfusionMatrixDisplay  # noqa: F401
+    except ImportError:
+        with _pt.raises(ImportError, match="[Pp]lotting"):
+            display_confusion_matrix(cm, title="t")
+    else:  # pragma: no cover - plotting extras present
+        assert display_confusion_matrix(cm, title="t") is not None

@@ -255,6 +255,34 @@ def test_approx_assignment_from_table_order_independent():
     assert got_m == base_m
 
 
+def test_balanced_split_approximate_partitioning_invariant(spark):
+    """Same data under different partitionings (hence different collect
+    orders for the chunk-histogram table) must produce the SAME
+    approximate split for the same seed — the end-to-end form of the
+    round-5 ADVICE determinism fix."""
+    df = (
+        spark.range(1500)
+        .withColumn("group", (F.col("id") % 150))
+        .withColumn("dim", (F.col("id") % 5).cast("string"))
+    )
+
+    def run(frame):
+        out = balanced_split(
+            frame,
+            {"train": 0.7, "valid": 0.3},
+            dims=["dim"],
+            keep_separate=["group"],
+            seed=2,
+            mode="approximate",
+        )
+        return {r["id"]: r["split"] for r in out.select("id", "split").collect()}
+
+    a = run(df.repartition(7, "dim"))
+    b = run(df.repartition(3))
+    c = run(df.coalesce(1))
+    assert a == b == c
+
+
 def test_balanced_split_numeric_key_overflow_fails_loud(spark):
     """The approximate mode's long chunk-key encoding (value*2 /
     id*2+1) wraps silently past 2^62 outside ANSI mode, which would
