@@ -134,17 +134,27 @@ def _approx_assignment_from_table(
         # re-densify the mixed-radix codes (most combinations are empty)
         bin_codes, _ = pd.factorize(bin_codes, sort=True)
     K = int(bin_codes.max()) + 1
-    H = np.zeros((len(chunk_vals), K))
-    np.add.at(H, (chunk_codes, bin_codes), pdf["n"].to_numpy(np.float64))
+    n = len(chunk_vals)
+    # dense (n × K) scatter via flat bincount — ~3x faster than
+    # np.add.at's unbuffered fancy-index accumulate at 10⁷+ table rows
+    # (the driver-side hot spot at millions of chunks). Flat keys are
+    # built in-place: each extra table-rows-length temporary costs a
+    # first-touch page-fault pass that dominates arithmetic on VM hosts
+    flat = chunk_codes * np.int64(K)
+    flat += bin_codes
+    H = np.bincount(
+        flat, weights=pdf["n"].to_numpy(np.float64), minlength=n * K
+    ).reshape(n, K)
+    del flat
     assign, splits = _assign_approx_arrays(
-        list(range(len(chunk_vals))), H, shares, seed=seed, _raw=True
+        list(range(n)), H, shares, seed=seed, _raw=True
     )
     return pd.DataFrame(
         {
             chunk_col: np.asarray(chunk_vals),
-            "__assigned": pd.Categorical.from_codes(
-                assign, categories=list(splits)
-            ).astype(str),
+            # small-object fancy index, not Categorical.astype(str):
+            # the latter materializes a fresh python string per row
+            "__assigned": np.asarray(list(splits), dtype=object)[assign],
         }
     )
 
@@ -239,14 +249,17 @@ def greedy_assign(
     S = len(splits)
     eps = 1e-12
 
-    # global bin index
-    keys: list = []
+    # global bin index, SORTED like the approximate mode's: bin order
+    # only enters through float summation order in the KL loops (the
+    # cost is permutation-invariant in exact arithmetic), but an
+    # insertion-order index would inherit the Spark collect order —
+    # last-ulp KL differences could then flip a near-tie decision
+    # between runs of the same data. Sorting makes the whole split
+    # subsystem collect-order-independent.
     seen = set()
     for h in hists.values():
-        for k in h:
-            if k not in seen:
-                seen.add(k)
-                keys.append(k)
+        seen.update(h)
+    keys = sorted(seen, key=_bin_sort_key)
     K = max(1, len(keys))
     kidx = {k: i for i, k in enumerate(keys)}
     G = [0.0] * K
@@ -536,8 +549,15 @@ def greedy_assign_approx(
     Driver wall time is ``O(n·K)`` in vectorized numpy plus an
     ``O(n·S)`` scalar apportion walk and an ``O(polish_budget·S·K)``
     polish — flat-per-chunk constants ~100× smaller than the exact
-    loop, so millions of chunks stay sub-minute on the driver.
-    Deterministic for a given seed. NOT bit-identical to the reference
+    loop. The array core works COLUMN-WISE through reused n-length
+    buffers rather than materializing (n × K) temporaries: on VM hosts
+    first-touch page faults on fresh multi-GB arrays cost ~10× the
+    arithmetic, and this is what dominates at millions of chunks.
+    Measured (scripts/bench_greedy_approx_driver.py, 64 bins, table
+    path end-to-end incl. factorize): ~1 s at 100k chunks, ~8 s at 1M,
+    ~60-100 s at 5M on the degraded-paging bench VM. Deterministic for
+    a given seed AND independent of input order (bin keys sorted, see
+    :func:`_bin_sort_key`). NOT bit-identical to the reference
     greedy — use the default exact mode when that matters; quality
     parity (share + KL distance within noise of exact) is asserted in
     ``tests/test_split.py``.
@@ -633,18 +653,33 @@ def _assign_approx_arrays(
 
     free = np.flatnonzero(assign < 0)
     if free.size:
-        Qm = np.rint(
-            H[free] / hn_safe[free, None] * quant_levels
-        ).astype(np.int64)
         # bucket key = random-vector hash of the quantized row: a 1D
         # uint64 unique is ~5x faster than np.unique(axis=0)'s
         # structured sort at millions of rows; a collision merely
         # merges two buckets (quality, not correctness) and is
-        # ~n²/2⁶⁴-improbable. Seeded → deterministic.
+        # ~n²/2⁶⁴-improbable. Seeded → deterministic. Accumulated
+        # COLUMN-WISE with in-place ops: the obvious (n × K) matrix
+        # forms ((H/hn)*q rint'd, then * hv summed) allocate ~4
+        # n×K temporaries — several GB at millions of chunks, and
+        # first-touch page faults on fresh multi-GB arrays dominate
+        # the whole stage on VM hosts (measured ~10x the arithmetic).
+        # Per-column temps are n-length (~40 MB at 5M chunks).
         rng = np.random.default_rng(seed)
         hv = rng.integers(1, 2**63 - 1, size=K, dtype=np.int64) | np.int64(1)
+        all_free = free.size == n
+        inv = quant_levels / (hn_safe if all_free else hn_safe[free])
+        bucket = np.zeros(free.size, dtype=np.int64)
+        colbuf = np.empty(free.size)
+        ibuf = np.empty(free.size, dtype=np.int64)
         with np.errstate(over="ignore"):
-            bucket = (Qm * hv[None, :]).sum(axis=1, dtype=np.int64)
+            for k in range(K):
+                np.multiply(
+                    H[:, k] if all_free else H[free, k], inv, out=colbuf
+                )
+                np.rint(colbuf, out=colbuf)
+                ibuf[...] = colbuf  # cast into already-faulted pages
+                ibuf *= hv[k]
+                bucket += ibuf
         perm = rng.permutation(free.size)
         # bucket-grouped walk, seeded order within each bucket
         order = free[perm[np.argsort(bucket[perm], kind="stable")]]
@@ -669,9 +704,15 @@ def _assign_approx_arrays(
         assign = np.asarray(assign_l, dtype=np.int64)
         sizes = np.asarray(sz_l)
 
-    # exact per-split histograms for the polish + returned state
-    A = np.zeros((S, K))
-    np.add.at(A, assign, H)
+    # exact per-split histograms for the polish + returned state:
+    # K per-column bincounts over the assignment codes — temporaries
+    # stay n-length (vs np.add.at's slow row-scatter and masked
+    # row-copies' S × (n × K) allocations)
+    A = np.empty((S, K))
+    wbuf = np.empty(n)
+    for k in range(K):
+        np.copyto(wbuf, H[:, k])  # contiguous view for bincount, reused
+        A[:, k] = np.bincount(assign, weights=wbuf, minlength=S)
     n_assigned = float(hn.sum())
 
     def _kl(vec: np.ndarray, sp: float) -> float:

@@ -63,7 +63,7 @@ def make_table(n_chunks: int, seed: int = 0) -> pd.DataFrame:
     """Sparse (chunk, bin, n) frame, ~OCCUPANCY x K_BINS rows/chunk,
     rows shuffled (a Spark collect has no stable order)."""
     rng = np.random.default_rng(seed)
-    occupy = rng.random((n_chunks, K_BINS)) < OCCUPANCY
+    occupy = rng.random((n_chunks, K_BINS), dtype=np.float32) < OCCUPANCY
     chunk_idx, bin_idx = np.nonzero(occupy)
     counts = rng.integers(1, 40, size=chunk_idx.size)
     perm = rng.permutation(chunk_idx.size)
@@ -79,18 +79,15 @@ def make_table(n_chunks: int, seed: int = 0) -> pd.DataFrame:
 
 
 def share_error(out: pd.DataFrame, pdf: pd.DataFrame) -> float:
-    sizes = (
-        pdf.groupby("chunk_id", observed=True)["n"]
-        .sum()
-        .rename("rows")
-        .reset_index()
-        .merge(out, on="chunk_id")
-        .groupby("__assigned", observed=True)["rows"]
-        .sum()
-    )
-    tot = float(sizes.sum())
+    # bincount on factorized codes, not groupby+merge: the check must
+    # stay cheap next to the measured stage at 10⁸ table rows
+    codes, uniq = pd.factorize(pdf["chunk_id"], sort=True)
+    per_chunk = np.bincount(codes, weights=pdf["n"].to_numpy(np.float64))
+    labels = out.set_index("chunk_id")["__assigned"].reindex(uniq).to_numpy()
+    tot = float(per_chunk.sum())
     return max(
-        abs(float(sizes.get(s, 0.0)) / tot - t) for s, t in SHARES.items()
+        abs(float(per_chunk[labels == s].sum()) / tot - t)
+        for s, t in SHARES.items()
     )
 
 
@@ -99,6 +96,9 @@ def main() -> None:
     scales = [s for s in (100_000, 1_000_000, 5_000_000) if s <= max_chunks]
     results = []
     for n in scales:
+        # calm-gate BEFORE generation too: a steal burst makes even the
+        # synthetic-table numpy run 10-30x slow and eats the budget
+        wait_for_calm()
         pdf = make_table(n)
         wait_for_calm()
         r0 = rss_mb()

@@ -223,6 +223,11 @@ def test_greedy_assign_approx_order_independent():
         for cid in reversed(list(hists))
     }
     assert greedy_assign_approx(reordered, shares, seed=3) == base
+    # exact mode: bin order only enters via float summation order, but
+    # the same guarantee must hold (sorted bin index)
+    assert greedy_assign(reordered, shares, seed=3) == greedy_assign(
+        hists, shares, seed=3
+    )
 
 
 def test_approx_assignment_from_table_order_independent():
