@@ -19,7 +19,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 75)
+(50, 77)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -2654,6 +2654,60 @@ FROM lineitem""")
     return " UNION ALL ".join(legs)
 
 
+def q_pack_chunked(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style pretraining
+    windows) over documents, sharded by source: window cumsum +
+    pack-range explode, one shuffle on the shard key. Closed-form and
+    deterministic, so the DuckDB twin matches hash-exact."""
+    from lours_spark.operators.packing import pack_chunked
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_chunked(d, budget=64)
+
+
+_PACK_BUDGET = 64
+
+
+def _oracle_pack_chunked() -> str:
+    b = _PACK_BUDGET
+    return f"""
+WITH t AS (
+  SELECT source AS shard, doc_id,
+         len({dd_tokens("text")})::BIGINT AS n_tok
+  FROM documents
+), f AS (SELECT * FROM t WHERE n_tok > 0),
+c AS (
+  SELECT shard, doc_id, n_tok,
+         sum(n_tok) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS e
+  FROM f
+), p AS (
+  SELECT shard, doc_id, n_tok, e - n_tok AS s, e,
+         unnest(generate_series(
+           ((e - n_tok) // {b})::BIGINT, ((e - 1) // {b})::BIGINT
+         )) AS pack_seq
+  FROM c
+)
+SELECT shard, doc_id, n_tok, pack_seq,
+       greatest(pack_seq * {b}, s) - s AS tok_from,
+       least((pack_seq + 1) * {b}, e) - s AS tok_to
+FROM p
+"""
+
+
+def q_pack_greedy(spark, sf_dir):
+    """Whole-document first-fit-decreasing packing per shard
+    (Arrow-batched applyInPandas; the sequential FFD heart runs inside
+    each shard, shards pack in parallel). Not SQL-expressible — bench
+    entry; invariants are pinned in tests/test_packing.py."""
+    from lours_spark.operators.packing import pack_greedy
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_greedy(d, budget=_PACK_BUDGET)
+
+
 QUERIES.update(
     {
         "decontaminate": q_decontaminate,
@@ -2662,6 +2716,8 @@ QUERIES.update(
         "pii_signals": q_pii_signals,
         "paragraph_dedup": q_paragraph_dedup,
         "table_profile": q_table_profile,
+        "pack_chunked": q_pack_chunked,
+        "pack_greedy": q_pack_greedy,
     }
 )
 _EXTRA_ORACLES.update(
@@ -2672,6 +2728,7 @@ _EXTRA_ORACLES.update(
         "pii_signals": _oracle_pii,
         "paragraph_dedup": _oracle_paragraph_dedup,
         "table_profile": _oracle_table_profile,
+        "pack_chunked": _oracle_pack_chunked,
     }
 )
 
@@ -2774,7 +2831,7 @@ _PAIRS: dict[str, tuple[str, str]] = {
 
 _CURATION_FACETS = (
     "decontaminate", "repetition_signals", "stratified_sample", "pii_signals",
-    "paragraph_dedup", "table_profile",
+    "paragraph_dedup", "table_profile", "pack_chunked",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -2901,6 +2958,10 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 "table_profile": [
                     "column", "n", "n_null", "distinct", "min", "max",
                     "mean", "p50", "p90", "p99",
+                ],
+                "pack_chunked": [
+                    "shard", "doc_id", "n_tok", "pack_seq",
+                    "tok_from", "tok_to",
                 ],
             }
             out[name] = _facet_union_sql(
