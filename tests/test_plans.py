@@ -265,3 +265,25 @@ def test_ivf_topk_broadcasts_probe_side(spark, suite):
     plan = _plan(suite.ALL_QUERIES["ivf_topk"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_chunked_single_shuffle_no_python(spark, suite):
+    """Concat-and-chunk packing is one hash shuffle on the shard key
+    (window + explode compile JVM-side, no Python stage); the scan
+    reads only the columns the token count needs."""
+    df = suite.q_pack_chunked(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "ReadSchema" not in plan or "text" in plan  # token source read
+
+
+def test_pack_greedy_single_shuffle_arrow_stage(spark, suite):
+    """FFD packing shuffles once on the shard key into ONE Arrow
+    applyInPandas stage — the sequential heart is per-shard, never a
+    driver loop or a second exchange."""
+    df = suite.q_pack_greedy(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
