@@ -99,3 +99,90 @@ def deterministic_sample_n(
         .limit(n)
         .drop("__hf")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    shard_col: str = "source",
+    token_col: Column | str | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-shard subsampling rates that move the corpus token mixture
+    toward ``target_shares`` WITHOUT upsampling (the static
+    domain-reweighting step of a pretraining data recipe): with
+    ``current_s`` the shard's token share, the common scale is
+    ``min_s(current_s / target_s)`` — the most under-represented shard
+    keeps everything (rate 1.0) and every other shard downsamples to
+    ``scale · target_s / current_s``. The post-sampling EXPECTED token
+    mixture equals ``target_shares`` exactly (each shard contributes
+    ``scale · target_s`` of the original corpus).
+
+    One tiny aggregation (|shards| rows — broadcast the result into
+    :func:`apply_mixture`'s filter); shards missing from
+    ``target_shares`` get rate 0.0 (dropped domains). Returns
+    ``shard, n_tok_total, share, weight``.
+    """
+    if token_col is None:
+        from lours_spark.functions.text import token_count
+
+        n_tok = token_count(F.col("text")).cast("long")
+    elif isinstance(token_col, str):
+        n_tok = F.col(token_col).cast("long")
+    else:
+        n_tok = token_col.cast("long")
+
+    from pyspark.sql import Window
+
+    pairs = []
+    for k, v in target_shares.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(float(v)))
+    target = F.create_map(*pairs)[F.col("shard")]
+
+    per = (
+        df.select(F.col(shard_col).alias("shard"), n_tok.alias("__n"))
+        .groupBy("shard")
+        .agg(F.sum("__n").alias("n_tok_total"))
+    )
+    w = Window.partitionBy()
+    return (
+        per.withColumn(
+            "share",
+            F.col("n_tok_total") / F.sum("n_tok_total").over(w),
+        )
+        .withColumn("__ratio", F.col("share") / target)
+        .withColumn(
+            "weight",
+            F.when(
+                target.isNull() | (target <= 0), F.lit(0.0)
+            ).otherwise(F.min("__ratio").over(w) / F.col("__ratio")),
+        )
+        .select("shard", "n_tok_total", "share", "weight")
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    weights: DataFrame,
+    shard_col: str = "source",
+    id_col: str = "id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli application of :func:`mixture_weights`:
+    broadcast-join the (|shards|-row) weights frame and keep rows whose
+    seeded hash fraction falls under their shard's rate — a pure
+    filter after a broadcast join, no shuffle of the corpus."""
+    wsel = F.broadcast(
+        weights.select(
+            F.col("shard").alias(shard_col), F.col("weight").alias("__w")
+        )
+    )
+    return (
+        df.join(wsel, shard_col, "left")
+        .filter(
+            sample_fraction(F.col(id_col), seed)
+            < F.coalesce(F.col("__w"), F.lit(0.0))
+        )
+        .drop("__w")
+    )

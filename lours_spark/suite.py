@@ -19,7 +19,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 77)
+(50, 78)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -2697,6 +2697,50 @@ FROM p
 """
 
 
+_MIX_TARGETS = {"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.1}
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting (static pretraining recipe step):
+    per-language token totals → no-upsampling subsample rates that hit
+    the target mixture in expectation. One tiny aggregation; the
+    min-ratio scale is a window over the |shards|-row aggregate."""
+    from lours_spark.operators.sampling import mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_weights(d, _MIX_TARGETS, shard_col="lang")
+    return out.select(
+        "shard",
+        "n_tok_total",
+        F.round("share", 6).alias("share"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def _oracle_mixture_weights() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT lang AS shard,
+         sum(len({dd_tokens("text")}))::BIGINT AS n_tok_total
+  FROM documents GROUP BY 1
+), s AS (
+  SELECT shard, n_tok_total,
+         n_tok_total / (SELECT sum(n_tok_total) FROM t) AS share
+  FROM t
+), r AS (
+  SELECT shard, n_tok_total, share,
+         share / (CASE shard {case} END) AS ratio
+  FROM s
+)
+SELECT shard, n_tok_total, round(share, 6) AS share,
+       round((SELECT min(ratio) FROM r) / ratio, 6) AS weight
+FROM r
+"""
+
+
 def q_pack_greedy(spark, sf_dir):
     """Whole-document first-fit-decreasing packing per shard
     (Arrow-batched applyInPandas; the sequential FFD heart runs inside
@@ -2718,6 +2762,7 @@ QUERIES.update(
         "table_profile": q_table_profile,
         "pack_chunked": q_pack_chunked,
         "pack_greedy": q_pack_greedy,
+        "mixture_weights": q_mixture_weights,
     }
 )
 _EXTRA_ORACLES.update(
@@ -2729,6 +2774,7 @@ _EXTRA_ORACLES.update(
         "paragraph_dedup": _oracle_paragraph_dedup,
         "table_profile": _oracle_table_profile,
         "pack_chunked": _oracle_pack_chunked,
+        "mixture_weights": _oracle_mixture_weights,
     }
 )
 
@@ -2831,7 +2877,7 @@ _PAIRS: dict[str, tuple[str, str]] = {
 
 _CURATION_FACETS = (
     "decontaminate", "repetition_signals", "stratified_sample", "pii_signals",
-    "paragraph_dedup", "table_profile", "pack_chunked",
+    "paragraph_dedup", "table_profile", "pack_chunked", "mixture_weights",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -2962,6 +3008,9 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 "pack_chunked": [
                     "shard", "doc_id", "n_tok", "pack_seq",
                     "tok_from", "tok_to",
+                ],
+                "mixture_weights": [
+                    "shard", "n_tok_total", "share", "weight",
                 ],
             }
             out[name] = _facet_union_sql(

@@ -499,6 +499,52 @@ def test_stratified_sample_deterministic(spark):
     assert n1 == n2 and len(n1) == 17
 
 
+def test_mixture_weights_and_apply(spark):
+    """Domain-mixture reweighting: no-upsampling rates that hit the
+    target token mixture in expectation — the most under-represented
+    shard keeps rate 1.0, expected post-sample mixture == targets."""
+    from lours_spark.operators.sampling import apply_mixture, mixture_weights
+
+    rows = [(i, "a", 8) for i in range(10)] + [(i + 100, "b", 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, source string, n_tok long")
+    w = {
+        r["shard"]: r
+        for r in mixture_weights(
+            df, {"a": 0.5, "b": 0.5}, token_col="n_tok"
+        ).collect()
+    }
+    # shares 0.8 / 0.2; scale = min(0.8/0.5, 0.2/0.5) = 0.4
+    assert abs(w["a"]["share"] - 0.8) < 1e-12
+    assert abs(w["a"]["weight"] - 0.25) < 1e-12
+    assert abs(w["b"]["weight"] - 1.0) < 1e-12
+
+    # shard missing from the targets -> rate 0 (dropped domain)
+    w2 = {
+        r["shard"]: r["weight"]
+        for r in mixture_weights(df, {"a": 1.0}, token_col="n_tok").collect()
+    }
+    assert w2["b"] == 0.0
+
+    # apply: expected mixture ~ targets on a larger corpus; the
+    # under-represented shard survives in full
+    big = spark.createDataFrame(
+        [(i, "a" if i % 5 else "b", 10) for i in range(2000)],
+        "id long, source string, n_tok long",
+    )
+    wdf = mixture_weights(big, {"a": 0.5, "b": 0.5}, token_col="n_tok")
+    kept = apply_mixture(big, wdf)
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["b"] == 400  # weight 1.0: all kept
+    assert abs(counts["a"] / 400 - 1.0) < 0.2  # ~400 of 1600 at rate .25
+    # deterministic under repartitioning
+    k1 = {r["id"] for r in kept.collect()}
+    k2 = {r["id"] for r in apply_mixture(big.repartition(17), wdf).collect()}
+    assert k1 == k2
+
+
 def test_brute_force_topk_blas_matches_expression(spark, vectors):
     """The BLAS scale path returns the same neighbor sets as the
     oracle-parity expression path (per-partition local top-k is a
