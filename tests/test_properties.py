@@ -172,3 +172,47 @@ def test_greedy_assign_approx_properties(chunks, seed):
     pre = {0: "valid"}
     got = greedy_assign_approx(hists, shares, seed=seed, preassigned=pre)
     assert got[0] == "valid"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(0, 17), min_size=1, max_size=20),
+    budget=st.integers(1, 12),
+)
+def test_pack_chunked_property(spark, sizes, budget):
+    """For ANY token sizes and budget: slices reassemble each document
+    exactly, every non-final pack is full, pack ids are dense from 0."""
+    from lours_spark.operators.packing import pack_chunked
+
+    df = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate(sizes)],
+        "doc_id long, source string, n long",
+    )
+    rows = pack_chunked(df, budget=budget, token_col="n").collect()
+    by_doc: dict = {}
+    fills: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["tok_from"], r["tok_to"]))
+        fills[r["pack_seq"]] = fills.get(r["pack_seq"], 0) + (
+            r["tok_to"] - r["tok_from"]
+        )
+    expected_docs = {i for i, n in enumerate(sizes) if n > 0}
+    assert set(by_doc) == expected_docs
+    for i, n in enumerate(sizes):
+        if n <= 0:
+            continue
+        slices = sorted(by_doc[i])
+        assert slices[0][0] == 0 and slices[-1][1] == n
+        for (a, b), (c, d) in zip(slices, slices[1:]):
+            assert b == c  # contiguous
+    if fills:
+        last = max(fills)
+        assert set(fills) == set(range(last + 1))  # dense from 0
+        for seq, fill in fills.items():
+            if seq != last:
+                assert fill == budget
+        assert fills[last] <= budget
