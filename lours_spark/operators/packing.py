@@ -71,13 +71,23 @@ def pack_chunked(
     else:
         n_tok = token_col.cast("long")
 
-    w = Window.partitionBy("shard").orderBy(order_col or "doc_id")
+    # explicit ROWS frame + doc_id tie-break: the default window frame
+    # is RANGE, under which TIED order values share one cumulative sum
+    # — overlapping token slices and over-full packs. The tie-break
+    # also keeps the layout total-ordered (deterministic) for any
+    # order_col; the order column is aliased so it can never collide
+    # with an output name (e.g. order_col == id_col).
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     base = (
         df.select(
             F.col(shard_col).alias("shard"),
             F.col(id_col).alias("doc_id"),
             n_tok.alias("n_tok"),
-            *([F.col(order_col)] if order_col else []),
+            F.col(order_col if order_col else id_col).alias("__ord"),
         )
         .filter(F.col("n_tok") > 0)
         .withColumn("__end", F.sum("n_tok").over(w))
@@ -184,6 +194,10 @@ def pack_greedy(
         out["oversize"] = out["n_tok"] > cap
         return out
 
+    # id dtype comes from the input (string/long/... corpora all work)
+    id_type = base.schema["doc_id"].dataType.simpleString()
     return base.groupBy("shard").applyInPandas(
-        ffd, "shard string, doc_id long, n_tok long, pack_seq long, oversize boolean"
+        ffd,
+        f"shard string, doc_id {id_type}, n_tok long, "
+        "pack_seq long, oversize boolean",
     )

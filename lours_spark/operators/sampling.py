@@ -106,7 +106,6 @@ def mixture_weights(
     target_shares: dict[str, float],
     shard_col: str = "source",
     token_col: Column | str | None = None,
-    id_col: str = "id",
 ) -> DataFrame:
     """Per-shard subsampling rates that move the corpus token mixture
     toward ``target_shares`` WITHOUT upsampling (the static
@@ -120,7 +119,11 @@ def mixture_weights(
 
     One tiny aggregation (|shards| rows — broadcast the result into
     :func:`apply_mixture`'s filter); shards missing from
-    ``target_shares`` get rate 0.0 (dropped domains). Returns
+    ``target_shares`` (or with an explicit 0.0 target) get rate 0.0
+    (dropped domains), and a targeted shard with ZERO current tokens
+    gets rate 1.0 without contaminating the scale (the min is taken
+    over positive ratios only — a zero ratio would otherwise zero
+    every weight, or divide-by-zero under ANSI mode). Returns
     ``shard, n_tok_total, share, weight``.
     """
     if token_col is None:
@@ -146,17 +149,19 @@ def mixture_weights(
         .agg(F.sum("__n").alias("n_tok_total"))
     )
     w = Window.partitionBy()
+    ratio = F.when(target > 0, F.col("share") / target)  # else NULL
+    min_pos_ratio = F.min(F.when(F.col("__ratio") > 0, F.col("__ratio"))).over(w)
     return (
         per.withColumn(
             "share",
             F.col("n_tok_total") / F.sum("n_tok_total").over(w),
         )
-        .withColumn("__ratio", F.col("share") / target)
+        .withColumn("__ratio", ratio)
         .withColumn(
             "weight",
-            F.when(
-                target.isNull() | (target <= 0), F.lit(0.0)
-            ).otherwise(F.min("__ratio").over(w) / F.col("__ratio")),
+            F.when(target.isNull() | (target <= 0), F.lit(0.0))
+            .when(F.col("__ratio") == 0, F.lit(1.0))
+            .otherwise(F.coalesce(min_pos_ratio / F.col("__ratio"), F.lit(1.0))),
         )
         .select("shard", "n_tok_total", "share", "weight")
     )

@@ -540,7 +540,8 @@ def greedy_assign_approx(
        global histogram by construction (KL → 0 as buckets fill) and
        shares track the targets to within one chunk.
     3. **Exact polish, budget-capped**: per-split histograms are then
-       rebuilt EXACTLY (one ``np.add.at`` over the full matrix) and a
+       rebuilt EXACTLY (per-column ``bincount`` over the assignment
+       codes — n-length temporaries only) and a
        single move pass over ≤ ``polish_budget`` evenly-strided chunks
        repairs residual quantization error using the same
        cost = ``hist_cost_weight·Σ(sizeⱼ/n)·KLⱼ +

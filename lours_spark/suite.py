@@ -2654,6 +2654,9 @@ FROM lineitem""")
     return " UNION ALL ".join(legs)
 
 
+_PACK_BUDGET = 64
+
+
 def q_pack_chunked(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style pretraining
     windows) over documents, sharded by source: window cumsum +
@@ -2662,10 +2665,7 @@ def q_pack_chunked(spark, sf_dir):
     from lours_spark.operators.packing import pack_chunked
 
     d = _t(spark, sf_dir, "documents")
-    return pack_chunked(d, budget=64)
-
-
-_PACK_BUDGET = 64
+    return pack_chunked(d, budget=_PACK_BUDGET)
 
 
 def _oracle_pack_chunked() -> str:
@@ -2732,11 +2732,16 @@ WITH t AS (
   FROM t
 ), r AS (
   SELECT shard, n_tok_total, share,
-         share / (CASE shard {case} END) AS ratio
+         CASE WHEN (CASE shard {case} END) > 0
+              THEN share / (CASE shard {case} END) END AS ratio
   FROM s
 )
 SELECT shard, n_tok_total, round(share, 6) AS share,
-       round((SELECT min(ratio) FROM r) / ratio, 6) AS weight
+       CASE WHEN ratio IS NULL THEN 0.0
+            WHEN ratio = 0 THEN 1.0
+            ELSE round(coalesce(
+              (SELECT min(ratio) FROM r WHERE ratio > 0) / ratio, 1.0
+            ), 6) END AS weight
 FROM r
 """
 

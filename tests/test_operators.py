@@ -525,6 +525,28 @@ def test_mixture_weights_and_apply(spark):
     }
     assert w2["b"] == 0.0
 
+    # a targeted shard with ZERO current tokens must get rate 1.0 and
+    # must not zero every other weight (or divide by zero under ANSI)
+    zdf = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 0)], "id long, source string, n_tok long"
+    )
+    wz = {
+        r["shard"]: r["weight"]
+        for r in mixture_weights(
+            zdf, {"a": 0.5, "b": 0.5}, token_col="n_tok"
+        ).collect()
+    }
+    assert wz["b"] == 1.0
+    assert wz["a"] > 0.0
+    # explicit 0.0 target -> dropped, no div-by-zero
+    w0 = {
+        r["shard"]: r["weight"]
+        for r in mixture_weights(
+            df, {"a": 1.0, "b": 0.0}, token_col="n_tok"
+        ).collect()
+    }
+    assert w0["b"] == 0.0 and w0["a"] == 1.0
+
     # apply: expected mixture ~ targets on a larger corpus; the
     # under-represented shard survives in full
     big = spark.createDataFrame(

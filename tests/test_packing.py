@@ -132,6 +132,40 @@ def test_pack_greedy_deterministic(spark, docs):
     assert a == b
 
 
+def test_pack_chunked_tied_order_values(spark):
+    """Ties in order_col must NOT share a cumulative sum (the default
+    RANGE window frame would give both tied docs the same __end,
+    double-covering positions and over-filling packs): explicit ROWS
+    frame + doc_id tie-break keeps every non-final pack exactly full."""
+    df = spark.createDataFrame(
+        [(1, "s", 3, 10), (2, "s", 5, 10), (3, "s", 2, 20)],
+        "doc_id long, source string, n long, ts long",
+    )
+    out = pack_chunked(df, budget=4, token_col="n", order_col="ts")
+    fills = {}
+    for r in out.collect():
+        fills[r["pack_seq"]] = fills.get(r["pack_seq"], 0) + (
+            r["tok_to"] - r["tok_from"]
+        )
+    last = max(fills)
+    assert all(v == 4 for k, v in fills.items() if k != last), fills
+    assert fills[last] <= 4
+    # order_col colliding with the id output name must not be ambiguous
+    assert pack_chunked(df, budget=4, token_col="n", order_col="doc_id").count()
+
+
+def test_pack_greedy_string_ids(spark):
+    """The applyInPandas schema derives the id dtype from the input —
+    URI/hash-keyed corpora (string ids) work."""
+    df = spark.createDataFrame(
+        [("u1", "s", 5), ("u2", "s", 4), ("u3", "s", 3)],
+        "doc_id string, source string, n long",
+    )
+    rows = pack_greedy(df, budget=8, token_col="n").collect()
+    assert {r["doc_id"] for r in rows} == {"u1", "u2", "u3"}
+    assert all(isinstance(r["doc_id"], str) for r in rows)
+
+
 def test_pack_budget_validation(spark):
     df = spark.createDataFrame([(1, "a", 3)], "doc_id long, source string, n long")
     with pytest.raises(ValueError, match="budget"):
