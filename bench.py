@@ -131,6 +131,10 @@ BENCH_QUERIES = [
     # result as dedup_clusters, min-label propagation instead of the
     # driver union-find the hybrid picks at this edge count)
     "dedup_clusters_distributed",
+    # round 6: sequence packing + domain-mixture reweighting
+    "pack_chunked",
+    "pack_greedy",
+    "mixture_weights",
 ]
 
 

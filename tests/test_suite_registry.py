@@ -41,3 +41,13 @@ def test_all_queries_covers_gate_facets():
         "dedup_clusters_distributed",  # forced-distributed CC variant
         "pack_greedy",           # FFD packing (not SQL-expressible)
     }
+
+
+def test_bench_list_covers_all_queries():
+    """bench.py times a hand-ordered list — a new ALL_QUERIES entry
+    must be added there too or it silently never gets a number."""
+    import bench
+
+    from lours_spark.suite import ALL_QUERIES
+
+    assert set(bench.BENCH_QUERIES) == set(ALL_QUERIES)
