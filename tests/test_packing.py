@@ -166,6 +166,30 @@ def test_pack_greedy_string_ids(spark):
     assert all(isinstance(r["doc_id"], str) for r in rows)
 
 
+def test_pack_greedy_open_pack_bound(spark):
+    """The bounded open-pack window keeps invariants when it closes
+    packs early, and an oversize-heavy corpus stays linear (each
+    oversize doc is a singleton pack, never scanned)."""
+    rows = [(i, "s", 7) for i in range(300)] + [
+        (1000 + i, "s", 50) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = pack_greedy(df, budget=10, token_col="n", max_open_packs=4).collect()
+    assert len(out) == 350
+    fills: dict = {}
+    for r in out:
+        fills.setdefault(r["pack_seq"], []).append((r["n_tok"], r["oversize"]))
+    for seq, members in fills.items():
+        if any(ov for _, ov in members):
+            assert len(members) == 1
+        else:
+            assert sum(n for n, _ in members) <= 10
+    # oversize docs: exactly one pack each, ids 0..49
+    over = [r for r in out if r["oversize"]]
+    assert len(over) == 50
+    assert {r["pack_seq"] for r in over} == set(range(50))
+
+
 def test_pack_budget_validation(spark):
     df = spark.createDataFrame([(1, "a", 3)], "doc_id long, source string, n long")
     with pytest.raises(ValueError, match="budget"):
