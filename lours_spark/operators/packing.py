@@ -203,15 +203,17 @@ def pack_greedy(
                     break
             else:
                 seq.append(next_id)
-                room.append(cap - s)
-                rid.append(next_id)
+                r = cap - s
+                if r > 0:  # exact-cap docs never enter the scan list
+                    room.append(r)
+                    rid.append(next_id)
+                    if len(room) > max_open:
+                        k = min(range(len(room)), key=room.__getitem__)
+                        room[k] = room[-1]
+                        rid[k] = rid[-1]
+                        room.pop()
+                        rid.pop()
                 next_id += 1
-                if len(room) > max_open:
-                    k = min(range(len(room)), key=room.__getitem__)
-                    room[k] = room[-1]
-                    rid[k] = rid[-1]
-                    room.pop()
-                    rid.pop()
         out = pdf[["shard", "doc_id", "n_tok"]].copy()
         out["pack_seq"] = pd.array(seq, dtype="int64")
         out["oversize"] = out["n_tok"] > cap
