@@ -1009,7 +1009,7 @@ class SparkDataset:
         2
         """
         from lours_spark.split.balanced import balanced_split
-        from lours_spark.split.splitter import residual_shares, simple_split
+        from lours_spark.split.splitter import simple_split
 
         shares = dict(zip(split_names, target_split_shares))
         dims = list(keep_balanced_groups or ["category_id"])
@@ -1031,10 +1031,10 @@ class SparkDataset:
             .drop("__iid")
         )
         # second pass: annotation-less images keep NULL after the join;
-        # assign them too (simple_split only fills NULL rows) so
-        # get_split()/iter_splits cover every image
-        resid = residual_shares(images, shares)
-        images = simple_split(images, resid, seed=input_seed)
+        # assign them too so get_split()/iter_splits cover every image
+        # (simple_split fills only NULL rows and applies residual
+        # target shares internally since round 6)
+        images = simple_split(images, shares, seed=input_seed)
         return self.from_template(images=images, annotations=assigned)
 
     # export delegates (reference to_* methods)

@@ -38,6 +38,9 @@ class DetectionEvaluator:
         self.name = name or groundtruth.dataset_name
         self.predictions_dictionary: dict = {}
         self._matches: dict[tuple, DataFrame] = {}
+        #: curve frames persisted by compute_precision_recall — pinned
+        #: MEMORY_AND_DISK blocks; release with clear_cache()
+        self._persisted: list[DataFrame] = []
         for pname, ds in predictions.items():
             self.add_predictions_dataset(pname, ds)
 
@@ -99,13 +102,23 @@ class DetectionEvaluator:
 
         curves_parts, ap_parts = [], []
         for pname in self._names(predictions_names):
+            # the rematch_per_iou=False path reuses the memoized greedy
+            # matches (the class docstring's memo contract) — repeated
+            # metric calls cost windows, not another matcher shuffle
+            memo = (
+                self.compute_matches(pname)[pname]
+                if not rematch_per_iou
+                else None
+            )
             res = compute_precision_recall(
                 self.groundtruth.annotations,
                 self.predictions_dictionary[pname].annotations,
                 ious=list(ious),
                 group_cols=list(groups),
                 rematch_per_iou=rematch_per_iou,
+                matches=memo,
             )
+            self._persisted.append(res["curves"])
             curves_parts.append(
                 res["curves"].withColumn("model", F.lit(pname))
             )
@@ -144,6 +157,11 @@ class DetectionEvaluator:
                     min_iou=min_iou,
                     min_confidence=min_confidence,
                     normalize=normalize,
+                    # memoized category-agnostic matches: min_iou here
+                    # is a curve-time split, not a matcher parameter
+                    matches=self.compute_matches(
+                        pname, category_agnostic=True
+                    )[pname],
                 ).withColumn("model", F.lit(pname))
             )
         out = parts[0]
@@ -151,6 +169,19 @@ class DetectionEvaluator:
             out = out.unionByName(p)
         return out
 
+
+    def clear_cache(self) -> None:
+        """Unpersist every curve frame pinned by
+        :meth:`compute_precision_recall` and drop the matches memo —
+        call between evaluation rounds in a long-lived session so
+        MEMORY_AND_DISK blocks don't accumulate."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+        self._persisted.clear()
+        self._matches.clear()
 
     # ------------------------------------------------------- persistence
     def to_parquet(self, output_dir: str, overwrite: bool = False) -> None:

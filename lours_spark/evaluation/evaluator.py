@@ -409,6 +409,7 @@ def compute_confusion_matrix(
     min_confidence: float = 0.0,
     label_col: str = "category_str",
     normalize: bool = True,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """Detection confusion matrix (reference
     ``detection_evaluator.py:180-380``): CATEGORY-AGNOSTIC greedy
@@ -431,7 +432,10 @@ def compute_confusion_matrix(
     from lours_spark.evaluation.confusion import confusion_counts
     from lours_spark.evaluation.matching import compute_matches
 
-    matches = compute_matches(groundtruth, predictions, match_by_category=False)
+    if matches is None:  # facade memo skips the greedy pass
+        matches = compute_matches(
+            groundtruth, predictions, match_by_category=False
+        )
     g = groundtruth.select(
         F.col("id").alias("groundtruth_id"),
         F.col(label_col).alias("groundtruth_label"),
@@ -479,6 +483,7 @@ def compute_precision_recall(
     pred_attrs: DataFrame | None = None,
     cache_curves: bool = True,
     stats: dict | None = None,
+    matches: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """End-to-end multi-IoU grouped evaluation (reference
     ``compute_precision_recall(ious=[...], groups=...)``).
@@ -517,7 +522,12 @@ def compute_precision_recall(
     from lours_spark.evaluation.matching import compute_matches
 
     if not rematch_per_iou:
-        matches = compute_matches(groundtruth, predictions)
+        # a caller-supplied matches frame (e.g. the DetectionEvaluator
+        # facade's memo) skips the expensive greedy pass entirely;
+        # rematch_per_iou=True ignores it — each threshold rematches
+        # at its own acceptance by definition
+        if matches is None:
+            matches = compute_matches(groundtruth, predictions)
         curves = precision_recall_curves(
             matches, ious, group_cols, gt_attrs, pred_attrs
         )

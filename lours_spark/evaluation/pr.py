@@ -22,12 +22,16 @@ def precision_recall(
     """PR curve per group (default: per category).
 
     A match row is a TP at threshold ``min_iou`` if it pairs a
-    prediction with a groundtruth at IoU ≥ min_iou; prediction rows
-    without (good enough) groundtruth are FPs; groundtruth rows count
-    toward the positives total (reference ``detection_evaluator.py:586-648``).
+    prediction with a groundtruth at IoU STRICTLY ABOVE min_iou — the
+    reference's ``iou > min_iou`` convention (``util.py:233``), the
+    same one ``evaluator.py`` uses, so the two public PR surfaces agree
+    at threshold-exact IoUs (integer-coordinate boxes hit exactly 0.5
+    routinely). Prediction rows without (good enough) groundtruth are
+    FPs; groundtruth rows count toward the positives total (reference
+    ``detection_evaluator.py:586-648``).
 
     >>> m = spark.createDataFrame(
-    ...     [(1, 0, 100, 10, 0.8, 0.9),    # TP at 0.5
+    ...     [(1, 0, 100, 10, 0.8, 0.9),    # TP (iou > 0.5)
     ...      (1, 0, 101, None, None, 0.7), # FP
     ...      (1, 0, None, 11, None, None)],  # unmatched gt
     ...     "image_id long, category_id int, prediction_id long,"
@@ -39,7 +43,7 @@ def precision_recall(
     group_cols = group_cols or ["category_id"]
     preds = matches.filter(F.col("prediction_id").isNotNull()).withColumn(
         "is_tp",
-        (F.col("groundtruth_id").isNotNull() & (F.col("iou") >= min_iou)).cast(
+        (F.col("groundtruth_id").isNotNull() & (F.col("iou") > min_iou)).cast(
             "int"
         ),
     )

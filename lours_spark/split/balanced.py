@@ -6,11 +6,15 @@ Re-expresses reference ``lours/dataset/split/``:
   ``balanced_groups.py:286-317`` ``df_to_hist``) — computed DISTRIBUTED
   with one ``groupBy(chunk_id, *dims).count()``; only the tiny
   (chunks × bins) table is collected;
-- histogram distances: KL divergence for categorical dims (reference
-  ``balanced_groups.py:252-262``) and 1D Earth-Mover distance for
-  binned continuous dims (``:264-272``; exact closed form for 1D — the
-  reference's POT dependency is only needed for multi-dim ground
-  metrics, which it never uses);
+- histogram distances: the reference's multimodal
+  :func:`hist_distance` — per-categorical-dim marginal KL
+  (``balanced_groups.py:252-262``) plus per-category-cell
+  value-spaced EMD for binned continuous dims (``:264-272``; exact
+  closed form for 1D — the reference's POT dependency is only needed
+  for multi-dim ground metrics, which it never uses). The GREEDY
+  optimizes a smooth size-weighted joint-KL surrogate instead (see
+  :func:`hist_distance`'s note); the faithful formula is what quality
+  reporting should quote;
 - share distance = 1 − IoU of split-size histograms (``:320-344``);
 - greedy chunk assignment minimizing ``hist_cost_weight · Σdist +
   share_cost_weight · share_dist`` (reference ``get_winner``
@@ -159,6 +163,156 @@ def _approx_assignment_from_table(
     )
 
 
+def emd_1d_values(left: dict, right: dict, weight: float = 1.0) -> float:
+    """Exact 1D earth-mover distance with VALUE-spaced bin positions
+    and the reference's max-normalized cityblock ground metric
+    (``balanced_groups.py:9-67``: positions = bin value × weight,
+    ``dist(..., 'cityblock') / max``): cumulative-difference sum over
+    the sorted union of positions, divided by the position range.
+
+    >>> emd_1d_values({0.0: 1}, {10.0: 1})          # full range apart
+    1.0
+    >>> round(emd_1d_values({0.0: 1, 10.0: 1}, {0.0: 1, 5.0: 1}), 3)
+    0.25
+    >>> emd_1d_values({1.0: 3}, {}) == float("inf")
+    True
+    """
+    ls = sum(left.values())
+    rs = sum(right.values())
+    if ls == 0 or rs == 0:
+        return float("inf")
+    pos = sorted({float(k) * weight for k in left} | {float(k) * weight for k in right})
+    rng = pos[-1] - pos[0]
+    if rng == 0:
+        return 0.0
+    lmap = {float(k) * weight: v / ls for k, v in left.items()}
+    rmap = {float(k) * weight: v / rs for k, v in right.items()}
+    cum = 0.0
+    total = 0.0
+    for a, b in zip(pos, pos[1:]):
+        cum += lmap.get(a, 0.0) - rmap.get(a, 0.0)
+        total += abs(cum) * (b - a)
+    return total / rng
+
+
+def hist_distance(
+    left: dict,
+    right: dict,
+    dims: list[str],
+    continuous: "tuple[str, ...] | list[str]" = (),
+    weights: "dict[str, float] | None" = None,
+) -> float:
+    """The reference's multimodal histogram distance, faithfully
+    (``balanced_groups.py:120-283``): ``‖α‖·Σ α_d·KL(left_d ‖ right_d)``
+    over per-CATEGORICAL-dim marginals (scipy-``entropy`` semantics:
+    marginals normalized independently, a right-zero bin with left
+    mass → inf, and an EMPTY side → inf outright) plus
+    ``‖β‖ · Σ_cells P_left(cell)·EMD(left_cell, right_cell)`` over the
+    continuous dims, each cell's EMD value-spaced and max-normalized
+    (:func:`emd_1d_values`). ``left`` plays the reference's
+    ``target_hist`` role, ``right`` the split histogram.
+
+    ``dims`` names the histogram key-tuple positions; ``continuous``
+    marks which of them are binned-continuous (at most ONE — the
+    reference needs POT only for multi-dim ground metrics it never
+    uses; more than one raises). ``weights`` maps dim → α/β (default
+    1.0).
+
+    NOTE on the greedy: :func:`greedy_assign` deliberately optimizes a
+    SURROGATE cost — size-weighted joint-bin KL(split ‖ global) with
+    eps smoothing — not this exact formula. The reference cost is
+    infinite until every split covers every bin (so early decisions
+    are share-driven plateaus), while the surrogate gives a smooth,
+    always-finite gradient toward the global mix; both drive the split
+    marginals to the corpus marginals. Use THIS function when you need
+    the reference's number for a computed split (quality reporting),
+    not the assignment heuristic.
+
+    >>> hist_distance({("a",): 5, ("b",): 5}, {("a",): 3, ("b",): 3},
+    ...               ["cat"])
+    0.0
+    >>> hist_distance({("a",): 5, ("b",): 5}, {("a",): 6}, ["cat"])
+    inf
+    >>> d = hist_distance({("a",): 8, ("b",): 2}, {("a",): 5, ("b",): 5},
+    ...                   ["cat"])
+    >>> round(d, 6)  # KL([.8,.2] || [.5,.5])
+    0.192745
+    """
+    continuous = tuple(continuous)
+    if len(continuous) > 1:
+        raise NotImplementedError(
+            "multi-dimensional continuous ground metrics need POT "
+            "(reference balanced_groups.py:9); the reference only ever "
+            "uses one continuous dim — bin and pass one"
+        )
+    weights = weights or {}
+    ls = sum(left.values())
+    rs = sum(right.values())
+    if ls == 0 or rs == 0:
+        return float("inf")
+
+    cat_dims = [d for d in dims if d not in continuous]
+    cat_w = [float(weights.get(d, 1.0)) for d in cat_dims]
+    kl_div = 0.0
+    for d, w in zip(cat_dims, cat_w):
+        di = dims.index(d)
+        lm: dict = {}
+        rm: dict = {}
+        for k, v in left.items():
+            lm[k[di]] = lm.get(k[di], 0) + v
+        for k, v in right.items():
+            rm[k[di]] = rm.get(k[di], 0) + v
+        kl = 0.0
+        for key in set(lm) | set(rm):
+            pk = lm.get(key, 0) / ls
+            qk = rm.get(key, 0) / rs
+            if pk > 0:
+                if qk == 0:
+                    kl = float("inf")
+                    break
+                kl += pk * math.log(pk / qk)
+        kl_div += w * kl
+
+    emd = 0.0
+    cont_norm = 0.0
+    if continuous:
+        c = continuous[0]
+        ci = dims.index(c)
+        cw = float(weights.get(c, 1.0))
+        cont_norm = abs(cw)
+        cat_idx = [dims.index(d) for d in cat_dims]
+        if cat_idx:
+            cells: dict = {}
+            for k, v in left.items():
+                cell = tuple(k[i] for i in cat_idx)
+                cells.setdefault(cell, [{}, {}])[0].setdefault(k[ci], 0)
+                cells[cell][0][k[ci]] += v
+            for k, v in right.items():
+                cell = tuple(k[i] for i in cat_idx)
+                cells.setdefault(cell, [{}, {}])[1].setdefault(k[ci], 0)
+                cells[cell][1][k[ci]] += v
+            num = 0.0
+            den = 0.0
+            for lcell, rcell in cells.values():
+                lc = sum(lcell.values())
+                if lc == 0:
+                    continue  # reference: left-weight 0 cell drops
+                num += lc * emd_1d_values(lcell, rcell, cw)
+                den += lc
+            emd = num / den if den else 0.0
+        else:
+            lm = {}
+            rm = {}
+            for k, v in left.items():
+                lm[k[ci]] = lm.get(k[ci], 0) + v
+            for k, v in right.items():
+                rm[k[ci]] = rm.get(k[ci], 0) + v
+            emd = emd_1d_values(lm, rm, cw)
+
+    cat_norm = math.sqrt(sum(w * w for w in cat_w)) if cat_w else 0.0
+    return cat_norm * kl_div + cont_norm * emd
+
+
 def kl_divergence(p: dict, q: dict, eps: float = 1e-12) -> float:
     """KL(p ‖ q) over sparse histograms (normalized, eps-smoothed).
 
@@ -275,7 +429,15 @@ def greedy_assign(
     gq = [G[j] / gs + eps for j in range(K)]
     log_gq = [log(x) for x in gq]
 
+    # normalize like the approximate mode: count-style shares
+    # ({"train": 80, "valid": 20}) would otherwise make the share cost
+    # constant (IoU vs raw counts) and strip the greedy of its
+    # balancing force. Epsilon-gated so fraction inputs whose float
+    # sum is 0.999... stay bit-identical to the reference greedy.
     tshare = [float(target_shares[s]) for s in splits]
+    _ts = sum(tshare)
+    if _ts and abs(_ts - 1.0) > 1e-9:
+        tshare = [t / _ts for t in tshare]
 
     def _kl(vec: list) -> float:
         sp = sum(vec) or 1.0
@@ -964,18 +1126,24 @@ def balanced_split(
     else:
         with_chunks = df.withColumn("chunk_id", F.col(id_col))
     spark = df.sparkSession
+    # chunk ids inherit id_col's type (string-keyed corpora included) —
+    # a hardcoded long schema would crash the assignment transfer
+    ck_type = with_chunks.schema["chunk_id"].dataType.simpleString()
     if mode == "approximate":
         pdf = chunk_histogram_table(with_chunks, "chunk_id", dims)
         apdf = _approx_assignment_from_table(pdf, "chunk_id", dims, shares, seed)
         adf = F.broadcast(
-            spark.createDataFrame(apdf, schema="chunk_id long, __assigned string")
+            spark.createDataFrame(
+                apdf, schema=f"chunk_id {ck_type}, __assigned string"
+            )
         )
     elif mode == "exact":
         hists = chunk_histograms(with_chunks, "chunk_id", dims)
         assignment = greedy_assign(hists, shares, seed=seed)
         adf = F.broadcast(
             spark.createDataFrame(
-                list(assignment.items()), "chunk_id long, __assigned string"
+                list(assignment.items()),
+                f"chunk_id {ck_type}, __assigned string",
             )
         )
     else:

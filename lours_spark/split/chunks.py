@@ -155,6 +155,14 @@ def atomic_chunks_distributed(
         labels = merged.drop("__changed")
         if merged.filter("__changed").limit(1).count() == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"atomic_chunks_distributed did not converge in {max_iter} "
+            "rounds — a component with diameter above max_iter would be "
+            "silently under-merged (split-leakage risk). Raise max_iter; "
+            "propagation needs one round per graph hop."
+        )
     edges.unpersist()
     return labels.select(F.col("row_id").alias(id_col), F.col("label").alias("chunk_id"))
 
@@ -283,5 +291,13 @@ def connected_components(
             stats["rounds"] += 1
         if merged.filter("__changed").limit(1).count() == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "— long-chain components would be silently split into "
+            "several clusters. Raise max_iter (one round per graph hop; "
+            "near-dup clusters are normally diameter <= 6)."
+        )
     edges.unpersist()
     return labels.select("node_id", F.col("label").alias("component_id"))

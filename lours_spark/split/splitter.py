@@ -46,8 +46,18 @@ def hash_fraction(id_col: Column) -> Column:
     plain BIGINT (codegen-friendly, no decimal), with residues identical
     to the wide multiply. The residue is < 2^32 so the final double
     divide is exact and bit-identical across engines.
+
+    Negative ids reduce via ``pmod`` (Spark's ``%`` follows the
+    dividend sign — a plain modulo would yield a negative fraction and
+    funnel every negative-id row into the first split):
+
+    >>> neg = spark.createDataFrame([(-1,), (-2**40,)], "id long")
+    >>> fr = [r["f"] for r in
+    ...       neg.select(hash_fraction(F.col("id")).alias("f")).collect()]
+    >>> all(0 <= f < 1 for f in fr)
+    True
     """
-    a = id_col.cast("bigint") % F.lit(_M32)
+    a = F.pmod(id_col.cast("bigint"), F.lit(_M32))
     hi = F.shiftright(a, 16)
     lo = a.bitwiseAND(F.lit(0xFFFF))
     mixed = ((hi * F.lit(_KNUTH)) % F.lit(65536)) * F.lit(65536) + lo * F.lit(_KNUTH)
@@ -76,10 +86,18 @@ def hash_split(
 ) -> DataFrame:
     """Deterministic split assignment; already-assigned rows keep their
     value when ``keep_existing`` (reference's already-assigned handling,
-    ``dataset_splitter.py:175-210``)."""
-    assigned = split_ladder(hash_fraction(F.col(id_col)), shares)
+    ``dataset_splitter.py:175-210``), and the unassigned remainder is
+    laddered with RESIDUAL target shares (one counts aggregation) so the
+    FINAL proportions — existing plus new — hit the targets, instead of
+    re-applying the full shares to the remainder and overshooting
+    whatever is already over-represented."""
     if keep_existing and out_col in df.columns:
-        assigned = F.coalesce(F.col(out_col), assigned)
+        resid = residual_shares(df, shares, out_col)
+        assigned = F.coalesce(
+            F.col(out_col), split_ladder(hash_fraction(F.col(id_col)), resid)
+        )
+    else:
+        assigned = split_ladder(hash_fraction(F.col(id_col)), shares)
     return df.withColumn(out_col, assigned)
 
 
@@ -93,10 +111,14 @@ def simple_split(
     """Seeded-random split (reference ``simple_split``,
     ``dataset.py:4257-4382``). ``rand(seed)`` is deterministic per
     partition lineage but NOT stable under repartitioning — prefer
-    ``hash_split`` for anything that must be reproducible at scale."""
-    assigned = split_ladder(F.rand(seed), shares)
+    ``hash_split`` for anything that must be reproducible at scale.
+    Pre-assigned rows keep their value and the remainder is laddered
+    with residual shares, like :func:`hash_split`."""
     if keep_existing and out_col in df.columns:
-        assigned = F.coalesce(F.col(out_col), assigned)
+        resid = residual_shares(df, shares, out_col)
+        assigned = F.coalesce(F.col(out_col), split_ladder(F.rand(seed), resid))
+    else:
+        assigned = split_ladder(F.rand(seed), shares)
     return df.withColumn(out_col, assigned)
 
 

@@ -291,3 +291,12 @@ def test_detection_evaluator_facade(spark, tiny_dataset):
     cm = ev.compute_confusion_matrix(predictions_names="B", normalize=False)
     assert {r.model for r in cm.select("model").distinct().collect()} == {"B"}
     assert cm.count() > 0
+
+    # the metric methods honor the memo contract: PR populates/reuses
+    # the category-aware entry, confusion the category-agnostic one —
+    # repeated metric calls cost windows, not another matcher pass
+    assert ("A", False, 0.0) in ev._matches
+    assert ("B", True, 0.0) in ev._matches
+    assert ev._persisted  # curves pinned, releasable
+    ev.clear_cache()
+    assert not ev._persisted and not ev._matches

@@ -260,6 +260,125 @@ def test_approx_assignment_from_table_order_independent():
     assert got_m == base_m
 
 
+def test_hist_distance_reference_semantics():
+    """hist_distance mirrors the reference formula: per-dim marginal
+    KL with inf on uncovered bins/empty sides, per-cell value-spaced
+    EMD weighted by left cell mass, α/β norms."""
+    import math as _m
+
+    from lours_spark.split.balanced import emd_1d_values, hist_distance
+
+    # identical distributions at different scales -> 0
+    assert hist_distance(
+        {("a",): 4, ("b",): 4}, {("a",): 1, ("b",): 1}, ["cat"]
+    ) == 0.0
+    # right missing a left-mass bin -> inf; empty right -> inf
+    assert hist_distance({("a",): 1, ("b",): 1}, {("a",): 9}, ["cat"]) == _m.inf
+    assert hist_distance({("a",): 1}, {}, ["cat"]) == _m.inf
+    # two categorical dims: sum of marginal KLs times norm([1,1])
+    left = {("a", "x"): 2, ("b", "y"): 2}
+    right = {("a", "y"): 1, ("b", "x"): 1}
+    d = hist_distance(left, right, ["c1", "c2"])
+    # marginals agree on both dims (a/b 50-50, x/y 50-50) -> 0 even
+    # though the JOINT distributions differ — the reference's marginal
+    # semantics, distinct from the greedy's joint surrogate
+    assert d == 0.0
+    # continuous dim: per-category-cell EMD, left-mass weighted
+    left2 = {("a", 0.0): 3, ("a", 10.0): 3, ("b", 0.0): 2}
+    right2 = {("a", 0.0): 6, ("b", 0.0): 1}
+    got = hist_distance(
+        left2, right2, ["cat", "size"], continuous=["size"]
+    )
+    # cell a: EMD({0:3,10:3},{0:6}) = 0.5; cell b: 0; weights 6/8, 2/8
+    # plus the cat-marginal KL term: left cat [.75,.25] vs right
+    # [6/7,1/7]
+    kl = 0.75 * _m.log(0.75 / (6 / 7)) + 0.25 * _m.log(0.25 / (1 / 7))
+    assert abs(got - (kl + (6 / 8) * 0.5)) < 1e-12
+    assert emd_1d_values({0.0: 3, 10.0: 3}, {0.0: 6}) == 0.5
+    # >1 continuous dims: loud NotImplementedError (POT seam)
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="POT"):
+        hist_distance({}, {}, ["x", "y"], continuous=["x", "y"])
+
+
+def test_greedy_assign_count_style_shares():
+    """Exact mode must normalize count-style shares ({80, 20}) like the
+    approximate mode — unnormalized targets made the share cost
+    constant and degenerated the whole split into one bucket."""
+    hists = {cid: {("c", cid % 4): 10} for cid in range(400)}
+    for shares in ({"train": 80.0, "valid": 20.0}, {"train": 0.8, "valid": 0.2}):
+        out = greedy_assign(hists, shares, seed=1)
+        n_train = sum(1 for s in out.values() if s == "train")
+        assert abs(n_train / 400 - 0.8) < 0.05, (shares, n_train)
+    # and both parameterizations agree exactly (counts are 100x shares)
+    assert greedy_assign(
+        hists, {"train": 80.0, "valid": 20.0}, seed=1
+    ) == greedy_assign(hists, {"train": 0.8, "valid": 0.2}, seed=1)
+
+
+def test_splitters_apply_residual_shares(spark):
+    """Pre-assigned rows skew what the remainder must look like: with
+    90% already 'train' and targets 0.8/0.2, the NULL remainder must
+    route (almost) entirely to 'valid' — re-applying the full shares
+    would land at ~98/2."""
+    from lours_spark.split.splitter import hash_split
+
+    df = spark.range(1000).withColumn(
+        "split", F.when(F.col("id") < 900, F.lit("train"))
+    )
+    out = hash_split(df, {"train": 0.8, "valid": 0.2})
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["train"] == 900  # existing untouched
+    assert counts["valid"] == 100  # full remainder routed to valid
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter hops must fail loud, not silently
+    under-merge (split-leakage risk)."""
+    import pytest as _pt
+
+    from lours_spark.split.chunks import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            chain, max_iter=2, driver_threshold=0
+        ).collect()
+    # with enough rounds the same chain converges to one component
+    out = connected_components(chain, max_iter=20, driver_threshold=0)
+    assert out.select("component_id").distinct().count() == 1
+
+
+def test_balanced_split_string_ids(spark):
+    """String-keyed datasets work in every mode (the assignment
+    transfer schema derives from the id type)."""
+    df = (
+        spark.range(300)
+        .select(
+            F.concat(F.lit("row"), F.col("id")).alias("rid"),
+            (F.col("id") % 30).cast("string").alias("grp"),
+            (F.col("id") % 3).cast("string").alias("dim"),
+        )
+    )
+    for mode in ("exact", "approximate"):
+        out = balanced_split(
+            df,
+            {"train": 0.7, "valid": 0.3},
+            dims=["dim"],
+            keep_separate=["grp"],
+            id_col="rid",
+            seed=1,
+            mode=mode,
+        )
+        assert out.filter(F.col("split").isNull()).count() == 0, mode
+
+
 def test_balanced_split_approximate_partitioning_invariant(spark):
     """Same data under different partitionings (hence different collect
     orders for the chunk-histogram table) must produce the SAME
