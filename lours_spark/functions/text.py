@@ -34,6 +34,25 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def resolve_token_col(token_col, text_col: str = "text") -> Column:
+    """Shared token-count column resolution for the packing/mixture
+    operators: ``None`` → whitespace :func:`token_count` of
+    ``text_col``; a name → that column; a Column → itself. Always cast
+    to long.
+
+    >>> from pyspark.sql import Column
+    >>> isinstance(resolve_token_col(None), Column)
+    True
+    >>> isinstance(resolve_token_col("n_tok"), Column)
+    True
+    """
+    if token_col is None:
+        return token_count(F.col(text_col)).cast("long")
+    if isinstance(token_col, str):
+        return F.col(token_col).cast("long")
+    return token_col.cast("long")
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count.
 

@@ -62,14 +62,9 @@ def pack_chunked(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    if token_col is None:
-        from lours_spark.functions.text import token_count
+    from lours_spark.functions.text import resolve_token_col
 
-        n_tok = token_count(F.col("text")).cast("long")
-    elif isinstance(token_col, str):
-        n_tok = F.col(token_col).cast("long")
-    else:
-        n_tok = token_col.cast("long")
+    n_tok = resolve_token_col(token_col)
 
     # explicit ROWS frame + doc_id tie-break: the default window frame
     # is RANGE, under which TIED order values share one cumulative sum
@@ -151,14 +146,9 @@ def pack_greedy(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    if token_col is None:
-        from lours_spark.functions.text import token_count
+    from lours_spark.functions.text import resolve_token_col
 
-        n_tok = token_count(F.col("text")).cast("long")
-    elif isinstance(token_col, str):
-        n_tok = F.col(token_col).cast("long")
-    else:
-        n_tok = token_col.cast("long")
+    n_tok = resolve_token_col(token_col)
 
     base = df.select(
         # stringly-typed shard keeps the applyInPandas schema static
@@ -176,10 +166,13 @@ def pack_greedy(
         # per shard: oversize docs are a sorted prefix and never open a
         # scannable pack (the naive append-a-full-pack form made a
         # small-budget corpus O(docs²) — measured 44s/500k docs, now
-        # linear), exactly-full packs leave the scan list, and past
-        # ``max_open_packs`` the fullest open pack closes (bounded
-        # memory/scan; only then does the packing deviate from exact
-        # first-fit-decreasing). Deterministic throughout.
+        # linear), exactly-full packs leave the scan list via an
+        # ORDER-PRESERVING pop (a swap-remove would permute the
+        # first-fit scan order and diverge from canonical FFD), and
+        # past ``max_open_packs`` the fullest open pack closes
+        # (bounded memory/scan; only then does the packing deviate
+        # from exact first-fit-decreasing). The pops shift at most
+        # max_open elements — negligible. Deterministic throughout.
         pdf = pdf.sort_values(
             ["n_tok", "doc_id"], ascending=[False, True], kind="mergesort"
         )
@@ -196,10 +189,8 @@ def pack_greedy(
                     room[j] -= s
                     seq.append(rid[j])
                     if room[j] == 0:  # dead: sizes are >= 1
-                        room[j] = room[-1]
-                        rid[j] = rid[-1]
-                        room.pop()
-                        rid.pop()
+                        room.pop(j)
+                        rid.pop(j)
                     break
             else:
                 seq.append(next_id)
@@ -209,10 +200,8 @@ def pack_greedy(
                     rid.append(next_id)
                     if len(room) > max_open:
                         k = min(range(len(room)), key=room.__getitem__)
-                        room[k] = room[-1]
-                        rid[k] = rid[-1]
-                        room.pop()
-                        rid.pop()
+                        room.pop(k)
+                        rid.pop(k)
                 next_id += 1
         out = pdf[["shard", "doc_id", "n_tok"]].copy()
         out["pack_seq"] = pd.array(seq, dtype="int64")

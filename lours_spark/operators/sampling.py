@@ -114,8 +114,11 @@ def mixture_weights(
     ``min_s(current_s / target_s)`` — the most under-represented shard
     keeps everything (rate 1.0) and every other shard downsamples to
     ``scale · target_s / current_s``. The post-sampling EXPECTED token
-    mixture equals ``target_shares`` exactly (each shard contributes
-    ``scale · target_s`` of the original corpus).
+    mixture equals the NORMALIZED ``target_shares`` exactly (each
+    shard contributes ``scale · target_s`` of the original corpus;
+    targets are normalized to sum 1 first, so count-style dicts work
+    and a dict that doesn't sum to 1 yields the proportional mixture,
+    not a silently skewed one).
 
     One tiny aggregation (|shards| rows — broadcast the result into
     :func:`apply_mixture`'s filter); shards missing from
@@ -126,22 +129,34 @@ def mixture_weights(
     every weight, or divide-by-zero under ANSI mode). Returns
     ``shard, n_tok_total, share, weight``.
     """
-    if token_col is None:
-        from lours_spark.functions.text import token_count
-
-        n_tok = token_count(F.col("text")).cast("long")
-    elif isinstance(token_col, str):
-        n_tok = F.col(token_col).cast("long")
-    else:
-        n_tok = token_col.cast("long")
-
     from pyspark.sql import Window
 
+    from lours_spark.functions.text import resolve_token_col
+
+    n_tok = resolve_token_col(token_col)
+
+    # normalize so the documented "expected mixture == targets" holds
+    # even for count-style or typo'd dicts that don't sum to 1 (the
+    # realized mixture is always proportional to the targets).
+    # Epsilon-gated like greedy_assign: fraction dicts whose float sum
+    # is 0.999... keep their literal values (oracle-mirrorable)
+    tot_target = sum(float(v) for v in target_shares.values())
+    if tot_target and abs(tot_target - 1.0) > 1e-9:
+        norm = {k: float(v) / tot_target for k, v in target_shares.items()}
+    else:
+        norm = {k: float(v) for k, v in target_shares.items()}
     pairs = []
-    for k, v in target_shares.items():
+    for k, v in norm.items():
         pairs.append(F.lit(k))
-        pairs.append(F.lit(float(v)))
-    target = F.create_map(*pairs)[F.col("shard")]
+        pairs.append(F.lit(v))
+    # empty dict: create_map() yields map<void,void> whose lookup
+    # fails analysis — fall back to a NULL target (-> weight 0.0
+    # everywhere, the documented dropped-domain semantics)
+    target = (
+        F.create_map(*pairs)[F.col("shard")]
+        if pairs
+        else F.lit(None).cast("double")
+    )
 
     per = (
         df.select(F.col(shard_col).alias("shard"), n_tok.alias("__n"))

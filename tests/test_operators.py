@@ -547,6 +547,22 @@ def test_mixture_weights_and_apply(spark):
     }
     assert w0["b"] == 0.0 and w0["a"] == 1.0
 
+    # empty targets -> all weights 0.0 (not an AnalysisException)
+    we = {
+        r["shard"]: r["weight"]
+        for r in mixture_weights(df, {}, token_col="n_tok").collect()
+    }
+    assert we == {"a": 0.0, "b": 0.0}
+
+    # count-style targets normalize: {50, 50} == {0.5, 0.5}
+    wc = {
+        r["shard"]: r["weight"]
+        for r in mixture_weights(
+            df, {"a": 50.0, "b": 50.0}, token_col="n_tok"
+        ).collect()
+    }
+    assert abs(wc["a"] - 0.25) < 1e-12 and wc["b"] == 1.0
+
     # apply: expected mixture ~ targets on a larger corpus; the
     # under-represented shard survives in full
     big = spark.createDataFrame(
