@@ -164,17 +164,22 @@ def run(argv: list[str] | None = None) -> int:
     if args.watch:
         from lours_spark.streaming.caipy_watch import watch_caipy
 
-        root = (
-            str(args.input_folder)
-            if args.mode == "vanilla"
-            else str(Path(str(args.annotations_root)).parent)
-        )
+        # generic mode watches annotations_root ITSELF (the reference
+        # observer schedules that exact folder) — parent+"/Annotations"
+        # would watch the wrong tree whenever the folder isn't named
+        # Annotations
+        if args.mode == "vanilla":
+            root, ann_root = str(args.input_folder), None
+        else:
+            ann_root = str(args.annotations_root)
+            root = str(Path(ann_root).parent)
         with tempfile.TemporaryDirectory() as tmp:
             query = watch_caipy(
                 spark,
                 root,
                 output_root=os.path.join(tmp, "out"),
                 checkpoint_dir=os.path.join(tmp, "ckpt"),
+                annotations_root=ann_root,
             )
             try:
                 # refresh fiftyone once per NEW progress entry that

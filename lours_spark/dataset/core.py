@@ -353,6 +353,12 @@ class SparkDataset:
         return self.filter_images(pred)
 
     def iter_splits(self) -> Iterator[tuple[str | None, "SparkDataset"]]:
+        if "split" not in self.images.columns:
+            # split-less dataset (e.g. from_folder): one anonymous
+            # split covering everything — exporters write a single
+            # file instead of crashing on the missing column
+            yield None, self
+            return
         values = [
             r[0]
             for r in self.images.select("split").distinct().collect()

@@ -35,11 +35,14 @@ def frame_diff(
     [(1, 'left_only'), (2, 'changed'), (3, 'common'), (4, 'right_only')]
     """
     shared = [c for c in left.columns if c in right.columns and c != key]
-    l = left.select(key, *shared).alias("l")
-    r = right.select(key, *shared).alias("r")
+    # backtick-quote every reference: booleanized columns are FLAT
+    # columns with dots in their names ("tags.a"), which an unquoted
+    # f"l.{c}" would parse as a struct-field path
+    l = left.select(key, *[left[f"`{c}`"] for c in shared]).alias("l")
+    r = right.select(key, *[right[f"`{c}`"] for c in shared]).alias("r")
     joined = l.join(r, F.col(f"l.{key}") == F.col(f"r.{key}"), "full_outer")
     eq: Column = reduce(
-        lambda acc, c: acc & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")),
+        lambda acc, c: acc & F.col(f"l.`{c}`").eqNullSafe(F.col(f"r.`{c}`")),
         shared,
         F.lit(True),
     )
@@ -66,22 +69,22 @@ def dataset_diff(a, b) -> dict[str, DataFrame]:
     shared = [
         c for c in a.annotations.columns if c in b.annotations.columns
     ]
-    la = a.annotations.select(shared).groupBy("image_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.hash(c).cast("long")).alias(f"h_{c}")
-            for c in shared
-            if c != "image_id"
-        ],
-    )
-    lb = b.annotations.select(shared).groupBy("image_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.hash(c).cast("long")).alias(f"h_{c}")
-            for c in shared
-            if c != "image_id"
-        ],
-    )
+    # dot-named (booleanized) columns need backticks; the rolled-up
+    # hash aliases use an index so the alias itself stays dot-free
+    def _ann_rollup(ann):
+        return ann.select(*[ann[f"`{c}`"] for c in shared]).groupBy(
+            "image_id"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.hash(F.col(f"`{c}`")).cast("long")).alias(f"h_{i}")
+                for i, c in enumerate(shared)
+                if c != "image_id"
+            ],
+        )
+
+    la = _ann_rollup(a.annotations)
+    lb = _ann_rollup(b.annotations)
     cols = [c for c in la.columns if c != "image_id"]
     ja = la.alias("la").join(
         lb.alias("lb"), F.col("la.image_id") == F.col("lb.image_id"), "full_outer"

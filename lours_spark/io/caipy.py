@@ -45,8 +45,12 @@ def flatten_structs(df: DataFrame, prefix: str = "") -> DataFrame:
     return df.select(*flat_cols)
 
 
-def _split_dirs(dataset_root: str, splits: list[str] | None) -> list[str]:
-    ann_root = os.path.join(dataset_root, "Annotations")
+def _split_dirs(
+    dataset_root: str,
+    splits: list[str] | None,
+    annotations_root: str | None = None,
+) -> list[str]:
+    ann_root = annotations_root or os.path.join(dataset_root, "Annotations")
     return splits or sorted(
         d for d in os.listdir(ann_root) if os.path.isdir(os.path.join(ann_root, d))
     )
@@ -57,6 +61,7 @@ def validate_caipy(
     dataset_root: str,
     schema: dict | None = None,
     splits: list[str] | None = None,
+    annotations_root: str | None = None,
 ) -> DataFrame:
     """Per-file conformity report for a cAIpy tree (reference
     ``io/caipy.py:37-48`` validates each JSON against the dataset's
@@ -69,9 +74,9 @@ def validate_caipy(
     """
     import pandas as pd
 
-    ann_root = os.path.join(dataset_root, "Annotations")
+    ann_root = annotations_root or os.path.join(dataset_root, "Annotations")
     parts = []
-    for split in _split_dirs(dataset_root, splits):
+    for split in _split_dirs(dataset_root, splits, annotations_root):
         files = (
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.json")
@@ -127,6 +132,10 @@ def validate_caipy(
         parts.append(
             files.mapInPandas(check, "split string, path string, error string")
         )
+    if not parts:  # no split directories: vacuously conformant
+        return spark.createDataFrame(
+            [], "split string, path string, error string"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -175,7 +184,11 @@ def from_caipy(
     ('train', 10.0, 'cat')
     """
     if schema is not None and on_invalid == "raise":
-        bad = validate_caipy(spark, dataset_root, schema, splits).take(5)
+        # validate the SAME tree the read targets — a generic read with
+        # annotations_root must not validate dataset_root/Annotations
+        bad = validate_caipy(
+            spark, dataset_root, schema, splits, annotations_root
+        ).take(5)
         if bad:
             msgs = "\n".join(f"  {r.path}: {r.error}" for r in bad)
             raise ValueError(
@@ -187,6 +200,12 @@ def from_caipy(
         d for d in os.listdir(ann_root)
         if os.path.isdir(os.path.join(ann_root, d))
     )
+    if not splits:
+        raise ValueError(
+            f"no split directories found under {ann_root!r} — a caipy "
+            "tree holds one subdirectory per split (Annotations/train, "
+            "...); pass splits=[...] to read explicit ones"
+        )
     images_parts = []
     ann_parts = []
     for split in splits:
@@ -302,8 +321,10 @@ def _output_relative_path(rel: str, flatten_paths: bool) -> str:
     per-split output folder), then either join the remaining parts with
     underscores (``flatten_paths=True`` — every file lands in the split
     root) or keep the subdirectory structure as-is."""
+    from lours_spark.io.common import _KNOWN_SPLITS
+
     parts = [p for p in rel.replace("\\", "/").split("/") if p]
-    if parts and parts[0] in ("train", "valid", "eval"):
+    if parts and parts[0] in _KNOWN_SPLITS:
         parts = parts[1:]
     if not parts:
         return rel

@@ -82,17 +82,15 @@ def from_crowd_human(
     ann = both.join(
         img.select("__stem", F.col("id").alias("image_id")), "__stem"
     ).drop("__stem")
-    from pyspark.sql import Window
+    from lours_spark.functions.ids import global_row_number
 
-    ann = ann.withColumn(
-        "id",
-        F.row_number().over(
-            Window.orderBy(
-                "image_id", "category_id", "box_x_min", "box_y_min"
-            )
-        ).cast("long")
-        - 1,
-    )
+    # two-phase global numbering (single-window fast path under 4
+    # partitions): an unpartitioned row_number funnels the whole
+    # annotation table through one task at corpus scale
+    ann = global_row_number(
+        ann, ["image_id", "category_id", "box_x_min", "box_y_min"],
+        out_col="id",
+    ).withColumn("id", F.col("id").cast("long"))
     ds = SparkDataset(
         images=img.drop("__stem"), annotations=ann, label_map=dict(LABEL_MAP)
     ).denormalize()

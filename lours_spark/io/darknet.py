@@ -77,15 +77,12 @@ def from_darknet(
     ann = parsed.join(
         img.select("__stem", F.col("id").alias("image_id")), "__stem"
     ).drop("__stem")
-    from pyspark.sql import Window
+    from lours_spark.functions.ids import global_row_number
 
-    ann = ann.withColumn(
-        "id",
-        F.row_number().over(
-            Window.orderBy("image_id", "category_id", "rcx", "rcy", "rw", "rh")
-        ).cast("long")
-        - 1,
-    )
+    ann = global_row_number(
+        ann, ["image_id", "category_id", "rcx", "rcy", "rw", "rh"],
+        out_col="id",
+    ).withColumn("id", F.col("id").cast("long"))
     ann = import_bbox(
         ann, "cxcywh", ["rcx", "rcy", "rw", "rh"], images=images_df
     )
@@ -205,15 +202,11 @@ def from_darknet_json(
     ann = parsed.join(
         img.select("__stem", F.col("id").alias("image_id")), "__stem"
     ).drop("__stem")
-    from pyspark.sql import Window
+    from lours_spark.functions.ids import global_row_number
 
-    ann = ann.withColumn(
-        "id",
-        F.row_number().over(
-            Window.orderBy("image_id", "category_id", "rcx", "rcy")
-        ).cast("long")
-        - 1,
-    )
+    ann = global_row_number(
+        ann, ["image_id", "category_id", "rcx", "rcy"], out_col="id"
+    ).withColumn("id", F.col("id").cast("long"))
     ann = import_bbox(ann, "cxcywh", ["rcx", "rcy", "rw", "rh"], images=images_df)
     return SparkDataset(
         images=img.drop("__stem"),

@@ -9,6 +9,7 @@ come from a header-sniffing UDF over the first bytes — the reference's
 
 from __future__ import annotations
 
+import os
 import struct
 
 from pyspark.sql import SparkSession
@@ -87,11 +88,26 @@ def from_folder(
         .option("recursiveFileLookup", "true")
         .load(images_root)
     )
-    root = images_root.rstrip("/") + "/"
+    # prefix-strip by LENGTH, not regexp_replace: a regex would treat
+    # metacharacters in the root ("/data (v2)/") as syntax, strip a
+    # recurring substring anywhere in the path, and mis-handle
+    # relative roots (binaryFile paths come back absolute with a
+    # file: scheme — resolve the root the same way first). Object
+    # stores (s3a://, hdfs://) keep their scheme'd root verbatim. A
+    # path outside the resolved prefix stays absolute — visible to
+    # get_invalid_images instead of silently mangled.
+    if "://" in images_root:
+        prefix = images_root.rstrip("/") + "/"
+    else:
+        prefix = "file:" + os.path.abspath(images_root).rstrip("/") + "/"
+    plen = len(prefix)
     images = files.select(
-        F.regexp_replace(
-            F.regexp_replace(F.col("path"), "^file:", ""), root, ""
-        ).alias("relative_path"),
+        F.when(
+            F.col("path").startswith(F.lit(prefix)),
+            F.expr(f"substring(path, {plen + 1})"),
+        )
+        .otherwise(F.col("path"))
+        .alias("relative_path"),
         F.col("content"),
     )
     if with_sizes:

@@ -68,12 +68,11 @@ def from_mot(
         .withColumn("category_id", F.col("class_id"))
         .drop("frame", "class_id")
     )
-    from pyspark.sql import Window
+    from lours_spark.functions.ids import global_row_number
 
-    ann = ann.withColumn(
-        "id",
-        F.row_number().over(Window.orderBy("image_id", "track_id")).cast("long") - 1,
-    )
+    ann = global_row_number(
+        ann, ["image_id", "track_id"], out_col="id"
+    ).withColumn("id", F.col("id").cast("long"))
     lm = label_map or {1: "pedestrian"}
     return SparkDataset(
         images=images_df, annotations=ann, label_map=lm

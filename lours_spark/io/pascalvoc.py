@@ -65,7 +65,15 @@ def from_pascalvoc(
     spark: SparkSession,
     annotations_dir: str,
     imagesets_dir: str | None = None,
+    split_values: "tuple[str, ...] | list[str]" = ("train", "val"),
 ) -> SparkDataset:
+    """``split_values`` mirrors the reference (pascalvoc.py:64-82):
+    ONLY ``{split}.txt`` for the requested split names is read from the
+    image-sets folder — the official VOC ``ImageSets/Main`` layout also
+    holds per-class lists (``aeroplane_train.txt``) and composite ones
+    (``trainval.txt``), which must not be treated as splits (every stem
+    in trainval also sits in train or val, so a glob would flag the
+    whole dataset as overlapping)."""
     img_rows = []
     ann_dicts: list[dict] = []
     names: dict[str, int] = {}
@@ -170,11 +178,15 @@ def from_pascalvoc(
     annotations = spark.createDataFrame(ann_rows, schema)
 
     if imagesets_dir and os.path.isdir(imagesets_dir):
-        # split membership lists; a stem in two splits is a dataset bug
-        # (reference's overlap assertion, pascalvoc.py:80-82)
+        # split membership lists — ONLY the requested split names
+        # (reference image_set(): missing files are empty sets); a stem
+        # in two requested splits is a dataset bug (reference's overlap
+        # assertion, pascalvoc.py:80-82)
         memberships: list[tuple[str, str]] = []
-        for list_file in sorted(glob.glob(os.path.join(imagesets_dir, "*.txt"))):
-            split = os.path.splitext(os.path.basename(list_file))[0]
+        for split in split_values:
+            list_file = os.path.join(imagesets_dir, f"{split}.txt")
+            if not os.path.isfile(list_file):
+                continue
             with open(list_file) as f:
                 for line in f:
                     stem = line.strip().split(" ")[0]

@@ -20,6 +20,7 @@ source + ``foreachBatch`` parquet append:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +45,7 @@ def watch_caipy(
     checkpoint_dir: str,
     schema: T.StructType | None = None,
     available_now: bool = False,
+    annotations_root: str | None = None,
 ):
     """Start the watcher; returns the StreamingQuery.
 
@@ -68,7 +70,11 @@ def watch_caipy(
     >>> spark.read.parquet(os.path.join(out, "o", "annotations")).count()
     1
     """
-    ann_root = os.path.join(dataset_root, "Annotations")
+    # generic trees keep annotations anywhere (reference watcher
+    # observes annotations_root itself) — the vanilla default is
+    # dataset_root/Annotations
+    ann_root = annotations_root or os.path.join(dataset_root, "Annotations")
+    ann_base = os.path.basename(ann_root.rstrip("/"))
     schema = schema or _doc_schema(spark, ann_root)
     docs = (
         spark.readStream.schema(schema)
@@ -77,7 +83,9 @@ def watch_caipy(
         .json(os.path.join(ann_root, "*"))
         .withColumn(
             "split",
-            F.regexp_extract(F.input_file_name(), r"Annotations/([^/]+)/", 1),
+            F.regexp_extract(
+                F.input_file_name(), rf"{re.escape(ann_base)}/([^/]+)/", 1
+            ),
         )
     )
 

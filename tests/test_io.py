@@ -187,6 +187,11 @@ def test_from_pascalvoc(spark, tmp_path):
     sets = tmp_path / "ImageSets"
     sets.mkdir()
     (sets / "train.txt").write_text("img1\n")
+    # official VOC layout also ships composite and per-class lists —
+    # these must NOT be read as splits (trainval overlaps train/val by
+    # construction; class lists would yield garbage split values)
+    (sets / "trainval.txt").write_text("img1\n")
+    (sets / "cat_train.txt").write_text("img1  1\n")
     ds = from_pascalvoc(spark, str(ann_dir), str(sets))
     assert set(ds.label_map.values()) == {"cat", "dog"}
     rows = sorted(ds.annotations.collect(), key=lambda r: r["id"])
@@ -722,3 +727,74 @@ def test_from_folder_reads_real_ppm_files(spark, tmp_path):
         assert (by_path[rel]["width"], by_path[rel]["height"]) == (w, h)
     assert ds.annotations.count() == 0
     assert by_path["a.ppm"]["type"] == ".ppm"
+
+
+def test_from_folder_regex_metachar_root_and_coco_export(spark, tmp_path):
+    """Roots with regex metacharacters strip by prefix length (a
+    regexp_replace would treat them as syntax), and a split-less
+    dataset exports to coco as one anonymous file instead of crashing
+    on the missing split column."""
+    import json
+
+    root = tmp_path / "data (v2)" / "imgs"
+    (root / "sub").mkdir(parents=True)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+        + __import__("struct").pack(">II", 8, 4)
+    )
+    (root / "a.png").write_bytes(png)
+    (root / "sub" / "b.png").write_bytes(png)
+
+    from lours_spark.io.folder import from_folder
+
+    ds = from_folder(spark, str(root))
+    rows = sorted(r["relative_path"] for r in ds.images.collect())
+    assert rows == ["a.png", "sub/b.png"]
+
+    out = str(tmp_path / "coco_out")
+    files = ds.to_coco(out)
+    assert files
+    doc = json.load(open(files[0]))
+    assert len(doc["images"]) == 2
+
+
+def test_caipy_generic_validation_and_empty_tree(spark, tmp_path):
+    """Schema validation targets annotations_root (not
+    dataset_root/Annotations), and an empty tree raises a clear error
+    instead of IndexError."""
+    import json
+
+    import pytest as _pt
+
+    from lours_spark.io.caipy import from_caipy, validate_caipy
+
+    preds = tmp_path / "preds"
+    (preds / "train").mkdir(parents=True)
+    doc = {
+        "image": {"id": 1, "width": 4, "height": 4, "file_name": "a.jpg"},
+        "annotations": [
+            {"id": 10, "category_id": 0, "category_str": "cat",
+             "bbox": [1.0, 1.0, 2.0, 2.0]}
+        ],
+    }
+    (preds / "train" / "a.json").write_text(json.dumps(doc))
+    schema = {"type": "object", "required": ["image"]}
+    # dataset_root has NO Annotations dir — validation must follow
+    # annotations_root
+    report = validate_caipy(
+        spark, str(tmp_path), schema, annotations_root=str(preds)
+    )
+    assert report.count() == 0
+    ds = from_caipy(
+        spark,
+        str(tmp_path),
+        schema=schema,
+        annotations_root=str(preds),
+        images_root=str(tmp_path / "imgs"),
+    )
+    assert ds.images.count() == 1
+
+    empty = tmp_path / "empty" / "Annotations"
+    empty.mkdir(parents=True)
+    with _pt.raises(ValueError, match="no split directories"):
+        from_caipy(spark, str(tmp_path / "empty"))

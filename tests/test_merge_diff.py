@@ -119,3 +119,23 @@ def test_diff_annotation_change_marks_image_changed(tiny_dataset):
     d = tiny_dataset.diff(b)
     status = {r["id"]: r["diff_status"] for r in d["status"].collect()}
     assert status[some_img] == "changed"
+
+
+def test_diff_booleanized_dotted_columns(tiny_dataset):
+    """Booleanized (dot-named) annotation columns are FLAT columns —
+    diff must backtick-quote them, not parse struct-field paths."""
+    a = tiny_dataset.from_template(
+        annotations=tiny_dataset.annotations.withColumn(
+            "tags.a", F.col("id") % 2 == 0
+        ).withColumn("tags.b", F.lit(False))
+    )
+    b = a.from_template(
+        annotations=a.annotations.withColumn(
+            "tags.a", F.lit(True)
+        )
+    )
+    d = a.diff(b)
+    status = {r["diff_status"] for r in d["status"].collect()}
+    assert "changed" in status  # flipped tags.a rolled up to images
+    same = a.diff(a)
+    assert {r["diff_status"] for r in same["status"].collect()} == {"common"}
