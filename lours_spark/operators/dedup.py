@@ -655,3 +655,120 @@ def _embedding_near_dup_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    centroids: "list[list[float]] | None" = None,
+    num_clusters: int = 16,
+    seed: int = 42,
+    use_arrow_cosine: bool = True,
+    cluster_col: str = "cluster_id",
+    dup_col: str = "is_dup",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space coarsely, then mark as duplicate every
+    vector that has a LOWER-id near-neighbor (cosine ≥ ``threshold``)
+    in the SAME cluster. Keep-lowest-id is this implementation's
+    deterministic representative choice (the paper keeps the member
+    farthest from the centroid; any single-representative rule prunes
+    the same near-dup groups).
+
+    Appends ``cluster_col`` and boolean ``dup_col``; all input columns
+    pass through. Filter ``NOT is_dup`` for the pruned corpus.
+
+    Clustering bounds the O(n²) pairwise scan to within-cluster: with
+    balanced clusters the candidate volume is n²/k, so at corpus scale
+    pick ``num_clusters`` ∝ n / target_cluster_size (SemDeDup used
+    k≈√n·c). Cross-cluster near-dups are missed by construction —
+    that's the approximation the paper accepts; raise k for speed,
+    lower it for recall.
+
+    ``centroids`` — fixed coarse centers instead of k-means: the
+    deterministic, oracle-expressible mode (argmin assignment via the
+    same sequential-fold L2 as :func:`operators.similarity.ivf_topk`,
+    ties toward the lower centroid index). ``use_arrow_cosine=False``
+    makes the verify cosine's summation order match the DuckDB twin.
+
+    Scale shape: assignment is one narrow projection (literal-array
+    argmin, no shuffle) or MLlib k-means; the pair scan shuffles the
+    slim (id, vec, cluster) projection once on the cluster key; the
+    dup-mark rejoin is on the id key. A mega-cluster serializes its
+    own pairs only — AQE skew splitting applies to the sort-merge
+    self-join.
+    """
+    from lours_spark.operators.similarity import _l2sq_expr
+
+    if centroids is not None:
+        C = len(centroids)
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        vec = F.col(vec_col)
+        pairs = F.zip_with(
+            F.transform(cent_arr, lambda cv: _l2sq_expr(vec, cv)),
+            F.sequence(F.lit(0), F.lit(C - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+        assigned = df.withColumn(
+            cluster_col, F.array_min(pairs).getField("i")
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.withColumn(
+            "__sd_features",
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ),
+        )
+        km = KMeans(
+            k=num_clusters, seed=seed, featuresCol="__sd_features",
+            predictionCol=cluster_col,
+        )
+        assigned = (
+            km.fit(feats).transform(feats).drop("__sd_features")
+        )
+
+    slim = assigned.select(
+        F.col(id_col).alias("__sd_id"),
+        F.col(vec_col).alias("__sd_v"),
+        F.col(cluster_col).alias("__sd_c"),
+    )
+    cosine = (
+        V.cosine_similarity_arrow()(F.col("__sd_va"), F.col("__sd_vb"))
+        if use_arrow_cosine
+        else V.cosine_similarity(F.col("__sd_va"), F.col("__sd_vb"))
+    )
+    dup_ids = (
+        slim.select(
+            F.col("__sd_id").alias("__sd_ida"),
+            F.col("__sd_v").alias("__sd_va"),
+            F.col("__sd_c").alias("__sd_ca"),
+        )
+        .join(
+            slim.select(
+                F.col("__sd_id").alias("__sd_idb"),
+                F.col("__sd_v").alias("__sd_vb"),
+                F.col("__sd_c").alias("__sd_cb"),
+            ),
+            (F.col("__sd_ca") == F.col("__sd_cb"))
+            & (F.col("__sd_idb") < F.col("__sd_ida")),
+        )
+        .filter(cosine >= threshold)
+        .select(F.col("__sd_ida").alias("__sd_dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids.withColumn(dup_col, F.lit(True)),
+            assigned[id_col] == dup_ids["__sd_dup_id"],
+            "left",
+        )
+        .drop("__sd_dup_id")
+        .withColumn(dup_col, F.coalesce(F.col(dup_col), F.lit(False)))
+    )

@@ -105,3 +105,62 @@ def repetition_signals(
             "dup_trigram_excess",
         )
     )
+
+
+def quality_percentile(
+    df: DataFrame,
+    score_col,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    pct_col: str = "q_pct",
+) -> DataFrame:
+    """Percentile position of each document's quality score within its
+    group (``percent_rank`` ∈ [0, 1]; 0 = worst, 1 = best). The
+    standard form of "drop the bottom X% per language" — an absolute
+    score threshold over-prunes low-resource languages whose score
+    distribution sits lower, a per-group percentile doesn't.
+
+    ``score_col`` may be a column name or a Column expression (e.g.
+    ``functions.text.quality_score(F.col("text"))``). Ordering ties
+    break by ``id_col`` so the percentile is a total order —
+    deterministic across engines and partitionings.
+
+    Scale shape: one hash exchange on ``group_col`` + a per-group
+    window; no global sort. With ``group_col=None`` the window IS a
+    single partition — fine for reporting frames, wrong for a 100 TB
+    corpus (group first, or quantile-bucket via approx thresholds).
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "en", 0.5), (2, "en", 1.0), (3, "en", 0.0)],
+    ...     "doc_id long, lang string, q double")
+    >>> sorted((r["doc_id"], r["q_pct"]) for r in
+    ...        quality_percentile(df, "q", "lang").collect())
+    [(1, 0.5), (2, 1.0), (3, 0.0)]
+    """
+    from pyspark.sql import Window
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    parts = [group_col] if group_col is not None else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.asc("__qp_score"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("__qp_score", score)
+        .withColumn(pct_col, F.percent_rank().over(w))
+        .drop("__qp_score")
+    )
+
+
+def filter_quality_percentile(
+    df: DataFrame,
+    score_col,
+    min_pct: float,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    pct_col: str = "q_pct",
+) -> DataFrame:
+    """Keep documents at or above the ``min_pct`` quality percentile
+    of their group (see :func:`quality_percentile`)."""
+    return quality_percentile(
+        df, score_col, group_col, id_col=id_col, pct_col=pct_col
+    ).filter(F.col(pct_col) >= min_pct)

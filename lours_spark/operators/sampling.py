@@ -206,3 +206,47 @@ def apply_mixture(
         )
         .drop("__w")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: "list[str] | str",
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+    rank_col: str = "cap_rank",
+) -> DataFrame:
+    """Cap rows per group at the ``k`` best by ``order_col`` (the
+    "at most N documents per domain, keep the longest/highest-quality"
+    curation step — C4/RefinedWeb-style host caps).
+
+    Deterministic: ties on ``order_col`` break by ``tiebreak_col``
+    (required when ``order_col`` has duplicates, else the kept set is
+    plan-dependent). Appends ``rank_col`` (1-based within group).
+
+    Scale shape: one hash exchange on the group key + a per-group
+    window — no global sort. Skewed groups (one host owning millions
+    of rows) serialize inside one task; AQE skew splitting does not
+    apply to windows, so for pathological hosts pre-filter with an
+    approximate per-group count cap first.
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "a", 10), (2, "a", 30), (3, "a", 20), (4, "b", 5)],
+    ...     "doc_id long, source string, n_chars long")
+    >>> sorted((r["doc_id"], r["cap_rank"]) for r in
+    ...        cap_per_group(df, "source", "n_chars", k=2,
+    ...                      tiebreak_col="doc_id").collect())
+    [(2, 1), (3, 2), (4, 1)]
+    """
+    from pyspark.sql import Window
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    if tiebreak_col is not None:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(*groups).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )

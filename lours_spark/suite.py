@@ -19,7 +19,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 78)
+(50, 82)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -2757,6 +2757,156 @@ def q_pack_greedy(spark, sf_dir):
     return pack_greedy(d, budget=_PACK_BUDGET)
 
 
+_SHUFFLE_SHARDS = 8
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle: every doc gets a seeded
+    (shard, pos) from its md5 hash — one reproducible global
+    permutation with no global sort (per-shard windows only)."""
+    from lours_spark.operators.ordering import global_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    out = global_shuffle(d, id_col="doc_id", seed=42, num_shards=_SHUFFLE_SHARDS)
+    # shuffle_* names: the pipeline_quality facet union already has a
+    # VARCHAR "shard" (pack_chunked/mixture_weights legs) — reusing the
+    # name would force a cross-engine numeric→string coercion
+    return out.select(
+        "doc_id",
+        F.col("shard").alias("shuffle_shard"),
+        F.col("pos").alias("shuffle_pos"),
+    )
+
+
+def _oracle_global_shuffle() -> str:
+    key = dd_md5_long("doc_id::VARCHAR", 42)
+    return f"""
+WITH k AS (SELECT doc_id, {key} AS key FROM documents)
+SELECT doc_id, key % {_SHUFFLE_SHARDS} AS shuffle_shard,
+       row_number() OVER (
+         PARTITION BY key % {_SHUFFLE_SHARDS} ORDER BY key, doc_id
+       ) AS shuffle_pos
+FROM k
+"""
+
+
+_CAP_PER_SOURCE = 20
+
+
+def q_cap_per_group(spark, sf_dir):
+    """Per-domain document cap (C4/RefinedWeb-style host caps): keep
+    the 20 longest docs per source, ties broken by doc_id."""
+    from lours_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    out = cap_per_group(
+        d, "source", "n_chars", k=_CAP_PER_SOURCE, tiebreak_col="doc_id"
+    )
+    return out.select("doc_id", "source", "cap_rank")
+
+
+def _oracle_cap_per_group() -> str:
+    return f"""
+SELECT doc_id, source, cap_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS cap_rank
+  FROM documents
+) WHERE cap_rank <= {_CAP_PER_SOURCE}
+"""
+
+
+def q_quality_percentile(spark, sf_dir):
+    """Per-language quality percentile filter: keep docs at or above
+    the median quality percentile of their language (absolute-score
+    thresholds over-prune low-resource languages; a per-group
+    percent_rank doesn't). Ordering ties break by doc_id, so the
+    percentile is a total order — engine-exact."""
+    from lours_spark.functions.text import quality_score
+    from lours_spark.operators.quality import filter_quality_percentile
+
+    d = _t(spark, sf_dir, "documents")
+    out = filter_quality_percentile(
+        d, quality_score(F.col("text")), 0.5, group_col="lang"
+    )
+    return out.select("doc_id", "lang", F.round("q_pct", 9).alias("q_pct"))
+
+
+def _oracle_quality_percentile() -> str:
+    # the gated quality_score takes only 4 values (mean of 3 binary
+    # signals), so ordering by the oracle's 6-decimal rounding equals
+    # ordering by the exact Spark-side score
+    return f"""
+WITH q AS ({_oracle_quality()})
+SELECT doc_id, lang, round(q_pct, 9) AS q_pct FROM (
+  SELECT d.doc_id, d.lang,
+         percent_rank() OVER (
+           PARTITION BY d.lang ORDER BY q.quality, d.doc_id
+         ) AS q_pct
+  FROM documents d JOIN q USING (doc_id)
+) WHERE q_pct >= 0.5
+"""
+
+
+_SEMDEDUP_THRESHOLD = 0.92
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-then-prune) over embeddings with the FIXED
+    deterministic coarse centers of the ivf_topk gate (embeddings of
+    the first vec_ids): argmin L2 assignment and the verify cosine are
+    sequential-fold expressions matching the DuckDB twin bit-for-bit,
+    so the dup marks hash exactly (the production k-means mode stays
+    covered in tests/test_operators.py)."""
+    from lours_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < _IVF_CENTROID_IDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = semantic_dedup(
+        emb,
+        threshold=_SEMDEDUP_THRESHOLD,
+        centroids=cents,
+        use_arrow_cosine=False,
+    )
+    return out.select(
+        "vec_id", "cluster_id", F.col("is_dup").cast("int").alias("is_dup")
+    )
+
+
+def _oracle_semantic_dedup() -> str:
+    l2 = _DD_L2SQ.format(a="d.embedding", b="d.cvec", n=_EMB_DIM)
+    # a = the row being marked (higher id), b = its lower-id neighbor —
+    # same argument order as the Spark-side cosine
+    cos = _dd_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_IVF_CENTROID_IDS}
+), d AS (
+  SELECT e.vec_id, e.embedding, c.cid, c.cvec FROM embeddings e CROSS JOIN cents c
+), dist AS (
+  SELECT vec_id, embedding, cid, {l2} AS dsq FROM d
+), assigned AS (
+  SELECT vec_id, embedding, cid AS cluster_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rk
+        FROM dist) WHERE rk = 1
+), dups AS (
+  SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+  WHERE {cos} >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster_id,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM assigned a LEFT JOIN dups d USING (vec_id)
+"""
+
+
 QUERIES.update(
     {
         "decontaminate": q_decontaminate,
@@ -2768,6 +2918,10 @@ QUERIES.update(
         "pack_chunked": q_pack_chunked,
         "pack_greedy": q_pack_greedy,
         "mixture_weights": q_mixture_weights,
+        "global_shuffle": q_global_shuffle,
+        "cap_per_group": q_cap_per_group,
+        "quality_percentile": q_quality_percentile,
+        "semantic_dedup": q_semantic_dedup,
     }
 )
 _EXTRA_ORACLES.update(
@@ -2780,6 +2934,10 @@ _EXTRA_ORACLES.update(
         "table_profile": _oracle_table_profile,
         "pack_chunked": _oracle_pack_chunked,
         "mixture_weights": _oracle_mixture_weights,
+        "global_shuffle": _oracle_global_shuffle,
+        "cap_per_group": _oracle_cap_per_group,
+        "quality_percentile": _oracle_quality_percentile,
+        "semantic_dedup": _oracle_semantic_dedup,
     }
 )
 
@@ -2883,6 +3041,7 @@ _PAIRS: dict[str, tuple[str, str]] = {
 _CURATION_FACETS = (
     "decontaminate", "repetition_signals", "stratified_sample", "pii_signals",
     "paragraph_dedup", "table_profile", "pack_chunked", "mixture_weights",
+    "global_shuffle", "cap_per_group", "quality_percentile", "semantic_dedup",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -3017,6 +3176,10 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 "mixture_weights": [
                     "shard", "n_tok_total", "share", "weight",
                 ],
+                "global_shuffle": ["doc_id", "shuffle_shard", "shuffle_pos"],
+                "cap_per_group": ["doc_id", "source", "cap_rank"],
+                "quality_percentile": ["doc_id", "lang", "q_pct"],
+                "semantic_dedup": ["vec_id", "cluster_id", "is_dup"],
             }
             out[name] = _facet_union_sql(
                 *[(n, base[n], leg_cols[n]) for n in _CURATION_FACETS]

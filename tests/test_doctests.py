@@ -57,6 +57,7 @@ MIN_EXAMPLES = {
     "lours_spark.operators.dedup": 5,
     "lours_spark.operators.grouper": 4,
     "lours_spark.operators.multimodal": 2,
+    "lours_spark.operators.ordering": 3,
     "lours_spark.operators.packing": 1,
     "lours_spark.operators.pii": 4,
     "lours_spark.operators.profile": 3,

@@ -647,3 +647,180 @@ def test_minhash_xxhash64_variant_matches_md5_pairs(spark):
     ).replace("md5(", "KEEP(")  # no md5 expressions survive
     xx_pairs = {(r["id_a"], r["id_b"]) for r in xx.collect()}
     assert md5_pairs == xx_pairs and len(md5_pairs) > 0
+
+
+# ---------------------------------------------------------------- round 6b
+
+
+def test_global_shuffle_permutation_invariants(spark):
+    from lours_spark.operators.ordering import global_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(df, seed=3, num_shards=5)
+    rows = out.collect()
+    # a permutation: every row kept exactly once, pos dense per shard
+    assert sorted(r["doc_id"] for r in rows) == list(range(200))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(5))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic across input partitionings (the whole point)
+    again = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in global_shuffle(
+            df.repartition(7), seed=3, num_shards=5
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    # a different seed is a different permutation
+    other = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in global_shuffle(df, seed=4, num_shards=5).collect()
+    }
+    assert other != again
+
+
+def test_global_shuffle_decorrelates_input_order(spark):
+    """Consecutive input ids must scatter: the rank correlation between
+    id order and shuffled order should be near zero."""
+    from lours_spark.operators.ordering import global_shuffle
+
+    n = 500
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(df, seed=11, num_shards=1)
+    order = [r["doc_id"] for r in out.orderBy("pos").collect()]
+    # Spearman-ish: normalized mean displacement of a random permutation
+    # concentrates near n/3
+    disp = sum(abs(pos - doc) for pos, doc in enumerate(order)) / n
+    assert disp > n / 5, disp
+
+
+def test_cap_per_group_semantics(spark):
+    from lours_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3), i * 7 % 50) for i in range(90)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = cap_per_group(df, "source", "n_chars", k=10, tiebreak_col="doc_id")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r)
+    assert all(len(v) == 10 for v in per.values())
+    # kept rows are exactly the top-10 by (n_chars desc, doc_id asc)
+    all_rows = df.collect()
+    for src, kept in per.items():
+        expect = sorted(
+            (r for r in all_rows if r["source"] == src),
+            key=lambda r: (-r["n_chars"], r["doc_id"]),
+        )[:10]
+        assert sorted(r["doc_id"] for r in kept) == sorted(
+            r["doc_id"] for r in expect
+        )
+        ranks = sorted(r["cap_rank"] for r in kept)
+        assert ranks == list(range(1, 11))
+
+
+def test_quality_percentile_groups_and_filter(spark):
+    from lours_spark.operators.quality import (
+        filter_quality_percentile,
+        quality_percentile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 0.1), (2, "en", 0.9), (3, "en", 0.5), (4, "en", 0.7),
+         (5, "zh", 0.2), (6, "zh", 0.4)],
+        "doc_id long, lang string, score double",
+    )
+    pct = {
+        r["doc_id"]: r["q_pct"]
+        for r in quality_percentile(df, "score", "lang").collect()
+    }
+    assert pct[1] == 0.0 and pct[2] == 1.0
+    assert abs(pct[3] - 1 / 3) < 1e-12 and abs(pct[4] - 2 / 3) < 1e-12
+    assert pct[5] == 0.0 and pct[6] == 1.0  # per-group, not global
+    kept = {
+        r["doc_id"]
+        for r in filter_quality_percentile(
+            df, "score", 0.5, group_col="lang"
+        ).collect()
+    }
+    assert kept == {2, 4, 6}
+    # a Column expression works as the score too
+    via_expr = {
+        r["doc_id"]: r["q_pct"]
+        for r in quality_percentile(
+            df, F.col("score") * 2, "lang"
+        ).collect()
+    }
+    assert via_expr == pct  # monotone transform, same order
+
+
+def test_semantic_dedup_marks_within_cluster_near_dups(spark, vectors):
+    from lours_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    # fixed centers = one per true cluster → assignment is the label
+    out = semantic_dedup(
+        df,
+        centroids=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        threshold=0.99,
+        use_arrow_cosine=False,
+    ).collect()
+    assert len(out) == 60  # pass-through, one row per vector
+    assert all(r["cluster_id"] == r["vec_id"] % 2 for r in out)
+    dups = {r["vec_id"] for r in out if r["is_dup"]}
+    survivors = {r["vec_id"] for r in out if not r["is_dup"]}
+    # the jittered fixture is tightly clustered: almost everything has
+    # a lower-id near-neighbor; the lowest id of each cluster survives
+    assert 0 in survivors and 1 in survivors
+    assert len(dups) > 40
+    # keep-lowest-id greedy: a survivor has NO lower-id neighbor ≥ t
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    vecs = {i: v for i, v, _ in vectors}
+    for s in survivors:
+        for other in range(s):
+            if other % 2 == s % 2:
+                assert cos(vecs[s], vecs[other]) < 0.99, (s, other)
+
+
+def test_semantic_dedup_kmeans_mode_runs(spark, vectors):
+    """Production k-means mode: clusters form, dup marks are a strict
+    subset of the exact near-dup relation (clustering only ever MISSES
+    pairs, never invents them)."""
+    from lours_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    out = semantic_dedup(df, num_clusters=4, threshold=0.995, seed=1).collect()
+    assert len(out) == 60
+    assert {r["vec_id"] for r in out} == set(range(60))
+    import math
+
+    vecs = {i: v for i, v, _ in vectors}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    for r in out:
+        if r["is_dup"]:
+            i = r["vec_id"]
+            assert any(
+                cos(vecs[i], vecs[j]) >= 0.995 for j in range(i)
+            ), i

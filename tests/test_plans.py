@@ -287,3 +287,46 @@ def test_pack_greedy_single_shuffle_arrow_stage(spark, suite):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_global_shuffle_single_exchange_no_python(spark, suite):
+    """The deterministic shuffle must cost exactly one hash exchange
+    (on the shard key) — no global sort, no single-partition window,
+    no Python stage."""
+    plan = _plan(suite.ALL_QUERIES["global_shuffle"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_cap_per_group_window_group_limit(spark, suite):
+    """row_number ≤ k must compile to WindowGroupLimit (partial BEFORE
+    the shuffle + final after) so each task forwards at most k rows per
+    group instead of the whole group."""
+    plan = _plan(suite.ALL_QUERIES["cap_per_group"](spark, SF))
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_quality_percentile_single_exchange_no_python(spark, suite):
+    """Per-language percentile = one hash exchange on lang; the quality
+    score is pure column expressions (no Python stage)."""
+    plan = _plan(suite.ALL_QUERIES["quality_percentile"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_semantic_dedup_no_cartesian_broadcast_rejoin(spark, suite):
+    """The within-cluster pair scan must be an equi-join on the cluster
+    key (never a cartesian), and the dup-mark rejoin must broadcast the
+    (ids-only) dup set rather than reshuffle the corpus."""
+    plan = _plan(suite.ALL_QUERIES["semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
