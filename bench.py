@@ -259,7 +259,7 @@ def main() -> None:
     # precision stepped down until the line fits (full precision lives
     # in BENCH_FULL.json). 1900 leaves slack for the trailing newline
     # and any final runtime chatter inside the 2000-char window.
-    for ndigits in (3, 2, 1):
+    for ndigits in (3, 2, 1, 0):
         line = json.dumps(
             {
                 "metric": payload["metric"],
@@ -272,6 +272,25 @@ def main() -> None:
         )
         if len(line) <= 1900:
             break
+    else:
+        # terminal fallback: even 0-decimal precision overflows the
+        # window — drop per-query detail (BENCH_FULL.json has it all)
+        # rather than print a line the driver will clip mid-JSON
+        print(
+            f"# bench stdout line would be {len(line)} chars; "
+            "dropping 'queries' — see BENCH_FULL.json",
+            file=sys.stderr,
+        )
+        line = json.dumps(
+            {
+                "metric": payload["metric"],
+                "value": payload["value"],
+                "unit": "sec",
+                "sf": payload["sf"],
+                "queries": {},
+            },
+            separators=(",", ":"),
+        )
     print(line)
 
 

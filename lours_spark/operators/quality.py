@@ -115,10 +115,18 @@ def quality_percentile(
     pct_col: str = "q_pct",
 ) -> DataFrame:
     """Percentile position of each document's quality score within its
-    group (``percent_rank`` ∈ [0, 1]; 0 = worst, 1 = best). The
-    standard form of "drop the bottom X% per language" — an absolute
-    score threshold over-prunes low-resource languages whose score
-    distribution sits lower, a per-group percentile doesn't.
+    group (``cume_dist`` ∈ (0, 1]: the fraction of the group at or
+    below this document — the empirical CDF). The standard form of
+    "drop the bottom X% per language" — an absolute score threshold
+    over-prunes low-resource languages whose score distribution sits
+    lower, a per-group percentile doesn't.
+
+    cume_dist, NOT percent_rank: percent_rank is (rank−1)/(n−1), which
+    pins every singleton group to 0.0 — a one-document language would
+    be dropped by ANY positive threshold, the exact failure mode this
+    operator exists to avoid. cume_dist gives the singleton 1.0 and a
+    two-doc group {0.5, 1.0}, so "drop the bottom half" does what it
+    says at every group size.
 
     ``score_col`` may be a column name or a Column expression (e.g.
     ``functions.text.quality_score(F.col("text"))``). Ordering ties
@@ -133,9 +141,9 @@ def quality_percentile(
     >>> df = spark.createDataFrame(
     ...     [(1, "en", 0.5), (2, "en", 1.0), (3, "en", 0.0)],
     ...     "doc_id long, lang string, q double")
-    >>> sorted((r["doc_id"], r["q_pct"]) for r in
+    >>> sorted((r["doc_id"], round(r["q_pct"], 6)) for r in
     ...        quality_percentile(df, "q", "lang").collect())
-    [(1, 0.5), (2, 1.0), (3, 0.0)]
+    [(1, 0.666667), (2, 1.0), (3, 0.333333)]
     """
     from pyspark.sql import Window
 
@@ -146,7 +154,7 @@ def quality_percentile(
     )
     return (
         df.withColumn("__qp_score", score)
-        .withColumn(pct_col, F.percent_rank().over(w))
+        .withColumn(pct_col, F.cume_dist().over(w))
         .drop("__qp_score")
     )
 
@@ -159,8 +167,11 @@ def filter_quality_percentile(
     id_col: str = "doc_id",
     pct_col: str = "q_pct",
 ) -> DataFrame:
-    """Keep documents at or above the ``min_pct`` quality percentile
-    of their group (see :func:`quality_percentile`)."""
+    """Drop the bottom ``min_pct`` fraction of each group by quality:
+    keep documents whose cume_dist exceeds ``min_pct`` (see
+    :func:`quality_percentile`). Strict ``>`` so ``min_pct=0.5`` on a
+    two-doc group keeps exactly the better one, and a singleton group
+    (cume_dist 1.0) survives any ``min_pct < 1``."""
     return quality_percentile(
         df, score_col, group_col, id_col=id_col, pct_col=pct_col
-    ).filter(F.col(pct_col) >= min_pct)
+    ).filter(F.col(pct_col) > min_pct)

@@ -2818,11 +2818,11 @@ SELECT doc_id, source, cap_rank FROM (
 
 
 def q_quality_percentile(spark, sf_dir):
-    """Per-language quality percentile filter: keep docs at or above
-    the median quality percentile of their language (absolute-score
-    thresholds over-prune low-resource languages; a per-group
-    percent_rank doesn't). Ordering ties break by doc_id, so the
-    percentile is a total order — engine-exact."""
+    """Per-language quality percentile filter: drop the bottom half of
+    each language by quality (absolute-score thresholds over-prune
+    low-resource languages; a per-group cume_dist doesn't, and unlike
+    percent_rank it never pins tiny groups to 0). Ordering ties break
+    by doc_id, so the percentile is a total order — engine-exact."""
     from lours_spark.functions.text import quality_score
     from lours_spark.operators.quality import filter_quality_percentile
 
@@ -2841,11 +2841,11 @@ def _oracle_quality_percentile() -> str:
 WITH q AS ({_oracle_quality()})
 SELECT doc_id, lang, round(q_pct, 9) AS q_pct FROM (
   SELECT d.doc_id, d.lang,
-         percent_rank() OVER (
+         cume_dist() OVER (
            PARTITION BY d.lang ORDER BY q.quality, d.doc_id
          ) AS q_pct
   FROM documents d JOIN q USING (doc_id)
-) WHERE q_pct >= 0.5
+) WHERE q_pct > 0.5
 """
 
 
@@ -2862,20 +2862,26 @@ def q_semantic_dedup(spark, sf_dir):
     from lours_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < _IVF_CENTROID_IDS)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _IVF_CENTROID_IDS)
         .orderBy("vec_id")
         .collect()
-    ]
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
     out = semantic_dedup(
         emb,
         threshold=_SEMDEDUP_THRESHOLD,
         centroids=cents,
         use_arrow_cosine=False,
     )
+    # the operator's cluster_id is the centroid's LIST INDEX; the
+    # oracle emits the centroid's vec_id — map index → id so parity
+    # doesn't silently assume the low vec_ids are contiguous from 0
+    cent_ids = F.array(*[F.lit(int(r["vec_id"])) for r in cent_rows])
     return out.select(
-        "vec_id", "cluster_id", F.col("is_dup").cast("int").alias("is_dup")
+        "vec_id",
+        F.element_at(cent_ids, F.col("cluster_id") + 1).alias("cluster_id"),
+        F.col("is_dup").cast("int").alias("is_dup"),
     )
 
 

@@ -25,6 +25,10 @@ QUERIES = [
     "balanced_split_approx",
     "greedy_matching",
     "detection_pr_ap",
+    # round 6 (cont.): documents-driven curation additions
+    "global_shuffle",
+    "cap_per_group",
+    "quality_percentile",
 ]
 
 
@@ -127,7 +131,49 @@ def main() -> None:
         res["cc"] = cc_stats(spark, sf_dir)
         res["rss_mb_after"] = round(rss_mb(), 1)
         out["scales"][label] = res
+    out["semantic_dedup"] = semdedup_decade(spark, wait_for_calm)
     print(json.dumps(out))
+
+
+def semdedup_decade(spark, wait_for_calm) -> dict:
+    """semantic_dedup runs on EMBEDDINGS, which the 10x replica copies
+    verbatim — so it gets its own synthetic decade: seeded gaussian
+    clusters at n and 10n, with BOTH the true cluster count and the
+    operator's k-means k scaled ∝ n (the SemDeDup design point: cluster
+    population stays constant, so the within-cluster pair volume grows
+    linearly, not quadratically)."""
+    import numpy as np
+    import pandas as pd
+
+    from lours_spark.operators.dedup import semantic_dedup
+
+    out: dict = {}
+    for label, n, k in (("1x", 20_000, 100), ("10x", 200_000, 1_000)):
+        rng = np.random.default_rng(0)
+        dim = 32
+        k_true = n // 200
+        centers = rng.normal(size=(k_true, dim))
+        idx = rng.integers(0, k_true, size=n)
+        vecs = centers[idx] + 0.02 * rng.normal(size=(n, dim))
+        pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(vecs)})
+        df = spark.createDataFrame(pdf)
+
+        def run() -> tuple[float, int]:
+            wait_for_calm()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            ndup = (
+                semantic_dedup(df, num_clusters=k, threshold=0.95, seed=1)
+                .filter("is_dup")
+                .count()
+            )
+            return time.time() - t0, ndup
+
+        dt, ndup = run()
+        dt = min(dt, run()[0])
+        out[label] = {"sec": round(dt, 2), "n": n, "k": k, "dups": ndup}
+        print(f"# semdedup {label}: {dt:.2f}s ({ndup} dups)", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":

@@ -739,15 +739,17 @@ def test_quality_percentile_groups_and_filter(spark):
         r["doc_id"]: r["q_pct"]
         for r in quality_percentile(df, "score", "lang").collect()
     }
-    assert pct[1] == 0.0 and pct[2] == 1.0
-    assert abs(pct[3] - 1 / 3) < 1e-12 and abs(pct[4] - 2 / 3) < 1e-12
-    assert pct[5] == 0.0 and pct[6] == 1.0  # per-group, not global
+    # cume_dist: fraction of the group at or below this doc
+    assert pct[1] == 0.25 and pct[2] == 1.0
+    assert pct[3] == 0.5 and pct[4] == 0.75
+    assert pct[5] == 0.5 and pct[6] == 1.0  # per-group, not global
     kept = {
         r["doc_id"]
         for r in filter_quality_percentile(
             df, "score", 0.5, group_col="lang"
         ).collect()
     }
+    # strict >: "drop the bottom half" drops the doc AT the median too
     assert kept == {2, 4, 6}
     # a Column expression works as the score too
     via_expr = {
@@ -757,6 +759,27 @@ def test_quality_percentile_groups_and_filter(spark):
         ).collect()
     }
     assert via_expr == pct  # monotone transform, same order
+
+
+def test_quality_percentile_singleton_group_survives(spark):
+    """A one-document language must NOT be pruned by a percentile
+    filter (percent_rank would pin it to 0.0 and drop it at any
+    positive threshold — the over-pruning this operator exists to
+    avoid; cume_dist gives it 1.0)."""
+    from lours_spark.operators.quality import filter_quality_percentile
+
+    df = spark.createDataFrame(
+        [(1, "en", 0.9), (2, "en", 0.1), (3, "yo", 0.05)],
+        "doc_id long, lang string, score double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in filter_quality_percentile(
+            df, "score", 0.5, group_col="lang"
+        ).collect()
+    }
+    assert 3 in kept  # sole yo doc survives despite its low raw score
+    assert kept == {1, 3}
 
 
 def test_semantic_dedup_marks_within_cluster_near_dups(spark, vectors):
