@@ -7,8 +7,9 @@ SQL string for the correctness gate.
 
 Determinism rules used throughout (so value-hashes match the oracle):
 
-- money/measure sums go through ``decimal(18,6)`` so the result is
-  exact regardless of parallel summation order, then cast to double;
+- money/measure sums go through ``decimal(28,6)`` (see ``_dsum``) so
+  the result is exact regardless of parallel summation order, then
+  cast to double;
 - averages are exact-sum / count double divisions;
 - every hash is the md5-based portable hash (identical in DuckDB);
 - every window and LIMIT has a total-order tie-break;
@@ -1193,6 +1194,44 @@ _IVF_CENTROID_IDS = 8
 _IVF_PROBES = 3
 
 
+def _fixed_centroids(emb):
+    """Deterministic coarse centers shared by the ivf_topk and
+    semantic_dedup gates: the embeddings of the first
+    ``_IVF_CENTROID_IDS`` vec_ids, ordered by id — so list-index order
+    equals vec_id order and the operators' ties-toward-lower-index
+    argmin matches the oracles' ``ORDER BY dsq, cid`` tie-break even
+    if the low ids are not contiguous. Returns (ids, vectors)."""
+    rows = (
+        emb.filter(F.col("vec_id") < _IVF_CENTROID_IDS)
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [int(r["vec_id"]) for r in rows]
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    return ids, cents
+
+
+def _dd_assigned_cte() -> str:
+    """DuckDB CTE chain shared by the ivf_topk and semantic_dedup
+    oracles: every embedding assigned to its argmin-L2 fixed coarse
+    center (ties toward the lower centroid id), exposing
+    ``dist(vec_id, embedding, cid, dsq)`` and
+    ``assigned(vec_id, embedding, cid)``."""
+    l2 = _DD_L2SQ.format(a="d.embedding", b="d.cvec", n=_EMB_DIM)
+    return f"""cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_IVF_CENTROID_IDS}
+), d AS (
+  SELECT e.vec_id, e.embedding, c.cid, c.cvec FROM embeddings e CROSS JOIN cents c
+), dist AS (
+  SELECT vec_id, embedding, cid, {l2} AS dsq FROM d
+), assigned AS (
+  SELECT vec_id, embedding, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rk
+        FROM dist) WHERE rk = 1
+)"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN candidate path with FIXED deterministic coarse centers
     (the embeddings of the first ``_IVF_CENTROID_IDS`` vec_ids): corpus
@@ -1205,12 +1244,7 @@ def q_ivf_topk(spark, sf_dir):
     from lours_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < _IVF_CENTROID_IDS)
-        .orderBy("vec_id")
-        .collect()
-    ]
+    _, cents = _fixed_centroids(emb)
     queries = emb.filter(F.col("vec_id") < 10)
     out = ivf_topk(
         emb,
@@ -1233,28 +1267,16 @@ _DD_L2SQ = (
 
 
 def _oracle_ivf_topk() -> str:
-    l2 = _DD_L2SQ.format(a="d.embedding", b="d.cvec", n=_EMB_DIM)
-    cos = _dd_cosine("p.qemb", "a.cemb")
+    cos = _dd_cosine("p.qemb", "a.embedding")
     return f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  WHERE vec_id < {_IVF_CENTROID_IDS}
-), d AS (
-  SELECT e.vec_id, e.embedding, c.cid, c.cvec FROM embeddings e CROSS JOIN cents c
-), dist AS (
-  SELECT vec_id, embedding, cid, {l2} AS dsq FROM d
-), assigned AS (
-  SELECT vec_id AS neighbor_id, embedding AS cemb, cid AS centroid
-  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rk
-        FROM dist) WHERE rk = 1
-), probes AS (
+WITH {_dd_assigned_cte()}, probes AS (
   SELECT vec_id AS query_id, embedding AS qemb, cid AS centroid
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rk
         FROM dist WHERE vec_id < 10) WHERE rk <= {_IVF_PROBES}
 ), scored AS (
-  SELECT p.query_id, a.neighbor_id, {cos} AS cosine
+  SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cosine
   FROM probes p JOIN assigned a
-    ON p.centroid = a.centroid AND p.query_id != a.neighbor_id
+    ON p.centroid = a.cid AND p.query_id != a.vec_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -1454,6 +1476,19 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+def _jittered_pred(ann):
+    """Synthetic predictions: the groundtruth boxes jittered the SAME
+    way in every matcher/evaluator facet (id shift keeps ids disjoint,
+    +2px x keeps IoU high but < 1, confidence a deterministic id
+    residue). The facets and the tests that pin them rely on this
+    recipe staying identical — change it here or nowhere."""
+    return (
+        ann.withColumn("id", F.col("id") + 10000000)
+        .withColumn("box_x_min", F.col("box_x_min") + 2.0)
+        .withColumn("confidence", ((F.col("id") % 97).cast("double") / 97.0))
+    )
+
+
 def q_greedy_matching(spark, sf_dir):
     """Greedy bipartite IoU matching via applyInPandas: gt = synthetic
     boxes from lineitem, predictions = the same boxes jittered, so
@@ -1466,13 +1501,7 @@ def q_greedy_matching(spark, sf_dir):
         _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
     ).withColumn("category_id", (F.col("id") % 3).cast("int"))
     gt = ann
-    pred = (
-        ann.withColumn("id", F.col("id") + 10000000)
-        .withColumn("box_x_min", F.col("box_x_min") + 2.0)
-        .withColumn(
-            "confidence", ((F.col("id") % 97).cast("double") / 97.0)
-        )
-    )
+    pred = _jittered_pred(ann)
     matches = compute_matches(gt, pred)
     return matches.select(
         "image_id", "category_id", "prediction_id", "groundtruth_id",
@@ -1481,9 +1510,10 @@ def q_greedy_matching(spark, sf_dir):
 
 
 def q_matcher_skew(spark, sf_dir):
-    """Skewed-matcher stress facet: 1/20 of all boxes rerouted into ONE
-    monster (image, category) group among the ~15k tiny groups — at
-    sf0.1 that is a ~3000 gt × 3000 pred group, far over the kernel's
+    """Skewed-matcher stress facet: ~0.7% of all boxes (line 3 of
+    every 20th order) rerouted into ONE monster (image, category)
+    group among the ~15k tiny groups — at sf0.1 that is a
+    ~4000 gt × 4000 pred group, far over the kernel's
     256-product bulk cap, so the per-group numpy fallback
     (matching.py per-group kernel) runs inside one extremely skewed
     shuffle partition while the bulk shape-stacked path handles the
@@ -1512,11 +1542,7 @@ def q_matcher_skew(spark, sf_dir):
         .cast("int"),
     )
     gt = ann
-    pred = (
-        ann.withColumn("id", F.col("id") + 10000000)
-        .withColumn("box_x_min", F.col("box_x_min") + 2.0)
-        .withColumn("confidence", ((F.col("id") % 97).cast("double") / 97.0))
-    )
+    pred = _jittered_pred(ann)
     matches = compute_matches(gt, pred)
     status = (
         F.when(
@@ -1550,12 +1576,7 @@ def q_detection_pr_ap(spark, sf_dir):
     ann = import_bbox(
         _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
     ).withColumn("category_id", (F.col("id") % 3).cast("int"))
-    pred = (
-        ann.withColumn("id", F.col("id") + 10000000)
-        .withColumn("box_x_min", F.col("box_x_min") + 2.0)
-        .withColumn("confidence", ((F.col("id") % 97).cast("double") / 97.0))
-        .filter(F.col("id") % 5 != 0)
-    )
+    pred = _jittered_pred(ann).filter(F.col("id") % 5 != 0)
     res = compute_precision_recall(
         ann, pred, ious=[0.2, 0.5], group_cols=["category_id"]
     )
@@ -2073,17 +2094,25 @@ def q_tfidf_top_term(spark, sf_dir):
     from lours_spark.functions.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # corpus size as a broadcast 1-row aggregate (the oracle's scalar
+    # subquery), NOT an eager d.count() — that ran an extra full scan
+    # of documents as an untimed driver action on every invocation
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     terms = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").withColumn(
-        "tfidf",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ),
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
+            ),
+        )
+        .drop("__n_docs")
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("term")
@@ -2862,12 +2891,7 @@ def q_semantic_dedup(spark, sf_dir):
     from lours_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < _IVF_CENTROID_IDS)
-        .orderBy("vec_id")
-        .collect()
-    )
-    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    ids, cents = _fixed_centroids(emb)
     out = semantic_dedup(
         emb,
         threshold=_SEMDEDUP_THRESHOLD,
@@ -2877,7 +2901,7 @@ def q_semantic_dedup(spark, sf_dir):
     # the operator's cluster_id is the centroid's LIST INDEX; the
     # oracle emits the centroid's vec_id — map index → id so parity
     # doesn't silently assume the low vec_ids are contiguous from 0
-    cent_ids = F.array(*[F.lit(int(r["vec_id"])) for r in cent_rows])
+    cent_ids = F.array(*[F.lit(i) for i in ids])
     return out.select(
         "vec_id",
         F.element_at(cent_ids, F.col("cluster_id") + 1).alias("cluster_id"),
@@ -2886,28 +2910,16 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 def _oracle_semantic_dedup() -> str:
-    l2 = _DD_L2SQ.format(a="d.embedding", b="d.cvec", n=_EMB_DIM)
     # a = the row being marked (higher id), b = its lower-id neighbor —
     # same argument order as the Spark-side cosine
     cos = _dd_cosine("a.embedding", "b.embedding")
     return f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  WHERE vec_id < {_IVF_CENTROID_IDS}
-), d AS (
-  SELECT e.vec_id, e.embedding, c.cid, c.cvec FROM embeddings e CROSS JOIN cents c
-), dist AS (
-  SELECT vec_id, embedding, cid, {l2} AS dsq FROM d
-), assigned AS (
-  SELECT vec_id, embedding, cid AS cluster_id
-  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rk
-        FROM dist) WHERE rk = 1
-), dups AS (
+WITH {_dd_assigned_cte()}, dups AS (
   SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
-    ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+    ON a.cid = b.cid AND b.vec_id < a.vec_id
   WHERE {cos} >= {_SEMDEDUP_THRESHOLD}
 )
-SELECT a.vec_id, a.cluster_id,
+SELECT a.vec_id, a.cid AS cluster_id,
        CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
 FROM assigned a LEFT JOIN dups d USING (vec_id)
 """
@@ -2955,11 +2967,15 @@ _EXTRA_ORACLES.update(
 # third of the standalone queries never got a correctness row. The registry below
 # merges closely related queries into combined gate queries (each facet
 # keeps its exact round-1 logic and oracle; schemas are aligned by
-# NULL-padded facet unions or same-grain joins) so that EVERY operator
-# facet is inside the gated prefix. GATE_FACETS records the combined-name
+# NULL-padded facet unions or same-grain joins) so that every operator
+# facet is inside the gated prefix EXCEPT the deliberately bench-only
+# stress/variant queries (matcher_skew, balanced_split_approx,
+# dedup_clusters_distributed, pack_greedy — pinned, with reasons, in
+# tests/test_suite_registry.py; their correctness coverage lives in
+# pytest, not the gate). GATE_FACETS records the combined-name
 # -> original-names mapping; ALL_QUERIES keeps every standalone query
-# (see test_suite.py's registry-count guard for the current total)
-# for bench.py / scripts / tests.
+# (see test_suite_registry.py's registry-count guard for the current
+# total) for bench.py / scripts / tests.
 
 
 def _facet_union(*legs):
