@@ -6,6 +6,7 @@ Usage: python scripts/render_scaling.py < scaling_out.json > SCALING.md
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 ROWS = {
@@ -29,7 +30,7 @@ TABLE_ROWS = {
 def main() -> None:
     data = json.load(sys.stdin)
     s1, s10 = data["scales"]["1x"], data["scales"]["10x"]
-    print("# SCALING — 10x scale evidence (round 5)")
+    print("# SCALING — 10x scale evidence")
     print()
     print(
         "The heaviest pipelines at sf0.1 and at a structure-preserving\n"
@@ -146,5 +147,28 @@ def main() -> None:
         )
 
 
+def appended_sections() -> str:
+    """SCALING.md carries sections this renderer does NOT generate
+    (the 100x second decade from run_scaling100.py, the driver-core
+    decade, per-round operator decades). Preserve everything from the
+    first such heading onward in the existing file, so a regeneration
+    never silently deletes evidence (it did once)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    if not os.path.exists(path):
+        return ""
+    text = open(path).read()
+    m = re.search(r"^## 100x .*$", text, flags=re.MULTILINE)
+    return text[m.start():] if m else ""
+
+
 if __name__ == "__main__":
+    kept = appended_sections()
     main()
+    if kept:
+        print()
+        print(kept, end="")
