@@ -71,3 +71,35 @@ def global_shuffle(
         .withColumn(pos_col, F.row_number().over(w).cast("long"))
         .drop("__gs_key")
     )
+
+
+def write_shuffled(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+    num_shards: int = 64,
+    format: str = "parquet",
+    mode: str = "error",
+) -> None:
+    """Materialize the corpus in the :func:`global_shuffle` order: one
+    ``shard=K`` directory per shard, rows inside each shard's files in
+    hash order. A training loader that walks shards in key order and
+    rows in file order replays the permutation exactly — without any
+    rank column stored, and without ever running a global sort.
+
+    Plan shape: ONE hash exchange (``repartition`` on the shard key) +
+    a partition-local sort feeding the writer — each task streams its
+    sorted shard straight to disk. ``mode`` passes through to the
+    DataFrameWriter (default errors on an existing path rather than
+    silently overwriting a corpus).
+    """
+    key = md5_long(F.col(id_col).cast("string"), seed)
+    shuffled = (
+        df.withColumn("__gs_key", key)
+        .withColumn("shard", F.col("__gs_key") % num_shards)
+        .repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__gs_key", id_col)
+        .drop("__gs_key")
+    )
+    shuffled.write.mode(mode).partitionBy("shard").format(format).save(path)

@@ -847,3 +847,34 @@ def test_semantic_dedup_kmeans_mode_runs(spark, vectors):
             assert any(
                 cos(vecs[i], vecs[j]) >= 0.995 for j in range(i)
             ), i
+
+
+def test_write_shuffled_replays_global_shuffle_order(spark, tmp_path):
+    """Reading write_shuffled's shard directories in order must replay
+    exactly the permutation global_shuffle describes — file row order
+    IS the shuffle, no rank column stored."""
+    from lours_spark.operators.ordering import global_shuffle, write_shuffled
+
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shuffled")
+    write_shuffled(df, out, seed=9, num_shards=4)
+
+    expect = [
+        (r["shard"], r["doc_id"])
+        for r in global_shuffle(df, seed=9, num_shards=4)
+        .orderBy("shard", "pos")
+        .collect()
+    ]
+    got = []
+    import glob
+
+    for shard in range(4):
+        files = sorted(glob.glob(f"{out}/shard={shard}/*.parquet"))
+        assert files, shard
+        for f in files:
+            # single-file read preserves parquet row order
+            got.extend(
+                (shard, r["doc_id"])
+                for r in spark.read.parquet(f).collect()
+            )
+    assert got == expect
