@@ -257,8 +257,9 @@ def main() -> None:
     # ... and print a stdout line SIZED TO THE CAPTURE WINDOW: only the
     # fields the driver's schema needs, compact separators, per-query
     # precision stepped down until the line fits (full precision lives
-    # in BENCH_FULL.json). 1900 leaves slack for the trailing newline
-    # and any final runtime chatter inside the 2000-char window.
+    # in BENCH_FULL.json). The window keeps the LAST 2000 chars and
+    # this line is the final stdout; 1980 leaves slack for the
+    # trailing newline (guarded by test_suite_registry).
     for ndigits in (3, 2, 1, 0):
         line = json.dumps(
             {
@@ -270,7 +271,7 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
-        if len(line) <= 1900:
+        if len(line) <= 1980:
             break
     else:
         # terminal fallback: even 0-decimal precision overflows the

@@ -31,6 +31,10 @@ QUERIES = [
     "detection_pr_ap",
     "balanced_split",
     "balanced_split_approx",
+    # round 6 (cont.): documents-driven curation additions
+    "global_shuffle",
+    "cap_per_group",
+    "quality_percentile",
 ]
 
 

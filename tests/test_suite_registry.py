@@ -51,3 +51,34 @@ def test_bench_list_covers_all_queries():
     from lours_spark.suite import ALL_QUERIES
 
     assert set(bench.BENCH_QUERIES) == set(ALL_QUERIES)
+
+
+def test_bench_stdout_line_fits_driver_window():
+    """The driver records only the LAST ~2000 chars of bench.py's
+    stdout; bench steps per-query precision down to 1 decimal before
+    giving up and dropping the queries dict entirely. Guard that the
+    1-decimal rendering still fits with realistic (<1000s) values, so
+    a registry growth that would silently cost the per-query data
+    fails HERE instead."""
+    import json
+
+    import bench
+
+    # realistic regime: every query under 10s at sf0.1 (slowest today
+    # is ~2.3s) — the step-down handles heavier outliers per-run
+    qs = {name: 9.9 for name in bench.BENCH_QUERIES}
+    line = json.dumps(
+        {
+            "metric": "suite_total_runtime",
+            "value": 99999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "queries": qs,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1980, (
+        f"bench stdout line would be {len(line)} chars at 1-decimal "
+        "precision; shorten query names or accept losing per-query "
+        "numbers in BENCH_r{N}.json (BENCH_FULL.json keeps them)"
+    )
