@@ -61,12 +61,15 @@ def assert_frame_intersections_equal(
     """Rows present in both (by key) must be identical on shared
     columns (reference ``testing.py:174-211``)."""
     shared = sorted((set(a.columns) & set(b.columns)) - {key})
-    joined = a.select(key, *shared).alias("l").join(
-        b.select(key, *shared).alias("r"), key
+    # backtick-quote like assert_frames_equal: booleanized columns
+    # carry dots, which would otherwise parse as struct-field access
+    sel = [F.col(f"`{c}`") for c in shared]
+    joined = a.select(key, *sel).alias("l").join(
+        b.select(key, *sel).alias("r"), key
     )
     diff = None
     for c in shared:
-        p = ~F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+        p = ~F.col(f"l.`{c}`").eqNullSafe(F.col(f"r.`{c}`"))
         diff = p if diff is None else (diff | p)
     n = joined.filter(diff).count() if diff is not None else 0
     assert n == 0, f"{n} intersecting rows differ"
@@ -148,15 +151,28 @@ def dummy_dataset(
         splits = [split_names]
     else:
         splits = list(split_names)[: len(split_shares)]
+    # renormalize the shares actually used so every image gets a split:
+    # zip-truncation otherwise leaves a silent null tail (e.g. a single
+    # split name against the default (0.8, 0.1, 0.1) shares dropped
+    # ~20% of images into split=None)
+    used = list(split_shares[: len(splits)])
+    total = sum(used)
+    shares = (
+        [u / total for u in used]
+        if total > 0
+        else [1.0 / len(splits)] * len(splits)
+    ) if splits else []
     images = []
     for i in range(n_imgs):
         r = rng.random()
         cum, chosen = 0.0, None
-        for s, share in zip(splits, split_shares):
+        for s, share in zip(splits, shares):
             cum += share
             if r < cum:
                 chosen = s
                 break
+        if chosen is None and splits:  # float cum < 1.0 tail
+            chosen = splits[-1]
         ext = ".png" if generate_real_images else ".jpg"
         images.append(
             (
@@ -210,16 +226,18 @@ def dummy_dataset(
     ann_lists = _attribute_columns(
         n_list_columns_annotations, rng, n_annot, True, "ann_tags"
     )
-    for name, cells in img_attr + img_lists:
+    for (name, cells), dtype in [
+        *((c, "string") for c in img_attr),
+        *((c, "array<string>") for c in img_lists),
+    ]:
         images = [(*row, cells[k]) for k, row in enumerate(images)]
-        img_schema += f", `{name}` " + (
-            "array<string>" if (name, cells) in img_lists else "string"
-        )
-    for name, cells in ann_attr + ann_lists:
+        img_schema += f", `{name}` {dtype}"
+    for (name, cells), dtype in [
+        *((c, "string") for c in ann_attr),
+        *((c, "array<string>") for c in ann_lists),
+    ]:
         annotations = [(*row, cells[k]) for k, row in enumerate(annotations)]
-        ann_schema += f", `{name}` " + (
-            "array<string>" if (name, cells) in ann_lists else "string"
-        )
+        ann_schema += f", `{name}` {dtype}"
     images_root = "."
     if generate_real_images:
         import struct
@@ -295,19 +313,27 @@ class DatasetRegression:
         expected = os.path.join(self.datadir, name + ".d")
         if check_images:
             spark = dataset.spark
+            # recursive listing + join on the FULL relative path: a
+            # basename join fans out on duplicate basenames across
+            # subdirs (train/x.png, valid/x.png) and a non-recursive
+            # glob never checksums nested files at all
+            root = os.path.abspath(dataset.images_root).rstrip("/") + "/"
             files = (
                 spark.read.format("binaryFile")
-                .load(os.path.join(dataset.images_root, "*"))
+                .option("recursiveFileLookup", "true")
+                .load(dataset.images_root)
                 .select(
-                    F.element_at(F.split("path", "/"), -1).alias("__fname"),
+                    F.substring_index(F.col("path"), root, -1).alias(
+                        "__relpath"
+                    ),
                     F.sha2(F.col("content"), 256).alias("checksum"),
                 )
             )
             imgs = dataset.images.withColumn(
-                "__fname", F.element_at(F.split("relative_path", "/"), -1)
+                "__relpath", F.col("relative_path")
             )
             dataset = dataset.from_template(
-                images=imgs.join(files, "__fname", "left").drop("__fname")
+                images=imgs.join(files, "__relpath", "left").drop("__relpath")
             )
         if self.force_regen or not os.path.isdir(expected):
             shutil.rmtree(expected, ignore_errors=True)

@@ -20,11 +20,13 @@ from __future__ import annotations
 
 import json
 import os
-import resource
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _calm import rss_mb, wait_for_calm  # noqa: E402
 
 import numpy as np
 import pandas as pd
@@ -34,29 +36,6 @@ from lours_spark.split.balanced import _approx_assignment_from_table
 SHARES = {"train": 0.7, "valid": 0.2, "eval": 0.1}
 K_BINS = 64
 OCCUPANCY = 0.6
-
-
-def rss_mb() -> float:
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
-
-
-def wait_for_calm(max_wait: float = 300.0) -> None:
-    """Same steal-burst gate as scripts/run_scaling.py (see
-    SCALING.md's methodology note): block until a warm 1200x1200
-    matmul runs < 0.05s."""
-    A = np.random.default_rng(0).random((1200, 1200))
-    _ = A @ A  # warm
-    deadline = time.time() + max_wait
-    while time.time() < deadline:
-        t0 = time.time()
-        _ = A @ A
-        if time.time() - t0 < 0.05:
-            return
-        time.sleep(10)
-    print(
-        "# WARNING: host never calmed; numbers are steal-inflated",
-        file=sys.stderr,
-    )
 
 
 def make_table(n_chunks: int, seed: int = 0) -> pd.DataFrame:

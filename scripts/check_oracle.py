@@ -22,10 +22,9 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# the one table registry (lours_spark.session.TABLES) — a second
+# hand-maintained copy here would miss new tables silently
+from lours_spark.session import TABLES
 
 
 def norm_cell(v):
@@ -36,6 +35,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # int(inf) raises before the == comparison
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)

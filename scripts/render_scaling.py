@@ -1,6 +1,11 @@
 """Render SCALING.md from scripts/run_scaling.py's JSON output.
 
-Usage: python scripts/render_scaling.py < scaling_out.json > SCALING.md
+Usage: python scripts/render_scaling.py < scaling_out.json
+
+Writes SCALING.md in the repo root ITSELF (after reading the existing
+file to preserve the hand-appended sections). Do NOT shell-redirect
+stdout onto SCALING.md — the shell truncates the file before Python
+can read the sections it must preserve.
 """
 
 from __future__ import annotations
@@ -98,7 +103,7 @@ def main() -> None:
         present,
         key=lambda q: s10[q]["sec"] / s1[q]["sec"] if s1[q]["sec"] else 0,
     )
-    wr = s10[worst]["sec"] / s1[worst]["sec"]
+    wr = s10[worst]["sec"] / s1[worst]["sec"] if s1[worst]["sec"] else 0.0
     print(
         f"- Every pipeline grows SUB-linearly in wall time for 10x data\n"
         f"  (worst ratio {wr:.1f}x, {worst}); at sf0.1 fixed per-stage\n"
@@ -147,6 +152,9 @@ def main() -> None:
         )
 
 
+SCALING_PATH = None  # resolved in __main__
+
+
 def appended_sections() -> str:
     """SCALING.md carries sections this renderer does NOT generate
     (the 100x second decade from run_scaling100.py, the driver-core
@@ -155,20 +163,29 @@ def appended_sections() -> str:
     never silently deletes evidence (it did once)."""
     import os
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING.md",
-    )
-    if not os.path.exists(path):
+    if not os.path.exists(SCALING_PATH):
         return ""
-    text = open(path).read()
+    text = open(SCALING_PATH).read()
     m = re.search(r"^## 100x .*$", text, flags=re.MULTILINE)
     return text[m.start():] if m else ""
 
 
 if __name__ == "__main__":
+    import contextlib
+    import io
+    import os
+
+    SCALING_PATH = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
     kept = appended_sections()
-    main()
-    if kept:
-        print()
-        print(kept, end="")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main()
+        if kept:
+            print()
+            print(kept, end="")
+    with open(SCALING_PATH, "w") as f:
+        f.write(buf.getvalue())
+    print(f"wrote {SCALING_PATH}", file=sys.stderr)

@@ -10,11 +10,14 @@ from __future__ import annotations
 
 import json
 import os
-import resource
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _calm import calibration as _calibration  # noqa: E402
+from _calm import cc_stats, rss_mb, wait_for_calm  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 QUERIES = [
@@ -32,25 +35,6 @@ QUERIES = [
 ]
 
 
-def rss_mb() -> float:
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
-
-
-def cc_stats(spark, sf_dir: str) -> dict:
-    """dedup_clusters_distributed with the stats out-param: edge count,
-    chosen path, convergence rounds."""
-    from lours_spark.operators.dedup import ngram_jaccard_pairs
-    from lours_spark.split.chunks import connected_components
-    from lours_spark.suite import _t
-
-    d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.3)
-    stats: dict = {}
-    n = connected_components(pairs, driver_threshold=0, stats=stats).count()
-    stats["members"] = n
-    return stats
-
-
 def main() -> None:
     scaled = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_data/sf1x10"
 
@@ -60,53 +44,17 @@ def main() -> None:
     # engine defaults (Arrow boundaries, AQE) — the same session shape
     # bench.py measures; a bare session silently disables Arrow and
     # penalizes every toPandas boundary ~10x
+    # get_spark already disables the UI; only the driver-memory
+    # fallback differs (16g here vs get_spark's 8g — the 10x balanced
+    # split holds bigger chunk histograms on the driver)
     spark = get_spark(
         "lours-scaling",
         extra_conf={
-            "spark.ui.enabled": "false",
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g"),
         },
     )
     # warm JVM + python workers once, like bench.py
     suite.ALL_QUERIES["multimodal_features"](spark, BASE).count()
-
-    def calibration() -> dict:
-        """Fixed reference workloads (same as bench.py): the host has
-        bursty hypervisor steal; scale ratios are only trustworthy when
-        both passes ran at comparable calibration speed. Gated on the
-        same calm-window probe as the samples, so the recorded numbers
-        describe the conditions the samples were actually taken in."""
-        import numpy as np
-
-        wait_for_calm()
-        t0 = time.time()
-        spark.range(200_000_000).selectExpr("sum(id * 2) as s").collect()
-        cal_spark = round(time.time() - t0, 3)
-        A = np.random.default_rng(0).random((2000, 2000))
-        t0 = time.time()
-        _ = A @ A
-        cal_numpy = round(time.time() - t0, 3)
-        return {"spark_range_sum_sec": cal_spark, "numpy_matmul_2000_sec": cal_numpy}
-
-    def wait_for_calm(max_wait: float = 300.0) -> None:
-        """Block until a quick numpy probe shows the hypervisor isn't
-        stealing (bursts last minutes and inflate wall clock 3-10x —
-        min-of-N can't save a sample taken inside one). Gives up after
-        ``max_wait`` so a permanently-loaded host still produces
-        numbers (flagged by the recorded calibration)."""
-        import numpy as np
-
-        A = np.random.default_rng(0).random((1200, 1200))
-        _ = A @ A  # warm
-        deadline = time.time() + max_wait
-        while time.time() < deadline:
-            t0 = time.time()
-            _ = A @ A
-            if time.time() - t0 < 0.05:  # ~1.5x true cost tolerance
-                return
-            time.sleep(10)
-        print("# WARNING: host never calmed; numbers are steal-inflated",
-              file=sys.stderr)
 
     def timed(name, sf_dir) -> tuple[float, int]:
         wait_for_calm()
@@ -116,9 +64,9 @@ def main() -> None:
         return time.time() - t0, rows
 
     out: dict = {"scales": {}}
-    for label, sf_dir in (("1x", BASE), (f"10x", scaled)):
+    for label, sf_dir in (("1x", BASE), ("10x", scaled)):
         res: dict = {"rss_mb_before": round(rss_mb(), 1)}
-        res["calibration"] = calibration()
+        res["calibration"] = _calibration(spark)
         for name in QUERIES:
             # every sample is steal-spike-suspect: min-of-2 always,
             # a third sample while still over 5s

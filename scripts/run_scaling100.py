@@ -15,11 +15,15 @@ from __future__ import annotations
 
 import json
 import os
-import resource
+
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _calm import calibration as _calibration  # noqa: E402
+from _calm import cc_stats, rss_mb, wait_for_calm  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 QUERIES = [
@@ -73,10 +77,6 @@ def pr_ap_routing_probe(spark, sf_dir: str) -> dict:
     return stats
 
 
-def rss_mb() -> float:
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
-
-
 def main() -> None:
     scaled = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_data/sf1x100"
 
@@ -86,43 +86,15 @@ def main() -> None:
     # engine defaults (Arrow boundaries, AQE) — the same session shape
     # bench.py measures; a bare session silently disables Arrow and
     # penalizes every toPandas boundary ~10x
+    # see run_scaling.py: only the driver-memory fallback differs
+    # from get_spark's default (100x split histograms on the driver)
     spark = get_spark(
         "lours-scaling",
         extra_conf={
-            "spark.ui.enabled": "false",
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g"),
         },
     )
     suite.ALL_QUERIES["paragraph_dedup"](spark, BASE).count()  # warm
-
-    def wait_for_calm(max_wait: float = 300.0) -> None:
-        import numpy as np
-
-        A = np.random.default_rng(0).random((1200, 1200))
-        _ = A @ A
-        deadline = time.time() + max_wait
-        while time.time() < deadline:
-            t0 = time.time()
-            _ = A @ A
-            if time.time() - t0 < 0.05:
-                return
-            time.sleep(10)
-        print("# WARNING: host never calmed", file=sys.stderr)
-
-    def calibration() -> dict:
-        import numpy as np
-
-        wait_for_calm()
-        t0 = time.time()
-        spark.range(200_000_000).selectExpr("sum(id * 2) as s").collect()
-        cal_spark = round(time.time() - t0, 3)
-        A = np.random.default_rng(0).random((2000, 2000))
-        t0 = time.time()
-        _ = A @ A
-        return {
-            "spark_range_sum_sec": cal_spark,
-            "numpy_matmul_2000_sec": round(time.time() - t0, 3),
-        }
 
     def timed(name: str) -> tuple[float, int]:
         wait_for_calm()
@@ -134,7 +106,7 @@ def main() -> None:
     out: dict = {
         "scale": "100x",
         "rss_mb_before": round(rss_mb(), 1),
-        "calibration": calibration(),
+        "calibration": _calibration(spark),
     }
     for name in QUERIES:
         dt, rows = timed(name)
@@ -149,17 +121,8 @@ def main() -> None:
     print(f"# 100x pr_ap_routing: {out['pr_ap_routing']}", file=sys.stderr)
 
     # CC observability at 100x
-    from lours_spark.operators.dedup import ngram_jaccard_pairs
-    from lours_spark.split.chunks import connected_components
-    from lours_spark.suite import _t
-
     wait_for_calm()
-    d = _t(spark, scaled, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.3)
-    stats: dict = {}
-    n = connected_components(pairs, driver_threshold=0, stats=stats).count()
-    stats["members"] = n
-    out["cc"] = stats
+    out["cc"] = cc_stats(spark, scaled)
     out["rss_mb_after"] = round(rss_mb(), 1)
     print(json.dumps(out))
 

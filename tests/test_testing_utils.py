@@ -155,3 +155,72 @@ def test_pytest_plugin_module_exposes_fixture():
     assert callable(plug.pytest_addoption)
     # the fixture is a real pytest fixture object
     assert hasattr(plug.dataset_regression, "_pytestfixturefunction")
+
+
+def test_dummy_dataset_single_split_no_null(spark):
+    """A single-string split_names must put EVERY image in that split
+    (the default 3-way shares used to leave a silent ~20% null tail)."""
+    from lours_spark.testing import dummy_dataset
+
+    ds = dummy_dataset(spark, n_imgs=40, n_annot=10, split_names="train", seed=5)
+    rows = ds.images.select("split").collect()
+    assert all(r["split"] == "train" for r in rows)
+
+
+def test_frame_intersections_equal_dotted_columns(spark):
+    """Booleanized (dotted) column names must compare, not parse as
+    struct access."""
+    from lours_spark.testing import assert_frame_intersections_equal
+
+    a = spark.createDataFrame([(1, True), (2, False)], "id long, `t.x` boolean")
+    b = spark.createDataFrame([(1, True), (3, True)], "id long, `t.x` boolean")
+    assert_frame_intersections_equal(a, b)  # intersection: id=1, equal
+    c = spark.createDataFrame([(1, False)], "id long, `t.x` boolean")
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="intersecting"):
+        assert_frame_intersections_equal(a, c)
+
+
+def test_dataset_regression_check_images_nested_and_dup_basenames(
+    spark, tmp_path
+):
+    """check_images must checksum files in nested split subdirs and
+    must NOT fan out when two splits share a basename."""
+    import os
+
+    from lours_spark.dataset.core import SparkDataset
+    from lours_spark.testing import DatasetRegression
+
+    root = tmp_path / "imgs"
+    for rel, payload in (
+        ("train/x.png", b"AAA"),
+        ("valid/x.png", b"BBB"),
+    ):
+        p = root / rel
+        os.makedirs(p.parent, exist_ok=True)
+        p.write_bytes(payload)
+    images = spark.createDataFrame(
+        [(1, 4, 4, "train/x.png", "train"), (2, 4, 4, "valid/x.png", "valid")],
+        "id long, width int, height int, relative_path string, split string",
+    )
+    annotations = spark.createDataFrame(
+        [], "id long, image_id long, category_id long"
+    )
+    ds = SparkDataset(
+        images=images,
+        annotations=annotations,
+        label_map={0: "thing"},
+        dataset_name="nested",
+        images_root=str(root),
+    )
+    reg = DatasetRegression(str(tmp_path / "reg"), "nested")
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="generated"):
+        reg.check(ds, check_images=True)
+    reg.check(ds, check_images=True)  # clean compare, no fan-out
+    # content change under a nested dir must be caught
+    (root / "train" / "x.png").write_bytes(b"CHANGED")
+    with _pytest.raises(AssertionError):
+        reg.check(ds, check_images=True)
