@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "cap_per_group",
     "quality_percentile",
     "semantic_dedup",
+    "dup_spans",
     # round 2: curation operators
     "decontaminate",
     "repetition_signals",

@@ -772,3 +772,80 @@ def semantic_dedup(
         .drop("__sd_dup_id")
         .withColumn(dup_col, F.coalesce(F.col(dup_col), F.lit(False)))
     )
+
+
+def span_dup_signals(
+    df: DataFrame,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span fraction (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    reduced to a per-document score): slide a ``window``-token window
+    over every document and measure what fraction of a doc's windows
+    also occur in at least one OTHER document. High fractions mark
+    boilerplate mirrors, templated spam, and licence walls that
+    paragraph- or whole-doc dedup miss because the surrounding text
+    differs. (Within-doc repetition is a separate signal —
+    :func:`operators.quality.repetition_signals`.)
+
+    Returns one row per input doc: ``n_windows``, ``n_dup_windows``,
+    ``dup_frac`` (0.0 for docs shorter than ``window`` tokens).
+
+    Spark shape: windows explode to one row per (doc, position) —
+    |tokens| rows, the unavoidable cost of span granularity — then ONE
+    hash aggregation per distinct window string finds spans spanning
+    ≥2 docs (map-side partial collapses each doc's repeats before the
+    exchange), and a broadcast-friendly semi-join flags the dup
+    windows. No driver collect; everything keys on the window string,
+    so Catalyst can AQE both exchanges.
+    """
+    toks = TX.tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__w"))
+    n_w = F.size("__w") - (window - 1)
+    # guard the sequence: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0], not an empty array, so short docs must branch explicitly
+    positions = F.when(n_w >= 1, F.sequence(F.lit(1), n_w)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wnds = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__w"), i, window)
+                ),
+            )
+        ).alias("__span"),
+    )
+    dup_spans = (
+        wnds.groupBy("__span")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .filter(F.col("__docs") >= 2)
+        .select("__span")
+    )
+    flagged = wnds.join(dup_spans.withColumn("__dup", F.lit(1)), "__span", "left")
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.coalesce(F.sum("__dup"), F.lit(0)).alias("n_dup_windows"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.col("n_windows"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 82)
+(50, 83)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -2925,6 +2925,72 @@ FROM assigned a LEFT JOIN dups d USING (vec_id)
 """
 
 
+_SPAN_WINDOW = 8
+_SPAN_BOILER = (
+    "this content is mirrored verbatim across many sites in the crawl"
+)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span fraction (Lee et al. span-dedup
+    signal): a shared 11-word boilerplate sentence is prepended to
+    every 5th document, so those docs share windows that whole-doc and
+    paragraph dedup both miss (the rest of each doc differs). Windows
+    join on their literal text — bit-exact across engines."""
+    from lours_spark.operators.dedup import span_dup_signals
+
+    d = _t(spark, sf_dir, "documents")
+    with_shared = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_SPAN_BOILER + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    out = span_dup_signals(with_shared, window=_SPAN_WINDOW)
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round("dup_frac", 9).alias("dup_frac"),
+    )
+
+
+def _oracle_dup_spans() -> str:
+    w = _SPAN_WINDOW
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '{_SPAN_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id, {dd_tokens("text")} AS w FROM t
+), wnd AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, len(w) - {w - 1}),
+    i -> array_to_string(w[i:i+{w - 1}], ' ')
+  )) AS span
+  FROM tok WHERE len(w) >= {w}
+), dup AS (
+  SELECT span FROM (
+    SELECT span, count(DISTINCT doc_id) AS d FROM wnd GROUP BY span
+  ) WHERE d >= 2
+), per AS (
+  SELECT wnd.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN dup.span IS NULL THEN 0 ELSE 1 END) AS n_dup_windows
+  FROM wnd LEFT JOIN dup USING (span) GROUP BY wnd.doc_id
+)
+SELECT t.doc_id,
+       coalesce(n_windows, 0)::BIGINT AS n_windows,
+       coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       round(CASE WHEN coalesce(n_windows, 0) > 0
+             THEN coalesce(n_dup_windows, 0)::DOUBLE / n_windows
+             ELSE 0.0 END, 9) AS dup_frac
+FROM t LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES.update(
     {
         "decontaminate": q_decontaminate,
@@ -2940,6 +3006,7 @@ QUERIES.update(
         "cap_per_group": q_cap_per_group,
         "quality_percentile": q_quality_percentile,
         "semantic_dedup": q_semantic_dedup,
+        "dup_spans": q_dup_spans,
     }
 )
 _EXTRA_ORACLES.update(
@@ -2956,6 +3023,7 @@ _EXTRA_ORACLES.update(
         "cap_per_group": _oracle_cap_per_group,
         "quality_percentile": _oracle_quality_percentile,
         "semantic_dedup": _oracle_semantic_dedup,
+        "dup_spans": _oracle_dup_spans,
     }
 )
 
@@ -3064,6 +3132,7 @@ _CURATION_FACETS = (
     "decontaminate", "repetition_signals", "stratified_sample", "pii_signals",
     "paragraph_dedup", "table_profile", "pack_chunked", "mixture_weights",
     "global_shuffle", "cap_per_group", "quality_percentile", "semantic_dedup",
+    "dup_spans",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -3202,6 +3271,9 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 "cap_per_group": ["doc_id", "source", "cap_rank"],
                 "quality_percentile": ["doc_id", "lang", "q_pct"],
                 "semantic_dedup": ["vec_id", "cluster_id", "is_dup"],
+                "dup_spans": [
+                    "doc_id", "n_windows", "n_dup_windows", "dup_frac",
+                ],
             }
             out[name] = _facet_union_sql(
                 *[(n, base[n], leg_cols[n]) for n in _CURATION_FACETS]

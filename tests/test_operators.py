@@ -878,3 +878,28 @@ def test_write_shuffled_replays_global_shuffle_order(spark, tmp_path):
                 for r in spark.read.parquet(f).collect()
             )
     assert got == expect
+
+
+def test_span_dup_signals_cross_doc_only(spark):
+    from lours_spark.operators.dedup import span_dup_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e unique tail one"),
+            (2, "a b c d e different ending two"),
+            (3, "totally unrelated words in this document here"),
+            (4, "short"),  # under the window → 0 windows, frac 0.0
+            (5, "rep rep rep rep rep rep rep rep"),  # within-doc only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dup_signals(df, window=4).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # docs 1 and 2 share the spans 'a b c d' and 'b c d e'
+    assert out[1]["n_dup_windows"] == 2 and out[2]["n_dup_windows"] == 2
+    assert out[1]["n_windows"] == 5  # 8 tokens, window 4
+    assert out[1]["dup_frac"] == 2 / 5
+    assert out[3]["n_dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0
+    # doc 5 repeats a span WITHIN itself only — cross-doc signal stays 0
+    assert out[5]["n_dup_windows"] == 0

@@ -330,3 +330,14 @@ def test_semantic_dedup_no_cartesian_broadcast_rejoin(spark, suite):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_dup_spans_no_python_no_cartesian(spark, suite):
+    """Span-dedup signal stays JVM-side end to end (explode + two hash
+    aggregations + joins on the span/doc keys — no Python stage, no
+    cartesian)."""
+    plan = _plan(suite.ALL_QUERIES["dup_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
