@@ -1,0 +1,164 @@
+"""End-to-end corpus curation: the operators composed the way a
+pretraining data pipeline actually runs them.
+
+The reference library has no equivalent (it curates detection
+datasets); this is the Spark-native composition of this repo's
+beyond-reference curation layer into ONE lazy plan per stage chain:
+
+    raw documents
+      → decontaminate (benchmark n-gram overlap, broadcast join)
+      → exact dedup (keep-first by fingerprint)
+      → quality percentile filter (per-language cume_dist)
+      → PII redaction (codegen'd regexp, no shuffle)
+      → domain-mixture subsample (seeded md5 rates, no shuffle)
+      → sequence packing (concat-and-chunk, one shuffle per shard key)
+
+Every stage is deterministic for a given seed — re-running the
+pipeline on the same input yields byte-identical output, which is
+what makes corpus builds auditable and resumable. Stages are all
+optional; ``None`` config skips a stage entirely (no plan nodes
+added).
+
+Scale shape: stages compose into a handful of Spark jobs — the
+filters and redaction are pure column expressions that fuse into
+whichever shuffle follows them; the only exchanges are the dedup
+fingerprint window, the mixture's |shards|-row aggregate, and the
+packer's shard partition. Nothing collects the corpus to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for :func:`curate_documents`; ``None`` disables a stage.
+
+    ``quality_min_pct``: drop the bottom fraction of each language by
+    quality score (cume_dist, singletons survive).
+    ``mixture_targets``: target token share per ``lang`` shard, e.g.
+    ``{"en": 0.5, "zh": 0.5}`` (no-upsampling rates in expectation).
+    ``pack_budget``: tokens per packed training window.
+    ``stages_run`` is filled in by :func:`curate_documents` with the
+    stages that actually executed, in order.
+    """
+
+    benchmark: "DataFrame | None" = None
+    dedup_exact: bool = True
+    quality_min_pct: "float | None" = 0.2
+    redact_pii: bool = True
+    mixture_targets: "dict[str, float] | None" = None
+    pack_budget: "int | None" = None
+    seed: int = 0
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    lang_col: str = "lang"
+    shard_col: str = "source"
+    stages_run: list = field(default_factory=list)
+
+
+def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
+    """Run the curation chain of the module docstring over ``docs``.
+
+    Returns the curated document frame — or, when
+    ``config.pack_budget`` is set, the packed window frame from
+    :func:`operators.packing.pack_chunked` (one row per document ×
+    window it lands in).
+
+    >>> from lours_spark.pipeline import CurationConfig, curate_documents
+    >>> docs = spark.createDataFrame(
+    ...     [(i, f"unique body {i} " + "tok " * 30, "en", "web")
+    ...      for i in range(8)] +
+    ...     [(8, "unique body 0 " + "tok " * 30, "en", "web")],
+    ...     "doc_id long, text string, lang string, source string")
+    >>> cfg = CurationConfig(quality_min_pct=None, pack_budget=16)
+    >>> out = curate_documents(docs, cfg)
+    >>> cfg.stages_run
+    ['dedup_exact', 'redact_pii', 'pack']
+    >>> out.select("doc_id").distinct().count()  # doc 8 = dup of doc 0
+    8
+    >>> from pyspark.sql import functions as F
+    >>> out.agg(  # each doc-slice fits the window budget
+    ...     F.max(F.col("tok_to") - F.col("tok_from"))
+    ... ).first()[0] <= 16
+    True
+    """
+    cfg = config
+    id_col, text_col = cfg.id_col, cfg.text_col
+    out = docs
+
+    if cfg.benchmark is not None:
+        from lours_spark.operators.decontaminate import decontaminate
+
+        out = decontaminate(
+            out, cfg.benchmark, id_col=id_col, text_col=text_col
+        )
+        cfg.stages_run.append("decontaminate")
+
+    if cfg.dedup_exact:
+        from lours_spark.functions.text import fingerprint
+
+        # keep-first by fingerprint: the min id of each
+        # normalized-text group survives (same rule as
+        # operators.dedup.exact_duplicates, which returns the summary
+        # frame rather than the surviving documents)
+        w_min = F.min(F.col(id_col)).over(Window.partitionBy("__fp"))
+        out = (
+            out.withColumn("__fp", fingerprint(F.col(text_col)))
+            .withColumn("__keep", F.col(id_col) == w_min)
+            .filter("__keep")
+            .drop("__fp", "__keep")
+        )
+        cfg.stages_run.append("dedup_exact")
+
+    if cfg.quality_min_pct is not None:
+        from lours_spark.functions.text import quality_score
+        from lours_spark.operators.quality import filter_quality_percentile
+
+        out = filter_quality_percentile(
+            out,
+            quality_score(F.col(text_col)),
+            cfg.quality_min_pct,
+            group_col=cfg.lang_col,
+            id_col=id_col,
+        ).drop("q_pct")
+        cfg.stages_run.append("quality_filter")
+
+    if cfg.redact_pii:
+        from lours_spark.operators.pii import redact_pii
+
+        out = out.withColumn(text_col, redact_pii(F.col(text_col)))
+        cfg.stages_run.append("redact_pii")
+
+    if cfg.mixture_targets is not None:
+        from lours_spark.operators.sampling import (
+            apply_mixture,
+            mixture_weights,
+        )
+
+        from lours_spark.functions.text import token_count
+
+        weights = mixture_weights(
+            out, cfg.mixture_targets, shard_col=cfg.lang_col,
+            token_col=token_count(F.col(text_col)),
+        )
+        out = apply_mixture(
+            out, weights, shard_col=cfg.lang_col, id_col=id_col,
+            seed=cfg.seed,
+        )
+        cfg.stages_run.append("mixture")
+
+    if cfg.pack_budget is not None:
+        from lours_spark.operators.packing import pack_chunked
+
+        out = pack_chunked(
+            out, budget=cfg.pack_budget, id_col=id_col,
+            shard_col=cfg.shard_col,
+        )
+        cfg.stages_run.append("pack")
+
+    return out

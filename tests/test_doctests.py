@@ -70,6 +70,7 @@ MIN_EXAMPLES = {
     "lours_spark.split.balanced": 6,
     "lours_spark.split.chunks": 4,
     "lours_spark.split.splitter": 3,
+    "lours_spark.pipeline": 4,
     "lours_spark.session": 3,
     "lours_spark.streaming.caipy_watch": 8,
     "lours_spark.streaming.events": 7,

@@ -126,3 +126,79 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path, tiny_dataset):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bcktest_images")
         spark.sql("DROP TABLE IF EXISTS bcktest_annotations")
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """The full curation chain over the real documents table: every
+    stage runs, output is deterministic across invocations, packed
+    windows respect the budget, and dedup/mixture actually shrink the
+    corpus."""
+    from lours_spark.pipeline import CurationConfig, curate_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = spark.createDataFrame(
+        [(1, r["text"]) for r in docs.orderBy("doc_id").limit(3).collect()],
+        "qid long, text string",
+    )
+    cfg = CurationConfig(
+        benchmark=bench,
+        quality_min_pct=0.2,
+        mixture_targets={"en": 0.5, "de": 0.3, "fr": 0.2},
+        pack_budget=64,
+        seed=7,
+    )
+    out = curate_documents(docs, cfg)
+    assert cfg.stages_run == [
+        "decontaminate", "dedup_exact", "quality_filter",
+        "redact_pii", "mixture", "pack",
+    ]
+    rows = out.collect()
+    assert len(rows) > 0
+    # tok_from/tok_to slice the DOCUMENT: each doc-slice fits the
+    # window budget and stays inside the doc
+    assert all(
+        0 <= r["tok_from"] < r["tok_to"] <= r["n_tok"]
+        and r["tok_to"] - r["tok_from"] <= 64
+        for r in rows
+    )
+    # every pack except possibly the stream tail is exactly full
+    per_pack: dict = {}
+    for r in rows:
+        key = (r["shard"], r["pack_seq"])
+        per_pack[key] = per_pack.get(key, 0) + (r["tok_to"] - r["tok_from"])
+    for shard in {s for s, _ in per_pack}:
+        seqs = sorted(p for s, p in per_pack if s == shard)
+        for p in seqs[:-1]:
+            assert per_pack[(shard, p)] == 64, (shard, p)
+    # decontaminated: the three benchmark docs are gone
+    kept_ids = {r["doc_id"] for r in rows}
+    contaminated = {r["doc_id"] for r in docs.orderBy("doc_id").limit(3).collect()}
+    assert not (kept_ids & contaminated)
+    # deterministic: same config, same output
+    cfg2 = CurationConfig(
+        benchmark=bench,
+        quality_min_pct=0.2,
+        mixture_targets={"en": 0.5, "de": 0.3, "fr": 0.2},
+        pack_budget=64,
+        seed=7,
+    )
+    again = curate_documents(docs.repartition(9), cfg2).collect()
+    key = lambda r: (r["shard"], r["doc_id"], r["pack_seq"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    # a different seed changes the mixture subsample
+    cfg3 = CurationConfig(
+        benchmark=bench, quality_min_pct=0.2,
+        mixture_targets={"en": 0.5, "de": 0.3, "fr": 0.2},
+        pack_budget=None, seed=8,
+    )
+    other = {r["doc_id"] for r in curate_documents(docs, cfg3).collect()}
+    curated_ids_no_pack = set()
+    cfg4 = CurationConfig(
+        benchmark=bench, quality_min_pct=0.2,
+        mixture_targets={"en": 0.5, "de": 0.3, "fr": 0.2},
+        pack_budget=None, seed=7,
+    )
+    curated_ids_no_pack = {
+        r["doc_id"] for r in curate_documents(docs, cfg4).collect()
+    }
+    assert other != curated_ids_no_pack
