@@ -216,3 +216,41 @@ def test_pack_chunked_property(spark, sizes, budget):
             if seq != last:
                 assert fill == budget
         assert fills[last] <= budget
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    seed=st.integers(min_value=0, max_value=2**16),
+    shards=st.integers(min_value=1, max_value=7),
+)
+def test_global_shuffle_is_permutation_property(spark, ids, seed, shards):
+    """For ANY unique id set (negative ids included), global_shuffle is
+    a permutation: every row appears once, positions are dense 1..n per
+    shard, and the assignment is independent of input partitioning."""
+    from lours_spark.operators.ordering import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = global_shuffle(df, seed=seed, num_shards=shards).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(ids)
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r["shard"] < shards
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = global_shuffle(
+        df.repartition(5), seed=seed, num_shards=shards
+    ).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
