@@ -13,8 +13,18 @@ stages are expressed right:
 - exact dedup becomes ``dropDuplicates`` on the text fingerprint:
   state = one row per distinct fingerprint seen, exactly the
   cross-batch "have I ingested this before" semantic an incremental
-  build needs (bound it with ``dedup_state_ttl`` once ingest time is
-  trusted);
+  build needs. That state grows one row per distinct document forever;
+  when the stream carries a trusted event-time column, pass
+  ``ts_col`` + ``dedup_within`` to switch to
+  ``dropDuplicatesWithinWatermark`` — duplicates are only caught
+  within the window, but state is evicted past the watermark
+  (bounded-state for infinite ingest);
+- stages run in the SAME order as the batch pipeline (dedup on RAW
+  text, then the quality filter, then redaction) so both modes keep
+  the same survivors: fingerprinting redacted text would merge docs
+  that differ only in their PII, and filtering before dedup would
+  let a later high-quality duplicate survive where batch drops the
+  group;
 - the per-language quality PERCENTILE of the batch pipeline is a
   corpus-wide rank — meaningless over an unbounded stream — so the
   streaming twin takes an absolute ``quality_min_score`` instead,
@@ -62,6 +72,8 @@ def curate_document_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 0,
+    ts_col: "str | None" = None,
+    dedup_within: "str | None" = None,
 ) -> DataFrame:
     """Apply the curation chain to a streaming document frame (see
     module docstring for how each batch stage maps). Returns the
@@ -71,8 +83,27 @@ def curate_document_stream(
     :func:`operators.sampling.mixture_weights`, computed offline on
     the corpus so far and broadcast against every micro-batch — rates
     must be frozen for the stream to stay deterministic.
+
+    ``ts_col`` + ``dedup_within`` (e.g. ``"30 days"``): bounded dedup
+    state via ``dropDuplicatesWithinWatermark`` — see module
+    docstring for the trade-off.
     """
     out = docs
+
+    if dedup_exact:
+        from lours_spark.functions.text import fingerprint
+
+        # cross-batch keep-first on the RAW text, BEFORE filtering and
+        # redaction — same stage order as pipeline.curate_documents
+        # (see module docstring for why the order is semantic)
+        out = out.withColumn("__fp", fingerprint(F.col(text_col)))
+        if ts_col is not None and dedup_within is not None:
+            out = out.withWatermark(
+                ts_col, dedup_within
+            ).dropDuplicatesWithinWatermark(["__fp"])
+        else:
+            out = out.dropDuplicates(["__fp"])
+        out = out.drop("__fp")
 
     if quality_min_score is not None:
         from lours_spark.functions.text import quality_score
@@ -85,18 +116,6 @@ def curate_document_stream(
         from lours_spark.operators.pii import redact_pii
 
         out = out.withColumn(text_col, redact_pii(F.col(text_col)))
-
-    if dedup_exact:
-        from lours_spark.functions.text import fingerprint
-
-        # cross-batch keep-first: streaming state holds one row per
-        # distinct fingerprint; a doc whose normalized text was EVER
-        # seen before is dropped, regardless of which drop it came in
-        out = (
-            out.withColumn("__fp", fingerprint(F.col(text_col)))
-            .dropDuplicates(["__fp"])
-            .drop("__fp")
-        )
 
     if mixture_weights is not None:
         from lours_spark.operators.sampling import apply_mixture

@@ -431,6 +431,11 @@ def test_streaming_document_curation_cross_batch_dedup(spark, tmp_path):
     rows2 = [
         (4, good + " one x@y.example.com", "en", "web", 100),  # dup of 1
         (5, good + " five", "en", "web", 100),
+        # same text as doc 1 EXCEPT the email address: raw-text
+        # fingerprints differ, so BOTH survive (dedup runs before
+        # redaction — batch-pipeline parity; fingerprinting redacted
+        # text would merge them)
+        (6, good + " one a@b.example.com", "en", "web", 100),
     ]
     drop_dir = str(tmp_path / "drops")
     os.makedirs(drop_dir)
@@ -475,9 +480,60 @@ def test_streaming_document_curation_cross_batch_dedup(spark, tmp_path):
     drop(rows2, "batch2")
     got2 = run("cur2")
     # cumulative sink gains ONLY the new drop's survivors: doc 4's
-    # text was already seen in batch 1 (cross-batch dedup state)
-    assert sorted(r["doc_id"] for r in got2) == [1, 3, 5]
+    # text was already seen in batch 1 (cross-batch dedup state);
+    # doc 6 differs from doc 1 only in its PII and survives
+    assert sorted(r["doc_id"] for r in got2) == [1, 3, 5, 6]
 
     # exactly-once: nothing new in the drop dir → nothing re-emitted
     got3 = run("cur3")
-    assert sorted(r["doc_id"] for r in got3) == [1, 3, 5]
+    assert sorted(r["doc_id"] for r in got3) == [1, 3, 5, 6]
+
+
+def test_streaming_document_dedup_bounded_state(spark, tmp_path):
+    """ts_col + dedup_within switches to dropDuplicatesWithinWatermark:
+    duplicates inside the window are still caught, and the plan carries
+    the watermark (bounded state for infinite ingest)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from lours_spark.streaming.documents import curate_document_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, ts timestamp"
+    )
+    drop_dir = str(tmp_path / "drops")
+    os.makedirs(drop_dir)
+    rows = [
+        (1, "alpha beta gamma", "en", "web", 20, base),
+        (2, "alpha beta gamma", "en", "web", 20, base + dt.timedelta(minutes=5)),
+        (3, "something else entirely", "en", "web", 25, base),
+    ]
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+    shutil.move(
+        glob.glob(stage + "/part-*.parquet")[0],
+        os.path.join(drop_dir, "b1.parquet"),
+    )
+    stream = spark.readStream.schema(schema).parquet(drop_dir)
+    curated = curate_document_stream(
+        stream, redact=False, ts_col="ts", dedup_within="1 hour"
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("bounded_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.table("bounded_dedup").collect()
+    )
+    assert got in ([1, 3], [2, 3])  # one survivor per fingerprint
+    analyzed = curated._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in analyzed  # state is watermark-bounded
