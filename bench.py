@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "pack_chunked",
     "pack_greedy",
     "mixture_weights",
+    # round 6 (cont.): the composed end-to-end curation chain
+    "curation_pipeline",
 ]
 
 

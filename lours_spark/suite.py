@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 83)
+(50, 84)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -2775,6 +2775,25 @@ FROM r
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The composed end-to-end curation chain (pipeline.py): exact
+    dedup → per-language quality percentile → PII redaction → mixture
+    subsample → 512-token packing, one lazy plan over the documents
+    table. Bench-only: the stages are individually oracle-gated; this
+    times their composition."""
+    from lours_spark.pipeline import CurationConfig, curate_documents
+
+    d = _t(spark, sf_dir, "documents")
+    cfg = CurationConfig(
+        quality_min_pct=0.2,
+        mixture_targets={"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1,
+                         "zh": 0.1},
+        pack_budget=512,
+        seed=42,
+    )
+    return curate_documents(d, cfg)
+
+
 def q_pack_greedy(spark, sf_dir):
     """Whole-document first-fit-decreasing packing per shard
     (Arrow-batched applyInPandas; the sequential FFD heart runs inside
@@ -3007,6 +3026,7 @@ QUERIES.update(
         "quality_percentile": q_quality_percentile,
         "semantic_dedup": q_semantic_dedup,
         "dup_spans": q_dup_spans,
+        "curation_pipeline": q_curation_pipeline,
     }
 )
 _EXTRA_ORACLES.update(

@@ -24,7 +24,7 @@ def test_all_queries_covers_gate_facets():
     from lours_spark.suite import ALL_QUERIES, GATE_FACETS, QUERIES
 
     assert len(QUERIES) == 50
-    assert len(ALL_QUERIES) == 83
+    assert len(ALL_QUERIES) == 84
     for combined, facets in GATE_FACETS.items():
         assert combined in QUERIES, combined
         for f in facets:
@@ -40,6 +40,7 @@ def test_all_queries_covers_gate_facets():
         "balanced_split_approx", # scale-mode variant of gated balanced_split
         "dedup_clusters_distributed",  # forced-distributed CC variant
         "pack_greedy",           # FFD packing (not SQL-expressible)
+        "curation_pipeline",     # composed chain; stages gated separately
     }
 
 
