@@ -903,3 +903,32 @@ def test_span_dup_signals_cross_doc_only(spark):
     assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0
     # doc 5 repeats a span WITHIN itself only — cross-doc signal stays 0
     assert out[5]["n_dup_windows"] == 0
+
+
+def test_semantic_dedup_sample_fit(spark, vectors):
+    """fit_fraction fits k-means on a hash sample but assigns the full
+    corpus: every row still gets a cluster and dup marks remain sound
+    (a dup has a lower-id near-neighbor)."""
+    from lours_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    )
+    out = semantic_dedup(
+        df, num_clusters=2, threshold=0.995, seed=1, fit_fraction=0.5
+    ).collect()
+    assert {r["vec_id"] for r in out} == set(range(60))
+    import math
+
+    vecs = {i: v for i, v, _ in vectors}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    dups = [r["vec_id"] for r in out if r["is_dup"]]
+    assert dups  # the clustered fixture has near-dups
+    for i in dups:
+        assert any(cos(vecs[i], vecs[j]) >= 0.995 for j in range(i)), i
