@@ -39,6 +39,7 @@ QUERIES = [
     "global_shuffle",
     "cap_per_group",
     "quality_percentile",
+    "dup_spans",
 ]
 
 
