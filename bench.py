@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "quality_percentile",
     "semantic_dedup",
     "dup_spans",
+    "remove_dup_spans",
     # round 2: curation operators
     "decontaminate",
     "repetition_signals",

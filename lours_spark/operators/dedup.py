@@ -794,6 +794,125 @@ def semantic_dedup(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022 ExactSubstr,
+    token-window form): every ``window``-token span that occurs more
+    than once in the corpus — across documents OR within one — is
+    removed from every occurrence EXCEPT the first (canonical = lowest
+    ``(doc id, position)``), and documents are rebuilt from their
+    surviving tokens. This is the *removal* counterpart of
+    :func:`span_dup_signals` (which only scores); a long duplicated
+    region longer than ``window`` is covered by its overlapping
+    windows, so the whole region disappears from non-canonical copies
+    while the canonical copy keeps it intact. One nuance: a span that
+    repeats WITHIN one document overlapping itself (periodic text like
+    ``rep rep rep ...``) erodes into the canonical occurrence's tail —
+    the doc keeps only the leading period, which is exactly the
+    boilerplate-collapse behavior a repetition filter wants.
+
+    Reconstruction is token-normalized: surviving tokens re-join with
+    single spaces (the reference granularity of the signal — byte-exact
+    reconstruction would need byte offsets, not token windows).
+
+    Returns ``(id_col, n_tokens_before, n_tokens_removed, text)`` —
+    docs shorter than ``window`` tokens pass through unchanged.
+
+    Spark shape: windows explode to |tokens| rows; ONE hash
+    aggregation per distinct span finds duplicated spans and their
+    canonical occurrence simultaneously (``count`` + ``min(struct(id,
+    pos))`` share the exchange, map-side partials collapse per-doc
+    repeats); non-canonical occurrences join back on the span key,
+    collapse to per-doc covered-position arrays (positions, not
+    intervals — ``array_except`` against ``sequence(1, n)`` is then a
+    single hash-set pass, JVM-side), and the rebuild is pure column
+    expressions. Three shuffles total (span agg, span join, doc
+    regroup) regardless of corpus size; no driver collect, no Python
+    in the hot path.
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "a b c d"), (2, "x a b c y")],
+    ...     "doc_id long, text string")
+    >>> rows = {r["doc_id"]: r for r in
+    ...         remove_dup_spans(df, window=3).collect()}
+    >>> rows[2]["text"]  # 'a b c' first occurred in doc 1
+    'x y'
+    >>> (rows[1]["text"], rows[2]["n_tokens_removed"])
+    ('a b c d', 3)
+    """
+    toks = TX.tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    n_w = n - (window - 1)
+    # guard the sequence: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0], not an empty array, so short docs must branch explicitly
+    positions = F.when(n_w >= 1, F.sequence(F.lit(1), n_w)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wnds = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.struct(
+                    i.alias("__pos"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("__toks"), i, window)
+                    ).alias("__span"),
+                ),
+            )
+        ).alias("__w"),
+    ).select(
+        id_col,
+        F.col("__w.__pos").alias("__pos"),
+        F.col("__w.__span").alias("__span"),
+    )
+    dup = (
+        wnds.groupBy("__span")
+        .agg(
+            F.count(F.lit(1)).alias("__occ"),
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
+        )
+        .filter(F.col("__occ") >= 2)
+        .select("__span", "__first")
+    )
+    covered_starts = (
+        wnds.join(dup, "__span")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__first.{id_col}"))
+                & (F.col("__pos") == F.col("__first.__pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__starts"))
+    )
+    joined = base.join(covered_starts, id_col, "left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (window - 1)),
+            )
+        )
+    )
+    kept_pos = F.array_except(F.sequence(F.lit(1), n), covered)
+    rebuilt = F.array_join(
+        F.transform(kept_pos, lambda p: F.element_at(F.col("__toks"), p)),
+        " ",
+    )
+    return joined.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens_before"),
+        F.size(covered).cast("long").alias("n_tokens_removed"),
+        rebuilt.alias("text"),
+    )
+
+
 def span_dup_signals(
     df: DataFrame,
     window: int = 20,

@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 84)
+(50, 85)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -3010,6 +3010,82 @@ FROM t LEFT JOIN per USING (doc_id)
 """
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Exact-substring removal (Lee et al. ExactSubstr, token-window
+    form): the same boilerplate injection as ``dup_spans`` plants an
+    11-word span in every 5th document; the operator must strip it
+    from every doc except the canonical first occurrence and rebuild
+    the text. Hash covers the md5 of every rebuilt document plus the
+    removed-token accounting."""
+    from lours_spark.operators.dedup import remove_dup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    with_shared = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_SPAN_BOILER + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    out = remove_dup_spans(with_shared, window=_SPAN_WINDOW)
+    return out.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_removed",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _oracle_remove_dup_spans() -> str:
+    w = _SPAN_WINDOW
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '{_SPAN_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id, {dd_tokens("text")} AS w FROM t
+), wnd AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+{w - 1}], ' ') AS span
+  FROM tok, unnest(generate_series(1, len(w) - {w - 1})) AS u(i)
+  WHERE len(w) >= {w}
+), occ AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY span) AS occ_n,
+         row_number() OVER (
+           PARTITION BY span ORDER BY doc_id, pos
+         ) AS rn
+  FROM wnd
+), cover AS (
+  SELECT doc_id, pos FROM occ WHERE occ_n >= 2 AND rn > 1
+), tokpos AS (
+  SELECT doc_id, i AS p, w[i] AS token
+  FROM tok, unnest(generate_series(1, len(w))) AS u(i)
+), kept AS (
+  SELECT tp.doc_id, tp.p, tp.token
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cover c
+    WHERE c.doc_id = tp.doc_id
+      AND tp.p BETWEEN c.pos AND c.pos + {w - 1}
+  )
+), rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), nt AS (
+  SELECT doc_id, len(w) AS n_tokens_before FROM tok
+)
+SELECT t.doc_id,
+       nt.n_tokens_before::BIGINT AS n_tokens_before,
+       (nt.n_tokens_before - coalesce(n_kept, 0))::BIGINT
+         AS n_tokens_removed,
+       md5(coalesce(rebuilt.text, '')) AS text_md5
+FROM t JOIN nt USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 QUERIES.update(
     {
         "decontaminate": q_decontaminate,
@@ -3026,6 +3102,7 @@ QUERIES.update(
         "quality_percentile": q_quality_percentile,
         "semantic_dedup": q_semantic_dedup,
         "dup_spans": q_dup_spans,
+        "remove_dup_spans": q_remove_dup_spans,
         "curation_pipeline": q_curation_pipeline,
     }
 )
@@ -3044,6 +3121,7 @@ _EXTRA_ORACLES.update(
         "quality_percentile": _oracle_quality_percentile,
         "semantic_dedup": _oracle_semantic_dedup,
         "dup_spans": _oracle_dup_spans,
+        "remove_dup_spans": _oracle_remove_dup_spans,
     }
 )
 
@@ -3152,7 +3230,7 @@ _CURATION_FACETS = (
     "decontaminate", "repetition_signals", "stratified_sample", "pii_signals",
     "paragraph_dedup", "table_profile", "pack_chunked", "mixture_weights",
     "global_shuffle", "cap_per_group", "quality_percentile", "semantic_dedup",
-    "dup_spans",
+    "dup_spans", "remove_dup_spans",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -3293,6 +3371,10 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 "semantic_dedup": ["vec_id", "cluster_id", "is_dup"],
                 "dup_spans": [
                     "doc_id", "n_windows", "n_dup_windows", "dup_frac",
+                ],
+                "remove_dup_spans": [
+                    "doc_id", "n_tokens_before", "n_tokens_removed",
+                    "text_md5",
                 ],
             }
             out[name] = _facet_union_sql(

@@ -905,6 +905,38 @@ def test_span_dup_signals_cross_doc_only(spark):
     assert out[5]["n_dup_windows"] == 0
 
 
+def test_remove_dup_spans_semantics(spark):
+    from lours_spark.operators.dedup import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s t u v w"),  # canonical 8-token region
+            (2, "x p q r s t u v w y"),  # same region embedded
+            (3, "m n o short doc"),  # no duplicated span
+            (4, "tiny"),  # under the window → passthrough
+            (5, "rep rep rep rep rep rep"),  # periodic within-doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(df, window=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # canonical copy intact; the full >window region vanishes from the
+    # non-canonical copy (overlapping windows cover all 8 tokens)
+    assert out[1]["text"] == "p q r s t u v w"
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text"] == "x y"
+    assert (out[2]["n_tokens_before"], out[2]["n_tokens_removed"]) == (10, 8)
+    # untouched docs pass through token-normalized
+    assert out[3]["text"] == "m n o short doc"
+    assert out[4]["text"] == "tiny" and out[4]["n_tokens_before"] == 1
+    # periodic self-overlap collapses to the leading period
+    assert out[5]["text"] == "rep"
+    assert out[5]["n_tokens_removed"] == 5
+
+
 def test_semantic_dedup_sample_fit(spark, vectors):
     """fit_fraction fits k-means on a hash sample but assigns the full
     corpus: every row still gets a cluster and dup marks remain sound

@@ -341,3 +341,14 @@ def test_dup_spans_no_python_no_cartesian(spark, suite):
     assert "BroadcastNestedLoopJoin" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_remove_dup_spans_no_python_no_cartesian(spark, suite):
+    """ExactSubstr removal is pure column expressions around one span
+    aggregation, one span join and one per-doc regroup — no Python
+    stage, no cartesian, and exactly three exchanges."""
+    plan = _plan(suite.ALL_QUERIES["remove_dup_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
