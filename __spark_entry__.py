@@ -5,8 +5,9 @@
 (and the training-data-pipeline extensions), each exercising the real
 ``lours_spark`` library code.
 ``oracle_sql()`` — DuckDB-equivalent SQL per query for the correctness
-gate; non-SQL-expressible ops (greedy matching, balanced split) are
-intentionally absent → rows-only check.
+gate; greedy matching and the detection PR/AP pipeline are replicated
+VALUE-EXACTLY via a recursive-CTE oracle, so only the seeded balanced
+split (python-Random shuffle) is intentionally absent → rows-only.
 
 The gate registry is CONSOLIDATED to exactly 50 queries (the driver
 gates a 50-query prefix): closely-related operator facets are merged

@@ -1489,19 +1489,265 @@ def _jittered_pred(ann):
     )
 
 
-def q_greedy_matching(spark, sf_dir):
-    """Greedy bipartite IoU matching via applyInPandas: gt = synthetic
-    boxes from lineitem, predictions = the same boxes jittered, so
-    matches are plentiful and deterministic. Sequential per group →
-    no SQL oracle (driver records rows-only)."""
-    from lours_spark.evaluation.matching import compute_matches
+def _matcher_ann(spark, sf_dir):
+    """Annotated boxes for the MATCHER facets. The synthetic id
+    (orderkey*10+linenumber) is NOT unique in the driver data (~23% of
+    lineitem rows collide), and duplicate annotation ids make greedy
+    matching ill-posed: the kernel's taken-groundtruth bookkeeping is
+    positional, so which same-id box a prediction takes would depend on
+    partition order. These facets therefore keep ONE box per id — the
+    deterministic min by box-coordinate order, which both engines can
+    express identically — matching the data-model contract that
+    annotation ids are unique. Enables the VALUE-EXACT recursive-CTE
+    matching oracle (see ``_dd_matches_cte``). Physical shape: ONE
+    hash aggregation with ``min(struct(box cols))`` — lexicographic
+    struct min == first row under ORDER BY the same columns, but with
+    map-side partial aggregation instead of a per-id sort window."""
     from lours_spark.functions.bbox import import_bbox
 
     ann = import_bbox(
         _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
-    ).withColumn("category_id", (F.col("id") % 3).cast("int"))
-    gt = ann
-    pred = _jittered_pred(ann)
+    )
+    box_cols = ["box_x_min", "box_y_min", "box_width", "box_height"]
+    dedup = ann.groupBy("id", "image_id").agg(
+        F.min(F.struct(*box_cols)).alias("__b")
+    )
+    return dedup.select(
+        "id",
+        "image_id",
+        *[F.col(f"__b.{c}").alias(c) for c in box_cols],
+        (F.col("id") % 3).cast("int").alias("category_id"),
+    )
+
+
+def _dd_matches_cte(pred_filter: str = "") -> str:
+    """DuckDB CTE chain replicating ``compute_matches`` on the
+    matcher-facet boxes, VALUE-EXACTLY: the greedy loop is a recursive
+    CTE over per-group prediction rank carrying the taken-groundtruth
+    id list. Per prediction (confidence DESC, id ASC — the kernel's
+    lexsort order) the first still-free entry of its (iou DESC, gt id
+    ASC)-ordered candidate list is taken when iou > 0 — exactly
+    numpy's masked argmax with first-index tie-break, and the IoU
+    arithmetic below is the same IEEE expression tree as
+    ``matching.iou_matrix``, so every float matches bitwise.
+    Recursion depth = max predictions per (image, category) group
+    (≤ 7 here). Yields CTEs up to ``matches(image_id, category_id,
+    m_pid, m_gid, m_iou, m_conf)``; callers append the emission or
+    PR/AP SQL. ``pred_filter``: extra predicate on the jittered
+    prediction rows (e.g. detection_pr_ap's ``id % 5 != 0``)."""
+    return f"""
+WITH RECURSIVE
+gt AS (
+  SELECT ({_LINE_ID})::BIGINT AS id,
+         l_orderkey::BIGINT AS image_id,
+         CAST(({_LINE_ID}) % 3 AS INT) AS category_id,
+         ({_DD_BOX['cx']}) - ({_DD_BOX['w']})/2 AS x,
+         ({_DD_BOX['cy']}) - ({_DD_BOX['h']})/2 AS y,
+         ({_DD_BOX['w']}) AS w,
+         ({_DD_BOX['h']}) AS h
+  FROM lineitem
+  QUALIFY row_number() OVER (
+      PARTITION BY {_LINE_ID} ORDER BY x, y, w, h) = 1
+),
+pred AS (
+  SELECT id + 10000000 AS id, image_id, category_id,
+         x + 2.0 AS x, y, w, h,
+         CAST((id + 10000000) % 97 AS DOUBLE) / 97.0 AS conf
+  FROM gt
+  {pred_filter}
+),
+cand AS (
+  SELECT p.image_id, p.category_id, p.id AS pid, g.id AS gid, p.conf,
+    (greatest(0.0, least(g.x+g.w, p.x+p.w) - greatest(g.x, p.x)) *
+     greatest(0.0, least(g.y+g.h, p.y+p.h) - greatest(g.y, p.y))) /
+    (g.w*g.h + p.w*p.h -
+     greatest(0.0, least(g.x+g.w, p.x+p.w) - greatest(g.x, p.x)) *
+     greatest(0.0, least(g.y+g.h, p.y+p.h) - greatest(g.y, p.y))) AS iou
+  FROM pred p
+  JOIN gt g ON g.image_id = p.image_id AND g.category_id = p.category_id
+  WHERE greatest(0.0, least(g.x+g.w, p.x+p.w) - greatest(g.x, p.x)) *
+        greatest(0.0, least(g.y+g.h, p.y+p.h) - greatest(g.y, p.y)) > 0
+    AND (g.w*g.h + p.w*p.h -
+         greatest(0.0, least(g.x+g.w, p.x+p.w) - greatest(g.x, p.x)) *
+         greatest(0.0, least(g.y+g.h, p.y+p.h) - greatest(g.y, p.y))) > 0
+),
+plist AS (
+  SELECT image_id, category_id, pid, any_value(conf) AS conf,
+         list(struct_pack(gid := gid, iou := iou)
+              ORDER BY iou DESC, gid ASC) AS cands
+  FROM cand GROUP BY image_id, category_id, pid
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY image_id, category_id ORDER BY conf DESC, pid ASC
+  ) AS r
+  FROM plist
+),
+rec AS (
+  SELECT image_id, category_id, 0::BIGINT AS r,
+         CAST([] AS BIGINT[]) AS used,
+         NULL::BIGINT AS m_pid, NULL::BIGINT AS m_gid,
+         NULL::DOUBLE AS m_iou, NULL::DOUBLE AS m_conf
+  FROM (SELECT DISTINCT image_id, category_id FROM ranked)
+  UNION ALL
+  SELECT rk.image_id, rk.category_id, rk.r,
+    CASE WHEN list_filter(rk.cands,
+                c -> NOT list_contains(rec.used, c.gid))[1].gid IS NOT NULL
+         THEN list_append(rec.used,
+                list_filter(rk.cands,
+                  c -> NOT list_contains(rec.used, c.gid))[1].gid)
+         ELSE rec.used END,
+    CASE WHEN list_filter(rk.cands,
+                c -> NOT list_contains(rec.used, c.gid))[1].gid IS NOT NULL
+         THEN rk.pid END,
+    list_filter(rk.cands, c -> NOT list_contains(rec.used, c.gid))[1].gid,
+    list_filter(rk.cands, c -> NOT list_contains(rec.used, c.gid))[1].iou,
+    rk.conf
+  FROM rec
+  JOIN ranked rk
+    ON rk.image_id = rec.image_id
+   AND rk.category_id = rec.category_id
+   AND rk.r = rec.r + 1
+),
+matches AS (
+  SELECT image_id, category_id, m_pid, m_gid, m_iou, m_conf
+  FROM rec WHERE m_gid IS NOT NULL
+)"""
+
+
+ORACLE_GREEDY_MATCHING = (
+    _dd_matches_cte()
+    + """
+SELECT image_id, category_id,
+       m_pid AS prediction_id, m_gid AS groundtruth_id,
+       round(m_iou, 9) AS iou
+FROM matches
+UNION ALL
+SELECT g.image_id, g.category_id, NULL, g.id, NULL
+FROM gt g WHERE NOT EXISTS (SELECT 1 FROM matches m WHERE m.m_gid = g.id)
+UNION ALL
+SELECT p.image_id, p.category_id, p.id, NULL, NULL
+FROM pred p WHERE NOT EXISTS (SELECT 1 FROM matches m WHERE m.m_pid = p.id)
+"""
+)
+
+# detection_pr_ap, end to end in SQL: the recursive-CTE matching above,
+# then the reference PR-curve construction (results frame → distinct-
+# confidence collapse → cumulative windows → monotone envelope → pad
+# points) and BOTH AP definitions. Tie order in the Riemann lag window
+# replicates average_precisions_both's struct sort exactly:
+# (recall ASC, confidence DESC, precision_env ASC, is_pad ASC) — the
+# tail pad shares (recall, confidence=0.0) with the real lowest-
+# confidence point, and the fold gives the nonzero Δrecall of that tie
+# run to the LOWEST-envelope member.
+ORACLE_DETECTION_PR_AP = (
+    _dd_matches_cte(pred_filter="WHERE (id + 10000000) % 5 != 0")
+    + """,
+results AS (
+  SELECT g.category_id,
+         CASE WHEN m.m_pid IS NULL THEN 0.0 ELSE m.m_conf END AS confidence,
+         coalesce(m.m_iou, 0.0) AS iou,
+         TRUE AS is_gt
+  FROM gt g LEFT JOIN matches m ON m.m_gid = g.id
+  UNION ALL
+  SELECT p.category_id, p.conf, 0.0, FALSE
+  FROM pred p WHERE NOT EXISTS (SELECT 1 FROM matches m WHERE m.m_pid = p.id)
+),
+per_conf AS (
+  SELECT category_id, confidence,
+         sum(CASE WHEN is_gt AND iou > 0.2 THEN 1 ELSE 0 END)::BIGINT AS tp02,
+         sum(CASE WHEN is_gt AND iou > 0.5 THEN 1 ELSE 0 END)::BIGINT AS tp05,
+         count(*)::BIGINT AS n_c,
+         sum(CASE WHEN is_gt THEN 1 ELSE 0 END)::BIGINT AS gt_c
+  FROM results GROUP BY category_id, confidence
+),
+fan AS (
+  SELECT category_id, t.iou_threshold, confidence,
+         CASE WHEN t.iou_threshold = 0.2 THEN tp02 ELSE tp05 END AS tp_c,
+         n_c, gt_c
+  FROM per_conf, (SELECT unnest([0.2, 0.5]) AS iou_threshold) t
+),
+curve AS (
+  SELECT category_id, iou_threshold, confidence,
+    (sum(tp_c) OVER w)::DOUBLE / (sum(n_c) OVER w) AS precision,
+    CASE WHEN sum(gt_c) OVER g > 0
+         THEN (sum(tp_c) OVER w)::DOUBLE / (sum(gt_c) OVER g) END AS recall
+  FROM fan
+  WINDOW w AS (PARTITION BY category_id, iou_threshold
+               ORDER BY confidence DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         g AS (PARTITION BY category_id, iou_threshold)
+),
+env0 AS (
+  SELECT *, max(precision) OVER (
+      PARTITION BY category_id, iou_threshold
+      ORDER BY confidence ASC, recall DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS precision_env,
+    FALSE AS is_pad
+  FROM curve
+),
+padded AS (
+  SELECT category_id, iou_threshold, confidence, precision, recall,
+         precision_env, is_pad
+  FROM env0
+  UNION ALL
+  SELECT category_id, iou_threshold, 1.0, 1.0, 0.0, 1.0, TRUE
+  FROM (SELECT DISTINCT category_id, iou_threshold FROM env0)
+  UNION ALL
+  SELECT category_id, iou_threshold, 0.0, 0.0, max(recall), 0.0, TRUE
+  FROM env0 GROUP BY category_id, iou_threshold
+),
+riemann AS (
+  SELECT category_id, iou_threshold,
+         sum(precision_env * d) AS average_precision
+  FROM (
+    SELECT category_id, iou_threshold, precision_env,
+           recall - coalesce(lag(recall) OVER o, recall) AS d
+    FROM padded
+    WINDOW o AS (PARTITION BY category_id, iou_threshold
+                 ORDER BY recall ASC, confidence DESC,
+                          precision_env ASC, is_pad ASC)
+  ) GROUP BY category_id, iou_threshold
+),
+collapsed AS (
+  SELECT category_id, iou_threshold, recall,
+         max(precision_env) AS env
+  FROM padded WHERE NOT is_pad
+  GROUP BY category_id, iou_threshold, recall
+),
+gridpts AS (
+  SELECT category_id, iou_threshold, gr.r,
+         coalesce(max(CASE WHEN recall >= gr.r THEN env END), 0.0) AS p
+  FROM collapsed,
+       (SELECT i::DOUBLE / 100.0 AS r
+        FROM unnest(generate_series(0, 100)) t(i)) gr
+  GROUP BY category_id, iou_threshold, gr.r
+),
+grid AS (
+  SELECT category_id, iou_threshold, sum(p) / 101.0 AS ap_g
+  FROM gridpts GROUP BY category_id, iou_threshold
+)
+SELECT r.category_id, r.iou_threshold,
+       round(r.average_precision, 6) AS ap,
+       round(g.ap_g, 6) AS ap_coco_grid
+FROM riemann r
+JOIN grid g ON g.category_id = r.category_id
+           AND g.iou_threshold = r.iou_threshold
+"""
+)
+
+
+def q_greedy_matching(spark, sf_dir):
+    """Greedy bipartite IoU matching via the mapInPandas kernel: gt =
+    synthetic boxes from lineitem (deduplicated to unique ids, see
+    ``_matcher_ann``), predictions = the same boxes jittered, so
+    matches are plentiful and deterministic. VALUE-EXACT oracle: the
+    sequential greedy loop is replicated in DuckDB as a recursive CTE
+    over prediction rank (``_dd_matches_cte``)."""
+    from lours_spark.evaluation.matching import compute_matches
+
+    gt = _matcher_ann(spark, sf_dir)
+    pred = _jittered_pred(gt)
     matches = compute_matches(gt, pred)
     return matches.select(
         "image_id", "category_id", "prediction_id", "groundtruth_id",
@@ -1571,11 +1817,8 @@ def q_detection_pr_ap(spark, sf_dir):
     matcher; the math itself is COCOeval-parity-tested in
     tests/test_cocoeval_parity.py)."""
     from lours_spark.evaluation.evaluator import compute_precision_recall
-    from lours_spark.functions.bbox import import_bbox
 
-    ann = import_bbox(
-        _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
-    ).withColumn("category_id", (F.col("id") % 3).cast("int"))
+    ann = _matcher_ann(spark, sf_dir)
     pred = _jittered_pred(ann).filter(F.col("id") % 5 != 0)
     res = compute_precision_recall(
         ann, pred, ious=[0.2, 0.5], group_cols=["category_id"]
@@ -1707,8 +1950,9 @@ def oracles() -> dict[str, str]:
         "json_extraction": ORACLE_JSON,
         "forward_fill": ORACLE_FFILL,
         "multimodal_features": ORACLE_MULTIMODAL,
-        # rows-only (non-SQL-expressible): greedy_matching,
-        # detection_pr_ap, balanced_split
+        "greedy_matching": ORACLE_GREEDY_MATCHING,
+        "detection_pr_ap": ORACLE_DETECTION_PR_AP,
+        # rows-only (non-SQL-expressible): balanced_split
     }
 
 # --------------------------------------------------------------------------

@@ -7,7 +7,7 @@ in module docstrings — keep them honest here, in one place."""
 from __future__ import annotations
 
 
-def test_gate_is_exactly_50_with_47_oracles():
+def test_gate_is_exactly_50_with_49_oracles():
     import __spark_entry__ as entry
 
     q = entry.queries()
@@ -15,9 +15,12 @@ def test_gate_is_exactly_50_with_47_oracles():
     assert len(q) == 50, len(q)
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
-    # the three rows-only-by-design gates (COCOeval-parity or
-    # reference-protocol covered elsewhere)
-    assert rows_only == {"greedy_matching", "detection_pr_ap", "balanced_split"}
+    # the one remaining rows-only gate: the balanced-split greedy
+    # shuffles chunk order with python Random(seed) — not replicable
+    # in SQL (quality parity asserted in tests/test_split.py instead).
+    # greedy_matching and detection_pr_ap gained value-exact
+    # recursive-CTE oracles in round 6.
+    assert rows_only == {"balanced_split"}
 
 
 def test_all_queries_covers_gate_facets():
