@@ -26,6 +26,7 @@ ROWS = {
     "cap_per_group": "documents",
     "quality_percentile": "documents",
     "dup_spans": "documents",
+    "remove_dup_spans": "documents",
 }
 TABLE_ROWS = {
     "1x": {"lineitem": 600_000, "orders": 150_000, "documents": 5_000},

@@ -33,6 +33,7 @@ QUERIES = [
     "cap_per_group",
     "quality_percentile",
     "dup_spans",
+    "remove_dup_spans",
 ]
 
 

@@ -40,6 +40,7 @@ QUERIES = [
     "cap_per_group",
     "quality_percentile",
     "dup_spans",
+    "remove_dup_spans",
 ]
 
 
