@@ -844,7 +844,12 @@ def remove_dup_spans(
     >>> (rows[1]["text"], rows[2]["n_tokens_removed"])
     ('a b c d', 3)
     """
-    toks = TX.tokens(F.col(text_col))
+    # NULL text → NULL token array → size() = -1 (non-ANSI), and
+    # sequence(1, -1) DESCENDS through 0 where element_at errors —
+    # normalize to an empty array so null-text docs pass through
+    toks = F.coalesce(
+        TX.tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
     base = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size("__toks")
     n_w = n - (window - 1)
@@ -900,7 +905,10 @@ def remove_dup_spans(
             )
         )
     )
-    kept_pos = F.array_except(F.sequence(F.lit(1), n), covered)
+    # same descending-sequence guard as `positions` above, for n = 0
+    kept_pos = F.when(
+        n >= 1, F.array_except(F.sequence(F.lit(1), n), covered)
+    ).otherwise(F.array().cast("array<int>"))
     rebuilt = F.array_join(
         F.transform(kept_pos, lambda p: F.element_at(F.col("__toks"), p)),
         " ",

@@ -937,6 +937,26 @@ def test_remove_dup_spans_semantics(spark):
     assert out[5]["n_tokens_removed"] == 5
 
 
+def test_remove_dup_spans_null_and_empty_text(spark):
+    """NULL text and empty-token docs pass through instead of hitting
+    Spark's descending sequence(1, n<1) / element_at(_, 0) traps."""
+    from lours_spark.operators.dedup import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d"), (4, "x a b c d y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(df, window=3).collect()
+    }
+    assert out[1]["n_tokens_before"] == 0 and out[1]["text"] == ""
+    # empty string tokenizes to one empty token (split semantics)
+    assert out[2]["n_tokens_before"] == 1
+    assert out[3]["text"] == "a b c d"
+    assert out[4]["text"] == "x y"
+
+
 def test_semantic_dedup_sample_fit(spark, vectors):
     """fit_fraction fits k-means on a hash sample but assigns the full
     corpus: every row still gets a cluster and dup marks remain sound
