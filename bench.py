@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "dup_spans",
     "remove_dup_spans",
+    "cluster_representatives",
     # round 2: curation operators
     "decontaminate",
     "repetition_signals",

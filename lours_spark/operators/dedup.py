@@ -22,7 +22,7 @@ codegen'd ``xxhash64`` family for production corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lours_spark.functions import text as TX
@@ -918,6 +918,58 @@ def remove_dup_spans(
         n.cast("long").alias("n_tokens_before"),
         F.size(covered).cast("long").alias("n_tokens_removed"),
         rebuilt.alias("text"),
+    )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pick ONE representative per near-duplicate cluster — the
+    highest-``quality_col`` member, ties broken by lowest id — and
+    flag every row so callers either keep the representatives or audit
+    what a dedup pass would drop. Docs absent from ``clusters`` are
+    singleton clusters (their own representative). This is the
+    keep-best-of-cluster curation step that follows near-dup
+    clustering (FineWeb/Dolma style): keep-lowest-id dedup silently
+    discards the best-written copy of a boilerplate family.
+
+    ``clusters`` is ``(id_col, cluster_col)`` — e.g. the output of
+    :func:`lours_spark.split.chunks.connected_components` over
+    near-dup pairs, renamed.
+
+    Returns ``df``'s rows + ``cluster_col`` (coalesced to the doc's
+    own id for singletons) + boolean ``is_representative``.
+
+    Spark shape: one left join on id (the cluster frame is
+    |clustered docs| ≪ corpus → broadcastable) and one row_number
+    window partitioned by cluster id — a single hash exchange on the
+    cluster key; near-dup clusters are shallow, so no skew salting.
+
+    >>> docs = spark.createDataFrame(
+    ...     [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1)],
+    ...     "doc_id long, quality double")
+    >>> cl = spark.createDataFrame(
+    ...     [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long")
+    >>> rows = {r["doc_id"]: r for r in
+    ...         cluster_representatives(docs, cl).collect()}
+    >>> [rows[i]["is_representative"] for i in (1, 2, 3, 4)]
+    [False, True, False, True]
+    >>> rows[4]["cluster_id"]  # singleton: its own cluster
+    4
+    """
+    cl = clusters.select(F.col(id_col), F.col(cluster_col))
+    joined = df.join(cl, id_col, "left").withColumn(
+        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return joined.withColumn(
+        "is_representative", F.row_number().over(w) == 1
     )
 
 

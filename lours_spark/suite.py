@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 85)
+(50, 86)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -3019,6 +3019,66 @@ FROM r
 """
 
 
+def q_cluster_representatives(spark, sf_dir):
+    """Keep-best-of-cluster selection: near-dup clusters (same
+    exact-Jaccard + connected-components construction as
+    ``dedup_clusters``) × per-doc quality score → one representative
+    per cluster (quality DESC, doc_id ASC). Hash covers every doc's
+    cluster assignment, quality and the representative flag."""
+    from lours_spark.functions.text import quality_score
+    from lours_spark.operators.dedup import (
+        cluster_representatives,
+        ngram_jaccard_pairs,
+    )
+    from lours_spark.split.chunks import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.3)
+    clusters = connected_components(pairs).select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component_id").alias("cluster_id"),
+    )
+    scored = d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    out = cluster_representatives(scored, clusters)
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        F.col("is_representative").cast("int").alias("is_representative"),
+    )
+
+
+def _oracle_cluster_representatives() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_oracle_ngram_jaccard()})
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+cmembers AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM cmembers
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+scored AS ({_oracle_quality()})
+SELECT s.doc_id,
+       coalesce(cl.cluster_id, s.doc_id) AS cluster_id,
+       s.quality,
+       (row_number() OVER (
+           PARTITION BY coalesce(cl.cluster_id, s.doc_id)
+           ORDER BY s.quality DESC, s.doc_id ASC
+        ) = 1)::INT AS is_representative
+FROM scored s LEFT JOIN cl USING (doc_id)
+"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The composed end-to-end curation chain (pipeline.py): exact
     dedup → per-language quality percentile → PII redaction → mixture
@@ -3347,6 +3407,7 @@ QUERIES.update(
         "semantic_dedup": q_semantic_dedup,
         "dup_spans": q_dup_spans,
         "remove_dup_spans": q_remove_dup_spans,
+        "cluster_representatives": q_cluster_representatives,
         "curation_pipeline": q_curation_pipeline,
     }
 )
@@ -3366,6 +3427,7 @@ _EXTRA_ORACLES.update(
         "semantic_dedup": _oracle_semantic_dedup,
         "dup_spans": _oracle_dup_spans,
         "remove_dup_spans": _oracle_remove_dup_spans,
+        "cluster_representatives": _oracle_cluster_representatives,
     }
 )
 
@@ -3474,7 +3536,7 @@ _CURATION_FACETS = (
     "decontaminate", "repetition_signals", "stratified_sample", "pii_signals",
     "paragraph_dedup", "table_profile", "pack_chunked", "mixture_weights",
     "global_shuffle", "cap_per_group", "quality_percentile", "semantic_dedup",
-    "dup_spans", "remove_dup_spans",
+    "dup_spans", "remove_dup_spans", "cluster_representatives",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -3619,6 +3681,9 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 "remove_dup_spans": [
                     "doc_id", "n_tokens_before", "n_tokens_removed",
                     "text_md5",
+                ],
+                "cluster_representatives": [
+                    "doc_id", "cluster_id", "quality", "is_representative",
                 ],
             }
             out[name] = _facet_union_sql(

@@ -957,6 +957,33 @@ def test_remove_dup_spans_null_and_empty_text(spark):
     assert out[4]["text"] == "x y"
 
 
+def test_cluster_representatives(spark):
+    from lours_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.0)],
+        "doc_id long, quality double",
+    )
+    # cluster 1 = {1,2,3} (quality tie 2 vs 3 → lowest id wins),
+    # docs 4 and 5 are singletons
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    out = {r["doc_id"]: r for r in
+           cluster_representatives(docs, cl).collect()}
+    assert {i: out[i]["is_representative"] for i in range(1, 6)} == {
+        1: False, 2: True, 3: False, 4: True, 5: True,
+    }
+    assert out[4]["cluster_id"] == 4 and out[5]["cluster_id"] == 5
+    # exactly one representative per cluster
+    from collections import Counter
+
+    reps = Counter(
+        r["cluster_id"] for r in out.values() if r["is_representative"]
+    )
+    assert set(reps.values()) == {1}
+
+
 def test_semantic_dedup_sample_fit(spark, vectors):
     """fit_fraction fits k-means on a hash sample but assigns the full
     corpus: every row still gets a cluster and dup marks remain sound
