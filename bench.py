@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "dup_spans",
     "remove_dup_spans",
     "cluster_representatives",
+    "normalize_text",
     # round 2: curation operators
     "decontaminate",
     "repetition_signals",

@@ -213,6 +213,29 @@ def quality_score(text: Column) -> Column:
     return (len_ok + punct_ok + stop_ok) / 3.0
 
 
+def normalize_text(text: Column, lowercase: bool = True) -> Column:
+    """Canonical text normalization before fingerprinting / dedup:
+    strip C0/C1 control characters (except the whitespace ones, which
+    the next step absorbs), collapse every whitespace run to one
+    space, trim, and optionally lowercase. A pure codegen'd
+    ``regexp_replace`` chain — no UDF — and the patterns are in the
+    Java-regex ∩ RE2 subset, so other engines (DuckDB oracle included)
+    reproduce it byte-for-byte. NULL passes through as NULL.
+
+    Normalizing first is what makes hash-based dedup effective:
+    ``fingerprint``/MinHash treat ``"A  b"`` and ``"a b"`` as distinct
+    documents without it.
+
+    >>> df = spark.createDataFrame(
+    ...     [(" The\\tQuick\\x01  brown FOX \\n",)], ["t"])
+    >>> df.select(normalize_text(F.col("t")).alias("n")).first()["n"]
+    'the quick brown fox'
+    """
+    out = F.regexp_replace(text, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    out = F.trim(F.regexp_replace(out, "\\s+", " "))
+    return F.lower(out) if lowercase else out
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set — catches token-permutation near-duplicates.

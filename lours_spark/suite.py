@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 86)
+(50, 87)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -3079,6 +3079,58 @@ FROM scored s LEFT JOIN cl USING (doc_id)
 """
 
 
+def q_normalize_text(spark, sf_dir):
+    """Canonical normalization pass: every 3rd document is made messy
+    (tab/space padding, tripled inter-word spaces, trailing control
+    characters) and ``normalize_text`` must restore one canonical form;
+    the hash covers the md5 of every normalized document plus the
+    before/after char accounting. The facet proves the Java-regex ∩ RE2
+    pattern subset really is engine-portable."""
+    from lours_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("\t  "),
+            F.regexp_replace(F.col("text"), " ", "   "),
+            F.lit(" \x01\x02  "),
+        ),
+    ).otherwise(F.col("text"))
+    m = d.select("doc_id", messy.alias("__m"))
+    return m.select(
+        "doc_id",
+        F.length("__m").cast("long").alias("n_chars_messy"),
+        F.length(normalize_text(F.col("__m"))).cast("long").alias(
+            "n_chars_norm"
+        ),
+        F.md5(normalize_text(F.col("__m"))).alias("norm_md5"),
+    )
+
+
+def _oracle_normalize_text() -> str:
+    return r"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN e'\t  ' || replace(text, ' ', '   ') || e' \x01\x02  '
+              ELSE text END AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, t,
+         lower(trim(regexp_replace(
+             regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+             '\s+', ' ', 'g'))) AS norm
+  FROM m
+)
+SELECT doc_id,
+       length(t)::BIGINT AS n_chars_messy,
+       length(norm)::BIGINT AS n_chars_norm,
+       md5(norm) AS norm_md5
+FROM n
+"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The composed end-to-end curation chain (pipeline.py): exact
     dedup → per-language quality percentile → PII redaction → mixture
@@ -3408,6 +3460,7 @@ QUERIES.update(
         "dup_spans": q_dup_spans,
         "remove_dup_spans": q_remove_dup_spans,
         "cluster_representatives": q_cluster_representatives,
+        "normalize_text": q_normalize_text,
         "curation_pipeline": q_curation_pipeline,
     }
 )
@@ -3428,6 +3481,7 @@ _EXTRA_ORACLES.update(
         "dup_spans": _oracle_dup_spans,
         "remove_dup_spans": _oracle_remove_dup_spans,
         "cluster_representatives": _oracle_cluster_representatives,
+        "normalize_text": _oracle_normalize_text,
     }
 )
 
@@ -3537,6 +3591,7 @@ _CURATION_FACETS = (
     "paragraph_dedup", "table_profile", "pack_chunked", "mixture_weights",
     "global_shuffle", "cap_per_group", "quality_percentile", "semantic_dedup",
     "dup_spans", "remove_dup_spans", "cluster_representatives",
+    "normalize_text",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -3684,6 +3739,9 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 ],
                 "cluster_representatives": [
                     "doc_id", "cluster_id", "quality", "is_representative",
+                ],
+                "normalize_text": [
+                    "doc_id", "n_chars_messy", "n_chars_norm", "norm_md5",
                 ],
             }
             out[name] = _facet_union_sql(
