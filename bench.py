@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "remove_dup_spans",
     "cluster_representatives",
     "normalize_text",
+    "decontaminate_spans",
     # round 2: curation operators
     "decontaminate",
     "repetition_signals",
@@ -266,39 +267,46 @@ def main() -> None:
     # in BENCH_FULL.json). The window keeps the LAST 2000 chars and
     # this line is the final stdout; 1980 leaves slack for the
     # trailing newline (guarded by test_suite_registry).
-    for ndigits in (3, 2, 1, 0):
-        line = json.dumps(
+    print(stdout_line(payload["value"], payload["sf"], timings))
+
+
+def stdout_line(value: float, sf, timings: dict[str, float]) -> str:
+    """The capture-window-sized stdout line: per-query precision steps
+    down 3 → 2 → 1 decimals, then INTEGER seconds (``round(v, 0)`` is a
+    float and prints '10.0' — no shorter than '9.9' — so the last
+    numeric step must emit real ints), and only then drops the queries
+    dict entirely (full precision always lives in BENCH_FULL.json).
+    Guarded by test_suite_registry so registry growth that would cost
+    the driver its per-query data fails in CI, not in the round."""
+
+    def render(qs: dict) -> str:
+        return json.dumps(
             {
-                "metric": payload["metric"],
-                "value": payload["value"],
+                "metric": "suite_total_runtime",
+                "value": value,
                 "unit": "sec",
-                "sf": payload["sf"],
-                "queries": {k: round(v, ndigits) for k, v in timings.items()},
+                "sf": sf,
+                "queries": qs,
             },
             separators=(",", ":"),
         )
+
+    for ndigits in (3, 2, 1):
+        line = render({k: round(v, ndigits) for k, v in timings.items()})
         if len(line) <= 1980:
-            break
-    else:
-        # terminal fallback: even 0-decimal precision overflows the
-        # window — drop per-query detail (BENCH_FULL.json has it all)
-        # rather than print a line the driver will clip mid-JSON
-        print(
-            f"# bench stdout line would be {len(line)} chars; "
-            "dropping 'queries' — see BENCH_FULL.json",
-            file=sys.stderr,
-        )
-        line = json.dumps(
-            {
-                "metric": payload["metric"],
-                "value": payload["value"],
-                "unit": "sec",
-                "sf": payload["sf"],
-                "queries": {},
-            },
-            separators=(",", ":"),
-        )
-    print(line)
+            return line
+    line = render({k: int(round(v)) for k, v in timings.items()})
+    if len(line) <= 1980:
+        return line
+    # terminal fallback: even integer seconds overflow the window —
+    # drop per-query detail rather than print a line the driver will
+    # clip mid-JSON
+    print(
+        f"# bench stdout line would be {len(line)} chars; "
+        "dropping 'queries' — see BENCH_FULL.json",
+        file=sys.stderr,
+    )
+    return render({})
 
 
 if __name__ == "__main__":

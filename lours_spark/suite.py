@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 87)
+(50, 88)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -3019,6 +3019,72 @@ FROM r
 """
 
 
+_DECON_SPAN_W = 5
+
+
+def q_decontaminate_spans(spark, sf_dir):
+    """Surgical decontamination: every 97th document doubles as the
+    'benchmark'; every 5-token span of the corpus that appears in the
+    benchmark is stripped and the documents rebuilt (the benchmark
+    members themselves get gutted — correct: their whole text is
+    contaminated by definition). Hash covers the md5 of every rebuilt
+    document plus the removed-token accounting."""
+    from lours_spark.operators.decontaminate import remove_contaminated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    out = remove_contaminated_spans(d, bench, window=_DECON_SPAN_W)
+    return out.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_removed",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _oracle_decontaminate_spans() -> str:
+    w = _DECON_SPAN_W
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {dd_tokens("text")} AS w FROM documents
+), bw AS (
+  SELECT DISTINCT array_to_string(w[i:i+{w - 1}], ' ') AS span
+  FROM (SELECT {dd_tokens("text")} AS w FROM documents WHERE doc_id % 97 = 0),
+       unnest(generate_series(1, len(w) - {w - 1})) AS u(i)
+  WHERE len(w) >= {w}
+), wnd AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+{w - 1}], ' ') AS span
+  FROM tok, unnest(generate_series(1, len(w) - {w - 1})) AS u(i)
+  WHERE len(w) >= {w}
+), cover AS (
+  SELECT wnd.doc_id, wnd.pos FROM wnd JOIN bw USING (span)
+), tokpos AS (
+  SELECT doc_id, i AS p, w[i] AS token
+  FROM tok, unnest(generate_series(1, len(w))) AS u(i)
+), kept AS (
+  SELECT tp.doc_id, tp.p, tp.token
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cover c
+    WHERE c.doc_id = tp.doc_id
+      AND tp.p BETWEEN c.pos AND c.pos + {w - 1}
+  )
+), rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), nt AS (
+  SELECT doc_id, len(w) AS n_tokens_before FROM tok
+)
+SELECT nt.doc_id,
+       nt.n_tokens_before::BIGINT AS n_tokens_before,
+       (nt.n_tokens_before - coalesce(n_kept, 0))::BIGINT
+         AS n_tokens_removed,
+       md5(coalesce(rebuilt.text, '')) AS text_md5
+FROM nt LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 def q_cluster_representatives(spark, sf_dir):
     """Keep-best-of-cluster selection: near-dup clusters (same
     exact-Jaccard + connected-components construction as
@@ -3461,6 +3527,7 @@ QUERIES.update(
         "remove_dup_spans": q_remove_dup_spans,
         "cluster_representatives": q_cluster_representatives,
         "normalize_text": q_normalize_text,
+        "decontaminate_spans": q_decontaminate_spans,
         "curation_pipeline": q_curation_pipeline,
     }
 )
@@ -3482,6 +3549,7 @@ _EXTRA_ORACLES.update(
         "remove_dup_spans": _oracle_remove_dup_spans,
         "cluster_representatives": _oracle_cluster_representatives,
         "normalize_text": _oracle_normalize_text,
+        "decontaminate_spans": _oracle_decontaminate_spans,
     }
 )
 
@@ -3591,7 +3659,7 @@ _CURATION_FACETS = (
     "paragraph_dedup", "table_profile", "pack_chunked", "mixture_weights",
     "global_shuffle", "cap_per_group", "quality_percentile", "semantic_dedup",
     "dup_spans", "remove_dup_spans", "cluster_representatives",
-    "normalize_text",
+    "normalize_text", "decontaminate_spans",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -3742,6 +3810,10 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 ],
                 "normalize_text": [
                     "doc_id", "n_chars_messy", "n_chars_norm", "norm_md5",
+                ],
+                "decontaminate_spans": [
+                    "doc_id", "n_tokens_before", "n_tokens_removed",
+                    "text_md5",
                 ],
             }
             out[name] = _facet_union_sql(

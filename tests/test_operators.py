@@ -957,6 +957,36 @@ def test_remove_dup_spans_null_and_empty_text(spark):
     assert out[4]["text"] == "x y"
 
 
+def test_remove_contaminated_spans(spark):
+    from lours_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro the quick brown fox says hi"),  # embedded snippet
+            (2, "the quick brown fox"),  # fully contaminated
+            (3, "clean document with other words"),
+            (4, "tiny"),  # under the window → passthrough
+            (5, None),  # NULL text → passthrough
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("xx the quick brown fox yy",)], "text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(docs, bench, window=4).collect()
+    }
+    assert out[1]["text"] == "intro says hi"
+    assert out[1]["n_tokens_removed"] == 4
+    assert out[2]["text"] == "" and out[2]["n_tokens_removed"] == 4
+    assert out[3]["text"] == "clean document with other words"
+    assert out[4]["text"] == "tiny"
+    assert out[5]["text"] == "" and out[5]["n_tokens_before"] == 0
+
+
 def test_cluster_representatives(spark):
     from lours_spark.operators.dedup import cluster_representatives
 

@@ -27,7 +27,7 @@ def test_all_queries_covers_gate_facets():
     from lours_spark.suite import ALL_QUERIES, GATE_FACETS, QUERIES
 
     assert len(QUERIES) == 50
-    assert len(ALL_QUERIES) == 87
+    assert len(ALL_QUERIES) == 88
     for combined, facets in GATE_FACETS.items():
         assert combined in QUERIES, combined
         for f in facets:
@@ -69,20 +69,14 @@ def test_bench_stdout_line_fits_driver_window():
     import bench
 
     # realistic regime: every query under 10s at sf0.1 (slowest today
-    # is ~2.3s) — the step-down handles heavier outliers per-run
+    # is ~2.3s) — exercise the REAL emission step-down (it now ends in
+    # an integer-seconds step before giving up the queries dict)
     qs = {name: 9.9 for name in bench.BENCH_QUERIES}
-    line = json.dumps(
-        {
-            "metric": "suite_total_runtime",
-            "value": 99999.999,
-            "unit": "sec",
-            "sf": 0.1,
-            "queries": qs,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) <= 1980, (
-        f"bench stdout line would be {len(line)} chars at 1-decimal "
-        "precision; shorten query names or accept losing per-query "
-        "numbers in BENCH_r{N}.json (BENCH_FULL.json keeps them)"
+    line = bench.stdout_line(99999.999, 0.1, qs)
+    assert len(line) <= 1980, len(line)
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(bench.BENCH_QUERIES), (
+        "stdout line dropped per-query data; shorten query names or "
+        "accept losing them in BENCH_r{N}.json (BENCH_FULL.json keeps "
+        "full precision)"
     )
