@@ -27,6 +27,9 @@ ROWS = {
     "quality_percentile": "documents",
     "dup_spans": "documents",
     "remove_dup_spans": "documents",
+    "cluster_representatives": "documents",
+    "normalize_text": "documents",
+    "decontaminate_spans": "documents",
 }
 TABLE_ROWS = {
     "1x": {"lineitem": 600_000, "orders": 150_000, "documents": 5_000},

@@ -34,6 +34,9 @@ QUERIES = [
     "quality_percentile",
     "dup_spans",
     "remove_dup_spans",
+    "cluster_representatives",
+    "normalize_text",
+    "decontaminate_spans",
 ]
 
 
