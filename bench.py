@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "cluster_representatives",
     "normalize_text",
     "decontaminate_spans",
+    "gopher_rules",
     # round 2: curation operators
     "decontaminate",
     "repetition_signals",

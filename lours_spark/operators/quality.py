@@ -21,10 +21,14 @@ result and the whole thing stays order-free deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lours_spark.functions.text import _bind, tokens, word_shingles
+
+#: Gopher rule 6's stop-word set (Rae et al. 2021, appendix A1.1):
+#: a document must contain at least two of these to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def repetition_signals(
@@ -105,6 +109,154 @@ def repetition_signals(
             "dup_trigram_excess",
         )
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_words: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    _keep_all_columns: bool = False,
+) -> DataFrame:
+    """Gopher/MassiveText document-level quality rules (Rae et al.
+    2021, appendix A1.1) as one pure-expression pass: per document the
+    seven rule signals plus the combined ``gopher_keep`` flag.
+
+    Signals (all per document):
+
+    - ``n_words`` — whitespace token count (empty tokens dropped);
+    - ``mean_word_len`` — mean characters per word;
+    - ``symbol_word_ratio`` — (``#`` + ellipsis occurrences) / words;
+    - ``bullet_line_frac`` — fraction of lines starting with a bullet
+      (``-``, ``*``, ``•``);
+    - ``ellipsis_line_frac`` — fraction of lines ending with ``...`` /
+      ``…``;
+    - ``alpha_word_frac`` — fraction of words containing an ASCII
+      letter (tokens are lowercased, so ``[a-z]``);
+    - ``n_stop_words`` — DISTINCT stop words present (Gopher keeps a
+      doc only if ≥ ``min_stop_words`` of its eight appear).
+
+    ``gopher_keep`` is the conjunction of the published thresholds
+    (each overridable). Fractions are rounded to 6 dp BEFORE the
+    threshold comparison so the flag is bit-stable across engines.
+
+    Scale shape: zero shuffles, zero joins, zero Python — one
+    whole-stage-codegen projection over the corpus scan (the token and
+    line arrays are bound once via lambda binding, not recomputed per
+    signal). Reference for the rule set: the Gopher paper; the
+    reference repo has no corpus-curation layer (this is part of the
+    beyond-reference training-data suite).
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "the quick brown fox and that dog have fun with it "
+    ...          "while they watch the other animals of the field")],
+    ...     "doc_id long, text string")
+    >>> r = gopher_rules(df, min_words=10).first()
+    >>> r["n_words"], r["n_stop_words"], r["gopher_keep"]
+    (20, 6, 1)
+    >>> gopher_rules(df).first()["gopher_keep"]  # default min 50 words
+    0
+    """
+    text = F.col(text_col)
+
+    def word_signals(w: Column) -> Column:
+        n = F.size(w)
+        total_chars = F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+        symbols = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+            text, F.lit(r"\.\.\.|…")
+        )
+        stops = F.size(
+            F.array_intersect(
+                F.array_distinct(w),
+                F.array(*[F.lit(s) for s in stopwords]),
+            )
+        )
+        nz = n > 0
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            F.when(nz, F.round(total_chars / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("mean_word_len"),
+            F.when(nz, F.round(symbols / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("symbol_word_ratio"),
+            F.when(nz, F.round(alpha / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("alpha_word_frac"),
+            stops.cast("long").alias("n_stop_words"),
+        )
+
+    def line_signals(lines: Column) -> Column:
+        n = F.size(lines)  # split() always yields >= 1 element
+        bullets = F.size(
+            F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+        )
+        ellipses = F.size(
+            F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+        )
+        return F.struct(
+            F.round(bullets / n, 6).alias("bullet_line_frac"),
+            F.round(ellipses / n, 6).alias("ellipsis_line_frac"),
+        )
+
+    words = F.filter(tokens(text), lambda x: x != F.lit(""))
+    lead = list(docs.columns) if _keep_all_columns else [id_col]
+    sig = docs.select(
+        *lead,
+        _bind(words, word_signals).alias("__ws"),
+        _bind(F.split(text, "\n"), line_signals).alias("__ls"),
+    ).select(*lead, "__ws.*", "__ls.*")
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("n_stop_words") >= min_stop_words)
+    )
+    return sig.withColumn("gopher_keep", keep.cast("int"))
+
+
+_GOPHER_SIGNAL_COLS = (
+    "n_words", "mean_word_len", "symbol_word_ratio", "alpha_word_frac",
+    "n_stop_words", "bullet_line_frac", "ellipsis_line_frac", "gopher_keep",
+)
+
+
+def filter_gopher(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", **thresholds) -> DataFrame:
+    """Keep only documents passing :func:`gopher_rules`, original
+    schema preserved. The flag is computed inline on the same scan and
+    dropped after the filter — no join, no shuffle, no second pass
+    (a semi-join against the signal frame would re-scan the corpus).
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "the of and that be to have with more words here now"),
+    ...      (2, "zz xx yy")], "doc_id long, text string")
+    >>> [r["doc_id"] for r in
+    ...  filter_gopher(df, min_words=5).collect()]
+    [1]
+    """
+    sig = gopher_rules(
+        docs, id_col, text_col, _keep_all_columns=True, **thresholds
+    )
+    return sig.filter(F.col("gopher_keep") == 1).drop(*_GOPHER_SIGNAL_COLS)
 
 
 def quality_percentile(

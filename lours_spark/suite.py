@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 88)
+(50, 89)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -3197,6 +3197,101 @@ FROM n
 """
 
 
+# Injected variants for q_gopher_rules: bullet-heavy and
+# ellipsis-heavy texts so the two line-shape rules actually fire on the
+# synthetic corpus (which is single-line). Shared literals keep the
+# Spark and DuckDB sides byte-identical.
+_GOPHER_BULLETS = "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n"
+_GOPHER_ELLIPS = "\nwait...\nhmm...\nso...\nthen...\nnow...\nok..."
+# Gopher's canonical 8 stop words barely occur in the synthetic corpus
+# (mean 0.75 distinct per doc → the flag would be constant 0); a wider
+# function-word list puts ~63% of docs over the >=2 bar so the rule
+# actually discriminates here. The operator default stays the paper's 8.
+_GOPHER_FACET_STOPS = (
+    "the", "and", "of", "to", "in", "is", "that", "for", "with", "it", "a",
+)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText rule signals + combined keep flag over the
+    corpus, with every 11th document made bullet-heavy (10 prepended
+    bullet lines → bullet_line_frac ≈ 0.909 > 0.9) and every 13th
+    ellipsis-heavy (6 appended '...' lines → ellipsis_line_frac > 0.3)
+    so the two line-shape rules discriminate; the word-level rules
+    (length 10–99 tokens vs min 50, English-only stop words vs 5
+    languages) already split the corpus. Hash covers all seven signals
+    plus the flag for every document."""
+    from lours_spark.operators.quality import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_GOPHER_BULLETS)).otherwise(
+            F.lit("")
+        ),
+        F.col("text"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(_GOPHER_ELLIPS)).otherwise(
+            F.lit("")
+        ),
+    )
+    return gopher_rules(
+        d.select("doc_id", messy.alias("text")),
+        stopwords=_GOPHER_FACET_STOPS,
+    )
+
+
+def _oracle_gopher_rules() -> str:
+    bullets = _GOPHER_BULLETS.replace("\n", "\\n")
+    ellips = _GOPHER_ELLIPS.replace("\n", "\\n")
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_FACET_STOPS)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 11 = 0 THEN e'{bullets}' ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 13 = 0 THEN e'{ellips}' ELSE '' END) AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t,
+         list_filter({dd_tokens("t")}, x -> x <> '') AS w,
+         string_split(t, chr(10)) AS lines
+  FROM m
+), sig AS (
+  SELECT doc_id,
+    len(w)::BIGINT AS n_words,
+    CASE WHEN len(w) > 0 THEN round(
+      list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6)
+      ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(w) > 0 THEN round(
+      (len(regexp_extract_all(t, '#'))
+       + len(regexp_extract_all(t, '\\.\\.\\.|…')))::DOUBLE / len(w), 6)
+      ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN len(w) > 0 THEN round(
+      len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+      / len(w), 6) ELSE 0.0 END AS alpha_word_frac,
+    len(list_intersect(list_distinct(w), [{stops}]))::BIGINT
+      AS n_stop_words,
+    round(len(list_filter(lines,
+      x -> regexp_matches(x, '^\\s*[-*•]')))::DOUBLE / len(lines), 6)
+      AS bullet_line_frac,
+    round(len(list_filter(lines,
+      x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
+      / len(lines), 6) AS ellipsis_line_frac
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       alpha_word_frac, n_stop_words, bullet_line_frac,
+       ellipsis_line_frac,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_stop_words >= 2)::INT AS gopher_keep
+FROM sig
+"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The composed end-to-end curation chain (pipeline.py): exact
     dedup → per-language quality percentile → PII redaction → mixture
@@ -3528,6 +3623,7 @@ QUERIES.update(
         "cluster_representatives": q_cluster_representatives,
         "normalize_text": q_normalize_text,
         "decontaminate_spans": q_decontaminate_spans,
+        "gopher_rules": q_gopher_rules,
         "curation_pipeline": q_curation_pipeline,
     }
 )
@@ -3550,6 +3646,7 @@ _EXTRA_ORACLES.update(
         "cluster_representatives": _oracle_cluster_representatives,
         "normalize_text": _oracle_normalize_text,
         "decontaminate_spans": _oracle_decontaminate_spans,
+        "gopher_rules": _oracle_gopher_rules,
     }
 )
 
@@ -3659,7 +3756,7 @@ _CURATION_FACETS = (
     "paragraph_dedup", "table_profile", "pack_chunked", "mixture_weights",
     "global_shuffle", "cap_per_group", "quality_percentile", "semantic_dedup",
     "dup_spans", "remove_dup_spans", "cluster_representatives",
-    "normalize_text", "decontaminate_spans",
+    "normalize_text", "decontaminate_spans", "gopher_rules",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -3814,6 +3911,11 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 "decontaminate_spans": [
                     "doc_id", "n_tokens_before", "n_tokens_removed",
                     "text_md5",
+                ],
+                "gopher_rules": [
+                    "doc_id", "n_words", "mean_word_len",
+                    "symbol_word_ratio", "alpha_word_frac", "n_stop_words",
+                    "bullet_line_frac", "ellipsis_line_frac", "gopher_keep",
                 ],
             }
             out[name] = _facet_union_sql(

@@ -382,6 +382,69 @@ def test_repetition_signals_values(spark):
     assert out[3]["dup_trigram_excess"] == 0
 
 
+def test_gopher_rules_signals_and_flag(spark):
+    from lours_spark.operators.quality import filter_gopher, gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # passes every rule (with min_words lowered to 10)
+            (1, "the quick brown fox and that dog have fun with it "
+                "while they watch the other animals of the field"),
+            # bullet-heavy: 3 of 4 lines start with a bullet
+            (2, "- one\n- two\n* three\nthe and of that be"),
+            # ellipsis-heavy: 2 of 3 lines end with ... / …
+            (3, "wait...\nhmm…\nthe and of that be to have"),
+            # symbol-heavy: '#' spam
+            (4, "the and of # # # # # # that be"),
+            # no alphabetic words, no stop words
+            (5, "1 2 3 4 5 6 7 8 9 10 11 12"),
+            # empty text
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           gopher_rules(docs, min_words=10).collect()}
+    assert out[1]["gopher_keep"] == 1
+    assert out[1]["n_words"] == 20
+    assert out[1]["n_stop_words"] == 6
+    assert out[1]["alpha_word_frac"] == 1.0
+
+    assert out[2]["bullet_line_frac"] == 0.75
+    assert out[3]["ellipsis_line_frac"] == 0.666667
+    assert out[4]["symbol_word_ratio"] == round(6 / 11, 6)
+    assert out[5]["alpha_word_frac"] == 0.0
+    assert out[5]["n_stop_words"] == 0
+    assert out[6]["n_words"] == 0
+    assert out[6]["mean_word_len"] == 0.0
+    assert all(out[i]["gopher_keep"] == 0 for i in (2, 3, 4, 5, 6))
+
+    # thresholds are overridable: allow the bullet doc through
+    relaxed = {r["doc_id"]: r["gopher_keep"] for r in gopher_rules(
+        docs, min_words=5, max_bullet_frac=1.0, min_alpha_frac=0.5,
+        min_mean_word_len=1.0,
+    ).collect()}
+    assert relaxed[2] == 1
+
+    kept = filter_gopher(docs, min_words=10)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert kept.columns == ["doc_id", "text"]  # original schema back
+
+
+def test_gopher_rules_zero_shuffle_plan(spark):
+    """The whole pass must stay one codegen'd projection — no
+    Exchange, no Join, no Python eval in the plan."""
+    from lours_spark.operators.quality import gopher_rules
+
+    docs = spark.createDataFrame(
+        [(1, "the and of it")], "doc_id long, text string"
+    )
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
 def test_profile_table_metrics(spark):
     """Exact metrics on a known frame; approximate mode keeps the
     schema and the exact count/min/max/mean while sketching distinct
