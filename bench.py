@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "normalize_text",
     "decontaminate_spans",
     "gopher_rules",
+    "asof_join",
+    "range_join",
     # round 2: curation operators
     "decontaminate",
     "repetition_signals",

@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 89)
+(50, 91)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -3197,6 +3197,109 @@ FROM n
 """
 
 
+_ASOF_TOL_S = 86400  # backward tolerance: purchase within the last day
+_RANGE_BAND_S = 21600  # ±6h click↔error co-occurrence band
+
+
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: every click event gains the most recent
+    purchase at-or-before it for the same user, nulled when the
+    purchase is older than 24h (the feature-store as-of lookup). Hash
+    covers the matched purchase timestamp and value for every click —
+    including the deterministic max-payload tie-break."""
+    from lours_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, "user_id", "ts", tolerance=_ASOF_TOL_S
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("ts_r").alias("purchase_us"),
+        F.round("value_r", 6).alias("purchase_value"),
+    )
+
+
+def _oracle_asof_join() -> str:
+    return f"""
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+  WHERE event_type = 'purchase'
+), u AS (
+  SELECT user_id, us, 1 AS side, event_id,
+         NULL::STRUCT(us BIGINT, v DOUBLE) AS pay
+  FROM c
+  UNION ALL
+  SELECT user_id, us, 0, NULL, struct_pack(us := us, v := value) FROM p
+), w AS (
+  SELECT user_id, us, side, event_id,
+    last_value(pay IGNORE NULLS) OVER (
+      PARTITION BY user_id
+      ORDER BY us ASC, side ASC, pay ASC NULLS FIRST
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS m
+  FROM u
+)
+SELECT event_id, user_id, us AS click_us,
+  CASE WHEN m IS NOT NULL AND us - m.us <= {_ASOF_TOL_S}::BIGINT * 1000000
+       THEN m.us END AS purchase_us,
+  CASE WHEN m IS NOT NULL AND us - m.us <= {_ASOF_TOL_S}::BIGINT * 1000000
+       THEN round(m.v, 6) END AS purchase_value
+FROM w WHERE side = 1
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Banded range join: all (click, error) pairs for the same user
+    within ±6 hours — right rows bucketed by the band width, left rows
+    probing their two covering buckets, so the inequality join runs as
+    an equi-join + exact filter. Hash covers every pair and its signed
+    time delta."""
+    from lours_spark.operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    out = range_join(
+        clicks, errors, "user_id", "ts",
+        lower=-_RANGE_BAND_S, upper=_RANGE_BAND_S,
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("error_id"),
+        "user_id",
+        (F.unix_micros("ts_r") - F.unix_micros("ts")).alias("delta_us"),
+    )
+
+
+def _oracle_range_join() -> str:
+    band = _RANGE_BAND_S * 1_000_000
+    return f"""
+SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+       epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND epoch_us(e.ts) BETWEEN epoch_us(c.ts) - {band}
+                        AND epoch_us(c.ts) + {band}
+"""
+
+
 # Injected variants for q_gopher_rules: bullet-heavy and
 # ellipsis-heavy texts so the two line-shape rules actually fire on the
 # synthetic corpus (which is single-line). Shared literals keep the
@@ -3624,6 +3727,8 @@ QUERIES.update(
         "normalize_text": q_normalize_text,
         "decontaminate_spans": q_decontaminate_spans,
         "gopher_rules": q_gopher_rules,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "curation_pipeline": q_curation_pipeline,
     }
 )
@@ -3647,6 +3752,8 @@ _EXTRA_ORACLES.update(
         "normalize_text": _oracle_normalize_text,
         "decontaminate_spans": _oracle_decontaminate_spans,
         "gopher_rules": _oracle_gopher_rules,
+        "asof_join": _oracle_asof_join,
+        "range_join": _oracle_range_join,
     }
 )
 
@@ -3748,8 +3855,22 @@ _PAIRS: dict[str, tuple[str, str]] = {
     "cosine_topk": ("cosine_topk", "lsh_bucket_topk"),
     "knn_label": ("knn_label", "ivf_topk"),
     "salted_aggregate": ("salted_aggregate", "grouper_bins"),
-    "forward_fill": ("forward_fill", "resample_count"),
 }
+
+# forward_fill grew past a pair in late round 6: the temporal-join
+# operators (asof_join, range_join) ride the same events-table gate
+# slot as a 4-facet union.
+_TEMPORAL_FACETS = (
+    "forward_fill", "resample_count", "asof_join", "range_join",
+)
+
+
+def q_temporal_gate(spark, sf_dir):
+    """Events-table temporal operators as one NULL-padded facet union:
+    forward_fill ⊕ resample_count ⊕ asof_join ⊕ range_join."""
+    return _facet_union(
+        *[(n, ALL_QUERIES[n](spark, sf_dir)) for n in _TEMPORAL_FACETS]
+    )
 
 _CURATION_FACETS = (
     "decontaminate", "repetition_signals", "stratified_sample", "pii_signals",
@@ -3763,6 +3884,7 @@ GATE_FACETS: dict[str, list[str]] = {
     **{k: list(v) for k, v in _PAIRS.items()},
     "token_count": ["token_count", "bpe_token_count"],
     "language_id": ["language_id", "quality_score"],
+    "forward_fill": list(_TEMPORAL_FACETS),
     "pipeline_quality": list(_CURATION_FACETS),
 }
 
@@ -3804,6 +3926,8 @@ for _name in _GATE_ORDER:
         _gate[_name] = q_token_count_gate
     elif _name == "language_id":
         _gate[_name] = q_language_id_gate
+    elif _name == "forward_fill":
+        _gate[_name] = q_temporal_gate
     elif _name == "pipeline_quality":
         _gate[_name] = q_pipeline_quality_gate
     else:
@@ -3866,6 +3990,19 @@ FROM ({base["token_count"]}) a JOIN ({base["bpe_token_count"]}) b USING (doc_id)
 SELECT a.doc_id, a.lang_pred, b.quality
 FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
 """
+        elif name == "forward_fill":
+            t_cols = {
+                "forward_fill": cols["forward_fill"],
+                "resample_count": cols["resample_count"],
+                "asof_join": [
+                    "event_id", "user_id", "click_us", "purchase_us",
+                    "purchase_value",
+                ],
+                "range_join": ["click_id", "error_id", "user_id", "delta_us"],
+            }
+            out[name] = _facet_union_sql(
+                *[(n, base[n], t_cols[n]) for n in _TEMPORAL_FACETS]
+            )
         elif name == "pipeline_quality":
             leg_cols = {
                 "decontaminate": ["doc_id", "overlap"],
