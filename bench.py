@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "normalize_text",
     "decontaminate_spans",
     "gopher_rules",
+    "char_entropy",
+    "bloom_novel",
     "asof_join",
     "range_join",
     # round 2: curation operators
@@ -298,18 +300,29 @@ def stdout_line(value: float, sf, timings: dict[str, float]) -> str:
         line = render({k: round(v, ndigits) for k, v in timings.items()})
         if len(line) <= 1980:
             return line
-    line = render({k: int(round(v)) for k, v in timings.items()})
+    ints = {k: int(round(v)) for k, v in timings.items()}
+    line = render(ints)
     if len(line) <= 1980:
         return line
-    # terminal fallback: even integer seconds overflow the window —
-    # drop per-query detail rather than print a line the driver will
-    # clip mid-JSON
+    # even integer seconds overflow the window: shed the FASTEST
+    # queries first (the interesting tail is the slow ones; full
+    # precision for everything lives in BENCH_FULL.json) and record
+    # how many were dropped so the line is self-describing
+    by_speed = sorted(ints, key=lambda k: (timings[k], k))
+    kept = dict(ints)
+    omitted = 0
+    for name in by_speed:
+        if len(render({**kept, "omitted_fastest": omitted})) <= 1980:
+            break
+        kept.pop(name)
+        omitted += 1
+    kept["omitted_fastest"] = omitted
     print(
-        f"# bench stdout line would be {len(line)} chars; "
-        "dropping 'queries' — see BENCH_FULL.json",
+        f"# bench stdout line overflow: omitting the {omitted} fastest "
+        "queries from stdout — see BENCH_FULL.json",
         file=sys.stderr,
     )
-    return render({})
+    return render(kept)
 
 
 if __name__ == "__main__":

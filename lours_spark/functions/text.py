@@ -236,6 +236,49 @@ def normalize_text(text: Column, lowercase: bool = True) -> Column:
     return F.lower(out) if lowercase else out
 
 
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the document's character
+    distribution — the CCNet-style gibberish detector: natural prose
+    sits ~4–4.5 bits, base64/hex blobs and key-mash spam push past 5,
+    single-char spam collapses toward 0.
+
+    Pure column expressions: split-to-chars, SORTED distinct alphabet
+    (sorting fixes the floating-point summation ORDER, which is what
+    makes the value bit-reproducible across engines and partitionings
+    — ``array_distinct`` order is first-occurrence, not stable across
+    implementations), then one ``aggregate`` accumulating
+    ``-p*log2(p)``. Per-doc cost is |alphabet| x |doc| filter scans —
+    alphabets are small (<100) — with no shuffle, no explode, no
+    Python. Empty/NULL-ish docs yield 0.0.
+
+    >>> df = spark.createDataFrame([("aaaa", "abab", "abcd")], ["a", "b", "c"])
+    >>> r = df.select(*[F.round(char_entropy(F.col(c)), 6).alias(c)
+    ...                 for c in "abc"]).first()
+    >>> (r["a"], r["b"], r["c"])
+    (0.0, 1.0, 2.0)
+    """
+
+    def build(chars: Column) -> Column:
+        n = F.size(chars)
+        alphabet = F.array_sort(F.array_distinct(chars))
+        ent = F.aggregate(
+            alphabet,
+            F.lit(0.0),
+            lambda acc, c: acc
+            - _bind(
+                F.size(F.filter(chars, lambda x: x == c)) / n,
+                lambda p: p * F.log2(p),
+            ),
+        )
+        return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+    # split('') yields a trailing '' element in Spark — drop empties so
+    # the alphabet holds only real characters
+    return _bind(
+        F.filter(F.split(text, ""), lambda x: x != F.lit("")), build
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set — catches token-permutation near-duplicates.

@@ -1,0 +1,177 @@
+"""Bloom-filter novelty check: incremental corpus dedup against a
+seen-set without shuffling the corpus.
+
+The recurring 100 TB ingestion problem: yesterday's corpus holds N
+fingerprints, today's delta must keep only never-seen documents. The
+exact answer is a ``left_anti`` join — one shuffle of BOTH sides'
+fingerprints. When the seen-set's BITMAP fits in executor memory
+(n=1e9 at fpp=0.01 → ~1.2 GB; fpp=0.1 → ~0.6 GB), a broadcast Bloom
+filter answers the same question with ZERO shuffle of either side:
+the seen-set is folded into per-partition bitmaps (one Arrow pass),
+OR-merged, broadcast once, and the delta is filtered by a vectorized
+numpy probe — the delta never moves.
+
+Semantics are one-sided, and that is the SAFE side for dedup: a Bloom
+"seen" can be a false positive (a few truly-novel docs are dropped,
+rate ≤ fpp), but "unseen" is certain — no duplicate is ever
+re-admitted. Everything is deterministic for a given seed (hashes are
+Spark ``xxhash64``; positions are Kirsch-Mitzenmacher double
+hashing), so retries and re-runs keep byte-identical outputs.
+
+Not oracle-gated: DuckDB cannot reproduce xxhash64 — correctness is
+pinned by property tests instead (zero false negatives by
+construction, measured FPR within bound, bloom-novel ⊆ exact-novel).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Immutable bloom bitmap + its parameters (m bits, k probes)."""
+
+    bits: np.ndarray  # uint64 words, length ceil(m/64)
+    num_bits: int
+    num_hashes: int
+    seed: int
+
+    def might_contain_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe over precomputed hash pairs."""
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(self.num_hashes):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(self.num_bits)
+            word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+
+def _sizing(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Standard bloom sizing: m = -n ln p / (ln 2)^2, k = m/n ln 2."""
+    n = max(1, expected_items)
+    m = max(64, math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _hash_pair(col, seed: int):
+    """Two independent 64-bit hashes, computed JVM-side (xxhash64),
+    reinterpreted as uint64 downstream."""
+    return (
+        F.xxhash64(col, F.lit(seed)).alias("__h1"),
+        F.xxhash64(col, F.lit(seed + 1)).alias("__h2"),
+    )
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    seed: int = 42,
+) -> BloomFilter:
+    """Distributed bloom build: hash JVM-side, fold each partition's
+    hashes into a local bitmap in ONE Arrow pass (``mapInArrow``), OR
+    the per-partition bitmaps on the driver. Wire cost is
+    partitions x m/8 bytes — independent of row count; no shuffle.
+
+    ``expected_items`` skips the sizing ``count()`` when the caller
+    already knows the cardinality (e.g. from yesterday's manifest).
+    """
+    if expected_items is None:
+        expected_items = df.count()
+    m, k = _sizing(expected_items, fpp)
+    n_words = (m + 63) // 64
+
+    hashed = df.select(*_hash_pair(F.col(col), seed))
+
+    def fold(batches) -> Iterator:
+        import pyarrow as pa
+
+        bits = np.zeros(n_words, dtype=np.uint64)
+        mu = np.uint64(m)
+        for batch in batches:
+            h1 = batch.column(0).to_numpy(zero_copy_only=False).view(np.uint64)
+            h2 = batch.column(1).to_numpy(zero_copy_only=False).view(np.uint64)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % mu
+                np.bitwise_or.at(
+                    bits,
+                    (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([bits.tobytes()], type=pa.binary())], names=["bitmap"]
+        )
+
+    parts = hashed.mapInArrow(fold, "bitmap binary").collect()
+    bits = np.zeros(n_words, dtype=np.uint64)
+    for row in parts:
+        bits |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    return BloomFilter(bits, m, k, seed)
+
+
+def filter_novel(
+    corpus: DataFrame,
+    seen: DataFrame,
+    on: str,
+    *,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+    seed: int = 42,
+    method: str = "bloom",
+) -> DataFrame:
+    """Rows of ``corpus`` whose ``on`` value never appears in ``seen``.
+
+    ``method="exact"`` is the shuffle path (``left_anti`` join — both
+    sides exchange fingerprints; always correct). ``method="bloom"``
+    is the broadcast path: no shuffle of either side, at the cost of
+    dropping ≤ ``fpp`` of the truly-novel rows (never the reverse —
+    a seen value is ALWAYS filtered out). Prefer bloom when the
+    seen-set bitmap fits in executor memory and the corpus side is
+    the 100 TB one.
+
+    >>> a = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    >>> b = spark.createDataFrame([(i,) for i in range(40, 60)], "v long")
+    >>> got = sorted(r["v"] for r in filter_novel(b, a, "v").collect())
+    >>> set(got) <= set(range(50, 60)), len(got) >= 8
+    (True, True)
+    """
+    if method == "exact":
+        return corpus.join(
+            seen.select(F.col(on).alias(on)).distinct(), on, "left_anti"
+        )
+    if method != "bloom":
+        raise ValueError(f"method must be bloom|exact: {method}")
+
+    bf = build_bloom(
+        seen.select(on), on, expected_items=expected_items, fpp=fpp, seed=seed
+    )
+    sc = corpus.sparkSession.sparkContext
+    b_bits = sc.broadcast(bf.bits)
+    m, k, s = bf.num_bits, bf.num_hashes, bf.seed
+
+    @F.pandas_udf("boolean")
+    def _unseen(h1, h2):
+        import pandas as pd
+
+        probe = BloomFilter(b_bits.value, m, k, s)
+        hit = probe.might_contain_hashes(
+            h1.to_numpy(dtype=np.int64).view(np.uint64),
+            h2.to_numpy(dtype=np.int64).view(np.uint64),
+        )
+        return pd.Series(~hit)
+
+    h1, h2 = _hash_pair(F.col(on), s)
+    return (
+        corpus.withColumns({"__h1": h1, "__h2": h2})
+        .filter(_unseen("__h1", "__h2"))
+        .drop("__h1", "__h2")
+    )

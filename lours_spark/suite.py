@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 91)
+(50, 93)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -3197,6 +3197,65 @@ FROM n
 """
 
 
+def q_bloom_novel(spark, sf_dir):
+    """Broadcast-bloom novelty filter (bench-only: xxhash64 has no
+    DuckDB twin; guarantees are pinned in tests/test_bloom.py): the
+    docs with doc_id % 3 != 0 play yesterday's corpus, the full table
+    is today's delta — survivors are (almost all of) the % 3 == 0
+    third, with zero false re-admissions and no shuffle of either
+    side."""
+    from lours_spark.functions.text import fingerprint
+    from lours_spark.operators.bloom import filter_novel
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    seen = d.filter(F.col("doc_id") % 3 != 0).select("fp")
+    return filter_novel(d, seen, "fp").select("doc_id")
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document (the
+    CCNet-style gibberish/encoded-blob signal) plus alphabet size.
+    Both engines fold -p*log2(p) over the SORTED alphabet left to
+    right (Spark ``aggregate`` vs DuckDB ``list_reduce``), so the
+    float is bit-identical and the hash is value-exact."""
+    from lours_spark.functions.text import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda x: x != F.lit(""))
+    return d.select(
+        "doc_id",
+        F.size(chars).cast("long").alias("n_chars_real"),
+        F.size(F.array_distinct(chars)).cast("long").alias("n_alphabet"),
+        F.round(char_entropy(F.col("text")), 6).alias("entropy_bits"),
+    )
+
+
+def _oracle_char_entropy() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ''), x -> x <> '') AS chars
+  FROM documents
+), s AS (
+  SELECT doc_id, chars,
+         list_sort(list_distinct(chars)) AS alphabet,
+         len(chars) AS n
+  FROM b
+)
+SELECT doc_id,
+       n::BIGINT AS n_chars_real,
+       len(alphabet)::BIGINT AS n_alphabet,
+       CASE WHEN n > 0 THEN round(coalesce(list_reduce(
+         list_transform(alphabet, c ->
+           -(len(list_filter(chars, x -> x = c)) / n)
+            * log2(len(list_filter(chars, x -> x = c)) / n)),
+         (a, b) -> a + b), 0.0), 6) ELSE 0.0 END AS entropy_bits
+FROM s
+"""
+
+
 _ASOF_TOL_S = 86400  # backward tolerance: purchase within the last day
 _RANGE_BAND_S = 21600  # ±6h click↔error co-occurrence band
 
@@ -3727,6 +3786,8 @@ QUERIES.update(
         "normalize_text": q_normalize_text,
         "decontaminate_spans": q_decontaminate_spans,
         "gopher_rules": q_gopher_rules,
+        "char_entropy": q_char_entropy,
+        "bloom_novel": q_bloom_novel,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "curation_pipeline": q_curation_pipeline,
@@ -3752,6 +3813,7 @@ _EXTRA_ORACLES.update(
         "normalize_text": _oracle_normalize_text,
         "decontaminate_spans": _oracle_decontaminate_spans,
         "gopher_rules": _oracle_gopher_rules,
+        "char_entropy": _oracle_char_entropy,
         "asof_join": _oracle_asof_join,
         "range_join": _oracle_range_join,
     }
@@ -3878,6 +3940,7 @@ _CURATION_FACETS = (
     "global_shuffle", "cap_per_group", "quality_percentile", "semantic_dedup",
     "dup_spans", "remove_dup_spans", "cluster_representatives",
     "normalize_text", "decontaminate_spans", "gopher_rules",
+    "char_entropy",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -4053,6 +4116,9 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                     "doc_id", "n_words", "mean_word_len",
                     "symbol_word_ratio", "alpha_word_frac", "n_stop_words",
                     "bullet_line_frac", "ellipsis_line_frac", "gopher_keep",
+                ],
+                "char_entropy": [
+                    "doc_id", "n_chars_real", "n_alphabet", "entropy_bits",
                 ],
             }
             out[name] = _facet_union_sql(

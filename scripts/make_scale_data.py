@@ -98,8 +98,21 @@ def main() -> None:
         os.path.join(out_dir, "documents.parquet")
     )
 
+    # events: each copy shifts user_id/event_id by table-sized strides —
+    # per-user event mix and temporal density replicate exactly, user
+    # count scales by k, so as-of windows and range-join pair counts
+    # scale ~k (same linear-workload semantics as the other tables)
+    events = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    ev_user_shift = events.agg(F.max("user_id")).first()[0] + 1
+    ev_id_shift = events.agg(F.max("event_id")).first()[0] + 1
+    replicate(
+        events, {"user_id": ev_user_shift, "event_id": ev_id_shift}
+    ).drop("__copy").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
     # small dims referenced by _t for completeness (verbatim copies)
-    for t in ("nation", "region", "customer", "supplier", "part", "events",
+    for t in ("nation", "region", "customer", "supplier", "part",
               "embeddings"):
         src = os.path.join(SRC, f"{t}.parquet")
         if os.path.exists(src):

@@ -30,10 +30,15 @@ ROWS = {
     "cluster_representatives": "documents",
     "normalize_text": "documents",
     "decontaminate_spans": "documents",
+    "gopher_rules": "documents",
+    "asof_join": "events",
+    "range_join": "events",
 }
 TABLE_ROWS = {
-    "1x": {"lineitem": 600_000, "orders": 150_000, "documents": 5_000},
-    "10x": {"lineitem": 6_000_000, "orders": 1_500_000, "documents": 50_000},
+    "1x": {"lineitem": 600_000, "orders": 150_000, "documents": 5_000,
+           "events": 100_000},
+    "10x": {"lineitem": 6_000_000, "orders": 1_500_000, "documents": 50_000,
+            "events": 1_000_000},
 }
 
 

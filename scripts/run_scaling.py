@@ -37,6 +37,9 @@ QUERIES = [
     "cluster_representatives",
     "normalize_text",
     "decontaminate_spans",
+    "gopher_rules",
+    "asof_join",
+    "range_join",
 ]
 
 

@@ -52,6 +52,7 @@ MIN_EXAMPLES = {
     "lours_spark.io.mot": 7,
     "lours_spark.io.pascalvoc": 4,
     "lours_spark.operators.appender": 8,
+    "lours_spark.operators.bloom": 1,
     "lours_spark.operators.booleanize": 6,
     "lours_spark.operators.decontaminate": 3,
     "lours_spark.operators.dedup": 5,

@@ -27,7 +27,7 @@ def test_all_queries_covers_gate_facets():
     from lours_spark.suite import ALL_QUERIES, GATE_FACETS, QUERIES
 
     assert len(QUERIES) == 50
-    assert len(ALL_QUERIES) == 91
+    assert len(ALL_QUERIES) == 93
     for combined, facets in GATE_FACETS.items():
         assert combined in QUERIES, combined
         for f in facets:
@@ -44,6 +44,7 @@ def test_all_queries_covers_gate_facets():
         "dedup_clusters_distributed",  # forced-distributed CC variant
         "pack_greedy",           # FFD packing (not SQL-expressible)
         "curation_pipeline",     # composed chain; stages gated separately
+        "bloom_novel",           # xxhash64 bloom (no DuckDB twin; pytest)
     }
 
 
@@ -59,24 +60,31 @@ def test_bench_list_covers_all_queries():
 
 def test_bench_stdout_line_fits_driver_window():
     """The driver records only the LAST ~2000 chars of bench.py's
-    stdout; bench steps per-query precision down to 1 decimal before
-    giving up and dropping the queries dict entirely. Guard that the
-    1-decimal rendering still fits with realistic (<1000s) values, so
-    a registry growth that would silently cost the per-query data
-    fails HERE instead."""
+    stdout; bench steps per-query precision down 3→2→1 decimals →
+    integer seconds, then sheds the FASTEST queries (never the whole
+    dict). Guard that the line always fits, keeps the slow tail, and
+    self-describes what it dropped."""
     import json
 
     import bench
 
-    # realistic regime: every query under 10s at sf0.1 (slowest today
-    # is ~2.3s) — exercise the REAL emission step-down (it now ends in
-    # an integer-seconds step before giving up the queries dict)
-    qs = {name: 9.9 for name in bench.BENCH_QUERIES}
+    # realistic regime: a slow tail over a fast majority — the slow
+    # queries must survive any shedding
+    names = list(bench.BENCH_QUERIES)
+    slow = set(names[:10])
+    qs = {n: (9.9 if n in slow else 0.2) for n in names}
     line = bench.stdout_line(99999.999, 0.1, qs)
     assert len(line) <= 1980, len(line)
     parsed = json.loads(line)
-    assert set(parsed["queries"]) == set(bench.BENCH_QUERIES), (
-        "stdout line dropped per-query data; shorten query names or "
-        "accept losing them in BENCH_r{N}.json (BENCH_FULL.json keeps "
-        "full precision)"
-    )
+    got = dict(parsed["queries"])
+    omitted = got.pop("omitted_fastest", 0)
+    assert slow <= set(got), "shedding must keep the slowest queries"
+    assert omitted + len(got) == len(names), (omitted, len(got))
+
+    # degenerate worst case: all-equal timings still yields a valid,
+    # fitting, self-describing line
+    line2 = bench.stdout_line(1.0, 0.1, {n: 9.9 for n in names})
+    assert len(line2) <= 1980
+    parsed2 = json.loads(line2)
+    q2 = parsed2["queries"]
+    assert q2.get("omitted_fastest", 0) + (len(q2) - ("omitted_fastest" in q2)) == len(names)
