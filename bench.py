@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "bloom_novel",
     "asof_join",
     "range_join",
+    "rolling_agg",
+    "funnel",
     # round 2: curation operators
     "decontaminate",
     "repetition_signals",

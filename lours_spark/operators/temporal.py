@@ -171,6 +171,77 @@ def asof_join(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    *,
+    within: float | None = None,
+) -> DataFrame:
+    """Sequential conversion funnel: for each ``by`` key, the earliest
+    completion of ``steps`` in order — step 1 anchors at the key's
+    FIRST step-1 event; each later step matches its earliest
+    at-or-after event of the right type, optionally within ``within``
+    (seconds for timestamps) of the previous step. The product-
+    analytics staple ("signup → click → purchase inside 7 days").
+
+    Returns one row per key that performed step 1:
+    ``by, step_1_ts .. step_k_ts, steps_completed`` — later columns
+    NULL once the chain breaks (greedy earliest-match semantics, the
+    standard funnel definition; ties at one timestamp count, distinct
+    type frames keep a single event from matching twice). Steps must
+    be DISTINCT types: a repeated step would match the previous
+    step's own event (at-or-after is inclusive), so it is rejected.
+
+    Built by composing k-1 forward :func:`asof_join` passes, each ONE
+    hash exchange on the key over an already-filtered event-type
+    frame — no self-join, no pair explosion; cost is k window scans.
+
+    >>> e = spark.createDataFrame(
+    ...     [(1, 10, "a"), (1, 20, "b"), (1, 90, "c"),
+    ...      (2, 10, "a"), (2, 5, "b")],
+    ...     "user_id long, ts long, event_type string")
+    >>> rows = funnel(e, ["a", "b", "c"], within=60).orderBy("user_id")
+    >>> [tuple(r) for r in rows.collect()]
+    [(1, 10, 20, None, 2), (2, 10, None, None, 1)]
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct types: {steps}")
+
+    def leg(i: int) -> DataFrame:
+        return events.filter(F.col(type_col) == steps[i]).select(
+            F.col(by), F.col(ts_col)
+        )
+
+    cur = leg(0).groupBy(by).agg(F.min(ts_col).alias("step_1_ts"))
+    for i in range(1, len(steps)):
+        prev = f"step_{i}_ts"
+        this = f"step_{i + 1}_ts"
+        cur = asof_join(
+            cur.withColumnRenamed(prev, "__anchor"),
+            leg(i).withColumnRenamed(ts_col, "__t"),
+            by,
+            "__anchor",
+            "__t",
+            direction="forward",
+            tolerance=within,
+            suffix="_m",
+        ).select(
+            *[c for c in cur.columns if c != prev],
+            F.col("__anchor").alias(prev),
+            F.col("__t_m").alias(this),
+        )
+    order = [f"step_{i + 1}_ts" for i in range(len(steps))]
+    completed = sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in order
+    )
+    return cur.select(by, *order, completed.alias("steps_completed"))
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

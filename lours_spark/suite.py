@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 93)
+(50, 95)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -3256,6 +3256,106 @@ FROM s
 """
 
 
+_FUNNEL_WITHIN_S = 604800  # 7-day per-step conversion window
+
+
+def q_funnel(spark, sf_dir):
+    """3-step conversion funnel (signup → click → purchase, each step
+    within 7 days of the previous) — greedy earliest-match semantics
+    via composed forward as-of joins; one row per signed-up user, hash
+    over every step timestamp and the completion count."""
+    from lours_spark.operators.temporal import funnel
+
+    e = _t(spark, sf_dir, "events")
+    out = funnel(
+        e, ["signup", "click", "purchase"], within=_FUNNEL_WITHIN_S
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("step_1_ts").alias("step_1_us"),
+        F.unix_micros("step_2_ts").alias("step_2_us"),
+        F.unix_micros("step_3_ts").alias("step_3_us"),
+        "steps_completed",
+    )
+
+
+def _oracle_funnel() -> str:
+    w = _FUNNEL_WITHIN_S * 1_000_000
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT s1.user_id, t1, min(epoch_us(e.ts)) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+   AND epoch_us(e.ts) >= t1 AND epoch_us(e.ts) <= t1 + {w}
+  GROUP BY s1.user_id, t1
+), s3 AS (
+  SELECT s2.user_id, t1, t2, min(epoch_us(e.ts)) AS t3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) >= t2 AND epoch_us(e.ts) <= t2 + {w}
+  GROUP BY s2.user_id, t1, t2
+)
+SELECT user_id, t1 AS step_1_us, t2 AS step_2_us, t3 AS step_3_us,
+       (1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT)
+         AS steps_completed
+FROM s3
+"""
+
+
+_ROLL_WINDOW_S = 86400  # 24h rolling window
+
+
+def q_rolling_agg(spark, sf_dir):
+    """Per-user 24h sliding-window aggregates anchored at every event
+    (RANGE frame — same-timestamp peers always aggregate together, so
+    the result needs no tie-break). Values go through floor(value*100)
+    integer cents: count/sum/max over BIGINTs are exact, keeping the
+    hash engine-independent where a double sum's fold order wouldn't
+    be (DuckDB's segment-tree window vs Spark's running frame)."""
+    from lours_spark.operators.windows import rolling_aggregate
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = rolling_aggregate(
+        base, "user_id", "ts", "cents",
+        window=_ROLL_WINDOW_S, aggs=("count", "sum", "max"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("roll_count").cast("long").alias("n_24h"),
+        F.col("roll_sum").alias("sum_cents_24h"),
+        F.col("roll_max").alias("max_cents_24h"),
+    )
+
+
+def _oracle_rolling_agg() -> str:
+    span = _ROLL_WINDOW_S * 1_000_000
+    return f"""
+SELECT event_id, user_id,
+       count(cents) OVER w AS n_24h,
+       sum(cents) OVER w AS sum_cents_24h,
+       max(cents) OVER w AS max_cents_24h
+FROM (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         floor(value * 100)::BIGINT AS cents
+  FROM events
+)
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY us
+  RANGE BETWEEN {span} PRECEDING AND CURRENT ROW
+)
+"""
+
+
 _ASOF_TOL_S = 86400  # backward tolerance: purchase within the last day
 _RANGE_BAND_S = 21600  # ±6h click↔error co-occurrence band
 
@@ -3790,6 +3890,8 @@ QUERIES.update(
         "bloom_novel": q_bloom_novel,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "rolling_agg": q_rolling_agg,
+        "funnel": q_funnel,
         "curation_pipeline": q_curation_pipeline,
     }
 )
@@ -3816,6 +3918,8 @@ _EXTRA_ORACLES.update(
         "char_entropy": _oracle_char_entropy,
         "asof_join": _oracle_asof_join,
         "range_join": _oracle_range_join,
+        "rolling_agg": _oracle_rolling_agg,
+        "funnel": _oracle_funnel,
     }
 )
 
@@ -3924,6 +4028,7 @@ _PAIRS: dict[str, tuple[str, str]] = {
 # slot as a 4-facet union.
 _TEMPORAL_FACETS = (
     "forward_fill", "resample_count", "asof_join", "range_join",
+    "rolling_agg", "funnel",
 )
 
 
@@ -4062,6 +4167,14 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                     "purchase_value",
                 ],
                 "range_join": ["click_id", "error_id", "user_id", "delta_us"],
+                "rolling_agg": [
+                    "event_id", "user_id", "n_24h", "sum_cents_24h",
+                    "max_cents_24h",
+                ],
+                "funnel": [
+                    "user_id", "step_1_us", "step_2_us", "step_3_us",
+                    "steps_completed",
+                ],
             }
             out[name] = _facet_union_sql(
                 *[(n, base[n], t_cols[n]) for n in _TEMPORAL_FACETS]

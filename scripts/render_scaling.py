@@ -31,8 +31,12 @@ ROWS = {
     "normalize_text": "documents",
     "decontaminate_spans": "documents",
     "gopher_rules": "documents",
+    "char_entropy": "documents",
+    "bloom_novel": "documents",
     "asof_join": "events",
     "range_join": "events",
+    "rolling_agg": "events",
+    "funnel": "events",
 }
 TABLE_ROWS = {
     "1x": {"lineitem": 600_000, "orders": 150_000, "documents": 5_000,

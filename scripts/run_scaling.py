@@ -38,8 +38,12 @@ QUERIES = [
     "normalize_text",
     "decontaminate_spans",
     "gopher_rules",
+    "char_entropy",
+    "bloom_novel",
     "asof_join",
     "range_join",
+    "rolling_agg",
+    "funnel",
 ]
 
 

@@ -41,6 +41,14 @@ QUERIES = [
     "quality_percentile",
     "dup_spans",
     "remove_dup_spans",
+    # late round 6: quality/entropy/bloom + the temporal layer
+    "gopher_rules",
+    "char_entropy",
+    "bloom_novel",
+    "asof_join",
+    "range_join",
+    "rolling_agg",
+    "funnel",
 ]
 
 

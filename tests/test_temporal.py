@@ -135,3 +135,106 @@ def test_asof_matches_oracle_shape_on_collisions(spark):
     right = spark.createDataFrame([(1, 10, 1.0)], "k long, t long, v double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, "k", "t")
+
+
+def test_rolling_aggregate_range_frame_peers(spark):
+    """Rows at the SAME event time are frame peers: both see both —
+    the RANGE-frame property that makes the op partitioning-proof."""
+    from lours_spark.operators.windows import rolling_aggregate
+
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 100, 2.0), (1, 250, 4.0)],
+        "k long, t long, v double",
+    )
+    out = rolling_aggregate(df, "k", "t", "v", window=50)
+    rows = sorted((r["t"], r["v"], r["roll_count"], r["roll_sum"])
+                  for r in out.collect())
+    assert rows == [(100, 1.0, 2, 3.0), (100, 2.0, 2, 3.0),
+                    (250, 4.0, 1, 4.0)]
+
+
+def test_rolling_aggregate_timestamp_seconds_and_errors(spark):
+    from pyspark.sql import functions as F
+
+    from lours_spark.operators.windows import rolling_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0),
+         (1, "2024-01-01 00:30:00", 2.0),
+         (1, "2024-01-01 02:00:00", 4.0)],
+        "k long, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = rolling_aggregate(df, "k", "ts", "v", window=3600,
+                            aggs=("count", "mean"))
+    got = {r["v"]: (r["roll_count"], r["roll_mean"]) for r in out.collect()}
+    assert got == {1.0: (1, 1.0), 2.0: (2, 1.5), 4.0: (1, 4.0)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported"):
+        rolling_aggregate(df, "k", "ts", "v", window=10, aggs=("median",))
+
+
+def test_rolling_aggregate_single_window_pass(spark):
+    """All aggregates share one frame → ONE WindowExec, one exchange."""
+    from lours_spark.operators.windows import rolling_aggregate
+
+    df = spark.createDataFrame([(1, 100, 1.0)], "k long, t long, v double")
+    plan = (
+        rolling_aggregate(df, "k", "t", "v", window=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_earliest_match_and_chain_break(spark):
+    from lours_spark.operators.temporal import funnel
+
+    e = spark.createDataFrame(
+        [
+            # u1 completes all three; step 2 must take the EARLIEST
+            # qualifying click (t=15), not the later one (t=30)
+            (1, 10, "signup"), (1, 15, "click"), (1, 30, "click"),
+            (1, 40, "purchase"),
+            # u2: click precedes signup only → chain breaks at step 2,
+            # and the later purchase must NOT count without a click
+            (2, 20, "signup"), (2, 5, "click"), (2, 50, "purchase"),
+            # u3: never signed up → no row at all
+            (3, 1, "click"), (3, 2, "purchase"),
+        ],
+        "user_id long, ts long, event_type string",
+    )
+    out = {r["user_id"]: r for r in
+           funnel(e, ["signup", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["step_1_ts"], out[1]["step_2_ts"], out[1]["step_3_ts"],
+            out[1]["steps_completed"]) == (10, 15, 40, 3)
+    assert (out[2]["step_2_ts"], out[2]["step_3_ts"],
+            out[2]["steps_completed"]) == (None, None, 1)
+
+
+def test_funnel_within_bounds_each_step(spark):
+    from lours_spark.operators.temporal import funnel
+
+    e = spark.createDataFrame(
+        [(1, 0, "a"), (1, 50, "b"), (1, 200, "c")],
+        "user_id long, ts long, event_type string",
+    )
+    # step b→c gap is 150 > 100: step 3 breaks, step 2 stands
+    r = funnel(e, ["a", "b", "c"], within=100).first()
+    assert (r["step_2_ts"], r["step_3_ts"], r["steps_completed"]) == (
+        50, None, 2)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="two steps"):
+        funnel(e, ["a"])
+
+
+def test_funnel_rejects_repeated_steps(spark):
+    from lours_spark.operators.temporal import funnel
+
+    e = spark.createDataFrame(
+        [(1, 0, "a")], "user_id long, ts long, event_type string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="distinct"):
+        funnel(e, ["a", "a"])
