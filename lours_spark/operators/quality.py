@@ -212,6 +212,9 @@ def gopher_rules(
             F.round(ellipses / n, 6).alias("ellipsis_line_frac"),
         )
 
+    clash = [c for c in docs.columns if c in _GOPHER_SIGNAL_COLS]
+    if clash:
+        raise ValueError(f"input columns collide with signal names: {clash}")
     words = F.filter(tokens(text), lambda x: x != F.lit(""))
     lead = list(docs.columns) if _keep_all_columns else [id_col]
     sig = docs.select(
@@ -318,12 +321,53 @@ def filter_quality_percentile(
     group_col: str | None = None,
     id_col: str = "doc_id",
     pct_col: str = "q_pct",
+    approximate: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Drop the bottom ``min_pct`` fraction of each group by quality:
     keep documents whose cume_dist exceeds ``min_pct`` (see
     :func:`quality_percentile`). Strict ``>`` so ``min_pct=0.5`` on a
     two-doc group keeps exactly the better one, and a singleton group
-    (cume_dist 1.0) survives any ``min_pct < 1``."""
-    return quality_percentile(
-        df, score_col, group_col, id_col=id_col, pct_col=pct_col
-    ).filter(F.col(pct_col) > min_pct)
+    (cume_dist 1.0) survives any ``min_pct < 1``.
+
+    ``approximate=True`` is the 100 TB path: instead of a per-group
+    window (a full SORT of every group — the exact path's cost on
+    billion-row groups), compute each group's ``min_pct`` score
+    threshold with ``approx_percentile`` in ONE hash aggregation
+    (fixed-memory KLL-style sketch, map-side partials), broadcast-join
+    the |groups|-row threshold table back, and keep rows strictly
+    above it. Within-epsilon documents may differ from the exact
+    answer (sketch ``accuracy`` bounds the rank error) and no
+    ``pct_col`` is emitted, but nothing sorts and the corpus is
+    touched by exactly one agg + one broadcast-joined filter.
+
+    >>> df = spark.createDataFrame(
+    ...     [(i, "en", float(i)) for i in range(100)],
+    ...     "doc_id long, lang string, q double")
+    >>> exact = filter_quality_percentile(df, "q", 0.5, "lang")
+    >>> approx = filter_quality_percentile(
+    ...     df, "q", 0.5, "lang", approximate=True)
+    >>> exact.count(), approx.count()
+    (50, 50)
+    """
+    if not approximate:
+        return quality_percentile(
+            df, score_col, group_col, id_col=id_col, pct_col=pct_col
+        ).filter(F.col(pct_col) > min_pct)
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    scored = df.withColumn("__fq_score", score)
+    keys = [group_col] if group_col is not None else []
+    thresholds = scored.groupBy(*keys).agg(
+        F.percentile_approx(
+            "__fq_score", F.lit(min_pct), F.lit(accuracy)
+        ).alias("__fq_thr")
+    )
+    joined = (
+        scored.join(F.broadcast(thresholds), keys)
+        if keys
+        else scored.crossJoin(F.broadcast(thresholds))
+    )
+    return joined.filter(F.col("__fq_score") > F.col("__fq_thr")).drop(
+        "__fq_score", "__fq_thr"
+    )

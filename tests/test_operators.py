@@ -1104,3 +1104,34 @@ def test_semantic_dedup_sample_fit(spark, vectors):
     assert dups  # the clustered fixture has near-dups
     for i in dups:
         assert any(cos(vecs[i], vecs[j]) >= 0.995 for j in range(i)), i
+
+
+def test_filter_quality_percentile_approximate_scale_path(spark):
+    """approximate=True must agree with the exact window path on
+    well-separated scores, and its plan must contain NO sort/window —
+    one aggregation plus a broadcast-joined filter."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.operators.quality import filter_quality_percentile
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+        F.col("id").cast("double").alias("q"),
+    )
+    exact = filter_quality_percentile(df, "q", 0.25, "lang")
+    approx = filter_quality_percentile(df, "q", 0.25, "lang",
+                                       approximate=True)
+    e = {r["doc_id"] for r in exact.collect()}
+    a = {r["doc_id"] for r in approx.collect()}
+    # sketch is exact at this cardinality; allow a tiny boundary delta
+    assert len(e.symmetric_difference(a)) <= 8, len(e ^ a)
+
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")
+    assert "BroadcastHashJoin" in plan
+
+    # ungrouped mode works too (single global threshold)
+    g = filter_quality_percentile(df, "q", 0.5, approximate=True)
+    assert abs(g.count() - 500) <= 8
