@@ -167,6 +167,103 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_enrich_stream(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    *,
+    tolerance: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Streaming point-in-time enrichment: every stream row gains the
+    most recent ``static_dim`` row at-or-before its event time per
+    ``by`` key — the feature-store as-of lookup applied during ingest.
+
+    Structured Streaming cannot run the batch union-tag window
+    (``operators/temporal.asof_join``) — event-time windows over a
+    stream need watermark-bounded aggregation, and an unbounded as-of
+    isn't one — so this takes the broadcast regime instead: the static
+    side is collected ONCE, sorted by (time, payload) so equal-time
+    rows resolve to the max payload (the batch operator's exact
+    tie-break), broadcast, and each Arrow micro-batch merges against
+    it in vectorized pandas (``merge_asof``). The static side must
+    therefore fit in memory — the feature-table regime; for two big
+    frames use the batch operator.
+
+    Unmatched or null-time rows keep NULL payload; ``tolerance``
+    (seconds for timestamps) bounds the match age exactly as in the
+    batch twin.
+    """
+    import pandas as pd
+
+    keys = [by]
+    payload = [c for c in static_dim.columns if c not in keys]
+    clash = [
+        f"{c}{suffix}" for c in payload if f"{c}{suffix}" in stream.columns
+    ]
+    if clash:
+        raise ValueError(f"suffixed static columns collide: {clash}")
+
+    static_pdf = (
+        static_dim.filter(F.col(right_ts).isNotNull())
+        .toPandas()
+        .sort_values([right_ts] + [c for c in payload if c != right_ts],
+                     kind="stable")
+        .reset_index(drop=True)
+    )
+    is_ts = isinstance(stream.schema[left_ts].dataType, T.TimestampType)
+    tol = (
+        None
+        if tolerance is None
+        else (pd.Timedelta(seconds=tolerance) if is_ts else tolerance)
+    )
+    b_static = stream.sparkSession.sparkContext.broadcast(static_pdf)
+
+    out_schema = T.StructType(
+        list(stream.schema.fields)
+        + [
+            T.StructField(f"{f.name}{suffix}", f.dataType)
+            for f in static_dim.schema.fields
+            if f.name not in keys
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def enrich(batches):
+        right = b_static.value.rename(
+            columns={c: f"{c}{suffix}" for c in payload}
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ok = pdf[pdf[left_ts].notna()].sort_values(left_ts, kind="stable")
+            parts = []
+            if len(ok):
+                parts.append(
+                    pd.merge_asof(
+                        ok,
+                        right,
+                        left_on=left_ts,
+                        right_on=f"{right_ts}{suffix}"
+                        if right_ts in payload
+                        else right_ts,
+                        by=by,
+                        direction="backward",
+                        tolerance=tol,
+                    )
+                )
+            bad = pdf[pdf[left_ts].isna()]
+            if len(bad):
+                parts.append(bad)
+            yield pd.concat(parts, ignore_index=True).reindex(
+                columns=out_cols
+            )
+
+    return stream.mapInPandas(enrich, out_schema)
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

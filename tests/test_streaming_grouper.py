@@ -537,3 +537,70 @@ def test_streaming_document_dedup_bounded_state(spark, tmp_path):
     assert got in ([1, 3], [2, 3])  # one survivor per fingerprint
     analyzed = curated._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in analyzed  # state is watermark-bounded
+
+
+def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
+    """asof_enrich_stream (broadcast merge_asof per micro-batch) must
+    produce exactly the batch asof_join's answer — including the
+    max-payload tie-break and the tolerance null-out."""
+    import datetime as dt
+
+    from lours_spark.operators.temporal import asof_join
+    from lours_spark.streaming.events import (
+        asof_enrich_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+
+    def at(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    clicks = [
+        (1, at(30), 1, "click", 0.0, "{}"),
+        (2, at(90), 1, "click", 0.0, "{}"),
+        (3, at(10), 2, "click", 0.0, "{}"),   # before any purchase
+        (4, at(300), 1, "click", 0.0, "{}"),  # beyond tolerance
+    ]
+    stream_src = spark.createDataFrame(
+        clicks,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    data_dir = str(tmp_path / "asof_in")
+    stream_src.write.parquet(data_dir)
+
+    purchases = spark.createDataFrame(
+        [
+            (1, at(30), 5.0),   # equal-time match for click 1
+            (1, at(30), 9.0),   # tie → max payload must win
+            (1, at(60), 2.0),
+            (2, at(20), 7.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+
+    enriched = asof_enrich_stream(
+        read_event_stream(spark, data_dir),
+        purchases,
+        "user_id",
+        tolerance=3600,
+    )
+    assert enriched.isStreaming
+    run_available_now(enriched, "asof_enrich_test", str(tmp_path / "ck"),
+                      output_mode="append")
+    got = {
+        r["event_id"]: (r["ts_r"], r["value_r"])
+        for r in spark.table("asof_enrich_test").collect()
+    }
+
+    batch = asof_join(
+        stream_src, purchases, "user_id", "ts", tolerance=3600
+    )
+    want = {r["event_id"]: (r["ts_r"], r["value_r"]) for r in batch.collect()}
+    assert got == want
+    assert got[1] == (at(30), 9.0)   # tie broke to max payload
+    assert got[2] == (at(60), 2.0)
+    assert got[3] == (None, None)    # nothing at-or-before
+    assert got[4] == (None, None)    # 240 min > 1h tolerance
