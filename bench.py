@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "decontaminate_spans",
     "gopher_rules",
     "char_entropy",
+    "ngram_logprob",
     "bloom_novel",
     "asof_join",
     "range_join",

@@ -236,6 +236,106 @@ def gopher_rules(
     return sig.withColumn("gopher_keep", keep.cast("int"))
 
 
+def ngram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    *,
+    model_docs: DataFrame | None = None,
+    out_col: str = "avg_nll",
+) -> DataFrame:
+    """Corpus-typicality score — the shuffle-light analog of CCNet's
+    LM-perplexity filter: fit a character n-gram frequency model on
+    ``model_docs`` (default: the corpus itself), then score every
+    document by its mean negative log2 self-information,
+    ``-(1/m) Σ log2(count(gram) / total_grams)``. Typical prose lands
+    low; gibberish, key-mash and wrong-script text land high (their
+    grams are rare under the corpus model); grams UNSEEN by the model
+    get one smoothing pseudo-count. Returns ``id_col, n_grams,
+    out_col`` (documents shorter than ``n`` chars score NULL).
+
+    Scale shape: the model is a char n-gram count table — bounded by
+    alphabet^n, NOT corpus size — built by one explode + one hash agg
+    with map-side partials, then BROADCAST back onto a second explode,
+    so the scoring join never shuffles the corpus; the only exchange
+    carrying per-document data is the final groupBy(id) of (id,
+    partial-sum) rows. Two passes over the text, zero Python.
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "the cat sat on the mat"),
+    ...      (2, "the cat sat on the rug"),
+    ...      (3, "zq xv jw qq kx zz pq")],
+    ...     "doc_id long, text string")
+    >>> rows = {r["doc_id"]: r["avg_nll"] for r in
+    ...         ngram_logprob(df).collect()}
+    >>> rows[3] > rows[1], rows[3] > rows[2]  # gibberish scores worse
+    (True, True)
+    """
+    text = F.lower(F.col(text_col))
+
+    def grams(t):
+        # split-to-chars ONCE, then O(1) element_at per position —
+        # substring(t, i, n) per position re-scans the string from the
+        # start (O(len) each, O(len^2) per document: measured 6s vs
+        # ~1s over the sf0.1 corpus)
+        def build(cs):
+            return F.when(
+                F.size(cs) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(cs) - (n - 1)),
+                    lambda i: F.concat(
+                        *[
+                            F.element_at(cs, (i + j).cast("int"))
+                            for j in range(n)
+                        ]
+                    ),
+                ),
+            )
+
+        return _bind(
+            F.filter(F.split(t, ""), lambda x: x != F.lit("")), build
+        )
+
+    src = (model_docs if model_docs is not None else docs).select(
+        text.alias("__t")
+    )
+    model_grams = src.select(
+        F.explode(grams(F.col("__t"))).alias("gram")
+    )
+    counts = model_grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    total = model_grams.count()
+
+    # explode_outer keeps one null-gram row per too-short document, so
+    # every doc survives to the final groupBy and no restore-join (and
+    # its extra shuffle) is needed: count("gram") skips the null row
+    # (n_grams 0) and avg skips its null term (score NULL)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode_outer(grams(text)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(counts), "gram", "left")
+        .select(
+            id_col,
+            "gram",
+            F.when(
+                F.col("gram").isNotNull(),
+                # unseen grams (model_docs != docs): one pseudo-count
+                -F.log2(
+                    F.coalesce(F.col("__cnt"), F.lit(1)) / F.lit(total)
+                ),
+            ).alias("__nll"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.avg("__nll").alias(out_col),
+        )
+    )
+
+
 _GOPHER_SIGNAL_COLS = (
     "n_words", "mean_word_len", "symbol_word_ratio", "alpha_word_frac",
     "n_stop_words", "bullet_line_frac", "ellipsis_line_frac", "gopher_keep",

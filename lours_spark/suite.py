@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 95)
+(50, 96)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -3197,6 +3197,43 @@ FROM n
 """
 
 
+def q_ngram_logprob(spark, sf_dir):
+    """Char-trigram self-information per document (the CCNet
+    perplexity-filter analog, fit on the corpus itself). avg_nll is a
+    mean of ~100-500 log2 terms — rounded to 6dp, which absorbs the
+    engines' differing partial-sum orders (terms are O(10), double
+    error O(1e-12))."""
+    from lours_spark.operators.quality import ngram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_logprob(d)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round("avg_nll", 6).alias("avg_nll"),
+    )
+
+
+def _oracle_ngram_logprob() -> str:
+    return """
+WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+g AS (
+  SELECT doc_id, substr(t, i, 3) AS gram
+  FROM t, unnest(generate_series(1, length(t) - 2)) AS u(i)
+  WHERE length(t) >= 3
+),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+tot AS (SELECT count(*) AS total FROM g),
+s AS (
+  SELECT doc_id, count(*) AS n_grams,
+         round(avg(-log2(cnt::DOUBLE / total)), 6) AS avg_nll
+  FROM g JOIN c USING (gram), tot GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams, avg_nll
+FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_bloom_novel(spark, sf_dir):
     """Broadcast-bloom novelty filter (bench-only: xxhash64 has no
     DuckDB twin; guarantees are pinned in tests/test_bloom.py): the
@@ -3887,6 +3924,7 @@ QUERIES.update(
         "decontaminate_spans": q_decontaminate_spans,
         "gopher_rules": q_gopher_rules,
         "char_entropy": q_char_entropy,
+        "ngram_logprob": q_ngram_logprob,
         "bloom_novel": q_bloom_novel,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3916,6 +3954,7 @@ _EXTRA_ORACLES.update(
         "decontaminate_spans": _oracle_decontaminate_spans,
         "gopher_rules": _oracle_gopher_rules,
         "char_entropy": _oracle_char_entropy,
+        "ngram_logprob": _oracle_ngram_logprob,
         "asof_join": _oracle_asof_join,
         "range_join": _oracle_range_join,
         "rolling_agg": _oracle_rolling_agg,
@@ -4045,7 +4084,7 @@ _CURATION_FACETS = (
     "global_shuffle", "cap_per_group", "quality_percentile", "semantic_dedup",
     "dup_spans", "remove_dup_spans", "cluster_representatives",
     "normalize_text", "decontaminate_spans", "gopher_rules",
-    "char_entropy",
+    "char_entropy", "ngram_logprob",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -4233,6 +4272,7 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 "char_entropy": [
                     "doc_id", "n_chars_real", "n_alphabet", "entropy_bits",
                 ],
+                "ngram_logprob": ["doc_id", "n_grams", "avg_nll"],
             }
             out[name] = _facet_union_sql(
                 *[(n, base[n], leg_cols[n]) for n in _CURATION_FACETS]

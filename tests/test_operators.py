@@ -1135,3 +1135,39 @@ def test_filter_quality_percentile_approximate_scale_path(spark):
     # ungrouped mode works too (single global threshold)
     g = filter_quality_percentile(df, "q", 0.5, approximate=True)
     assert abs(g.count() - 500) <= 8
+
+
+def test_ngram_logprob_unseen_and_short_docs(spark):
+    from pyspark.sql import functions as F
+
+    from lours_spark.operators.quality import ngram_logprob
+
+    model = spark.createDataFrame(
+        [(1, "abcabcabc")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "abcabc"),   # all grams known
+         (11, "zzzzzz"),   # all grams unseen → pseudo-count path
+         (12, "ab"),       # shorter than n → NULL score, 0 grams
+         ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ngram_logprob(docs, model_docs=model).collect()}
+    assert out[10]["n_grams"] == 4
+    assert out[11]["avg_nll"] > out[10]["avg_nll"]  # unseen is rarer
+    assert out[12]["n_grams"] == 0 and out[12]["avg_nll"] is None
+
+
+def test_ngram_logprob_scoring_join_is_broadcast(spark):
+    """The model-count table must broadcast onto the scoring explode:
+    no shuffle of per-gram corpus rows, and exactly one hash exchange
+    (the final per-doc partial-sum groupBy) besides the model agg."""
+    from lours_spark.operators.quality import ngram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat")], "doc_id long, text string")
+    plan = (
+        ngram_logprob(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan.replace("BroadcastHashJoin", "BHJ")
