@@ -1,0 +1,159 @@
+"""WebDataset tar-shard I/O — the de-facto sequential-read format for
+large-scale (multimodal) training data: samples live as files inside
+numbered ``.tar`` shards (``<key>.<ext>`` members; all members sharing
+a key form one sample), trainers stream shards sequentially and
+shuffle by shard. The reference library has no sharded-training sink
+(its exports are per-format directory trees, e.g.
+``lours/dataset/io/caipy.py``); this is part of the beyond-reference
+training-data layer.
+
+Spark shape:
+
+- **write**: deterministic seeded shard assignment (md5 of the key —
+  reproducible across runs/retries/partitionings, like
+  ``operators/ordering.global_shuffle``), ONE hash exchange on the
+  shard id (``applyInPandas`` per shard), each task streams its
+  samples into ``shard-%05d.tar`` in seeded-hash order with zeroed
+  tar metadata — so a re-run produces BYTE-IDENTICAL shards (tested).
+  Shard count bounds task memory: nothing holds more than one
+  sample's bytes at a time beyond the tar buffer.
+- **read**: ``binaryFile`` scan of ``*.tar`` (splittable per shard —
+  one task per shard, the format's intended parallelism) +
+  ``mapInPandas`` untar → long rows ``(shard, key, ext, data)``;
+  ``from_webdataset`` pivots the requested extensions back to one row
+  per sample via ``groupBy(key).pivot(ext)`` bounded by the explicit
+  extension list.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lours_spark.functions.text import md5_long
+
+
+def dataset_to_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    columns: dict[str, str],
+    key_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 42,
+) -> None:
+    """Write one tar shard per seeded hash bucket. ``columns`` maps
+    member EXTENSION → source column (string or binary), e.g.
+    ``{"txt": "text", "cls": "label"}``: each row becomes the members
+    ``<key>.<ext>`` for every mapped column (NULL values are skipped,
+    matching WebDataset's optional-member convention).
+
+    Determinism contract: same data + seed + shard count → the same
+    key→shard map, the same within-shard order (seeded hash, key
+    tie-break) and zeroed tar timestamps/uids — byte-identical shards
+    on re-run, so downstream caches and resume logic can trust shard
+    content hashes.
+    """
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    exts = sorted(columns)
+    src = df.select(
+        F.col(key_col).cast("string").alias("__key"),
+        (md5_long(F.col(key_col).cast("string"), seed) % num_shards).alias(
+            "__shard"
+        ),
+        md5_long(F.col(key_col).cast("string"), seed).alias("__pos"),
+        *[F.col(columns[e]).alias(f"__c_{e}") for e in exts],
+    )
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(pdf):
+            return pd.DataFrame({"shard": [], "n_samples": []})
+        shard = int(pdf["__shard"].iloc[0])
+        pdf = pdf.sort_values(["__pos", "__key"], kind="stable")
+        # itertuples renames leading-underscore columns positionally
+        # (namedtuple restriction) — strip the prefix first
+        pdf = pdf.rename(columns=lambda c: c.lstrip("_"))
+        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        tmp = path + ".tmp"
+        n = 0
+        with tarfile.open(tmp, "w") as tar:
+            for row in pdf.itertuples(index=False):
+                for e in exts:
+                    v = getattr(row, f"c_{e}")
+                    if v is None or (isinstance(v, float) and pd.isna(v)):
+                        continue
+                    data = (
+                        v
+                        if isinstance(v, (bytes, bytearray))
+                        else str(v).encode("utf-8")
+                    )
+                    ti = tarfile.TarInfo(name=f"{row.key}.{e}")
+                    ti.size = len(data)
+                    ti.mtime = 0  # zeroed metadata → byte-stable shards
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    tar.addfile(ti, io.BytesIO(bytes(data)))
+                n += 1
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "n_samples": [n]})
+
+    # groupBy(shard) → ONE hash exchange; each group streams one tar
+    src.groupBy("__shard").applyInPandas(
+        write_shard, "shard long, n_samples long"
+    ).collect()
+
+
+def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
+    """Long form: one row per tar member — ``(shard, key, ext, data)``.
+    One task per shard via ``binaryFile`` (shards are the unit of
+    parallelism, per the format's design)."""
+    import pandas as pd
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "*.tar"))
+        .select("path", "content")
+    )
+
+    def untar(batches) -> Iterator:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                out = {"shard": [], "key": [], "ext": [], "data": []}
+                with tarfile.open(
+                    fileobj=io.BytesIO(row["content"])
+                ) as tar:
+                    for m in tar.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, _, ext = m.name.rpartition(".")
+                        out["shard"].append(os.path.basename(row["path"]))
+                        out["key"].append(key)
+                        out["ext"].append(ext)
+                        out["data"].append(tar.extractfile(m).read())
+                yield pd.DataFrame(out)
+
+    return raw.mapInPandas(
+        untar, "shard string, key string, ext string, data binary"
+    )
+
+
+def from_webdataset(
+    spark: SparkSession, path: str, exts: list[str]
+) -> DataFrame:
+    """Wide form: one row per SAMPLE with one binary column per
+    requested extension (``key string, <ext> binary, ...``). The pivot
+    is bounded by the explicit ``exts`` list — never a discovery scan."""
+    long = read_webdataset_members(spark, path).filter(
+        F.col("ext").isin(exts)
+    )
+    return (
+        long.groupBy("key")
+        .pivot("ext", exts)
+        .agg(F.first("data"))
+    )

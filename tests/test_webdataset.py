@@ -1,0 +1,82 @@
+"""WebDataset shard sink/source: round-trip fidelity, byte-identical
+re-writes, shard balance, and optional-member semantics."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tarfile
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=60):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "), F.col("id")).alias("text"),
+        F.when(F.col("id") % 3 != 0, F.concat(F.lit("label-"),
+               (F.col("id") % 5))).alias("label"),
+    )
+
+
+def test_webdataset_roundtrip(spark, tmp_path):
+    from lours_spark.io.webdataset import (
+        dataset_to_webdataset,
+        from_webdataset,
+    )
+
+    docs = _docs(spark)
+    out = str(tmp_path / "wds")
+    dataset_to_webdataset(
+        docs, out, {"txt": "text", "cls": "label"}, num_shards=4
+    )
+    shards = sorted(os.listdir(out))
+    assert shards == [f"shard-{i:05d}.tar" for i in range(4)]
+
+    back = from_webdataset(spark, out, ["txt", "cls"])
+    rows = {r["key"]: r for r in back.collect()}
+    assert len(rows) == 60
+    assert rows["7"]["txt"] == b"document body 7"
+    assert rows["7"]["cls"] == b"label-2"
+    assert rows["9"]["cls"] is None  # NULL column → member skipped
+
+
+def test_webdataset_rewrite_is_byte_identical(spark, tmp_path):
+    """Same data + seed → byte-identical shards (zeroed tar metadata,
+    seeded order) — the reproducibility contract resume logic needs."""
+    from lours_spark.io.webdataset import dataset_to_webdataset
+
+    docs = _docs(spark)
+
+    def digest(d):
+        dataset_to_webdataset(
+            docs.repartition(7), d, {"txt": "text"}, num_shards=3
+        )
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+        }
+
+    a = digest(str(tmp_path / "w1"))
+    b = digest(str(tmp_path / "w2"))
+    assert a == b
+    assert len(a) == 3
+
+
+def test_webdataset_member_layout(spark, tmp_path):
+    """Members are <key>.<ext> with zeroed metadata; every sample's
+    members are contiguous within its shard."""
+    from lours_spark.io.webdataset import dataset_to_webdataset
+
+    docs = _docs(spark, n=20)
+    out = str(tmp_path / "wds")
+    dataset_to_webdataset(
+        docs, out, {"txt": "text", "cls": "label"}, num_shards=1
+    )
+    with tarfile.open(os.path.join(out, "shard-00000.tar")) as tar:
+        members = tar.getmembers()
+        assert all(m.mtime == 0 and m.uid == 0 for m in members)
+        keys = [m.name.rpartition(".")[0] for m in members]
+        # contiguity: each key appears in exactly one run
+        runs = [k for i, k in enumerate(keys) if i == 0 or keys[i - 1] != k]
+        assert len(runs) == len(set(keys))
