@@ -32,6 +32,7 @@ ROWS = {
     "decontaminate_spans": "documents",
     "gopher_rules": "documents",
     "char_entropy": "documents",
+    "ngram_logprob": "documents",
     "bloom_novel": "documents",
     "asof_join": "events",
     "range_join": "events",

@@ -39,6 +39,7 @@ QUERIES = [
     "decontaminate_spans",
     "gopher_rules",
     "char_entropy",
+    "ngram_logprob",
     "bloom_novel",
     "asof_join",
     "range_join",

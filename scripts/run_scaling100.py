@@ -44,6 +44,7 @@ QUERIES = [
     # late round 6: quality/entropy/bloom + the temporal layer
     "gopher_rules",
     "char_entropy",
+    "ngram_logprob",
     "bloom_novel",
     "asof_join",
     "range_join",
