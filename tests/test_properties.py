@@ -254,3 +254,138 @@ def test_global_shuffle_is_permutation_property(spark, ids, seed, shards):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in out
     }
+
+
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, t)
+    min_size=0, max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_rows=asof_rows,
+    right_rows=asof_rows,
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 0, 5, 100]),
+)
+def test_asof_join_matches_pandas_reference(
+    spark, left_rows, right_rows, direction, tolerance
+):
+    """asof_join == pandas.merge_asof on random frames, both
+    directions, with and without tolerance. The right side carries a
+    payload v = key*1000 + t (unique per row), sorted (t, v) before
+    merge_asof so pandas' last-of-ties equals our max-payload
+    tie-break."""
+    import pandas as pd
+
+    from lours_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "row_id long, k long, t long",
+    )
+    right_py = [(k, t, float(k * 1000 + t)) for k, t in right_rows]
+    right = spark.createDataFrame(right_py, "k long, t long, v double")
+
+    got = {
+        r["row_id"]: r["v_r"]
+        for r in asof_join(
+            left, right, "k", "t",
+            direction=direction, tolerance=tolerance,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        columns=["row_id", "k", "t"],
+    ).sort_values("t", kind="stable")
+    rp = pd.DataFrame(
+        right_py, columns=["k", "t", "v"]
+    ).sort_values(["t", "v"], kind="stable")
+    if len(lp) and not len(rp):
+        want = {int(i): None for i in lp["row_id"]}
+    elif len(lp):
+        merged = pd.merge_asof(
+            lp, rp, on="t", by="k", direction=direction,
+            tolerance=tolerance,
+        )
+        want = {
+            int(r.row_id): (None if pd.isna(r.v) else float(r.v))
+            for r in merged.itertuples(index=False)
+        }
+    else:
+        want = {}
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_rows=asof_rows,
+    right_rows=asof_rows,
+    band=st.sampled_from([(-5, 5), (0, 10), (-20, -1), (3, 40)]),
+)
+def test_range_join_matches_bruteforce(spark, left_rows, right_rows, band):
+    """Band-bucketed range_join == the O(n*m) nested-loop definition
+    on random frames, for bands below/around/above zero."""
+    from lours_spark.operators.temporal import range_join
+
+    lo, hi = band
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, j) for j, (k, t) in enumerate(right_rows)],
+        "k long, t long, rid long",
+    )
+    got = {
+        (r["lid"], r["rid_r"])
+        for r in range_join(left, right, "k", "t", lower=lo, upper=hi)
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, lt) in enumerate(left_rows)
+        for j, (rk, rt) in enumerate(right_rows)
+        if lk == rk and lt + lo <= rt <= lt + hi
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=asof_rows, window=st.sampled_from([0, 3, 25]))
+def test_rolling_aggregate_matches_bruteforce(spark, rows, window):
+    """RANGE-frame rolling aggregates == the per-row [t-W, t] scan,
+    including same-timestamp peers (every tie sees every tie)."""
+    from lours_spark.operators.windows import rolling_aggregate
+
+    df = spark.createDataFrame(
+        [(i, k, t, float(i)) for i, (k, t) in enumerate(rows)],
+        "rid long, k long, t long, v double",
+    )
+    got = {
+        r["rid"]: (r["roll_count"], r["roll_sum"])
+        for r in rolling_aggregate(
+            df, "k", "t", "v", window=window, aggs=("count", "sum")
+        ).collect()
+    }
+    for i, (k, t) in enumerate(rows):
+        frame = [
+            float(j)
+            for j, (k2, t2) in enumerate(rows)
+            if k2 == k and t - window <= t2 <= t
+        ]
+        assert got[i] == (len(frame), sum(frame)), (i, k, t)
