@@ -7,6 +7,7 @@ beyond-reference curation layer into ONE lazy plan per stage chain:
 
     raw documents
       → decontaminate (benchmark n-gram overlap, broadcast join)
+      → Gopher rule filter (zero-shuffle codegen'd projection)
       → exact dedup (keep-first by fingerprint)
       → quality percentile filter (per-language cume_dist)
       → PII redaction (codegen'd regexp, no shuffle)
@@ -38,6 +39,8 @@ from pyspark.sql import functions as F
 class CurationConfig:
     """Knobs for :func:`curate_documents`; ``None`` disables a stage.
 
+    ``gopher``: threshold overrides for the Gopher rule filter (an
+    empty dict applies the paper defaults); ``None`` skips the stage.
     ``quality_min_pct``: drop the bottom fraction of each language by
     quality score (cume_dist, singletons survive).
     ``mixture_targets``: target token share per ``lang`` shard, e.g.
@@ -48,6 +51,7 @@ class CurationConfig:
     """
 
     benchmark: "DataFrame | None" = None
+    gopher: "dict | None" = None
     dedup_exact: bool = True
     quality_min_pct: "float | None" = 0.2
     redact_pii: bool = True
@@ -98,6 +102,15 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
             out, cfg.benchmark, id_col=id_col, text_col=text_col
         )
         cfg.stages_run.append("decontaminate")
+
+    if cfg.gopher is not None:
+        from lours_spark.operators.quality import filter_gopher
+
+        # rule-based cut FIRST: it is a zero-shuffle codegen'd
+        # projection, so running it before the dedup window shrinks
+        # everything downstream for free
+        out = filter_gopher(out, id_col, text_col, **cfg.gopher)
+        cfg.stages_run.append("gopher")
 
     if cfg.dedup_exact:
         from lours_spark.functions.text import fingerprint

@@ -142,6 +142,8 @@ def test_curation_pipeline_end_to_end(spark):
     )
     cfg = CurationConfig(
         benchmark=bench,
+        gopher={"min_words": 20, "min_stop_words": 0,
+                "min_mean_word_len": 1.0},
         quality_min_pct=0.2,
         mixture_targets={"en": 0.5, "de": 0.3, "fr": 0.2},
         pack_budget=64,
@@ -149,7 +151,7 @@ def test_curation_pipeline_end_to_end(spark):
     )
     out = curate_documents(docs, cfg)
     assert cfg.stages_run == [
-        "decontaminate", "dedup_exact", "quality_filter",
+        "decontaminate", "gopher", "dedup_exact", "quality_filter",
         "redact_pii", "mixture", "pack",
     ]
     rows = out.collect()
@@ -177,6 +179,8 @@ def test_curation_pipeline_end_to_end(spark):
     # deterministic: same config, same output
     cfg2 = CurationConfig(
         benchmark=bench,
+        gopher={"min_words": 20, "min_stop_words": 0,
+                "min_mean_word_len": 1.0},
         quality_min_pct=0.2,
         mixture_targets={"en": 0.5, "de": 0.3, "fr": 0.2},
         pack_budget=64,

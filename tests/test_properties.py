@@ -389,3 +389,56 @@ def test_rolling_aggregate_matches_bruteforce(spark, rows, window):
             if k2 == k and t - window <= t2 <= t
         ]
         assert got[i] == (len(frame), sum(frame)), (i, k, t)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # user
+            st.integers(0, 30),           # t
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0, max_size=20,
+    ),
+    within=st.sampled_from([None, 4, 100]),
+)
+def test_funnel_matches_bruteforce(spark, events, within):
+    """funnel == the sequential earliest-match definition: anchor at
+    min(step-1), then repeatedly the min step-k event at-or-after the
+    previous step (and within the window when set)."""
+    from lours_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in events],
+        "user_id long, ts long, event_type string",
+    )
+    got = {
+        r["user_id"]: (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"],
+                       r["steps_completed"])
+        for r in funnel(df, ["a", "b", "c"], within=within).collect()
+    }
+
+    want = {}
+    users = {u for u, _, e in events if e == "a"}
+    for u in users:
+        t1 = min(t for uu, t, e in events if uu == u and e == "a")
+        steps = [t1]
+        for step in ("b", "c"):
+            prev = steps[-1]
+            if prev is None:
+                steps.append(None)
+                continue
+            cand = [
+                t for uu, t, e in events
+                if uu == u and e == step and t >= prev
+                and (within is None or t - prev <= within)
+            ]
+            steps.append(min(cand) if cand else None)
+        want[u] = (steps[0], steps[1], steps[2],
+                   sum(1 for s in steps if s is not None))
+    assert got == want
