@@ -64,6 +64,7 @@ def read_document_stream(
 
 def curate_document_stream(
     docs: DataFrame,
+    gopher: "dict | None" = None,
     quality_min_score: "float | None" = None,
     dedup_exact: bool = True,
     redact: bool = True,
@@ -83,6 +84,10 @@ def curate_document_stream(
     :func:`operators.sampling.mixture_weights`, computed offline on
     the corpus so far and broadcast against every micro-batch — rates
     must be frozen for the stream to stay deterministic.
+
+    ``gopher``: threshold overrides for the (stateless, streaming-safe)
+    Gopher rule filter; ``None`` skips it, matching the batch
+    pipeline's opt-in stage.
 
     ``ts_col`` + ``dedup_within`` (e.g. ``"30 days"``): bounded dedup
     state via ``dropDuplicatesWithinWatermark`` — see module
@@ -104,6 +109,13 @@ def curate_document_stream(
         else:
             out = out.dropDuplicates(["__fp"])
         out = out.drop("__fp")
+
+    if gopher is not None:
+        from lours_spark.operators.quality import filter_gopher
+
+        # stateless codegen'd projection — streaming-safe as-is, and
+        # batch-parity with pipeline.curate_documents' gopher stage
+        out = filter_gopher(out, id_col, text_col, **gopher)
 
     if quality_min_score is not None:
         from lours_spark.functions.text import quality_score
