@@ -56,11 +56,22 @@ def dataset_to_webdataset(
     key→shard map, the same within-shard order (seeded hash, key
     tie-break) and zeroed tar timestamps/uids — byte-identical shards
     on re-run, so downstream caches and resume logic can trust shard
-    content hashes.
+    content hashes. Pre-existing ``shard-*.tar`` in ``out_dir`` are
+    removed first, so a rewrite with fewer shards can't leave stale
+    shards for the reader to blend in.
+
+    NULL keys are rejected loudly (a member would be named
+    ``None.<ext>`` and the shard map undefined) — filter them upstream.
     """
+    import glob
+
     import pandas as pd
 
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1: {num_shards}")
     os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "shard-*.tar")):
+        os.remove(stale)
     exts = sorted(columns)
     src = df.select(
         F.col(key_col).cast("string").alias("__key"),
@@ -70,20 +81,52 @@ def dataset_to_webdataset(
         md5_long(F.col(key_col).cast("string"), seed).alias("__pos"),
         *[F.col(columns[e]).alias(f"__c_{e}") for e in exts],
     )
+    # hash-partition ON the shard id, sort within the partition: each
+    # task streams its shards row-group by row-group (mapInPandas is an
+    # ITERATOR — memory is one Arrow batch + the tar buffer, never a
+    # whole shard), switching tar files when the shard id changes (a
+    # partition can own several shard ids; a shard never spans two)
+    src = src.repartition(num_shards, "__shard").sortWithinPartitions(
+        "__shard", "__pos", "__key"
+    )
 
-    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        if not len(pdf):
-            return pd.DataFrame({"shard": [], "n_samples": []})
-        shard = int(pdf["__shard"].iloc[0])
-        pdf = pdf.sort_values(["__pos", "__key"], kind="stable")
-        # itertuples renames leading-underscore columns positionally
-        # (namedtuple restriction) — strip the prefix first
-        pdf = pdf.rename(columns=lambda c: c.lstrip("_"))
-        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
-        tmp = path + ".tmp"
-        n = 0
-        with tarfile.open(tmp, "w") as tar:
+    def write_partition(batches) -> "pd.DataFrame":
+        from pyspark import TaskContext
+
+        attempt = TaskContext.get().taskAttemptId()
+        state = {"shard": None, "tar": None, "tmp": None, "n": 0}
+        done: list[tuple[int, int]] = []
+
+        def close_current():
+            if state["tar"] is None:
+                return
+            state["tar"].close()
+            final = os.path.join(
+                out_dir, f"shard-{state['shard']:05d}.tar"
+            )
+            os.replace(state["tmp"], final)
+            done.append((state["shard"], state["n"]))
+            state.update(shard=None, tar=None, tmp=None, n=0)
+
+        for pdf in batches:
+            if pdf["__key"].isna().any() or pdf["__shard"].isna().any():
+                raise ValueError(
+                    "NULL key values in webdataset input — filter "
+                    "them upstream"
+                )
+            pdf = pdf.rename(columns=lambda c: c.lstrip("_"))
             for row in pdf.itertuples(index=False):
+                shard = int(row.shard)
+                if shard != state["shard"]:
+                    close_current()
+                    # per-attempt tmp name: retries/speculative tasks
+                    # never interleave into one file; os.replace keeps
+                    # last-publisher-wins atomicity
+                    state["shard"] = shard
+                    state["tmp"] = os.path.join(
+                        out_dir, f"shard-{shard:05d}.tar.{attempt}.tmp"
+                    )
+                    state["tar"] = tarfile.open(state["tmp"], "w")
                 for e in exts:
                     v = getattr(row, f"c_{e}")
                     if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -98,14 +141,13 @@ def dataset_to_webdataset(
                     ti.mtime = 0  # zeroed metadata → byte-stable shards
                     ti.uid = ti.gid = 0
                     ti.uname = ti.gname = ""
-                    tar.addfile(ti, io.BytesIO(bytes(data)))
-                n += 1
-        os.replace(tmp, path)
-        return pd.DataFrame({"shard": [shard], "n_samples": [n]})
+                    state["tar"].addfile(ti, io.BytesIO(bytes(data)))
+                state["n"] += 1
+        close_current()
+        yield pd.DataFrame(done, columns=["shard", "n_samples"])
 
-    # groupBy(shard) → ONE hash exchange; each group streams one tar
-    src.groupBy("__shard").applyInPandas(
-        write_shard, "shard long, n_samples long"
+    src.mapInPandas(
+        write_partition, "shard long, n_samples long"
     ).collect()
 
 

@@ -111,9 +111,11 @@ def build_bloom(
             [pa.array([bits.tobytes()], type=pa.binary())], names=["bitmap"]
         )
 
-    parts = hashed.mapInArrow(fold, "bitmap binary").collect()
+    # toLocalIterator: the driver holds ~ONE partition bitmap at a
+    # time while OR-merging (collect() would hold partitions x m/8
+    # bytes at once — 500 partitions of a 1.2 GB bitmap is 600 GB)
     bits = np.zeros(n_words, dtype=np.uint64)
-    for row in parts:
+    for row in hashed.mapInArrow(fold, "bitmap binary").toLocalIterator():
         bits |= np.frombuffer(row["bitmap"], dtype=np.uint64)
     return BloomFilter(bits, m, k, seed)
 
@@ -151,8 +153,17 @@ def filter_novel(
     if method != "bloom":
         raise ValueError(f"method must be bloom|exact: {method}")
 
+    # NULL fingerprints: SQL join semantics (the exact path) say NULL
+    # never equals NULL, so a NULL corpus row is always novel — drop
+    # NULLs from the build and pass NULL corpus rows through, keeping
+    # both methods aligned (xxhash64 would otherwise hash every NULL
+    # to one constant and bloom-drop them all)
     bf = build_bloom(
-        seen.select(on), on, expected_items=expected_items, fpp=fpp, seed=seed
+        seen.select(on).filter(F.col(on).isNotNull()),
+        on,
+        expected_items=expected_items,
+        fpp=fpp,
+        seed=seed,
     )
     sc = corpus.sparkSession.sparkContext
     b_bits = sc.broadcast(bf.bits)
@@ -172,6 +183,6 @@ def filter_novel(
     h1, h2 = _hash_pair(F.col(on), s)
     return (
         corpus.withColumns({"__h1": h1, "__h2": h2})
-        .filter(_unseen("__h1", "__h2"))
+        .filter(F.col(on).isNull() | _unseen("__h1", "__h2"))
         .drop("__h1", "__h2")
     )

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampType
 
-_RESERVED = ("__ak", "__side", "__r", "__p", "__bucket")
+_RESERVED = ("__ak", "__side", "__r", "__p", "__bucket", "__lk", "__rk")
 
 
 def _order_key(df: DataFrame, ts_col: str) -> Column:
@@ -52,6 +52,21 @@ def _scale_bound(df: DataFrame, ts_col: str, bound: float) -> float:
     if isinstance(df.schema[ts_col].dataType, TimestampType):
         return float(bound) * 1_000_000.0
     return float(bound)
+
+
+def _check_ts_kinds(left, left_ts, right, right_ts):
+    """Both event-time columns must be the same KIND (timestamp vs
+    numeric): a timestamp side compares in epoch micros while a
+    numeric side compares raw — mixing them would silently join values
+    six orders of magnitude apart."""
+    lk = isinstance(left.schema[left_ts].dataType, TimestampType)
+    rk = isinstance(right.schema[right_ts].dataType, TimestampType)
+    if lk != rk:
+        raise TypeError(
+            f"event-time type mismatch: {left_ts} is "
+            f"{left.schema[left_ts].dataType}, {right_ts} is "
+            f"{right.schema[right_ts].dataType} — cast one side first"
+        )
 
 
 def asof_join(
@@ -114,13 +129,21 @@ def asof_join(
     bad = [c for c in (*left.columns, *right.columns) if c in _RESERVED]
     if bad:
         raise ValueError(f"reserved column names in input: {bad}")
+    _check_ts_kinds(left, left_ts, right, right_ts)
 
     l2 = left.select(
         "*",
         _order_key(left, left_ts).alias("__ak"),
         F.lit(1).alias("__side"),
     )
-    r2 = right.filter(F.col(right_ts).isNotNull()).select(
+    # NULL-key right rows can never equal a left key (SQL join
+    # semantics — Window.partitionBy would otherwise group NULLs
+    # together and match them); NULL-key LEFT rows then sit alone in
+    # the NULL partition and correctly get no match
+    r_keys_ok = right
+    for kcol in keys:
+        r_keys_ok = r_keys_ok.filter(F.col(kcol).isNotNull())
+    r2 = r_keys_ok.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         _order_key(right, right_ts).alias("__ak"),
         F.lit(0).alias("__side"),
@@ -282,6 +305,10 @@ def range_join(
     clash = [f"{c}{suffix}" for c in payload if f"{c}{suffix}" in left.columns]
     if clash:
         raise ValueError(f"suffixed right columns collide with left: {clash}")
+    bad = [c for c in (*left.columns, *right.columns) if c in _RESERVED]
+    if bad:
+        raise ValueError(f"reserved column names in input: {bad}")
+    _check_ts_kinds(left, left_ts, right, right_ts)
 
     lo = _scale_bound(left, left_ts, lower)
     hi = _scale_bound(left, left_ts, upper)

@@ -77,3 +77,21 @@ def test_sizing_and_empty_seen(spark):
     new = spark.createDataFrame([("x",), ("y",)], "fp string")
     out = filter_novel(new, seen, "fp")
     assert sorted(r["fp"] for r in out.collect()) == ["x", "y"]
+
+
+def test_null_fingerprints_agree_with_exact_path(spark):
+    """SQL semantics: NULL never equals NULL, so NULL corpus rows are
+    ALWAYS novel — in both methods, even when seen contains NULLs."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.operators.bloom import filter_novel
+
+    seen = spark.createDataFrame([("a",), (None,)], "fp string")
+    corpus = spark.createDataFrame(
+        [("a",), ("b",), (None,), (None,)], "fp string"
+    )
+    bloom = [r["fp"] for r in filter_novel(corpus, seen, "fp").collect()]
+    exact = [r["fp"] for r in
+             filter_novel(corpus, seen, "fp", method="exact").collect()]
+    assert sorted(bloom, key=str) == sorted(exact, key=str)
+    assert sorted(bloom, key=str) == [None, None, "b"]

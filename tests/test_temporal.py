@@ -238,3 +238,42 @@ def test_funnel_rejects_repeated_steps(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="distinct"):
         funnel(e, ["a", "a"])
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL join semantics: NULL keys on either side never match."""
+    from lours_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, "ln"), (1, 10, "l1")], "k long, t long, name string"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 9.0), (1, 5, 1.0)], "k long, t long, v double"
+    )
+    out = {r["name"]: r["v_r"] for r in
+           asof_join(left, right, "k", "t").collect()}
+    assert out == {"ln": None, "l1": 1.0}
+
+
+def test_temporal_rejects_mixed_time_types(spark):
+    from lours_spark.operators.temporal import asof_join, range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame([(1, 100, 1.0)], "k long, ts long, v double")
+    with pytest.raises(TypeError, match="mismatch"):
+        asof_join(left, right, "k", "ts")
+    with pytest.raises(TypeError, match="mismatch"):
+        range_join(left, right, "k", "ts", lower=-1, upper=1)
+
+
+def test_range_join_rejects_reserved_names(spark):
+    from lours_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 5)], "k long, t long, __bucket long"
+    )
+    right = spark.createDataFrame([(1, 90, 1.0)], "k long, t long, v double")
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(left, right, "k", "t", lower=-10, upper=10)

@@ -80,3 +80,32 @@ def test_webdataset_member_layout(spark, tmp_path):
         # contiguity: each key appears in exactly one run
         runs = [k for i, k in enumerate(keys) if i == 0 or keys[i - 1] != k]
         assert len(runs) == len(set(keys))
+
+
+def test_webdataset_rewrite_removes_stale_shards(spark, tmp_path):
+    from lours_spark.io.webdataset import (
+        dataset_to_webdataset,
+        from_webdataset,
+    )
+
+    docs = _docs(spark, n=30)
+    out = str(tmp_path / "wds")
+    dataset_to_webdataset(docs, out, {"txt": "text"}, num_shards=6)
+    assert len(os.listdir(out)) == 6
+    dataset_to_webdataset(docs, out, {"txt": "text"}, num_shards=2)
+    assert sorted(os.listdir(out)) == ["shard-00000.tar", "shard-00001.tar"]
+    assert from_webdataset(spark, out, ["txt"]).count() == 30
+
+
+def test_webdataset_null_key_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from lours_spark.io.webdataset import dataset_to_webdataset
+
+    docs = spark.createDataFrame(
+        [(None, "body")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="NULL key"):
+        dataset_to_webdataset(
+            docs, str(tmp_path / "w"), {"txt": "text"}, num_shards=2
+        )
