@@ -442,3 +442,80 @@ def test_funnel_matches_bruteforce(spark, events, within):
         want[u] = (steps[0], steps[1], steps[2],
                    sum(1 for s in steps if s is not None))
     assert got == want
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab z.#…-\n\té0"), min_size=0, max_size=40
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=texts)
+def test_char_entropy_matches_python(spark, docs):
+    """char_entropy == the direct Shannon formula over each doc's char
+    counts (order-independent check through round-6dp)."""
+    import math
+    from collections import Counter
+
+    from lours_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", F.round(char_entropy(F.col("text")), 6).alias("e")
+        ).collect()
+    }
+    for i, t in enumerate(docs):
+        counts = Counter(t)
+        n = len(t)
+        want = (
+            -sum(c / n * math.log2(c / n) for c in counts.values())
+            if n else 0.0
+        )
+        assert got[i] == pytest.approx(want, abs=2e-6), (i, t)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=texts)
+def test_gopher_word_signals_match_python(spark, docs):
+    """gopher_rules' word-level signals == the direct Python
+    computation over whitespace-split lowercase tokens."""
+    from lours_spark.operators.quality import GOPHER_STOPWORDS, gopher_rules
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    for i, t in enumerate(docs):
+        words = [w for w in t.strip().lower().split() if w]
+        assert got[i]["n_words"] == len(words), (i, t)
+        if words:
+            mean = sum(len(w) for w in words) / len(words)
+            alpha = sum(
+                1 for w in words if any("a" <= ch <= "z" for ch in w)
+            ) / len(words)
+            assert got[i]["mean_word_len"] == pytest.approx(mean, abs=2e-6)
+            assert got[i]["alpha_word_frac"] == pytest.approx(alpha, abs=2e-6)
+        stops = len(set(words) & set(GOPHER_STOPWORDS))
+        assert got[i]["n_stop_words"] == stops
+        lines = t.split("\n")
+        bullets = sum(
+            1 for ln in lines if ln.lstrip(" \t").startswith(("-", "*", "•"))
+        )
+        assert got[i]["bullet_line_frac"] == pytest.approx(
+            bullets / len(lines), abs=2e-6
+        ), (i, t)
