@@ -151,15 +151,60 @@ def dataset_to_webdataset(
     ).collect()
 
 
+def write_webdataset_stream(
+    stream: DataFrame,
+    out_dir: str,
+    columns: dict[str, str],
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    shards_per_batch: int = 2,
+    seed: int = 42,
+    query_name: str = "webdataset_sink",
+):
+    """Streaming twin of :func:`dataset_to_webdataset`: each
+    micro-batch lands as its own ``batch-%06d/`` shard directory via
+    ``foreachBatch``. Exactly-once WITHOUT a transaction log: the
+    write is deterministic (seeded shard map + order + zeroed tar
+    metadata) AND the batch directory is derived from the replay-
+    stable ``batch_id``, so a recovery replay rewrites the same dir
+    with byte-identical content — idempotence does the work the
+    checkpoint alone can't. Readers glob ``<out>/batch-*/shard-*.tar``
+    (``read_webdataset_members`` accepts the parent dir).
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dataset_to_webdataset(
+            batch_df,
+            os.path.join(out_dir, f"batch-{batch_id:06d}"),
+            columns,
+            key_col=key_col,
+            num_shards=shards_per_batch,
+            seed=seed,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
     """Long form: one row per tar member — ``(shard, key, ext, data)``.
     One task per shard via ``binaryFile`` (shards are the unit of
-    parallelism, per the format's design)."""
+    parallelism, per the format's design). Recursive: finds shards in
+    ``path`` itself AND in the streaming sink's ``batch-*/``
+    subdirectories."""
     import pandas as pd
 
     raw = (
         spark.read.format("binaryFile")
-        .load(os.path.join(path, "*.tar"))
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
         .select("path", "content")
     )
 

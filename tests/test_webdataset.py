@@ -109,3 +109,48 @@ def test_webdataset_null_key_rejected(spark, tmp_path):
         dataset_to_webdataset(
             docs, str(tmp_path / "w"), {"txt": "text"}, num_shards=2
         )
+
+
+def test_webdataset_streaming_sink(spark, tmp_path):
+    """foreachBatch sink: every micro-batch lands as a deterministic
+    batch-*/shard-*.tar directory; the recursive reader returns the
+    full corpus; re-running the drained stream (same checkpoint) adds
+    nothing."""
+    from lours_spark.io.webdataset import (
+        from_webdataset,
+        write_webdataset_stream,
+    )
+    from lours_spark.streaming.documents import read_document_stream
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit(5).cast("long").alias("n_chars"),
+    )
+    src_dir = str(tmp_path / "drops")
+    docs.write.parquet(src_dir)
+
+    out = str(tmp_path / "wds")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_webdataset_stream(
+        read_document_stream(spark, src_dir), out, {"txt": "text"},
+        checkpoint_dir=ckpt, shards_per_batch=3,
+    )
+    q.awaitTermination()
+    batches = sorted(os.listdir(out))
+    assert batches and all(b.startswith("batch-") for b in batches)
+
+    back = from_webdataset(spark, out, ["txt"])
+    rows = {r["key"]: r["txt"] for r in back.collect()}
+    assert len(rows) == 40 and rows["7"] == b"body 7"
+
+    # replay with the same checkpoint: nothing new to process,
+    # corpus unchanged
+    q2 = write_webdataset_stream(
+        read_document_stream(spark, src_dir), out, {"txt": "text"},
+        checkpoint_dir=ckpt, shards_per_batch=3, query_name="wds2",
+    )
+    q2.awaitTermination()
+    assert from_webdataset(spark, out, ["txt"]).count() == 40
