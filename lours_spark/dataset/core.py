@@ -714,17 +714,20 @@ class SparkDataset:
         )
         if not drop_unmapped:
             # unmapped images get fresh ids after the max mapped id
-            # (reference dataset.py:2177-2181)
-            from pyspark.sql import Window
+            # (reference dataset.py:2177-2181). Two-phase numbering:
+            # with a small explicit mapping the unmapped side is nearly
+            # the WHOLE image table, and an unpartitioned
+            # row_number() window would funnel it through one task
+            from lours_spark.functions.ids import global_row_number
 
             max_new = m.agg(F.max("__new")).collect()[0][0]
             max_new = -1 if max_new is None else max_new
-            unmapped = (
+            unmapped = global_row_number(
                 self.images.join(m, self.images.id == m["__old"], "left_anti")
-                .select(F.col("id").alias("__old"))
-                .withColumn(
-                    "__new", F.row_number().over(Window.orderBy("__old")) + max_new
-                )
+                .select(F.col("id").alias("__old")),
+                ["__old"],
+                out_col="__new",
+                start=max_new + 1,
             )
             m = m.unionByName(unmapped)
         images = (

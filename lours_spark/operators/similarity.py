@@ -19,6 +19,15 @@ from pyspark.sql import functions as F
 from lours_spark.functions import vectors as V
 
 
+#: Fail-loud cap for the query-collecting kernels (``method="local"``
+#: / ``"blas"``): they materialize the whole query frame on the driver
+#: and re-broadcast it to every task, so a corpus-sized query frame is
+#: a mis-shaped call — at 100k rows × 1k dims the matrix is ~0.8 GB,
+#: about the largest broadcast worth shipping. Larger query sets should
+#: pass ``broadcast_queries=False`` (distributed scoring, no collect).
+MAX_COLLECTED_QUERIES = 100_000
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -26,6 +35,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     method: str = "local",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -62,16 +72,26 @@ def brute_force_topk(
     but the BLAS pairwise summation differs from the oracle's
     sequential reduction at ~1e-15, so ties can order differently —
     use when bit-parity with a sequential engine is not required.
+
+    ``broadcast_queries`` (default True) assumes the usual ANN shape:
+    queries ≪ corpus. The local/blas kernels COLLECT the query frame
+    to the driver and re-broadcast it (fail-loud past
+    :data:`MAX_COLLECTED_QUERIES` rows — same guard shape as
+    ``ivf_topk``'s flag); with ``broadcast_queries=False`` both
+    methods fall back to the fully-distributed expression path with a
+    non-broadcast join, so a corpus-sized query frame never
+    materializes on one machine (degrades to a shuffled cross product
+    — inherent to exact all-pairs brute force at that shape).
     """
-    if method == "blas":
+    if method == "blas" and broadcast_queries:
         return _brute_force_topk_blas(corpus, queries, id_col, vec_col, k)
-    if method == "local":
+    if method == "local" and broadcast_queries:
         return _brute_force_topk_local(corpus, queries, id_col, vec_col, k)
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
@@ -88,6 +108,25 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-collect the query frame for the local/blas kernels, with
+    the :data:`MAX_COLLECTED_QUERIES` fail-loud guard (a LIMIT-probe:
+    the over-cap case never materializes more than cap+1 rows)."""
+    qrows = (
+        queries.select(id_col, vec_col)
+        .limit(MAX_COLLECTED_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            "brute_force_topk(method='local'/'blas') collects the query "
+            f"frame to the driver; > {MAX_COLLECTED_QUERIES} query rows "
+            "found — pass broadcast_queries=False for the distributed "
+            "path, or pre-filter the query frame"
+        )
+    return qrows
 
 
 def _brute_force_topk_local(
@@ -118,7 +157,7 @@ def _brute_force_topk_local(
         n = na * nqj
         return float(d / n) if n > 0 else 0.0
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = _collect_queries(queries, id_col, vec_col)
     qids = np.array([r[id_col] for r in qrows])
     QM = np.stack([np.asarray(r[vec_col], dtype="float64") for r in qrows])
     # query norms via the same sequential scan as the row kernel
@@ -208,7 +247,7 @@ def _brute_force_topk_blas(
     import pandas as pd
     from pyspark.sql import types as T
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = _collect_queries(queries, id_col, vec_col)
     qids = np.array([r[id_col] for r in qrows])
     QM = np.stack([np.asarray(r[vec_col], dtype="float64") for r in qrows])
     qn = np.linalg.norm(QM, axis=1)

@@ -37,16 +37,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def chunk_histograms(
-    df: DataFrame, chunk_col: str, dims: list[str]
-) -> dict[int, dict[tuple, int]]:
-    """Distributed per-chunk histogram over the balance dims; collects
-    the sparse (chunk, bin) → count table."""
-    pdf = (
-        df.groupBy(chunk_col, *dims)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .toPandas()  # Arrow transfer: ~10x faster than Row collect()
-    )
+def _hists_from_table(pdf, chunk_col: str, dims: list[str]):
+    """Sparse (chunk, bins..., n) pandas table → dict-of-dicts
+    histograms (chunk → bin-tuple → count). Handles Categorical dim
+    columns (the Arrow ``strings_to_categorical`` transfer) the same as
+    plain object columns."""
     out: dict[int, dict[tuple, int]] = defaultdict(dict)
     chunk_vals = pdf[chunk_col].tolist()
     # NULL bins must stay None (NaN breaks bin-key equality across chunks)
@@ -57,6 +52,19 @@ def chunk_histograms(
     for i, cid in enumerate(chunk_vals):
         out[cid][tuple(c[i] for c in dim_cols)] = n_vals[i]
     return dict(out)
+
+
+def chunk_histograms(
+    df: DataFrame, chunk_col: str, dims: list[str]
+) -> dict[int, dict[tuple, int]]:
+    """Distributed per-chunk histogram over the balance dims; collects
+    the sparse (chunk, bin) → count table."""
+    pdf = (
+        df.groupBy(chunk_col, *dims)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()  # Arrow transfer: ~10x faster than Row collect()
+    )
+    return _hists_from_table(pdf, chunk_col, dims)
 
 
 def chunk_histogram_table(df: DataFrame, chunk_col: str, dims: list[str]):
@@ -377,10 +385,36 @@ def greedy_assign(
     hist_cost_weight: float = 1.0,
     share_cost_weight: float = 1.0,
     preassigned: dict[int, str] | None = None,
+    shuffle: str = "python",
+    polish: bool | None = None,
 ) -> dict[int, str]:
     """Sequential greedy chunk→split assignment minimizing combined
     histogram-KL + share cost (reference ``dataset_splitter.py:299-580``).
     Deterministic for a given seed.
+
+    ``shuffle`` picks the chunk visit order:
+
+    - ``"python"`` (default): ``random.Random(seed).shuffle`` over the
+      sorted chunk ids — bit-parity with the reference's
+      ``seed(input_seed); shuffle(atomic_chunks)``
+      (``dataset_splitter.py:519-520``), but the Mersenne-Twister
+      permutation is not replicable outside python.
+    - ``"portable"``: visit chunks ordered by
+      ``md5(f"{seed}:{chunk_id}")`` hex digest (ties → ``str(chunk_id)``).
+      The whole assignment is then a pure function of the collected
+      histograms that ANY engine can replicate — ``md5`` + an ordered
+      fold is all it takes (the correctness gate's DuckDB oracle
+      replays this loop as a recursive CTE, see
+      ``suite._oracle_balanced_portable``). Same distributional quality:
+      an md5 of seed+id is as uniform a permutation as the Twister's.
+
+    ``polish`` enables the move/swap local-improvement passes that run
+    AFTER the greedy loop. Default (``None``) resolves to ``True`` for
+    ``shuffle="python"`` and ``False`` for ``"portable"``: the
+    reference's greedy (``dataset_splitter.py:542-564``) has no polish
+    phase either, and the polish's first-improvement schedule (strided
+    swap candidates) is python-specific — keeping it out of the
+    portable mode is what keeps that mode oracle-replicable.
 
     Driver-side but FLAT and INCREMENTAL: histograms live as dense
     per-bin lists over the global bin index, so each trial cost is one
@@ -495,9 +529,24 @@ def greedy_assign(
     sindex = {s: i for i, s in enumerate(splits)}
     hsize = {cid: sum(v) for cid, v in hvec.items()}  # chunk row counts
 
-    chunk_ids = sorted(hists)
-    rng = random.Random(seed)
-    rng.shuffle(chunk_ids)
+    if shuffle == "python":
+        chunk_ids = sorted(hists)
+        rng = random.Random(seed)
+        rng.shuffle(chunk_ids)
+    elif shuffle == "portable":
+        import hashlib
+
+        chunk_ids = sorted(
+            hists,
+            key=lambda c: (
+                hashlib.md5(f"{seed}:{c}".encode()).hexdigest(),
+                str(c),
+            ),
+        )
+    else:
+        raise ValueError(f"unknown shuffle {shuffle!r}")
+    if polish is None:
+        polish = shuffle == "python"
 
     # cached per-split KL — recomputed ONLY for splits whose histogram
     # changed; always equals _kl(A[j]) bit-for-bit (integer counts)
@@ -538,6 +587,9 @@ def greedy_assign(
         n_assigned += hn
         cur_kl[winner] = _kl(aw)
         assignment[cid] = splits[winner]
+
+    if not polish:
+        return assignment
 
     # from here on every trial preserves the total: n_assigned is THE
     # sum of sizes (exact — integer counts)
@@ -1008,6 +1060,15 @@ def _assign_approx_arrays(
     return {cids[r]: splits[int(assign[r])] for r in range(n)}
 
 
+#: ``mode="auto"`` routes to the exact driver greedy at or below this
+#: many chunks, the vectorized approximate core above it. From
+#: SCALING.md's measured decade on the bench VM: the exact sequential
+#: loop is ~1 s at 15k chunks and ~112 s at 1.5M — ~100k chunks is
+#: where driver wall time crosses the few-seconds line while the
+#: approximate mode stays ~1 s with objective parity to ~1e-5.
+AUTO_EXACT_MAX_CHUNKS = 100_000
+
+
 def balanced_split(
     df: DataFrame,
     shares: dict[str, float],
@@ -1016,7 +1077,8 @@ def balanced_split(
     id_col: str = "id",
     seed: int = 0,
     out_col: str = "split",
-    mode: str = "exact",
+    mode: str = "auto",
+    shuffle: str = "python",
 ) -> DataFrame:
     """End-to-end balanced split (reference ``Dataset.split``,
     ``dataset.py:4384-4681``): atomic chunks → distributed histograms →
@@ -1025,11 +1087,23 @@ def balanced_split(
     window, no iteration) — only (chunk × bin) histograms ever reach
     the driver.
 
-    ``mode="exact"`` (default) runs the reference-identical sequential
-    greedy; ``mode="approximate"`` runs the vectorized bounded-driver
-    variant (:func:`greedy_assign_approx`) — use it when chunk counts
-    reach corpus scale (≳10⁵) and bit-identity with the reference
-    greedy is not required."""
+    ``mode="auto"`` (default) collects the (chunk × bin) histogram
+    table once, then routes on the chunk count: at or below
+    :data:`AUTO_EXACT_MAX_CHUNKS` it runs the exact sequential greedy,
+    above it the vectorized bounded-driver approximate core — so the
+    100 TB path never funnels millions of chunks through the
+    single-threaded python loop by default. ``mode="exact"`` pins the
+    reference-shaped sequential greedy regardless of size (what the
+    correctness gate and reference-parity tests use);
+    ``mode="approximate"`` pins the vectorized variant
+    (:func:`greedy_assign_approx`) and additionally unlocks the
+    projection-only chunk-key fast path for single ``keep_separate``
+    columns.
+
+    ``shuffle`` (exact/auto-exact modes) picks the greedy's chunk visit
+    order — ``"python"`` for reference RNG parity, ``"portable"`` for
+    the engine-replicable seeded-md5 order (oracle-checkable; see
+    :func:`greedy_assign`)."""
     from lours_spark.split.chunks import atomic_chunks_distributed
 
     if mode == "approximate" and keep_separate and len(keep_separate) == 1:
@@ -1129,8 +1203,21 @@ def balanced_split(
     # chunk ids inherit id_col's type (string-keyed corpora included) —
     # a hardcoded long schema would crash the assignment transfer
     ck_type = with_chunks.schema["chunk_id"].dataType.simpleString()
-    if mode == "approximate":
+    pdf = None
+    if mode == "auto":
+        # ONE histogram collection serves both routes: count the chunks
+        # (already on the driver, no extra job) and pick the greedy
         pdf = chunk_histogram_table(with_chunks, "chunk_id", dims)
+        if pdf["chunk_id"].nunique() > AUTO_EXACT_MAX_CHUNKS:
+            mode = "approximate"
+        else:
+            mode = "exact"
+            hists = _hists_from_table(pdf, "chunk_id", dims)
+    elif mode == "exact":
+        hists = chunk_histograms(with_chunks, "chunk_id", dims)
+    if mode == "approximate":
+        if pdf is None:
+            pdf = chunk_histogram_table(with_chunks, "chunk_id", dims)
         apdf = _approx_assignment_from_table(pdf, "chunk_id", dims, shares, seed)
         adf = F.broadcast(
             spark.createDataFrame(
@@ -1138,8 +1225,7 @@ def balanced_split(
             )
         )
     elif mode == "exact":
-        hists = chunk_histograms(with_chunks, "chunk_id", dims)
-        assignment = greedy_assign(hists, shares, seed=seed)
+        assignment = greedy_assign(hists, shares, seed=seed, shuffle=shuffle)
         adf = F.broadcast(
             spark.createDataFrame(
                 list(assignment.items()),

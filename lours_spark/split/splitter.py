@@ -101,24 +101,59 @@ def hash_split(
     return df.withColumn(out_col, assigned)
 
 
+def portable_fraction(id_col: Column, seed: int) -> Column:
+    """Seeded, engine-portable uniform [0,1) fraction: the first 52
+    bits (13 hex digits) of ``md5(f"{seed}:{id}")`` divided by 2^52.
+    Unlike ``rand(seed)`` (partition-lineage dependent) or python's
+    Mersenne Twister (python-only), any engine with ``md5`` reproduces
+    it exactly: the 52-bit integer and the divide are both exact in a
+    double, so the fraction is bit-identical across Spark, DuckDB and
+    python (``int(md5(...).hexdigest()[:13], 16) / 2**52``).
+
+    >>> import hashlib
+    >>> df = spark.createDataFrame([(7,)], "id long")
+    >>> [f] = [r["f"] for r in
+    ...        df.select(portable_fraction(F.col("id"), 42).alias("f")).collect()]
+    >>> f == int(hashlib.md5(b"42:7").hexdigest()[:13], 16) / 2**52
+    True
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+    v = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    return v.cast("double") / F.lit(float(2**52))
+
+
 def simple_split(
     df: DataFrame,
     shares: dict[str, float],
     seed: int = 0,
     out_col: str = "split",
     keep_existing: bool = True,
+    id_col: str = "id",
+    rng: str = "spark",
 ) -> DataFrame:
     """Seeded-random split (reference ``simple_split``,
-    ``dataset.py:4257-4382``). ``rand(seed)`` is deterministic per
-    partition lineage but NOT stable under repartitioning — prefer
-    ``hash_split`` for anything that must be reproducible at scale.
-    Pre-assigned rows keep their value and the remainder is laddered
-    with residual shares, like :func:`hash_split`."""
+    ``dataset.py:4257-4382``). Pre-assigned rows keep their value and
+    the remainder is laddered with residual shares, like
+    :func:`hash_split`.
+
+    ``rng`` picks the random source: ``"spark"`` (default) uses
+    ``rand(seed)`` — deterministic per partition lineage but NOT stable
+    under repartitioning; ``"portable"`` uses
+    :func:`portable_fraction` — a seeded md5 PRF of ``id_col`` that is
+    retry-stable, repartition-stable, and replicable in any engine
+    (this is what the correctness gate oracles). Prefer ``hash_split``
+    or ``rng="portable"`` for anything reproducible at scale."""
+    if rng == "spark":
+        frac = F.rand(seed)
+    elif rng == "portable":
+        frac = portable_fraction(F.col(id_col), seed)
+    else:
+        raise ValueError(f"unknown rng {rng!r}")
     if keep_existing and out_col in df.columns:
         resid = residual_shares(df, shares, out_col)
-        assigned = F.coalesce(F.col(out_col), split_ladder(F.rand(seed), resid))
+        assigned = F.coalesce(F.col(out_col), split_ladder(frac, resid))
     else:
-        assigned = split_ladder(F.rand(seed), shares)
+        assigned = split_ladder(frac, shares)
     return df.withColumn(out_col, assigned)
 
 

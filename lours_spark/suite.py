@@ -868,7 +868,14 @@ FROM orders
 
 def q_balanced_split(spark, sf_dir):
     """Balanced greedy split (driver greedy over distributed chunk
-    histograms) — statistical check only: per-split, per-dim counts."""
+    histograms), in the PORTABLE chunk order: the visit order is a
+    seeded md5 of the chunk id, so the whole greedy assignment is a
+    pure function of the collected histograms and the DuckDB oracle
+    replays it hash-exactly as a recursive CTE
+    (``_oracle_balanced_portable``). The python-Random reference-parity
+    order stays the library default (``shuffle="python"``, covered by
+    ``tests/test_split.py``); ``mode="exact"`` pins the sequential
+    greedy the oracle replicates."""
     from lours_spark.split.balanced import balanced_split
 
     o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "id")
@@ -878,6 +885,8 @@ def q_balanced_split(spark, sf_dir):
         dims=["o_orderpriority"],
         keep_separate=["o_custkey"],
         seed=42,
+        mode="exact",
+        shuffle="portable",
     )
     return out.groupBy("split", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
@@ -1952,7 +1961,6 @@ def oracles() -> dict[str, str]:
         "multimodal_features": ORACLE_MULTIMODAL,
         "greedy_matching": ORACLE_GREEDY_MATCHING,
         "detection_pr_ap": ORACLE_DETECTION_PR_AP,
-        # rows-only (non-SQL-expressible): balanced_split
     }
 
 # --------------------------------------------------------------------------
@@ -2391,13 +2399,16 @@ SELECT doc_id, term, tfidf FROM ranked WHERE rk = 1
 
 
 def q_simple_split(spark, sf_dir):
-    """Seeded-random split (rand(seed) — engine-specific RNG, so the
-    driver records a rows-only check; hash_split is the oracle-checked
-    deterministic variant)."""
+    """Seeded-random split with the PORTABLE md5 PRF (retry- and
+    repartition-stable, hash-exact vs the DuckDB oracle). The
+    reference-parity ``rand(seed)`` source stays the library default
+    (``rng="spark"``, engine-specific RNG — covered by pytest)."""
     from lours_spark.split.splitter import simple_split
 
     o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "id")
-    out = simple_split(o, {"train": 0.8, "valid": 0.1, "eval": 0.1}, seed=42)
+    out = simple_split(
+        o, {"train": 0.8, "valid": 0.1, "eval": 0.1}, seed=42, rng="portable"
+    )
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -2414,6 +2425,191 @@ QUERIES.update(
     }
 )
 
+def _split_ladder_sql(frac_sql: str, shares: dict[str, float]) -> str:
+    """DuckDB twin of ``splitter.split_ladder``: the cumulative-share
+    thresholds are accumulated in PYTHON here, exactly as the Spark
+    side does, and embedded as round-trip string literals
+    (``'...'::DOUBLE`` parses with strtod — bit-identical to the float
+    the Spark plan compares against)."""
+    items = list(shares.items())
+    cases = []
+    cum = 0.0
+    for name, share in items[:-1]:
+        cum += share
+        cases.append(f"WHEN {frac_sql} < '{cum!r}'::DOUBLE THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+
+
+def _oracle_simple_split() -> str:
+    """Portable simple_split: 52-bit md5-prefix fraction + share
+    ladder. The fraction (int of 13 hex digits / 2^52) is exact in a
+    double, so Spark's ``conv(substring(md5(..)..),16,10)/2^52`` and
+    DuckDB's hex cast produce the same bits."""
+    frac = (
+        "CAST('0x' || substring(md5(concat('42:', "
+        "CAST(o_orderkey AS VARCHAR))), 1, 13) AS BIGINT)"
+        "::DOUBLE / 4503599627370496e0"
+    )
+    ladder = _split_ladder_sql(
+        frac, {"train": 0.8, "valid": 0.1, "eval": 0.1}
+    )
+    return f"""
+SELECT split, count(*) AS n
+FROM (SELECT {ladder} AS split FROM orders)
+GROUP BY split
+"""
+
+
+def _oracle_balanced_portable() -> str:
+    """Recursive-CTE replay of the portable-order exact greedy
+    (``balanced.greedy_assign(shuffle="portable")``) — the same
+    technique that made the matcher value-exact in round 6. One
+    iteration per chunk, state = flattened per-split bin counts; every
+    float op (eps-smoothed KL folds in sorted-bin order, share IoU
+    folds in split order, the ``sp or 1.0`` guards) is the same IEEE
+    expression sequence as the python loop, and ``ln`` resolves to the
+    same host libm — so the argmin decisions, hence the assignment and
+    the final per-split histograms, match bit-for-bit (per-chunk parity
+    asserted in tests/test_split.py). Setup CTEs are MATERIALIZED:
+    DuckDB would otherwise re-inline (recompute) them on every one of
+    the ~1.5k iterations (measured 93 s → 5 s at sf0.01)."""
+    shares = {"train": 0.8, "valid": 0.1, "eval": 0.1}
+    # tshare normalization replicated from greedy_assign (no-op here —
+    # the float sum of these shares is within 1e-9 of 1.0)
+    tshare = [float(v) for v in shares.values()]
+    _ts = sum(tshare)
+    if _ts and abs(_ts - 1.0) > 1e-9:
+        tshare = [t / _ts for t in tshare]
+    S = len(shares)
+    tsh = "[" + ", ".join(f"'{t!r}'::DOUBLE" for t in tshare) + "]"
+    names = ", ".join(f"('{n}', {i})" for i, n in enumerate(shares))
+    zero_sz = "[" + ", ".join(["0e0"] * S) + "]"
+
+    # KL of (A[i] + h) / (sizes[i] + hn): the candidate-split trial
+    p_trial = (
+        "((r.A[i*c.K + j + 1] + o.h[j+1])"
+        " / (CASE WHEN r.sz[i+1] + o.hn = 0e0"
+        " THEN 1e0 ELSE r.sz[i+1] + o.hn END) + 1e-12)"
+    )
+    trial_kl = (
+        f"list_reduce(list_transform(range(c.K), j -> "
+        f"{p_trial} * (ln({p_trial}) - c.log_gq[j+1])), (a,b) -> a+b)"
+    )
+    # KL of untouched split j2 recomputed from current state (equals
+    # the python loop's cached cur_kl bit-for-bit: integer counts)
+    p_cur = (
+        "(r.A[j2*c.K + j + 1]"
+        " / (CASE WHEN r.sz[j2+1] = 0e0 THEN 1e0 ELSE r.sz[j2+1] END)"
+        " + 1e-12)"
+    )
+    cur_kl = (
+        f"list_reduce(list_transform(range(c.K), j -> "
+        f"{p_cur} * (ln({p_cur}) - c.log_gq[j+1])), (a,b) -> a+b)"
+    )
+    tsz = "(CASE WHEN j2 = i THEN r.sz[j2+1] + o.hn ELSE r.sz[j2+1] END)"
+    hist_cost = (
+        f"list_reduce(list_transform(range({S}), j2 -> "
+        f"{tsz} / (r.na + o.hn) * "
+        f"(CASE WHEN j2 = i THEN {trial_kl} ELSE {cur_kl} END)"
+        f"), (a,b) -> a+b)"
+    )
+    share_inter = (
+        f"list_reduce(list_transform(range({S}), j2 -> "
+        f"least({tsz} / (r.na + o.hn), {tsh}[j2+1])), (a,b) -> a+b)"
+    )
+    share_union = (
+        f"list_reduce(list_transform(range({S}), j2 -> "
+        f"greatest({tsz} / (r.na + o.hn), {tsh}[j2+1])), (a,b) -> a+b)"
+    )
+    cost = f"{hist_cost} + (1e0 - {share_inter} / {share_union})"
+    # struct list_sort = (cost, index) lexicographic min → python's
+    # strict-< first-argmin with lowest-index tie-break
+    winner = (
+        f"list_sort(list_transform(range({S}), i -> "
+        f"struct_pack(c := {cost}, i := i)))[1].i"
+    )
+
+    return f"""
+WITH RECURSIVE
+src AS MATERIALIZED (
+  SELECT o_orderpriority AS dim,
+         CASE WHEN o_custkey IS NOT NULL
+              THEN min(o_orderkey) OVER (PARTITION BY o_custkey)
+              ELSE o_orderkey END AS chunk_id
+  FROM orders
+),
+bins AS MATERIALIZED (
+  SELECT dim, row_number() OVER (ORDER BY (dim IS NULL), dim) - 1 AS j
+  FROM (SELECT DISTINCT dim FROM src)
+),
+bin_counts AS MATERIALIZED (
+  SELECT b.j, CAST(count(*) AS DOUBLE) AS g
+  FROM src c JOIN bins b ON c.dim IS NOT DISTINCT FROM b.dim
+  GROUP BY b.j
+),
+consts AS MATERIALIZED (
+  SELECT list(ln(g / (SELECT sum(g) FROM bin_counts) + 1e-12) ORDER BY j)
+           AS log_gq,
+         (SELECT count(*) FROM bins) AS K
+  FROM bin_counts
+),
+chunk_rows AS MATERIALIZED (
+  SELECT c.chunk_id, b.j, CAST(count(*) AS DOUBLE) AS n
+  FROM src c JOIN bins b ON c.dim IS NOT DISTINCT FROM b.dim
+  GROUP BY c.chunk_id, b.j
+),
+chunk_vec AS MATERIALIZED (
+  SELECT chunk_id,
+         list(coalesce(n, 0e0) ORDER BY j) AS h,
+         CAST(sum(coalesce(n, 0e0)) AS DOUBLE) AS hn
+  FROM (
+    SELECT ck.chunk_id, b.j, cr.n
+    FROM (SELECT DISTINCT chunk_id FROM src) ck
+    CROSS JOIN bins b
+    LEFT JOIN chunk_rows cr ON cr.chunk_id = ck.chunk_id AND cr.j = b.j
+  )
+  GROUP BY chunk_id
+),
+ordered AS MATERIALIZED (
+  SELECT chunk_id, h, hn,
+         row_number() OVER (
+           ORDER BY md5(concat('42:', CAST(chunk_id AS VARCHAR))), chunk_id
+         ) AS ord
+  FROM chunk_vec
+),
+rec AS (
+  SELECT 0::BIGINT AS step,
+         (SELECT flatten(list_transform(range({S}), s ->
+             list_transform(range(K), j -> 0e0))) FROM consts) AS A,
+         {zero_sz} AS sz,
+         0e0 AS na
+  UNION ALL
+  SELECT r.step + 1,
+    list_transform(range({S} * r.K), x ->
+      r.A[x + 1] + CASE WHEN x // r.K = r.w THEN r.h[x % r.K + 1]
+                        ELSE 0e0 END),
+    list_transform(range({S}), s2 ->
+      r.sz[s2 + 1] + CASE WHEN s2 = r.w THEN r.hn ELSE 0e0 END),
+    r.na + r.hn
+  FROM (
+    SELECT r.step, r.A, r.sz, r.na, o.h, o.hn, c.K, c.log_gq,
+           {winner} AS w
+    FROM rec r
+    JOIN ordered o ON o.ord = r.step + 1
+    CROSS JOIN consts c
+  ) r
+),
+final AS (SELECT A FROM rec ORDER BY step DESC LIMIT 1)
+SELECT sp.name AS split, b.dim AS o_orderpriority,
+       CAST(f.A[sp.i * c.K + b.j + 1] AS BIGINT) AS n
+FROM final f
+CROSS JOIN consts c
+CROSS JOIN bins b
+CROSS JOIN (VALUES {names}) sp(name, i)
+WHERE f.A[sp.i * c.K + b.j + 1] > 0e0
+"""
+
+
 _EXTRA_ORACLES.update(
     {
         "validation_counts": lambda: ORACLE_VALIDATION,
@@ -2423,7 +2619,8 @@ _EXTRA_ORACLES.update(
         "confusion_pivot": lambda: ORACLE_CONFUSION_PIVOT,
         "top_terms": lambda: ORACLE_TOP_TERMS,
         "tfidf_top_term": _oracle_tfidf,
-        # simple_split: rows-only by design (engine-specific RNG)
+        "simple_split": _oracle_simple_split,
+        "balanced_split": _oracle_balanced_portable,
     }
 )
 
@@ -4174,6 +4371,8 @@ def _gate_oracles() -> dict[str, str]:
         "ivf_topk": ["query_id", "neighbor_id", "rank", "cosine"],
         "salted_aggregate": ["l_returnflag", "n", "min_qty", "max_qty"],
         "grouper_bins": ["bin_mid", "n"],
+        "balanced_split": ["split", "o_orderpriority", "n"],
+        "simple_split": ["split", "n"],
         "forward_fill": ["event_id", "user_id", "last_purchase_value"],
         "resample_count": ["event_type", "threshold", "count_at_least"],
     }
@@ -4185,8 +4384,8 @@ def _gate_oracles() -> dict[str, str]:
                 out[name] = _facet_union_sql(
                     (a, base[a], cols[a]), (b, base[b], cols[b])
                 )
-            # legs without oracles (balanced_split/simple_split):
-            # combined query stays rows-only
+            # (every pair leg now has an oracle — round 7 closed the
+            # last rows-only slot with the portable-order greedy CTE)
         elif name == "token_count":
             out[name] = f"""
 SELECT a.doc_id, a.n_tokens, b.n_bpe_tokens, b.n_unique

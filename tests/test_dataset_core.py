@@ -139,6 +139,29 @@ def test_reset_index_from_mapping_drop(tiny_dataset, spark):
     assert ds.check()["orphan_annotations"] == 0
 
 
+def test_reset_index_from_mapping_keep_unmapped(tiny_dataset, spark):
+    """drop_unmapped=False: unmapped images get contiguous fresh ids
+    after the max mapped id, in old-id order (reference
+    dataset.py:2177-2181) — via the two-phase global_row_number, not a
+    single-partition window."""
+    mapping = spark.createDataFrame(
+        [(i, i + 100) for i in range(3)], "old_id long, new_id long"
+    )
+    n = tiny_dataset.images.count()
+    ds = tiny_dataset.reset_index_from_mapping(mapping, drop_unmapped=False)
+    assert ds.images.count() == n
+    ids = sorted(r["id"] for r in ds.images.select("id").collect())
+    assert ids == [100 + i for i in range(n)]
+    # fresh ids follow old-id order after the mapped block
+    rows = {r["relative_path"]: r["id"] for r in ds.images.collect()}
+    old = {r["id"]: r["relative_path"] for r in tiny_dataset.images.collect()}
+    unmapped_old = sorted(i for i in old if i >= 3)
+    assert [rows[old[i]] for i in unmapped_old] == [
+        103 + k for k in range(len(unmapped_old))
+    ]
+    assert ds.check()["orphan_annotations"] == 0
+
+
 def test_match_index(tiny_dataset):
     other = tiny_dataset.from_template(
         images=tiny_dataset.images.withColumn("id", F.col("id") + 1000)

@@ -690,6 +690,44 @@ def test_brute_force_topk_local_bit_identical_to_expression(spark, vectors):
     assert expr == local  # exact equality: ids, ranks, AND raw doubles
 
 
+def test_brute_force_topk_broadcast_queries_false_distributed(spark, vectors):
+    """broadcast_queries=False must route local/blas AWAY from the
+    driver-collecting kernels onto the fully-distributed expression
+    join (no collect, no broadcast hint) and still return the same
+    neighbor sets; the collecting kernels fail loud past the
+    MAX_COLLECTED_QUERIES cap instead of materializing the frame
+    (VERDICT r6 item 4 — same guard shape as ivf_topk)."""
+    import lours_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    ).repartition(7)
+    queries = df.filter(F.col("vec_id") < 6)
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=4, method="expression").collect()
+    )
+    for method in ("local", "blas"):
+        got = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in brute_force_topk(
+                df, queries, k=4, method=method, broadcast_queries=False
+            ).collect()
+        )
+        assert got == want, method
+    # cap guard: a query frame over the cap fails loud BEFORE collecting
+    # (pinch the cap instead of building 100k rows)
+    orig = sim.MAX_COLLECTED_QUERIES
+    sim.MAX_COLLECTED_QUERIES = 3
+    try:
+        with pytest.raises(ValueError, match="broadcast_queries=False"):
+            brute_force_topk(df, queries, k=4, method="local").collect()
+        with pytest.raises(ValueError, match="broadcast_queries=False"):
+            brute_force_topk(df, queries, k=4, method="blas").collect()
+    finally:
+        sim.MAX_COLLECTED_QUERIES = orig
+
+
 def test_minhash_xxhash64_variant_matches_md5_pairs(spark):
     """The codegen'd xxhash64 signature path must emit the same
     exact-verified pair set as the md5 path on the test corpus (both

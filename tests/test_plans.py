@@ -73,6 +73,25 @@ def test_no_python_row_udfs_in_gate_queries(spark, suite):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_reset_index_from_mapping_unmapped_two_phase(spark):
+    """The keep-unmapped path numbers the (nearly whole-table)
+    unmapped side with the two-phase global_row_number — no
+    single-partition Exchange funneling the image table through one
+    task when the explicit mapping is small (VERDICT r6 item 3)."""
+    from lours_spark.testing import dummy_dataset
+
+    ds = dummy_dataset(spark, n_imgs=64, n_annot=0, n_labels=2, seed=1)
+    # > 4 source partitions so global_row_number takes the two-phase
+    # route (its narrow-source fast path legitimately uses one window)
+    ds = ds.from_template(images=ds.images.repartition(8))
+    mapping = spark.createDataFrame(
+        [(0, 1000), (1, 1001)], "old_id long, new_id long"
+    )
+    out = ds.reset_index_from_mapping(mapping, drop_unmapped=False)
+    assert "Exchange SinglePartition" not in _plan(out.images)
+    assert out.images.count() == 64
+
+
 def test_lsh_near_dup_no_cartesian(spark, suite):
     """The default near-dup path must not contain a cartesian product
     or a broadcast of the full corpus matrix — candidates come from the

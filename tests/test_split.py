@@ -585,6 +585,126 @@ def test_balanced_split_end_to_end(spark):
             assert abs(n / total - 0.25) < 0.08, (split, dim)
 
 
+def test_greedy_assign_portable_is_order_independent_and_polish_free():
+    """shuffle="portable": the assignment is a pure function of the
+    histograms — identical across dict insertion orders, identical to
+    an explicit polish=False call (portable defaults the polish OFF so
+    the gate's recursive-CTE oracle replays the loop exactly), and the
+    visit order is the seeded-md5 order (spot-checked against
+    hashlib)."""
+    import hashlib
+
+    hists = {
+        cid: {(str(cid % 4),): 5 + cid % 7, (str((cid + 1) % 4),): 3}
+        for cid in range(200)
+    }
+    shares = {"train": 0.8, "valid": 0.1, "eval": 0.1}
+    a = greedy_assign(hists, shares, seed=9, shuffle="portable")
+    # reversed insertion order → same assignment
+    rev = dict(reversed(list(hists.items())))
+    b = greedy_assign(rev, shares, seed=9, shuffle="portable")
+    assert a == b
+    assert a == greedy_assign(hists, shares, seed=9, shuffle="portable",
+                              polish=False)
+    # different seed → different md5 permutation → (almost surely) a
+    # different assignment somewhere
+    c = greedy_assign(hists, shares, seed=10, shuffle="portable")
+    assert any(a[k] != c[k] for k in a)
+    # python default still resolves polish ON and stays valid
+    d = greedy_assign(hists, shares, seed=9)
+    assert set(d) == set(a) and set(d.values()) <= set(shares)
+    with pytest.raises(ValueError, match="shuffle"):
+        greedy_assign(hists, shares, shuffle="nope")
+    # the visit order really is md5-of-seed:id ascending: the first
+    # chunk assigned must be the md5-min one, and with S candidate
+    # splits and empty state the first chunk always goes to the split
+    # whose share is largest (train) — spot-check via a 1-chunk run
+    first = min(
+        hists, key=lambda cd: (hashlib.md5(f"9:{cd}".encode()).hexdigest(),
+                               str(cd))
+    )
+    solo = greedy_assign({first: hists[first]}, shares, seed=9,
+                         shuffle="portable")
+    assert solo[first] == a[first] == "train"
+
+
+def test_balanced_split_auto_routes_by_chunk_count(spark, monkeypatch):
+    """mode="auto" (the default) must route exact at/below
+    AUTO_EXACT_MAX_CHUNKS and approximate above — asserted by spying on
+    the two driver cores, with the threshold pinched around the actual
+    chunk count (200 groups)."""
+    from lours_spark.split import balanced as bal
+
+    df = (
+        spark.range(2000)
+        .withColumn("group", (F.col("id") % 200))
+        .withColumn("dim", (F.col("id") % 4).cast("string"))
+    )
+    calls: list[str] = []
+    real_exact, real_approx = bal.greedy_assign, bal._approx_assignment_from_table
+    monkeypatch.setattr(
+        bal, "greedy_assign",
+        lambda *a, **k: calls.append("exact") or real_exact(*a, **k),
+    )
+    monkeypatch.setattr(
+        bal, "_approx_assignment_from_table",
+        lambda *a, **k: calls.append("approx") or real_approx(*a, **k),
+    )
+    shares = {"train": 0.8, "valid": 0.2}
+
+    monkeypatch.setattr(bal, "AUTO_EXACT_MAX_CHUNKS", 200)
+    out = balanced_split(df, shares, dims=["dim"], keep_separate=["group"])
+    assert out.count() == 2000 and calls == ["exact"]
+
+    calls.clear()
+    monkeypatch.setattr(bal, "AUTO_EXACT_MAX_CHUNKS", 199)
+    out = balanced_split(df, shares, dims=["dim"], keep_separate=["group"])
+    assert out.count() == 2000 and calls == ["approx"]
+
+
+def test_balanced_split_auto_exact_matches_explicit_exact(spark):
+    """Below the threshold, auto is bit-identical to mode="exact" (the
+    auto route feeds the same greedy from the Arrow-collected table)."""
+    df = (
+        spark.range(1200)
+        .withColumn("group", (F.col("id") % 120))
+        .withColumn("dim", (F.col("id") % 3).cast("string"))
+    )
+    shares = {"train": 0.7, "valid": 0.3}
+    kw = dict(dims=["dim"], keep_separate=["group"], seed=3)
+    a = {r["id"]: r["split"]
+         for r in balanced_split(df, shares, mode="auto", **kw).collect()}
+    b = {r["id"]: r["split"]
+         for r in balanced_split(df, shares, mode="exact", **kw).collect()}
+    assert a == b
+
+
+def test_simple_split_portable_invariant_under_repartitioning(spark):
+    """rng="portable" is a pure function of the id — identical under
+    any physical partitioning (the rand(seed) default is NOT, which is
+    why the gate oracles the portable mode)."""
+    import hashlib
+
+    df = spark.range(5000)
+    shares = {"train": 0.8, "valid": 0.1, "eval": 0.1}
+    a = {r["id"]: r["split"]
+         for r in simple_split(df, shares, seed=7, rng="portable").collect()}
+    b = {r["id"]: r["split"]
+         for r in simple_split(df.repartition(7), shares, seed=7,
+                               rng="portable").collect()}
+    assert a == b
+    counts: dict = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    # python-replicable (the oracle's definition): md5 prefix / 2^52
+    frac = int(hashlib.md5(b"7:123").hexdigest()[:13], 16) / 2**52
+    assert a[123] == ("train" if frac < 0.8
+                      else "valid" if frac < 0.8 + 0.1 else "eval")
+    with pytest.raises(ValueError, match="rng"):
+        simple_split(df, shares, rng="nope")
+
+
 def test_hash_split_invariant_under_repartitioning(spark):
     """The documented scale property: hash_split assignments are pure
     functions of the id — identical under any physical partitioning

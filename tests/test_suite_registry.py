@@ -7,7 +7,7 @@ in module docstrings — keep them honest here, in one place."""
 from __future__ import annotations
 
 
-def test_gate_is_exactly_50_with_49_oracles():
+def test_gate_is_exactly_50_with_50_oracles():
     import __spark_entry__ as entry
 
     q = entry.queries()
@@ -15,12 +15,12 @@ def test_gate_is_exactly_50_with_49_oracles():
     assert len(q) == 50, len(q)
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
-    # the one remaining rows-only gate: the balanced-split greedy
-    # shuffles chunk order with python Random(seed) — not replicable
-    # in SQL (quality parity asserted in tests/test_split.py instead).
-    # greedy_matching and detection_pr_ap gained value-exact
-    # recursive-CTE oracles in round 6.
-    assert rows_only == {"balanced_split"}
+    # round 7 closed the last rows-only slot: the balanced-split gate
+    # runs the portable seeded-md5 chunk order whose greedy is replayed
+    # by a recursive-CTE oracle, and simple_split's gate facet uses the
+    # portable md5 PRF. The python-Random / rand(seed) reference-parity
+    # defaults remain the library defaults, covered by tests/test_split.py.
+    assert rows_only == set()
 
 
 def test_all_queries_covers_gate_facets():
