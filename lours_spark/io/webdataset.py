@@ -62,6 +62,9 @@ def dataset_to_webdataset(
 
     NULL keys are rejected loudly (a member would be named
     ``None.<ext>`` and the shard map undefined) — filter them upstream.
+    Keys containing ``.`` are rejected too: the WebDataset convention
+    splits member basenames at the FIRST dot, so a dotted key could
+    not round-trip (dotted EXTENSIONS like ``json.gz`` are fine).
     """
     import glob
 
@@ -73,13 +76,17 @@ def dataset_to_webdataset(
     for stale in glob.glob(os.path.join(out_dir, "shard-*.tar")):
         os.remove(stale)
     exts = sorted(columns)
+    # POSITIONAL member-column aliases (__c_0, __c_1, …): extension
+    # strings go straight into tar member names but make unusable Spark
+    # column names (dots break column resolution, digits-first breaks
+    # itertuples-style attribute access downstream)
     src = df.select(
         F.col(key_col).cast("string").alias("__key"),
         (md5_long(F.col(key_col).cast("string"), seed) % num_shards).alias(
             "__shard"
         ),
         md5_long(F.col(key_col).cast("string"), seed).alias("__pos"),
-        *[F.col(columns[e]).alias(f"__c_{e}") for e in exts],
+        *[F.col(columns[e]).alias(f"__c_{i}") for i, e in enumerate(exts)],
     )
     # hash-partition ON the shard id, sort within the partition: each
     # task streams its shards row-group by row-group (mapInPandas is an
@@ -114,9 +121,24 @@ def dataset_to_webdataset(
                     "NULL key values in webdataset input — filter "
                     "them upstream"
                 )
-            pdf = pdf.rename(columns=lambda c: c.lstrip("_"))
-            for row in pdf.itertuples(index=False):
-                shard = int(row.shard)
+            # positional column lists, NOT itertuples attribute access:
+            # pandas positionally renames itertuples fields whose names
+            # are not valid identifiers, so an extension like "json.gz"
+            # or "1txt" would silently break getattr lookup mid-write
+            keys = pdf["__key"].tolist()
+            shards = pdf["__shard"].tolist()
+            colvals = {
+                e: pdf[f"__c_{i}"].tolist() for i, e in enumerate(exts)
+            }
+            for i in range(len(keys)):
+                key = keys[i]
+                if "." in key:
+                    raise ValueError(
+                        "webdataset keys must not contain '.' (the "
+                        "format splits member basenames at the FIRST "
+                        f"dot, so the key would not round-trip): {key!r}"
+                    )
+                shard = int(shards[i])
                 if shard != state["shard"]:
                     close_current()
                     # per-attempt tmp name: retries/speculative tasks
@@ -128,7 +150,7 @@ def dataset_to_webdataset(
                     )
                     state["tar"] = tarfile.open(state["tmp"], "w")
                 for e in exts:
-                    v = getattr(row, f"c_{e}")
+                    v = colvals[e][i]
                     if v is None or (isinstance(v, float) and pd.isna(v)):
                         continue
                     data = (
@@ -136,7 +158,7 @@ def dataset_to_webdataset(
                         if isinstance(v, (bytes, bytearray))
                         else str(v).encode("utf-8")
                     )
-                    ti = tarfile.TarInfo(name=f"{row.key}.{e}")
+                    ti = tarfile.TarInfo(name=f"{key}.{e}")
                     ti.size = len(data)
                     ti.mtime = 0  # zeroed metadata → byte-stable shards
                     ti.uid = ti.gid = 0
@@ -218,7 +240,14 @@ def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
                     for m in tar.getmembers():
                         if not m.isfile():
                             continue
-                        key, _, ext = m.name.rpartition(".")
+                        # WebDataset convention: key/extension split at
+                        # the FIRST dot of the BASENAME (directories
+                        # stay part of the key), so externally produced
+                        # shards with dotted extensions ("x.seg.png")
+                        # key as ("x", "seg.png") — not ("x.seg", "png")
+                        d, _, base = m.name.rpartition("/")
+                        kp, _, ext = base.partition(".")
+                        key = f"{d}/{kp}" if d else kp
                         out["shard"].append(os.path.basename(row["path"]))
                         out["key"].append(key)
                         out["ext"].append(ext)

@@ -200,27 +200,42 @@ def gopher_rules(
         )
 
     def line_signals(lines: Column) -> Column:
-        n = F.size(lines)  # split() always yields >= 1 element
+        # split() yields >= 1 element for non-NULL text; the NULL-text
+        # coalesce below yields an EMPTY array, so guard the division
+        n = F.size(lines)
         bullets = F.size(
             F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
         )
         ellipses = F.size(
             F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
         )
+        nz = n > 0
         return F.struct(
-            F.round(bullets / n, 6).alias("bullet_line_frac"),
-            F.round(ellipses / n, 6).alias("ellipsis_line_frac"),
+            F.when(nz, F.round(bullets / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("bullet_line_frac"),
+            F.when(nz, F.round(ellipses / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("ellipsis_line_frac"),
         )
 
     clash = [c for c in docs.columns if c in _GOPHER_SIGNAL_COLS]
     if clash:
         raise ValueError(f"input columns collide with signal names: {clash}")
-    words = F.filter(tokens(text), lambda x: x != F.lit(""))
+    # NULL text coalesces to empty arrays (like dedup.remove_dup_spans):
+    # size(NULL) is -1 under non-ANSI mode, which would report
+    # n_words=-1 instead of 0 in the signal output
+    empty = F.array().cast("array<string>")
+    words = F.coalesce(
+        F.filter(tokens(text), lambda x: x != F.lit("")), empty
+    )
     lead = list(docs.columns) if _keep_all_columns else [id_col]
     sig = docs.select(
         *lead,
         _bind(words, word_signals).alias("__ws"),
-        _bind(F.split(text, "\n"), line_signals).alias("__ls"),
+        _bind(F.coalesce(F.split(text, "\n"), empty), line_signals).alias(
+            "__ls"
+        ),
     ).select(*lead, "__ws.*", "__ls.*")
     keep = (
         (F.col("n_words") >= min_words)

@@ -220,7 +220,17 @@ def rolling_aggregate(
         span = int(window * 1_000_000)
     else:
         key = F.col(ts_col)
-        span = window
+        # rangeBetween only accepts integer bounds; an integral float
+        # (window=100.0) converts losslessly, a fractional one on an
+        # integer event-time column cannot be expressed — fail with a
+        # clear error instead of the opaque plan-build crash
+        span = int(window)
+        if span != window:
+            raise ValueError(
+                f"fractional window {window!r} on a numeric event-time "
+                "column: rangeBetween takes integer bounds — rescale "
+                f"the column (e.g. millis) or pass an integral window"
+            )
     w = (
         Window.partitionBy(*keys)
         .orderBy(key)

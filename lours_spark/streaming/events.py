@@ -206,11 +206,19 @@ def asof_enrich_stream(
     if clash:
         raise ValueError(f"suffixed static columns collide: {clash}")
 
+    # na_position="first": Spark's struct max (the batch twin's
+    # equal-time tie-break) orders NULL payload values FIRST, so a
+    # NULL-bearing row loses the tie — pandas' default NaN-last sort
+    # would instead make it win. Matching the sort keeps batch and
+    # streaming twins bit-identical on equal-timestamp ties. (Remaining
+    # caveat: pandas compares mixed-TYPE object columns by python
+    # ordering, which has no Spark analog — same-typed payload columns,
+    # the practical case, are exact.)
     static_pdf = (
         static_dim.filter(F.col(right_ts).isNotNull())
         .toPandas()
         .sort_values([right_ts] + [c for c in payload if c != right_ts],
-                     kind="stable")
+                     kind="stable", na_position="first")
         .reset_index(drop=True)
     )
     is_ts = isinstance(stream.schema[left_ts].dataType, T.TimestampType)

@@ -430,6 +430,18 @@ def test_gopher_rules_signals_and_flag(spark):
     assert [r["doc_id"] for r in kept.collect()] == [1]
     assert kept.columns == ["doc_id", "text"]  # original schema back
 
+    # NULL text: coalesced to empty arrays — n_words 0 (not the
+    # size(NULL) = -1 of non-ANSI mode), zero fractions, keep = 0
+    nulldoc = spark.createDataFrame(
+        [(7, None)], "doc_id long, text string"
+    )
+    r7 = gopher_rules(nulldoc, min_words=10).first()
+    assert r7["n_words"] == 0
+    assert r7["mean_word_len"] == 0.0
+    assert r7["bullet_line_frac"] == 0.0
+    assert r7["ellipsis_line_frac"] == 0.0
+    assert r7["gopher_keep"] == 0
+
 
 def test_gopher_rules_zero_shuffle_plan(spark):
     """The whole pass must stay one codegen'd projection — no

@@ -562,6 +562,7 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
         (2, at(90), 1, "click", 0.0, "{}"),
         (3, at(10), 2, "click", 0.0, "{}"),   # before any purchase
         (4, at(300), 1, "click", 0.0, "{}"),  # beyond tolerance
+        (5, at(40), 2, "click", 0.0, "{}"),   # hits the NULL-payload tie
     ]
     stream_src = spark.createDataFrame(
         clicks,
@@ -577,6 +578,9 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
             (1, at(30), 9.0),   # tie → max payload must win
             (1, at(60), 2.0),
             (2, at(20), 7.0),
+            (2, at(20), None),  # NULL-payload tie: struct max sorts
+                                # NULLs FIRST, so 7.0 must win in BOTH
+                                # twins (pandas na_position="first")
         ],
         "user_id long, ts timestamp, value double",
     )
@@ -604,3 +608,4 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
     assert got[2] == (at(60), 2.0)
     assert got[3] == (None, None)    # nothing at-or-before
     assert got[4] == (None, None)    # 240 min > 1h tolerance
+    assert got[5] == (at(20), 7.0)   # NULL payload loses the tie

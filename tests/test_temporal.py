@@ -173,6 +173,19 @@ def test_rolling_aggregate_timestamp_seconds_and_errors(spark):
     with _pytest.raises(ValueError, match="unsupported"):
         rolling_aggregate(df, "k", "ts", "v", window=10, aggs=("median",))
 
+    # numeric event-time column: integral float windows convert, a
+    # fractional one fails with a clear error at call time (not an
+    # opaque rangeBetween plan-build crash)
+    num = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 2.0)], "k long, t long, v double"
+    )
+    out2 = rolling_aggregate(num, "k", "t", "v", window=100.0,
+                             aggs=("count",))
+    assert {r["t"]: r["roll_count"] for r in out2.collect()} == {100: 1,
+                                                                 150: 2}
+    with _pytest.raises(ValueError, match="fractional window"):
+        rolling_aggregate(num, "k", "t", "v", window=0.5)
+
 
 def test_rolling_aggregate_single_window_pass(spark):
     """All aggregates share one frame → ONE WindowExec, one exchange."""

@@ -111,6 +111,70 @@ def test_webdataset_null_key_rejected(spark, tmp_path):
         )
 
 
+def test_webdataset_dotted_extension_roundtrip(spark, tmp_path):
+    """Dotted extensions ('json.gz'-style) must survive the write
+    (positional row access — itertuples would positionally rename the
+    invalid-identifier column) AND the read (FIRST-dot key/ext split,
+    the WebDataset convention)."""
+    from lours_spark.io.webdataset import (
+        dataset_to_webdataset,
+        from_webdataset,
+    )
+
+    docs = _docs(spark, n=12)
+    out = str(tmp_path / "wds")
+    dataset_to_webdataset(
+        docs, out, {"json.gz": "text", "1txt": "label"}, num_shards=2
+    )
+    back = from_webdataset(spark, out, ["json.gz", "1txt"])
+    rows = {r["key"]: r for r in back.collect()}
+    assert len(rows) == 12
+    assert rows["7"]["json.gz"] == b"document body 7"
+    assert rows["7"]["1txt"] == b"label-2"
+
+
+def test_webdataset_external_shard_first_dot_keying(spark, tmp_path):
+    """Externally produced shards with dotted member extensions
+    ('sample.seg.png') key on the FIRST dot of the basename;
+    directory components stay part of the key."""
+    import io as _io
+
+    from lours_spark.io.webdataset import read_webdataset_members
+
+    d = tmp_path / "ext"
+    d.mkdir()
+    with tarfile.open(str(d / "shard-00000.tar"), "w") as tar:
+        for name, payload in [
+            ("sample.seg.png", b"MASK"),
+            ("sample.png", b"IMG"),
+            ("sub/dir/other.txt", b"TXT"),
+        ]:
+            ti = tarfile.TarInfo(name=name)
+            ti.size = len(payload)
+            tar.addfile(ti, _io.BytesIO(payload))
+    rows = {
+        (r["key"], r["ext"]): r["data"]
+        for r in read_webdataset_members(spark, str(d)).collect()
+    }
+    assert rows[("sample", "seg.png")] == b"MASK"
+    assert rows[("sample", "png")] == b"IMG"
+    assert rows[("sub/dir/other", "txt")] == b"TXT"
+
+
+def test_webdataset_dotted_key_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from lours_spark.io.webdataset import dataset_to_webdataset
+
+    docs = spark.createDataFrame(
+        [("a.b", "body")], "doc_id string, text string"
+    )
+    with _pytest.raises(Exception, match="FIRST"):
+        dataset_to_webdataset(
+            docs, str(tmp_path / "w"), {"txt": "text"}, num_shards=1
+        )
+
+
 def test_webdataset_streaming_sink(spark, tmp_path):
     """foreachBatch sink: every micro-batch lands as a deterministic
     batch-*/shard-*.tar directory; the recursive reader returns the
