@@ -280,42 +280,46 @@ def main() -> None:
 
 def stdout_line(value: float, sf, timings: dict[str, float]) -> str:
     """The capture-window-sized stdout line: per-query precision steps
-    down 3 → 2 → 1 decimals, then INTEGER seconds (``round(v, 0)`` is a
-    float and prints '10.0' — no shorter than '9.9' — so the last
-    numeric step must emit real ints), and only then drops the queries
-    dict entirely (full precision always lives in BENCH_FULL.json).
-    Guarded by test_suite_registry so registry growth that would cost
-    the driver its per-query data fails in CI, not in the round."""
+    down 3 → 2 → 1 decimals in seconds, then INTEGER CENTISECONDS
+    (self-described by ``"queries_unit": "centisec"`` — for the
+    sub-second majority '17' is a char shorter than '0.2', so this step
+    usually fits where 1-decimal seconds did not while keeping 10ms
+    resolution), and only then sheds the FASTEST queries from the
+    centisecond dict (the round-6 fallback was integer seconds, which
+    under-reported every sub-second win in the driver-visible tail;
+    full precision always lives in BENCH_FULL.json). Guarded by
+    test_suite_registry so registry growth that would cost the driver
+    its per-query data fails in CI, not in the round."""
 
-    def render(qs: dict) -> str:
-        return json.dumps(
-            {
-                "metric": "suite_total_runtime",
-                "value": value,
-                "unit": "sec",
-                "sf": sf,
-                "queries": qs,
-            },
-            separators=(",", ":"),
-        )
+    def render(qs: dict, queries_unit: str | None = None) -> str:
+        payload = {
+            "metric": "suite_total_runtime",
+            "value": value,
+            "unit": "sec",
+            "sf": sf,
+            "queries": qs,
+        }
+        if queries_unit is not None:
+            payload["queries_unit"] = queries_unit
+        return json.dumps(payload, separators=(",", ":"))
 
     for ndigits in (3, 2, 1):
         line = render({k: round(v, ndigits) for k, v in timings.items()})
         if len(line) <= 1980:
             return line
-    ints = {k: int(round(v)) for k, v in timings.items()}
-    line = render(ints)
+    centis = {k: int(round(v * 100)) for k, v in timings.items()}
+    line = render(centis, queries_unit="centisec")
     if len(line) <= 1980:
         return line
-    # even integer seconds overflow the window: shed the FASTEST
-    # queries first (the interesting tail is the slow ones; full
-    # precision for everything lives in BENCH_FULL.json) and record
-    # how many were dropped so the line is self-describing
-    by_speed = sorted(ints, key=lambda k: (timings[k], k))
-    kept = dict(ints)
+    # even centiseconds overflow the window: shed the FASTEST queries
+    # first (the interesting tail is the slow ones; full precision for
+    # everything lives in BENCH_FULL.json) and record how many were
+    # dropped so the line is self-describing
+    by_speed = sorted(centis, key=lambda k: (timings[k], k))
+    kept = dict(centis)
     omitted = 0
     for name in by_speed:
-        if len(render({**kept, "omitted_fastest": omitted})) <= 1980:
+        if len(render({**kept, "omitted_fastest": omitted}, "centisec")) <= 1980:
             break
         kept.pop(name)
         omitted += 1
@@ -325,7 +329,7 @@ def stdout_line(value: float, sf, timings: dict[str, float]) -> str:
         "queries from stdout — see BENCH_FULL.json",
         file=sys.stderr,
     )
-    return render(kept)
+    return render(kept, "centisec")
 
 
 if __name__ == "__main__":

@@ -2,8 +2,9 @@
 
 Usage: python scripts/make_scale_data.py [out_dir] [factor]
 
-Only the tables the six heaviest pipelines read are scaled (lineitem,
-orders, documents). Scaling preserves WORKLOAD STRUCTURE, not just row
+Only the tables the heaviest pipelines read are scaled (lineitem,
+orders, documents, events, embeddings). Scaling preserves WORKLOAD
+STRUCTURE, not just row
 count:
 
 - orders/lineitem: each copy k shifts o_orderkey/l_orderkey and
@@ -15,6 +16,13 @@ count:
   while CROSS-copy Jaccard drops to ~0.25, below every gate threshold.
   Near-dup pair counts and paragraph-duplicate counts thus scale ~k,
   not ~k^2 (clean linear-workload semantics for the scaling table).
+- embeddings: each copy k applies a deterministic per-dimension SIGN
+  FLIP (s_{k,d} ∈ {±1} from hash(d, k); copy 0 verbatim). Sign flips
+  are isometries, so within-copy inner products — and near-dup pair
+  structure — are preserved BIT-EXACTLY (x·(±1) is exact in float),
+  while a cross-copy cosine gets an independent random ±1 pattern on
+  each term: mean 0, std ~dim^-1/2 ≈ 0.1, so nothing crosses the 0.95
+  near-dup threshold and ANN pair counts scale ~k, not ~k^2.
 
 The output dir is scratch (gitignored); ~10x the 17MB source.
 """
@@ -111,15 +119,36 @@ def main() -> None:
         os.path.join(out_dir, "events.parquet")
     )
 
+    # embeddings: sign-flip isometry per copy (see module docstring);
+    # vec_id shifts by a table-sized stride like every other id
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    vec_shift = emb.agg(F.max("vec_id")).first()[0] + 1
+    flipped = F.when(F.col("__copy") == 0, F.col("embedding")).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x
+                * F.when(
+                    F.pmod(F.hash(i, F.col("__copy")), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+            ).cast("float"),
+        )
+    )
+    replicate(emb, {"vec_id": vec_shift}).withColumn(
+        "embedding", flipped
+    ).drop("__copy").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
     # small dims referenced by _t for completeness (verbatim copies)
-    for t in ("nation", "region", "customer", "supplier", "part",
-              "embeddings"):
+    for t in ("nation", "region", "customer", "supplier", "part"):
         src = os.path.join(SRC, f"{t}.parquet")
         if os.path.exists(src):
             spark.read.parquet(src).write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"{t}.parquet")
             )
-    for t in ("orders", "lineitem", "documents"):
+    for t in ("orders", "lineitem", "documents", "embeddings"):
         n = spark.read.parquet(os.path.join(out_dir, f"{t}.parquet")).count()
         print(f"{t}: {n} rows")
 

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from _calm import calibration as _calibration  # noqa: E402
 from _calm import cc_stats, rss_mb, wait_for_calm  # noqa: E402
+from _probes import detection_confusion_probe, webdataset_probe  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 QUERIES = [
@@ -45,6 +46,9 @@ QUERIES = [
     "range_join",
     "rolling_agg",
     "funnel",
+    # round 7: the remaining headline pipelines (VERDICT r6 item 5)
+    "embedding_near_dup",
+    "curation_pipeline",
 ]
 
 
@@ -89,6 +93,20 @@ def main() -> None:
                 dt = min(dt, timed(name, sf_dir)[0])
             res[name] = {"sec": round(dt, 2), "rows": rows}
             print(f"# {label} {name}: {dt:.2f}s ({rows} rows)", file=sys.stderr)
+        # round 7 probes: matcher-fed confusion + WebDataset shard I/O
+        wait_for_calm()
+        spark.catalog.clearCache()
+        res["detection_confusion"] = detection_confusion_probe(spark, sf_dir)
+        print(
+            f"# {label} detection_confusion: {res['detection_confusion']}",
+            file=sys.stderr,
+        )
+        wait_for_calm()
+        spark.catalog.clearCache()
+        res["webdataset"] = webdataset_probe(
+            spark, sf_dir, "/root/repo/scale_data"
+        )
+        print(f"# {label} webdataset: {res['webdataset']}", file=sys.stderr)
         res["cc"] = cc_stats(spark, sf_dir)
         res["rss_mb_after"] = round(rss_mb(), 1)
         out["scales"][label] = res

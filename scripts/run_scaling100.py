@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from _calm import calibration as _calibration  # noqa: E402
 from _calm import cc_stats, rss_mb, wait_for_calm  # noqa: E402
+from _probes import detection_confusion_probe, webdataset_probe  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 QUERIES = [
@@ -50,6 +51,9 @@ QUERIES = [
     "range_join",
     "rolling_agg",
     "funnel",
+    # round 7: the remaining headline pipelines (VERDICT r6 item 5)
+    "embedding_near_dup",
+    "curation_pipeline",
 ]
 
 
@@ -130,6 +134,21 @@ def main() -> None:
     spark.catalog.clearCache()
     out["pr_ap_routing"] = pr_ap_routing_probe(spark, scaled)
     print(f"# 100x pr_ap_routing: {out['pr_ap_routing']}", file=sys.stderr)
+
+    # round 7: matcher-fed confusion + WebDataset shard I/O at 100x
+    wait_for_calm()
+    spark.catalog.clearCache()
+    out["detection_confusion"] = detection_confusion_probe(spark, scaled)
+    print(
+        f"# 100x detection_confusion: {out['detection_confusion']}",
+        file=sys.stderr,
+    )
+    wait_for_calm()
+    spark.catalog.clearCache()
+    out["webdataset"] = webdataset_probe(
+        spark, scaled, os.path.dirname(scaled.rstrip("/"))
+    )
+    print(f"# 100x webdataset: {out['webdataset']}", file=sys.stderr)
 
     # CC observability at 100x
     wait_for_calm()

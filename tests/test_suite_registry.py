@@ -58,33 +58,47 @@ def test_bench_list_covers_all_queries():
     assert set(bench.BENCH_QUERIES) == set(ALL_QUERIES)
 
 
+def _query_secs(parsed: dict) -> dict:
+    """Decode a stdout-line queries dict back to seconds, honouring the
+    self-describing ``queries_unit`` marker (absent = seconds)."""
+    scale = 100.0 if parsed.get("queries_unit") == "centisec" else 1.0
+    return {k: v / scale for k, v in parsed["queries"].items() if k != "omitted_fastest"}
+
+
 def test_bench_stdout_line_fits_driver_window():
     """The driver records only the LAST ~2000 chars of bench.py's
-    stdout; bench steps per-query precision down 3→2→1 decimals →
-    integer seconds, then sheds the FASTEST queries (never the whole
-    dict). Guard that the line always fits, keeps the slow tail, and
-    self-describes what it dropped."""
+    stdout; bench steps per-query precision down 3→2→1 decimals in
+    seconds → integer centiseconds, then sheds the FASTEST queries
+    (never the whole dict). Guard that the line always fits, keeps the
+    slow tail, self-describes what it dropped, and never degrades a
+    realistic suite below 10ms resolution (the round-6 integer-seconds
+    fallback zeroed every sub-second win in the driver-visible tail)."""
     import json
 
     import bench
 
     # realistic regime: a slow tail over a fast majority — the slow
-    # queries must survive any shedding
+    # queries must survive any shedding, and every reported value must
+    # decode to within 10ms of the measurement
     names = list(bench.BENCH_QUERIES)
     slow = set(names[:10])
-    qs = {n: (9.9 if n in slow else 0.2) for n in names}
+    qs = {n: (9.87 if n in slow else 0.23) for n in names}
     line = bench.stdout_line(99999.999, 0.1, qs)
     assert len(line) <= 1980, len(line)
     parsed = json.loads(line)
-    got = dict(parsed["queries"])
-    omitted = got.pop("omitted_fastest", 0)
+    got = _query_secs(parsed)
+    omitted = parsed["queries"].get("omitted_fastest", 0)
     assert slow <= set(got), "shedding must keep the slowest queries"
     assert omitted + len(got) == len(names), (omitted, len(got))
+    for name, sec in got.items():
+        assert abs(sec - qs[name]) < 0.005 + 1e-9, (name, sec, qs[name])
 
     # degenerate worst case: all-equal timings still yields a valid,
-    # fitting, self-describing line
-    line2 = bench.stdout_line(1.0, 0.1, {n: 9.9 for n in names})
+    # fitting, self-describing line at centisecond resolution
+    line2 = bench.stdout_line(1.0, 0.1, {n: 9.87 for n in names})
     assert len(line2) <= 1980
     parsed2 = json.loads(line2)
-    q2 = parsed2["queries"]
-    assert q2.get("omitted_fastest", 0) + (len(q2) - ("omitted_fastest" in q2)) == len(names)
+    got2 = _query_secs(parsed2)
+    omitted2 = parsed2["queries"].get("omitted_fastest", 0)
+    assert omitted2 + len(got2) == len(names)
+    assert all(abs(sec - 9.87) < 0.005 + 1e-9 for sec in got2.values())
