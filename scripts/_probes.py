@@ -66,3 +66,77 @@ def webdataset_probe(spark, sf_dir: str, scratch: str) -> dict:
         "rows": rows,
         "num_shards": num_shards,
     }
+
+
+def neardup_decade(spark, wait_for_calm, n: int, seed: int = 11) -> dict:
+    """embedding_near_dup on the driver tables is a 0-row query (the
+    synthetic embeddings have max pairwise cosine ~0.6, far under the
+    0.95 threshold), so the LSH pipeline's SCALE behavior gets its own
+    synthetic decade, like semdedup_decade: n deterministic 64-dim
+    vectors (per-dimension xxhash64 uniforms — pure column expressions,
+    identical under re-execution, so the planted-dup union leg sees the
+    same base vectors without materialization) plus one planted
+    near-duplicate (cos ≈ 0.9999) for every 20th vector. Expected
+    pairs ≈ n/20, scaling exactly linearly.
+
+    LSH sizing follows the operator's own guidance ("tune r up as the
+    corpus grows"): planes_per_table ≈ log2(n)+4 keeps unrelated-pair
+    candidate volume ~L·n²·2^−r ≈ L·n/16, and a fixed num_tables=16
+    keeps planted-pair recall ≈ 1 (per-table hit prob at cos 0.9999 is
+    0.9955^r ≈ 0.9 for r=24)."""
+    import math
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from lours_spark.operators.dedup import embedding_near_duplicates
+
+    dim = 64
+
+    def u(col_id, d, salt):
+        h = F.xxhash64(col_id, F.lit(d), F.lit(salt))
+        return (F.pmod(h, F.lit(2_000_001)) / F.lit(1_000_000.0)) - F.lit(1.0)
+
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[u(F.col("id"), d, seed) for d in range(dim)])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    dups = spark.range(0, n, 20).select(
+        (F.col("id") + n).alias("vec_id"),
+        F.array(
+            *[
+                (u(F.col("id"), d, seed) + 0.02 * u(F.col("id"), d, seed + 1))
+                for d in range(dim)
+            ]
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    corpus = base.unionByName(dups)
+    planes = max(12, int(math.log2(n)) + 4)
+
+    def run() -> tuple[float, int]:
+        wait_for_calm()
+        spark.catalog.clearCache()
+        t0 = _time.time()
+        pairs = embedding_near_duplicates(
+            corpus,
+            threshold=0.95,
+            num_tables=16,
+            planes_per_table=planes,
+            seed=seed,
+        ).count()
+        return _time.time() - t0, pairs
+
+    dt, pairs = run()
+    dt = min(dt, run()[0])
+    return {
+        "sec": round(dt, 2),
+        "pairs": pairs,
+        "planted": -(-n // 20),
+        "n": n + n // 20,
+        "planes_per_table": planes,
+        "num_tables": 16,
+    }

@@ -18,7 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from _calm import calibration as _calibration  # noqa: E402
 from _calm import cc_stats, rss_mb, wait_for_calm  # noqa: E402
-from _probes import detection_confusion_probe, webdataset_probe  # noqa: E402
+from _probes import (  # noqa: E402
+    detection_confusion_probe,
+    neardup_decade,
+    webdataset_probe,
+)
 
 BASE = "/root/testdata/sf0.1"
 QUERIES = [
@@ -111,6 +115,14 @@ def main() -> None:
         res["rss_mb_after"] = round(rss_mb(), 1)
         out["scales"][label] = res
     out["semantic_dedup"] = semdedup_decade(spark, wait_for_calm)
+    # LSH near-dup synthetic decade (planted duplicates; the corpus
+    # embeddings table has no 0.95+ pairs, so the real-table rows above
+    # only time the candidate machinery at 0 output rows)
+    out["neardup_synthetic"] = {
+        "1x": neardup_decade(spark, wait_for_calm, 100_000),
+        "10x": neardup_decade(spark, wait_for_calm, 1_000_000),
+    }
+    print(f"# neardup_synthetic: {out['neardup_synthetic']}", file=sys.stderr)
     print(json.dumps(out))
 
 

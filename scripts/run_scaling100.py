@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from _calm import calibration as _calibration  # noqa: E402
 from _calm import cc_stats, rss_mb, wait_for_calm  # noqa: E402
-from _probes import detection_confusion_probe, webdataset_probe  # noqa: E402
+from _probes import (  # noqa: E402
+    detection_confusion_probe,
+    neardup_decade,
+    webdataset_probe,
+)
 
 BASE = "/root/testdata/sf0.1"
 QUERIES = [
@@ -149,6 +153,13 @@ def main() -> None:
         spark, scaled, os.path.dirname(scaled.rstrip("/"))
     )
     print(f"# 100x webdataset: {out['webdataset']}", file=sys.stderr)
+
+    # LSH near-dup synthetic 100x point (see run_scaling.py's decade)
+    out["neardup_synthetic_100x"] = neardup_decade(spark, wait_for_calm, 10_000_000)
+    print(
+        f"# neardup_synthetic_100x: {out['neardup_synthetic_100x']}",
+        file=sys.stderr,
+    )
 
     # CC observability at 100x
     wait_for_calm()

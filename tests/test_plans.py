@@ -371,3 +371,26 @@ def test_remove_dup_spans_no_python_no_cartesian(spark, suite):
     assert "BroadcastNestedLoopJoin" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_confusion_matrix_single_matcher_execution(spark, suite):
+    """compute_confusion_matrix emits the weak-pair FN/FP duplication
+    via ONE conditional-array explode over the matches frame — never a
+    3-leg union, whose legs would re-execute the MapInArrow matcher
+    kernel once each (exchange reuse does not cover map-side Python
+    stages)."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.evaluation.evaluator import compute_confusion_matrix
+    from lours_spark.suite import _jittered_pred, _matcher_ann
+
+    gt = _matcher_ann(spark, SF).withColumn(
+        "category_str", F.col("category_id").cast("string")
+    )
+    out = compute_confusion_matrix(
+        gt, _jittered_pred(gt), min_iou=0.3, min_confidence=0.1
+    )
+    plan = _plan(out)
+    # the only Union left is compute_matches' own gt⊕pred tagging union
+    # UPSTREAM of the kernel; the matcher stage itself appears once
+    assert plan.count("MapInArrow") == 1, plan.count("MapInArrow")
