@@ -23,13 +23,17 @@ def _ann_params() -> dict:
 
     from lours_spark import suite
 
-    threshold, r, target_recall = 0.95, 12, 0.9999
+    threshold, target_recall = 0.95, 0.9999
+    # round 7: planes_per_table auto-sizes to the corpus
+    # (max(12, ceil(log2(n)) + 4)); sf0.1 embeddings n=2000
+    r = max(12, math.ceil(math.log2(2000)) + 4)
     p = 1.0 - math.acos(min(threshold, 0.9999)) / math.pi
     pr = p**r
     L = max(4, min(64, math.ceil(math.log(1 - target_recall) / math.log(1 - pr))))
     return {
         "embedding_near_dup": {
             "planes_per_table": r,
+            "planes_rule": "auto: max(12, ceil(log2(n)) + 4)",
             "num_tables_auto": L,
             "threshold": threshold,
             "target_recall": target_recall,

@@ -62,9 +62,16 @@ def gather_onehot(
 ) -> pd.DataFrame:
     """Pandas twin of ``operators.booleanize.debooleanize`` for
     display heads: gather ``prefix<separator>value`` bool columns into
-    one ``prefix`` column holding the SORTED list of true values, in
-    place of the first block column (parity with the Spark operator is
-    pinned by test_display_widgets). Missing prefix → unchanged frame.
+    one ``prefix`` column holding the SORTED list of true values,
+    appended like the Spark operator's ``withColumn`` (parity pinned by
+    test_display_widgets). Missing prefix → unchanged frame.
+
+    >>> pdf = pd.DataFrame({"id": [1, 2], "tags.a": [True, False],
+    ...                     "tags.b": [True, True]})
+    >>> gather_onehot(pdf, "tags")
+       id    tags
+    0   1  [a, b]
+    1   2     [b]
     """
     marker = prefix + separator
     block = sorted(
@@ -89,7 +96,12 @@ def gather_onehot(
 def truncate_for_display(pdf: pd.DataFrame, max_rows: int = 100) -> pd.DataFrame:
     """Head 50 + tail 50 for frames past ``max_rows`` (the reference's
     evident intent at ``notebook_utils.py:93-96``; see module
-    docstring for its ``iloc[:-50]`` slip)."""
+    docstring for its ``iloc[:-50]`` slip).
+
+    >>> list(truncate_for_display(pd.DataFrame({"x": range(7)}),
+    ...                           max_rows=4)["x"])
+    [0, 1, 5, 6]
+    """
     if len(pdf) <= max_rows:
         return pdf.copy()
     half = max_rows // 2

@@ -398,7 +398,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     method: str = "lsh",
     num_tables: int | None = None,
-    planes_per_table: int = 12,
+    planes_per_table: int | None = None,
     target_recall: float = 0.9999,
     num_centroids: int | None = None,
     num_probes: int = 3,
@@ -421,8 +421,16 @@ def embedding_near_duplicates(
     thresholds can saturate the clamp; raise ``num_tables`` or lower
     ``planes_per_table`` explicitly there). Larger ``planes_per_table``
     shrinks buckets (candidate volume ~ L·n²·2^−r for unrelated
-    vectors) at the cost of more tables for the same recall — tune r
-    up as the corpus grows.
+    vectors) at the cost of more tables for the same recall.
+
+    ``planes_per_table=None`` (default) AUTO-SIZES r to the corpus:
+    ``max(12, ⌈log2(n)⌉ + 4)`` from one ``count()`` (parquet-footer
+    cheap). A fixed r is a scale cliff: r=12 means 4096 buckets per
+    table, so once n ≫ 2^12 the verify stage goes quadratic — measured
+    266 s for 200k vectors where the auto size runs in seconds. Auto-r
+    keeps expected unrelated-pair candidates ~L·n/16 (linear in n);
+    pass an explicit r to pin the round-5/6 behavior or to skip the
+    count when the caller already knows the corpus size.
 
     ``method="ivf"`` (the 100 TB path for LOW thresholds): sign-LSH
     collision probability per table is (1 − θ/π)^r, which collapses for
@@ -445,6 +453,9 @@ def embedding_near_duplicates(
     if method == "lsh":
         import math
 
+        if planes_per_table is None:
+            n = df.count()
+            planes_per_table = max(12, math.ceil(math.log2(max(n, 2))) + 4)
         if num_tables is None:
             p = 1.0 - math.acos(max(min(threshold, 0.9999), -1.0)) / math.pi
             pr = p ** planes_per_table

@@ -92,6 +92,9 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
     True
     """
     cfg = config
+    # reset per call: reusing one config across runs must not
+    # accumulate a doubled stage log
+    cfg.stages_run.clear()
     id_col, text_col = cfg.id_col, cfg.text_col
     out = docs
 

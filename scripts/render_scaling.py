@@ -38,12 +38,14 @@ ROWS = {
     "range_join": "events",
     "rolling_agg": "events",
     "funnel": "events",
+    "embedding_near_dup": "embeddings",
+    "curation_pipeline": "documents",
 }
 TABLE_ROWS = {
     "1x": {"lineitem": 600_000, "orders": 150_000, "documents": 5_000,
-           "events": 100_000},
+           "events": 100_000, "embeddings": 2_000},
     "10x": {"lineitem": 6_000_000, "orders": 1_500_000, "documents": 50_000,
-            "events": 1_000_000},
+            "events": 1_000_000, "embeddings": 20_000},
 }
 
 
@@ -165,6 +167,75 @@ def main() -> None:
             f"10x vectors -> {ratio:.1f}x wall: clustering bounds the\n"
             "quadratic pair scan as designed."
         )
+    if "neardup_synthetic" in data:
+        nd = data["neardup_synthetic"]
+        a, b = nd["1x"], nd["10x"]
+        print()
+        print("## embedding_near_dup (synthetic planted decade)")
+        print()
+        print(
+            "The corpus embeddings have NO 0.95+ cosine pairs (max\n"
+            "pairwise cosine ~0.6), so the real-table rows above time the\n"
+            "LSH candidate machinery at 0 output rows; this decade plants\n"
+            "one cos~0.9999 duplicate per 20 vectors over deterministic\n"
+            "xxhash64-uniform embeddings and recovers them at threshold\n"
+            "0.95. planes_per_table grows ~log2(n)+4 per the operator's\n"
+            "sizing guidance (bounds unrelated-pair candidates ~L*n/16);\n"
+            "num_tables fixed at 16 keeps planted recall ~1."
+        )
+        print()
+        print("| scale | vectors | planes/table | sec | pairs found | planted |")
+        print("|---|---|---|---|---|---|")
+        for label, s in (("1x", a), ("10x", b)):
+            print(
+                f"| {label} | {s['n']} | {s['planes_per_table']} | {s['sec']} "
+                f"| {s['pairs']} | {s['planted']} |"
+            )
+        print()
+        print(
+            "Recall 100% at both scales; pair volume scales exactly\n"
+            "linearly by construction and measures so."
+        )
+    if "detection_confusion" in s1:
+        print()
+        print("## Matcher-fed detection confusion (composed pipeline)")
+        print()
+        print(
+            "compute_confusion_matrix end to end: CATEGORY-AGNOSTIC greedy\n"
+            "matching (per-image groups merge all categories — ~3x the\n"
+            "per-category matcher's group sizes, so ~9x the kernel's IoU\n"
+            "cells; the reference protocol for confusing ACROSS classes),\n"
+            "label joins, weak-pair FN/FP explode, confusion_counts. Output\n"
+            "is label-space sized. Wall time is matcher-bound; the explode\n"
+            "restructure guarantees ONE matcher stage in the plan."
+        )
+        print()
+        print("| scale | sec | rows out |")
+        print("|---|---|---|")
+        for label, s in (("1x", s1), ("10x", s10)):
+            d = s["detection_confusion"]
+            print(f"| {label} | {d['sec']} | {d['rows']} |")
+    if "webdataset" in s1:
+        print()
+        print("## WebDataset shard round-trip (documents table)")
+        print()
+        print(
+            "dataset_to_webdataset + from_webdataset at ~1.25k docs/shard\n"
+            "(shard COUNT scales with the corpus, shard size stays fixed):\n"
+            "the write is one hash exchange + per-shard tar streams, the\n"
+            "read is one binaryFile task per shard — both sides widen in\n"
+            "task count only, so wall time stays ~flat while 10x the data\n"
+            "moves. The 1x read is parallelism-bound (4 shards = 4 tasks)."
+        )
+        print()
+        print("| scale | shards | write sec | read sec | rows |")
+        print("|---|---|---|---|---|")
+        for label, s in (("1x", s1), ("10x", s10)):
+            d = s["webdataset"]
+            print(
+                f"| {label} | {d['num_shards']} | {d['write_sec']} "
+                f"| {d['read_sec']} | {d['rows']} |"
+            )
 
 
 SCALING_PATH = None  # resolved in __main__

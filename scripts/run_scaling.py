@@ -123,6 +123,15 @@ def main() -> None:
         "10x": neardup_decade(spark, wait_for_calm, 1_000_000),
     }
     print(f"# neardup_synthetic: {out['neardup_synthetic']}", file=sys.stderr)
+    # persist BEFORE the stdout print: a JVM-shutdown race once ate the
+    # redirected stdout tail and cost a long run its JSON
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scaling_last.json")
+    with open(path, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+        f.flush()
+        os.fsync(f.fileno())
     print(json.dumps(out))
 
 

@@ -165,6 +165,15 @@ def main() -> None:
     wait_for_calm()
     out["cc"] = cc_stats(spark, scaled)
     out["rss_mb_after"] = round(rss_mb(), 1)
+    # persist BEFORE the stdout print: a JVM-shutdown race once ate the
+    # redirected stdout tail and cost a 70-minute run its JSON
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scaling100_last.json")
+    with open(path, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+        f.flush()
+        os.fsync(f.fileno())
     print(json.dumps(out))
 
 

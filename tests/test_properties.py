@@ -519,3 +519,76 @@ def test_gopher_word_signals_match_python(spark, docs):
         assert got[i]["bullet_line_frac"] == pytest.approx(
             bullets / len(lines), abs=2e-6
         ), (i, t)
+
+
+# --------------------------------------------------------------- round 7
+# bench stdout line: any realistic timing dict must fit the driver's
+# capture window AND decode back to the measurement within 10ms (or be
+# an explicitly-counted fastest-shed query)
+@settings(max_examples=50, deadline=None)
+@given(
+    times=st.lists(
+        st.floats(0.0, 99.0, allow_nan=False), min_size=96, max_size=96
+    ),
+)
+def test_bench_stdout_line_property(times):
+    import json
+
+    import bench
+
+    qs = dict(zip(bench.BENCH_QUERIES, times))
+    line = bench.stdout_line(round(sum(times), 3), 0.1, qs)
+    assert len(line) <= 1980
+    parsed = json.loads(line)
+    scale = 100.0 if parsed.get("queries_unit") == "centisec" else 1.0
+    got = {
+        k: v / scale
+        for k, v in parsed["queries"].items()
+        if k != "omitted_fastest"
+    }
+    omitted = parsed["queries"].get("omitted_fastest", 0)
+    assert omitted + len(got) == len(qs)
+    for k, sec in got.items():
+        assert abs(sec - qs[k]) <= 0.5 / scale + 1e-9, (k, sec, qs[k])
+    if omitted:
+        # shedding drops the FASTEST queries only
+        kept_min = min(qs[k] for k in got)
+        shed_max = max(qs[k] for k in qs if k not in got)
+        assert shed_max <= kept_min + 1e-9
+
+
+# pandas one-hot gather (display twin): gathering a frame built by
+# one-hot expansion recovers the original sorted value lists
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "e.x"]),
+            max_size=4,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gather_onehot_roundtrip_property(rows):
+    import pandas as pd
+
+    from lours_spark.display_widgets import gather_onehot
+
+    domain = sorted({v for r in rows for v in r})
+    pdf = pd.DataFrame(
+        {
+            "id": range(len(rows)),
+            **{
+                f"tags.{v}": [v in r for r in rows] for v in domain
+            },
+        }
+    )
+    out = gather_onehot(pdf, "tags")
+    if not domain:
+        # no one-hot block at all: the frame passes through unchanged
+        pd.testing.assert_frame_equal(out, pdf)
+        return
+    assert [list(x) for x in out["tags"]] == [sorted(r) for r in rows]
+    assert not any(str(c).startswith("tags.") for c in out.columns)
