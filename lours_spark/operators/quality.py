@@ -448,13 +448,20 @@ def filter_quality_percentile(
     ``approximate=True`` is the 100 TB path: instead of a per-group
     window (a full SORT of every group — the exact path's cost on
     billion-row groups), compute each group's ``min_pct`` score
-    threshold with ``approx_percentile`` in ONE hash aggregation
-    (fixed-memory KLL-style sketch, map-side partials), broadcast-join
-    the |groups|-row threshold table back, and keep rows strictly
-    above it. Within-epsilon documents may differ from the exact
-    answer (sketch ``accuracy`` bounds the rank error) and no
-    ``pct_col`` is emitted, but nothing sorts and the corpus is
-    touched by exactly one agg + one broadcast-joined filter.
+    threshold with ``approx_percentile`` (fixed-memory KLL-style
+    sketch, map-side partials), broadcast-join the |groups|-row
+    threshold table back, and filter. The threshold mass is
+    TIE-CALIBRATED: real quality scores are quantized (length/ratio
+    buckets), so a huge tied mass can sit exactly AT the percentile —
+    "keep strictly above" would drop that entire mass and over-prune
+    arbitrarily (measured 65% pruned where 20% was asked on the bench
+    corpus). A second |groups|-row aggregation counts the below/at
+    masses and keeps the deterministic-hash top slice of the tied docs
+    that lands the group's kept COUNT on target. Within-epsilon
+    documents may differ from the exact answer (sketch ``accuracy``
+    bounds the rank error; the tie slice is hash-chosen, not
+    id-rank-chosen) and no ``pct_col`` is emitted, but nothing sorts:
+    the corpus is touched by two aggs + one broadcast-joined filter.
 
     >>> df = spark.createDataFrame(
     ...     [(i, "en", float(i)) for i in range(100)],
@@ -464,25 +471,81 @@ def filter_quality_percentile(
     ...     df, "q", 0.5, "lang", approximate=True)
     >>> exact.count(), approx.count()
     (50, 50)
+
+    All-tied groups calibrate too (the exact path keeps the top half
+    by id tie-break; the hash slice keeps ~half):
+
+    >>> tied = spark.createDataFrame(
+    ...     [(i, "en", 1.0) for i in range(400)],
+    ...     "doc_id long, lang string, q double")
+    >>> n = filter_quality_percentile(
+    ...     tied, "q", 0.5, "lang", approximate=True).count()
+    >>> 140 < n < 260  # ~200, hash-binomial spread
+    True
     """
     if not approximate:
         return quality_percentile(
             df, score_col, group_col, id_col=id_col, pct_col=pct_col
         ).filter(F.col(pct_col) > min_pct)
 
+    from lours_spark.split.splitter import portable_fraction
+
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     scored = df.withColumn("__fq_score", score)
     keys = [group_col] if group_col is not None else []
+
+    def bjoin(left, right):
+        return (
+            left.join(F.broadcast(right), keys)
+            if keys
+            else left.crossJoin(F.broadcast(right))
+        )
+
     thresholds = scored.groupBy(*keys).agg(
         F.percentile_approx(
             "__fq_score", F.lit(min_pct), F.lit(accuracy)
         ).alias("__fq_thr")
     )
-    joined = (
-        scored.join(F.broadcast(thresholds), keys)
-        if keys
-        else scored.crossJoin(F.broadcast(thresholds))
+    # second narrow agg: how much mass sits below vs AT the threshold —
+    # the drop budget left for the tied mass, as a fraction of it
+    stats = (
+        bjoin(scored, thresholds)
+        .groupBy(*keys, "__fq_thr")
+        .agg(
+            F.count(F.when(F.col("__fq_score") < F.col("__fq_thr"), 1)).alias(
+                "__fq_below"
+            ),
+            F.count(F.when(F.col("__fq_score") == F.col("__fq_thr"), 1)).alias(
+                "__fq_at"
+            ),
+            F.count(F.lit(1)).alias("__fq_n"),
+        )
+        .withColumn(
+            "__fq_drop_at",
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(min_pct) * F.col("__fq_n") - F.col("__fq_below"))
+                    / F.greatest(F.col("__fq_at"), F.lit(1)).cast("double"),
+                ),
+            ),
+        )
     )
-    return joined.filter(F.col("__fq_score") > F.col("__fq_thr")).drop(
-        "__fq_score", "__fq_thr"
+    # portable_fraction works for any id type (md5 of the string form)
+    # and is seeded off min_pct so repeated filters decorrelate
+    keep = (F.col("__fq_score") > F.col("__fq_thr")) | (
+        (F.col("__fq_score") == F.col("__fq_thr"))
+        & (
+            portable_fraction(F.col(id_col), int(min_pct * 1000))
+            >= F.col("__fq_drop_at")
+        )
+    )
+    return (
+        bjoin(scored, stats)
+        .filter(keep)
+        .drop(
+            "__fq_score", "__fq_thr", "__fq_below", "__fq_at",
+            "__fq_n", "__fq_drop_at",
+        )
     )

@@ -421,7 +421,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     num_probes: int = 3,
     seed: int = 42,
     centroids: "list[list[float]] | None" = None,
@@ -437,6 +437,9 @@ def ivf_topk(
     join is per-(query, probed-centroid) — at 1000 executors the join
     fans out by centroid id so no task sees the whole corpus. Recall
     rises with ``num_probes`` (→ exact at num_probes = num_centroids).
+    ``num_centroids=None`` (default) auto-sizes to ~√n from one
+    ``count()`` so per-probe candidate volume stays ~n/√n as the
+    corpus grows; pass it explicitly to skip the count.
 
     ``centroids``: fixed coarse centers instead of k-means training —
     the deterministic, oracle-expressible mode (assignment and probe
@@ -489,6 +492,14 @@ def ivf_topk(
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        if num_centroids is None:
+            # √n lists bound per-probe candidate volume (~probes·n/√n
+            # rows per query) — same auto-rule as the IVF near-dup path;
+            # a fixed default is a scale cliff (16 lists at corpus scale
+            # = n/16 candidates per probe). One count() is the price;
+            # pass num_centroids explicitly to skip it.
+            n = corpus.count()
+            num_centroids = max(16, min(4096, int(n ** 0.5)))
         corpus_v = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),

@@ -54,6 +54,20 @@ class CurationConfig:
     gopher: "dict | None" = None
     dedup_exact: bool = True
     quality_min_pct: "float | None" = 0.2
+    #: False (default): exact per-group cume_dist window — deterministic,
+    #: but a full sort of every language group (the pipeline re-widens
+    #: the survivors afterwards, see curate_documents). True: the
+    #: operator's tie-calibrated approx_percentile threshold mode —
+    #: two fixed-memory aggregations + a broadcast-joined filter, never
+    #: a group sort. The trade is three corpus passes (each evaluating
+    #: the upstream text expressions) against zero sorts: at bench
+    #: scale exact+re-widen wins (~14s vs ~37s at 500k docs); the
+    #: approx shape is for billion-row languages where any single-group
+    #: sort is the wall. Kept COUNT lands on target even with heavily
+    #: tied (quantized) scores; which tied boundary docs survive is
+    #: hash-chosen, and the sketch merge is not partition-order
+    #: canonical, so determinism weakens to "per partitioning" here.
+    quality_approximate: bool = False
     redact_pii: bool = True
     mixture_targets: "dict[str, float] | None" = None
     pack_budget: "int | None" = None
@@ -141,8 +155,27 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
             cfg.quality_min_pct,
             group_col=cfg.lang_col,
             id_col=id_col,
+            approximate=cfg.quality_approximate,
         ).drop("q_pct")
         cfg.stages_run.append("quality_filter")
+        if not cfg.quality_approximate and (
+            cfg.redact_pii
+            or cfg.mixture_targets is not None
+            or cfg.pack_budget is not None
+        ):
+            # the percentile window leaves the corpus hash-partitioned
+            # by LANGUAGE — a handful of partitions — and every
+            # downstream column expression (PII regexp chains,
+            # tokenization for the packer) inherits that near-serial
+            # parallelism: measured 5-task stages doing the pipeline's
+            # heaviest per-row work on a 32-core box (ablation at the
+            # 100x replica). One round-robin exchange of the SURVIVORS
+            # (the filtered minority, narrow rows) buys the cluster
+            # back; output values are unaffected (row-wise stages +
+            # the packer re-partitions on its own key).
+            out = out.repartition(
+                out.sparkSession.sparkContext.defaultParallelism
+            )
 
     if cfg.redact_pii:
         from lours_spark.operators.pii import redact_pii

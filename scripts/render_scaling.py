@@ -225,7 +225,7 @@ def main() -> None:
             "the write is one hash exchange + per-shard tar streams, the\n"
             "read is one binaryFile task per shard — both sides widen in\n"
             "task count only, so wall time stays ~flat while 10x the data\n"
-            "moves. The 1x read is parallelism-bound (4 shards = 4 tasks)."
+            "moves."
         )
         print()
         print("| scale | shards | write sec | read sec | rows |")

@@ -1186,6 +1186,22 @@ def test_filter_quality_percentile_approximate_scale_path(spark):
     g = filter_quality_percentile(df, "q", 0.5, approximate=True)
     assert abs(g.count() - 500) <= 8
 
+    # QUANTIZED scores — the realistic regime (quality scores bucket):
+    # a huge tied mass sits exactly at the percentile. "Keep strictly
+    # above the threshold" would drop the entire mass (here: keep only
+    # 200/1000 where 750 was asked); the tie-calibrated slice lands
+    # the kept COUNT on target, binomial spread aside.
+    q5 = df.withColumn("q", (F.col("doc_id") % 5).cast("double"))
+    kept = filter_quality_percentile(
+        q5, "q", 0.25, approximate=True
+    ).count()
+    assert abs(kept - 750) < 60, kept
+    # and the per-group form calibrates within each group
+    kept_g = filter_quality_percentile(
+        q5, "q", 0.25, "lang", approximate=True
+    ).count()
+    assert abs(kept_g - 750) < 80, kept_g
+
 
 def test_ngram_logprob_unseen_and_short_docs(spark):
     from pyspark.sql import functions as F
