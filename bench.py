@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "atomic_chunks",
     "fingerprint_dedup",
     "minhash_lsh_pairs",
+    # round 7: incremental (index-vs-new-batch) LSH mining
+    "minhash_incremental",
     "ngram_jaccard",
     "simhash",
     "bpe_token_count",

@@ -199,6 +199,37 @@ def _minhash_agg(
     )
 
 
+def _band_rows(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(__id, band, band_key) rows from a signature frame — all band
+    keys in ONE projection + explode (a per-band union would re-read
+    the signature frame once per leg and quadruple the plan): each row
+    fans out to (band, md5(band's signature slice))."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh_{i}").cast("string")
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("__id", F.explode(band_structs).alias("__b")).select(
+        "__id",
+        F.col("__b.band").alias("band"),
+        F.col("__b.band_key").alias("band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -229,31 +260,7 @@ def minhash_lsh_pairs(
         df, id_col, text_col, k, num_hashes, hash_fn=hash_fn
     ).withColumnRenamed(id_col, "__id")
     sig.cache()
-    # all band keys in ONE projection + explode (a per-band union would
-    # re-read the cached signature frame once per leg and quadruple the
-    # plan): each row fans out to (band, md5(band's signature slice))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.col(f"mh_{i}").cast("string")
-                            for i in range(
-                                b * rows_per_band, (b + 1) * rows_per_band
-                            )
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    band_rows = sig.select("__id", F.explode(band_structs).alias("__b")).select(
-        "__id", F.col("__b.band").alias("band"), F.col("__b.band_key").alias("band_key")
-    )
+    band_rows = _band_rows(sig, bands, rows_per_band)
     # bucket via ONE groupBy instead of a self-join: the join's two
     # legs each re-walk the (cached, but population-racing) signature
     # subtree; the groupBy shape scans it once and fans out pairs with
@@ -284,6 +291,116 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The persistable near-dup INDEX of a corpus: one row per document
+    with its shingle set and minhash signature (``doc_id, __shingles,
+    mh_0..mh_{n-1}``) — everything :func:`minhash_lsh_pairs_incremental`
+    needs to match future batches against this corpus WITHOUT
+    re-reading or re-shingling its text. Write it to parquet next to
+    the corpus; it is ~(distinct shingles + n longs) per doc.
+
+    An incremental corpus build is then a fold: per crawl drop, mine
+    new-vs-(index ∪ new) pairs, act on them, and append the drop's
+    index rows (the frame this returns for the new batch alone) to the
+    stored index. Parameters (k, num_hashes, hash_fn) must match
+    across batches — band keys are derived from the signatures, so
+    ``bands`` may vary per query."""
+    return _minhash_agg(
+        df, id_col, text_col, k, num_hashes, hash_fn=hash_fn
+    ).withColumnRenamed(id_col, "__id")
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental MinHash-LSH near-dup mining: pairs between a NEW
+    document batch and an indexed corpus (plus new×new), without ever
+    re-mining old×old pairs or touching old text.
+
+    Returns ``(pairs, new_index_rows)``: ``pairs`` is exactly
+    ``minhash_lsh_pairs(old ∪ new)`` RESTRICTED to pairs with at least
+    one new side (same signatures → same band collisions → same
+    verified jaccard; parity-tested), and ``new_index_rows`` is the
+    new batch's index frame to append to the stored index for the next
+    batch.
+
+    Scale shape: the new batch is shingled once (the only text work);
+    the index contributes a NARROW projection (id + n signature longs
+    → band keys, no shingle explode). Candidates come from ONE
+    groupBy over the unioned band rows — buckets whose members are all
+    old are dropped before the pair fan-out, so steady-state cost per
+    batch is ~|new| × bucket-mates, not |corpus|². Exact-jaccard
+    verification fetches shingle sets by id from the index/new frames
+    (a join that ships only candidate ids' shingles).
+
+    ``new_docs`` ids must be disjoint from the index's (enforce
+    upstream; an id on both sides would self-pair at jaccard 1.0).
+    """
+    rows_per_band = num_hashes // bands
+    new_sig = build_minhash_index(
+        new_docs, id_col, text_col, k, num_hashes, hash_fn=hash_fn
+    )
+    new_sig.cache()
+    sig = index.withColumn("__new", F.lit(False)).unionByName(
+        new_sig.withColumn("__new", F.lit(True))
+    )
+    band_rows = _band_rows(sig, bands, rows_per_band).join(
+        sig.select("__id", "__new"), "__id"
+    )
+    buckets = (
+        band_rows.groupBy("band", "band_key")
+        .agg(
+            F.collect_list(F.struct("__id", "__new")).alias("__m"),
+            F.max(F.col("__new").cast("int")).alias("__has_new"),
+        )
+        # all-old buckets carry no new pair — drop BEFORE the fan-out
+        .filter((F.size("__m") > 1) & (F.col("__has_new") == 1))
+    )
+    candidates = (
+        buckets.select(F.explode("__m").alias("a"), "__m")
+        .select("a", F.explode("__m").alias("b"))
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .filter(F.col("a.__new") | F.col("b.__new"))
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a")
+    )
+    sb = sig.select(
+        F.col("__id").alias("id_b"), F.col("__shingles").alias("__sh_b")
+    )
+    pairs = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs, new_sig
 
 
 def ngram_jaccard_pairs(

@@ -1081,6 +1081,42 @@ WHERE len(list_intersect(sa.__sh, sb.__sh))::DOUBLE /
 """
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup mining: index the 'old' corpus
+    slice (doc_id % 5 != 0), mine the 'new' drop (doc_id % 5 == 0)
+    against it via ``minhash_lsh_pairs_incremental`` — old text is
+    never re-shingled, old×old pairs never re-mined. Result equals the
+    full-batch mining RESTRICTED to pairs touching a new doc, which is
+    exactly what the oracle states (parity also pinned in
+    tests/test_operators.py)."""
+    from lours_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    index = build_minhash_index(old, num_hashes=_LSH_HASHES)
+    pairs, _ = minhash_lsh_pairs_incremental(
+        new,
+        index,
+        num_hashes=_LSH_HASHES,
+        bands=_LSH_BANDS,
+        jaccard_threshold=_LSH_THRESHOLD,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+def _oracle_minhash_incremental() -> str:
+    return (
+        f"SELECT * FROM ({_oracle_lsh()})\n"
+        "WHERE id_a % 5 = 0 OR id_b % 5 = 0"
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard similarity join via shingle inverted index."""
     from lours_spark.operators.dedup import ngram_jaccard_pairs
@@ -1893,6 +1929,7 @@ QUERIES: dict[str, QueryFn] = {
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_signature": q_minhash_signature,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_incremental": q_minhash_incremental,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     # embeddings
@@ -1948,6 +1985,7 @@ def oracles() -> dict[str, str]:
         "fingerprint_dedup": ORACLE_FINGERPRINT,
         "minhash_signature": _oracle_minhash(),
         "minhash_lsh_pairs": _oracle_lsh(),
+        "minhash_incremental": _oracle_minhash_incremental(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "simhash": _oracle_simhash(),
         "cosine_topk": _oracle_cosine_topk(),
@@ -4282,6 +4320,9 @@ _CURATION_FACETS = (
     "dup_spans", "remove_dup_spans", "cluster_representatives",
     "normalize_text", "decontaminate_spans", "gopher_rules",
     "char_entropy", "ngram_logprob",
+    # round 7 (per the COVERAGE.md gate-headroom policy: dedup/curation
+    # additions ride this slot)
+    "minhash_incremental",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -4472,6 +4513,7 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                     "doc_id", "n_chars_real", "n_alphabet", "entropy_bits",
                 ],
                 "ngram_logprob": ["doc_id", "n_grams", "avg_nll"],
+                "minhash_incremental": ["id_a", "id_b", "jaccard"],
             }
             out[name] = _facet_union_sql(
                 *[(n, base[n], leg_cols[n]) for n in _CURATION_FACETS]

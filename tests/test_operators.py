@@ -1237,3 +1237,64 @@ def test_ngram_logprob_scoring_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Join" not in plan.replace("BroadcastHashJoin", "BHJ")
+
+
+def test_minhash_incremental_matches_full_batch(spark):
+    """Incremental LSH parity: pairs(new vs index) ∪-semantics equals
+    the full-batch run over old∪new RESTRICTED to pairs touching a new
+    doc — same signatures, same band collisions, same exact-jaccard
+    verify. And the two-batch fold reproduces the one-shot full run."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = "quick brown fox jumps over the lazy dog near the river bank "
+    rows = []
+    for i in range(40):
+        # family structure: every 4th doc is a near-dup of doc i-3
+        if i % 4 == 3:
+            text = base + f"variant {i - 3} " + "tail common words here"
+        else:
+            text = base + f"unique {i} " + ("filler %d " % i) * 3
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 30)
+    new = docs.filter(F.col("doc_id") >= 30)
+
+    full = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+    expected_new = {t for t in full if t[0] >= 30 or t[1] >= 30}
+
+    index = build_minhash_index(old)
+    pairs, new_idx = minhash_lsh_pairs_incremental(
+        new, index, jaccard_threshold=0.3
+    )
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in pairs.collect()
+    }
+    assert got == expected_new
+    assert len(got) > 0  # the family structure guarantees mixed pairs
+
+    # fold: batch1 pairs ∪ batch2 pairs == full pairs (old starts empty)
+    empty_index = build_minhash_index(docs.filter(F.lit(False)))
+    p1, idx1 = minhash_lsh_pairs_incremental(
+        old, empty_index, jaccard_threshold=0.3
+    )
+    p2, _ = minhash_lsh_pairs_incremental(
+        new, idx1, jaccard_threshold=0.3
+    )
+    folded = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in p1.unionByName(p2).collect()
+    }
+    assert folded == full
+
+    # the returned index rows are appendable (schema matches)
+    assert new_idx.columns == index.columns
