@@ -138,3 +138,91 @@ def curate_document_stream(
         )
 
     return out
+
+
+def mine_neardup_stream(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "md5",
+    query_name: str = "neardup_miner",
+):
+    """Streaming twin of ``operators.dedup.minhash_lsh_pairs_incremental``:
+    per micro-batch, mine the batch's documents against the ACCUMULATED
+    corpus index, land the batch's near-dup pairs as
+    ``<pairs_dir>/batch-%06d/`` parquet, and append the batch's index
+    rows as ``<index_dir>/batch-%06d/``. The union of all pair batches
+    equals the one-shot ``minhash_lsh_pairs`` over everything ingested
+    (each cross-batch pair is found exactly once — by the batch that
+    ingested its LATER side; parity-tested).
+
+    Exactly-once WITHOUT a transaction log, the
+    :func:`io.webdataset.write_webdataset_stream` recipe: both writes
+    are deterministic functions of (batch content, prior index) and
+    land in directories derived from the replay-stable ``batch_id``;
+    a recovery replay of batch N reads index dirs ``< N`` only — the
+    exact pre-N state, even when N's own dirs half-exist from the
+    crashed attempt — and overwrites N's dirs with identical content.
+
+    State is the parquet index itself (per-doc shingles + signature):
+    bounded by corpus size, durable, shared with BATCH incremental
+    mining (``build_minhash_index`` writes the same schema) — a
+    backfilled corpus and a live stream can feed one index.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops)."""
+    import glob
+    import os
+    import re
+
+    from lours_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior = [
+            p
+            for p in sorted(glob.glob(os.path.join(index_dir, "batch-*")))
+            if int(re.search(r"batch-(\d+)$", p).group(1)) < batch_id
+        ]
+        if prior:
+            index = spark.read.parquet(*prior)
+        else:
+            from lours_spark.operators.dedup import build_minhash_index
+
+            index = build_minhash_index(
+                batch_df.limit(0), id_col, text_col, k, num_hashes,
+                hash_fn=hash_fn,
+            )
+        pairs, new_idx = minhash_lsh_pairs_incremental(
+            batch_df,
+            index,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            hash_fn=hash_fn,
+        )
+        tag = f"batch-{batch_id:06d}"
+        pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, tag))
+        new_idx.write.mode("overwrite").parquet(os.path.join(index_dir, tag))
+        # the operator caches the new batch's signature frame so the
+        # pair mining and the index write share one shingle pass; drop
+        # it now or a long-lived stream accumulates a cached frame per
+        # micro-batch
+        new_idx.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(mine_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -609,3 +609,93 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
     assert got[3] == (None, None)    # nothing at-or-before
     assert got[4] == (None, None)    # 240 min > 1h tolerance
     assert got[5] == (at(20), 7.0)   # NULL payload loses the tie
+
+
+def test_streaming_neardup_miner_matches_batch(spark, tmp_path):
+    """mine_neardup_stream: per-drop incremental LSH mining against the
+    accumulated parquet index. Union of per-batch pair outputs equals
+    the one-shot batch minhash_lsh_pairs over everything ingested, a
+    restarted stream with the same checkpoint mines a NEW drop against
+    the full prior index (and reprocesses nothing), and the index dir
+    is batch-additive."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lours_spark.operators.dedup import minhash_lsh_pairs
+    from lours_spark.streaming.documents import (
+        mine_neardup_stream,
+        read_document_stream,
+    )
+
+    base = "quick brown fox jumps over the lazy dog near the river bank "
+    def text(i):
+        if i % 4 == 3:  # near-dup of doc i-3 (possibly cross-drop)
+            return base + f"variant {i - 3} tail common words here"
+        return base + f"unique {i} " + (f"filler {i} ") * 3
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    drop_dir = str(tmp_path / "drops")
+    os.makedirs(drop_dir)
+
+    def drop(ids, name):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            [(i, text(i), "en", "web", 10) for i in ids], schema
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, os.path.join(drop_dir, name + ".parquet"))
+
+    drop(range(0, 12), "d1")
+    drop(range(12, 24), "d2")
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(drop_dir)
+        )
+        q = mine_neardup_stream(
+            stream, index_dir, pairs_dir, ckpt, jaccard_threshold=0.3
+        )
+        q.awaitTermination()
+
+    run()
+    batches = sorted(glob.glob(pairs_dir + "/batch-*"))
+    assert len(batches) == 2  # one per drop (maxFilesPerTrigger=1)
+
+    def mined():
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in spark.read.parquet(*sorted(
+                glob.glob(pairs_dir + "/batch-*"))).collect()
+        }
+
+    def full(n):
+        docs = spark.createDataFrame(
+            [(i, text(i), "en", "web", 10) for i in range(n)], schema
+        )
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(
+                docs, jaccard_threshold=0.3).collect()
+        }
+
+    assert mined() == full(24)
+
+    # restart with a NEW drop containing a near-dup of a drop-1 doc
+    # (doc 27 duplicates doc 24 — in-drop — and doc 3's family text is
+    # extended by using ids ≥24 whose %4==3 members mirror earlier ids)
+    drop(range(24, 32), "d3")
+    run()
+    assert len(glob.glob(pairs_dir + "/batch-*")) == 3
+    assert mined() == full(32)
+    # index is batch-additive: one dir per processed batch
+    assert len(glob.glob(index_dir + "/batch-*")) == 3
