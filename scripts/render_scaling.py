@@ -40,6 +40,7 @@ ROWS = {
     "funnel": "events",
     "embedding_near_dup": "embeddings",
     "curation_pipeline": "documents",
+    "minhash_incremental": "documents",
 }
 TABLE_ROWS = {
     "1x": {"lineitem": 600_000, "orders": 150_000, "documents": 5_000,

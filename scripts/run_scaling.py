@@ -53,6 +53,7 @@ QUERIES = [
     # round 7: the remaining headline pipelines (VERDICT r6 item 5)
     "embedding_near_dup",
     "curation_pipeline",
+    "minhash_incremental",
 ]
 
 
