@@ -462,6 +462,11 @@ def filter_quality_percentile(
     bounds the rank error; the tie slice is hash-chosen, not
     id-rank-chosen) and no ``pct_col`` is emitted, but nothing sorts:
     the corpus is touched by two aggs + one broadcast-joined filter.
+    NULL scores diverge deliberately: the exact window ranks them
+    LOWEST (Spark's NULLS FIRST), so past-the-threshold NULL docs can
+    survive; the approximate mode drops NULL-scored docs outright
+    (NULL fails every comparison) and excludes them from the sketch —
+    coalesce the score upstream if NULL must mean something.
 
     >>> df = spark.createDataFrame(
     ...     [(i, "en", float(i)) for i in range(100)],

@@ -185,11 +185,17 @@ def mine_neardup_stream(
 
     def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prior = [
-            p
-            for p in sorted(glob.glob(os.path.join(index_dir, "batch-*")))
-            if int(re.search(r"batch-(\d+)$", p).group(1)) < batch_id
-        ]
+        # prior state = every index dir EXCEPT this batch's own (a
+        # crashed attempt may have half-written it) and any later
+        # batch-*. Non-batch-named dirs (a backfilled corpus index
+        # written with build_minhash_index) always count — a backfill
+        # and a live stream share one index_dir.
+        prior = []
+        for p in sorted(glob.glob(os.path.join(index_dir, "*"))):
+            m = re.search(r"batch-(\d+)$", p)
+            if m and int(m.group(1)) >= batch_id:
+                continue
+            prior.append(p)
         if prior:
             index = spark.read.parquet(*prior)
         else:

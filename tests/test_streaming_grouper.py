@@ -699,3 +699,62 @@ def test_streaming_neardup_miner_matches_batch(spark, tmp_path):
     assert mined() == full(32)
     # index is batch-additive: one dir per processed batch
     assert len(glob.glob(index_dir + "/batch-*")) == 3
+
+
+def test_streaming_neardup_miner_backfill_index(spark, tmp_path):
+    """A backfilled corpus index (build_minhash_index output written
+    under index_dir with a NON-batch name) counts as prior state: the
+    stream's first batch mines against it, so a drop near-duplicating a
+    backfilled doc is caught."""
+    import glob
+    import os
+    import shutil
+
+    from lours_spark.operators.dedup import build_minhash_index
+    from lours_spark.streaming.documents import mine_neardup_stream
+
+    base = "quick brown fox jumps over the lazy dog near the river bank "
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    backfill_docs = spark.createDataFrame(
+        [(i, base + f"unique {i} " + f"filler {i} " * 3, "en", "web", 10)
+         for i in range(100, 107)],
+        schema,
+    )
+    index_dir = str(tmp_path / "index")
+    build_minhash_index(backfill_docs).write.parquet(
+        os.path.join(index_dir, "backfill")
+    )
+
+    drop_dir = str(tmp_path / "drops")
+    os.makedirs(drop_dir)
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(
+        [(200, base + "variant 104 tail common words here"
+          + " unique 104 filler 104 filler 104", "en", "web", 10),
+         # near-dup of backfilled 104 (same trick as the main test)
+         (201, base + "unique 104 filler 104 filler 104 filler 104",
+          "en", "web", 10),
+         (202, base + "totally other thing entirely", "en", "web", 10)],
+        schema,
+    ).coalesce(1).write.parquet(stage)
+    shutil.move(
+        glob.glob(stage + "/part-*.parquet")[0],
+        os.path.join(drop_dir, "d1.parquet"),
+    )
+
+    pairs_dir = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(drop_dir)
+    )
+    q = mine_neardup_stream(
+        stream, index_dir, pairs_dir, str(tmp_path / "ckpt"),
+        jaccard_threshold=0.3,
+    )
+    q.awaitTermination()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(
+            *glob.glob(pairs_dir + "/batch-*")).collect()
+    }
+    # 201 is a direct near-dup of backfilled 104 (cross: index × drop)
+    assert (104, 201) in got, got
