@@ -25,8 +25,16 @@ def _ann_params() -> dict:
 
     threshold, target_recall = 0.95, 0.9999
     # round 7: planes_per_table auto-sizes to the corpus
-    # (max(12, ceil(log2(n)) + 4)); sf0.1 embeddings n=2000
-    r = max(12, math.ceil(math.log2(2000)) + 4)
+    # (max(12, ceil(log2(n)) + 4)) — derive n from the ACTUAL bench
+    # corpus ($SPARK_GRAFT_SF_DIR is env-configurable, so a hardcoded
+    # n would record wrong parameters for non-default runs)
+    import duckdb
+
+    p = f"{SF_DIR}/embeddings.parquet"
+    if os.path.isdir(p):  # spark-written table = a directory of parts
+        p = f"{p}/*.parquet"
+    n = duckdb.sql(f"SELECT count(*) FROM '{p}'").fetchone()[0]
+    r = max(12, math.ceil(math.log2(max(n, 2))) + 4)
     p = 1.0 - math.acos(min(threshold, 0.9999)) / math.pi
     pr = p**r
     L = max(4, min(64, math.ceil(math.log(1 - target_recall) / math.log(1 - pr))))
@@ -34,6 +42,7 @@ def _ann_params() -> dict:
         "embedding_near_dup": {
             "planes_per_table": r,
             "planes_rule": "auto: max(12, ceil(log2(n)) + 4)",
+            "corpus_n": int(n),
             "num_tables_auto": L,
             "threshold": threshold,
             "target_recall": target_recall,

@@ -104,8 +104,12 @@ def truncate_for_display(pdf: pd.DataFrame, max_rows: int = 100) -> pd.DataFrame
     """
     if len(pdf) <= max_rows:
         return pdf.copy()
-    half = max_rows // 2
-    return pd.concat([pdf.iloc[:half], pdf.iloc[-half:]])
+    head, tail = (max_rows + 1) // 2, max_rows // 2
+    # explicit end-relative slice: iloc[-0:] would be the WHOLE frame,
+    # so odd/tiny max_rows take the extra row from the head
+    return pd.concat(
+        [pdf.iloc[:head], pdf.iloc[len(pdf) - tail:] if tail else pdf.iloc[0:0]]
+    )
 
 
 def display_variants(
@@ -229,11 +233,13 @@ def display_booleanized_dataframe(
     pandas frame or a Spark DataFrame (bounded head collect only).
     Degrades without ipywidgets: the default variant (per the
     ``DISPLAY_*`` module flags) is displayed directly."""
+    if not isinstance(input_df, pd.DataFrame):
+        # collect the bounded head ONCE; the nothing-to-format fallback
+        # below reuses it instead of running a second Spark job
+        input_df = input_df.limit(101).toPandas()
     variants = display_variants(input_df, booleanized_columns, separator)
     if not variants:
         # nothing to format: show the (possibly truncated) frame as-is
-        if not isinstance(input_df, pd.DataFrame):
-            input_df = input_df.limit(101).toPandas()
         _plain_display(truncate_for_display(input_df))
         return
     try:

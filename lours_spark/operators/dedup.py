@@ -199,11 +199,18 @@ def _minhash_agg(
     )
 
 
-def _band_rows(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(__id, band, band_key) rows from a signature frame — all band
-    keys in ONE projection + explode (a per-band union would re-read
-    the signature frame once per leg and quadruple the plan): each row
-    fans out to (band, md5(band's signature slice))."""
+def _band_rows(
+    sig: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    carry: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """(__id, [carry...], band, band_key) rows from a signature frame —
+    all band keys in ONE projection + explode (a per-band union would
+    re-read the signature frame once per leg and quadruple the plan):
+    each row fans out to (band, md5(band's signature slice)). ``carry``
+    columns ride the explode so callers don't need a join back to the
+    signature frame to recover per-row flags."""
     band_structs = F.array(
         *[
             F.struct(
@@ -223,8 +230,11 @@ def _band_rows(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
             for b in range(bands)
         ]
     )
-    return sig.select("__id", F.explode(band_structs).alias("__b")).select(
+    return sig.select(
+        "__id", *carry, F.explode(band_structs).alias("__b")
+    ).select(
         "__id",
+        *carry,
         F.col("__b.band").alias("band"),
         F.col("__b.band_key").alias("band_key"),
     )
@@ -361,9 +371,9 @@ def minhash_lsh_pairs_incremental(
     sig = index.withColumn("__new", F.lit(False)).unionByName(
         new_sig.withColumn("__new", F.lit(True))
     )
-    band_rows = _band_rows(sig, bands, rows_per_band).join(
-        sig.select("__id", "__new"), "__id"
-    )
+    # the __new flag rides the band explode — a join back to sig would
+    # re-scan the parquet index side a second time just to re-attach it
+    band_rows = _band_rows(sig, bands, rows_per_band, carry=("__new",))
     buckets = (
         band_rows.groupBy("band", "band_key")
         .agg(

@@ -523,7 +523,10 @@ def filter_quality_percentile(
             F.count(F.when(F.col("__fq_score") == F.col("__fq_thr"), 1)).alias(
                 "__fq_at"
             ),
-            F.count(F.lit(1)).alias("__fq_n"),
+            # NON-NULL count: percentile_approx ignores NULL scores, so
+            # the drop budget must be a fraction of the same mass —
+            # count(*) would inflate it and over-drop tied docs
+            F.count("__fq_score").alias("__fq_n"),
         )
         .withColumn(
             "__fq_drop_at",

@@ -177,22 +177,41 @@ def mine_neardup_stream(
     backfilled corpus and a live stream can feed one index.
 
     Returns the started ``StreamingQuery`` (caller awaits/stops)."""
-    import glob
     import os
     import re
 
     from lours_spark.operators.dedup import minhash_lsh_pairs_incremental
 
+    def _list_index_dirs(spark) -> list:
+        """Child paths of ``index_dir`` via the Hadoop FileSystem API —
+        works on any scheme the cluster can read (s3a://, hdfs://,
+        file://); a driver-local ``glob`` would silently return nothing
+        for remote stores and every batch would mine only against
+        itself."""
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = path.getFileSystem(hconf)
+        if not fs.exists(path):
+            return []
+        return sorted(
+            str(st.getPath().toString())
+            for st in fs.listStatus(path)
+            if st.isDirectory()
+        )
+
     def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # prior state = every index dir EXCEPT this batch's own (a
         # crashed attempt may have half-written it) and any later
-        # batch-*. Non-batch-named dirs (a backfilled corpus index
-        # written with build_minhash_index) always count — a backfill
-        # and a live stream share one index_dir.
+        # batch-NNNNNN. The match anchors on the WHOLE basename, so a
+        # backfill named e.g. "corpus-batch-3" is NOT mistaken for a
+        # stream batch dir: non-batch-named dirs (a backfilled corpus
+        # index written with build_minhash_index) always count — a
+        # backfill and a live stream share one index_dir.
         prior = []
-        for p in sorted(glob.glob(os.path.join(index_dir, "*"))):
-            m = re.search(r"batch-(\d+)$", p)
+        for p in _list_index_dirs(spark):
+            m = re.fullmatch(r"batch-(\d+)", os.path.basename(p.rstrip("/")))
             if m and int(m.group(1)) >= batch_id:
                 continue
             prior.append(p)

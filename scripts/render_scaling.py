@@ -197,7 +197,7 @@ def main() -> None:
             "Recall 100% at both scales; pair volume scales exactly\n"
             "linearly by construction and measures so."
         )
-    if "detection_confusion" in s1:
+    if "detection_confusion" in s1 and "detection_confusion" in s10:
         print()
         print("## Matcher-fed detection confusion (composed pipeline)")
         print()
@@ -216,7 +216,7 @@ def main() -> None:
         for label, s in (("1x", s1), ("10x", s10)):
             d = s["detection_confusion"]
             print(f"| {label} | {d['sec']} | {d['rows']} |")
-    if "webdataset" in s1:
+    if "webdataset" in s1 and "webdataset" in s10:
         print()
         print("## WebDataset shard round-trip (documents table)")
         print()

@@ -526,16 +526,18 @@ def test_gopher_word_signals_match_python(spark, docs):
 # capture window AND decode back to the measurement within 10ms (or be
 # an explicitly-counted fastest-shed query)
 @settings(max_examples=50, deadline=None)
-@given(
-    times=st.lists(
-        st.floats(0.0, 99.0, allow_nan=False), min_size=96, max_size=96
-    ),
-)
-def test_bench_stdout_line_property(times):
+@given(data=st.data())
+def test_bench_stdout_line_property(data):
     import json
 
     import bench
 
+    n = len(bench.BENCH_QUERIES)  # track the registry, don't pin it
+    times = data.draw(
+        st.lists(
+            st.floats(0.0, 99.0, allow_nan=False), min_size=n, max_size=n
+        )
+    )
     qs = dict(zip(bench.BENCH_QUERIES, times))
     line = bench.stdout_line(round(sum(times), 3), 0.1, qs)
     assert len(line) <= 1980
