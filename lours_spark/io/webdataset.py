@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import tarfile
 from typing import Iterator
 
@@ -64,7 +65,18 @@ def dataset_to_webdataset(
     ``None.<ext>`` and the shard map undefined) — filter them upstream.
     Keys containing ``.`` are rejected too: the WebDataset convention
     splits member basenames at the FIRST dot, so a dotted key could
-    not round-trip (dotted EXTENSIONS like ``json.gz`` are fine).
+    not round-trip (dotted EXTENSIONS like ``json.gz`` are fine). Both
+    checks run as one narrow scan BEFORE the stale-shard cleanup, so a
+    bad key never destroys the previous dataset; duplicate keys are
+    rejected during the write (equal keys sort adjacent in one shard).
+
+    ``out_dir`` must be a filesystem every executor AND the driver see
+    at the same path (local disk on local[*], NFS/FUSE mounts on a
+    cluster): shards are written with plain POSIX file APIs in the
+    executor tasks and the driver does the stale cleanup. Tar append
+    has no Hadoop-output-committer equivalent, so object stores need a
+    local staging dir + an upload step — out of scope here, stated
+    rather than silently scattered across executor-local disks.
     """
     import glob
 
@@ -72,8 +84,31 @@ def dataset_to_webdataset(
 
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1: {num_shards}")
+    # validate keys BEFORE the destructive stale-shard cleanup below: a
+    # bad key surfacing mid-job (the per-row executor checks are the
+    # backstop) must not leave the caller with the old dataset deleted
+    # and the new one half-published. One narrow scan, pushdown-friendly.
+    bad = (
+        df.filter(
+            F.col(key_col).isNull()
+            | F.col(key_col).cast("string").contains(".")
+        )
+        .select(key_col)
+        .first()
+    )
+    if bad is not None:
+        raise ValueError(
+            "NULL key or dotted key in webdataset input — keys must be "
+            "non-NULL and must not contain '.' (the format splits "
+            f"member basenames at the FIRST dot): found {bad[0]!r}; "
+            "nothing was written or deleted"
+        )
     os.makedirs(out_dir, exist_ok=True)
-    for stale in glob.glob(os.path.join(out_dir, "shard-*.tar")):
+    # include orphaned tmp files from dead task attempts (their retry
+    # publishes under a new attempt id, so the old .tmp stays forever)
+    for stale in glob.glob(os.path.join(out_dir, "shard-*.tar")) + glob.glob(
+        os.path.join(out_dir, "shard-*.tar.*.tmp")
+    ):
         os.remove(stale)
     exts = sorted(columns)
     # POSITIONAL member-column aliases (__c_0, __c_1, …): extension
@@ -101,7 +136,8 @@ def dataset_to_webdataset(
         from pyspark import TaskContext
 
         attempt = TaskContext.get().taskAttemptId()
-        state = {"shard": None, "tar": None, "tmp": None, "n": 0}
+        state = {"shard": None, "tar": None, "tmp": None, "n": 0,
+                 "prev_key": None}
         done: list[tuple[int, int]] = []
 
         def close_current():
@@ -138,6 +174,17 @@ def dataset_to_webdataset(
                         "format splits member basenames at the FIRST "
                         f"dot, so the key would not round-trip): {key!r}"
                     )
+                # duplicate keys collide in member names, break the
+                # byte-identical determinism contract (equal sort keys
+                # have no order) and make the reader's pivot pick
+                # arbitrarily — equal keys hash to one shard and sort
+                # adjacent, so one carried comparison catches them all
+                if key == state["prev_key"]:
+                    raise ValueError(
+                        f"duplicate webdataset key {key!r} — keys must "
+                        "be unique (dedup upstream)"
+                    )
+                state["prev_key"] = key
                 shard = int(shards[i])
                 if shard != state["shard"]:
                     close_current()
@@ -182,6 +229,7 @@ def write_webdataset_stream(
     shards_per_batch: int = 2,
     seed: int = 42,
     query_name: str = "webdataset_sink",
+    available_now: bool = True,
 ):
     """Streaming twin of :func:`dataset_to_webdataset`: each
     micro-batch lands as its own ``batch-%06d/`` shard directory via
@@ -192,6 +240,10 @@ def write_webdataset_stream(
     with byte-identical content — idempotence does the work the
     checkpoint alone can't. Readers glob ``<out>/batch-*/shard-*.tar``
     (``read_webdataset_members`` accepts the parent dir).
+
+    ``available_now`` (default True) drains the CURRENT backlog and
+    terminates — the batch-job invocation; pass False for a
+    continuously-running sink over a live drop directory.
 
     Returns the started ``StreamingQuery`` (caller awaits/stops)."""
 
@@ -205,13 +257,14 @@ def write_webdataset_stream(
             seed=seed,
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(write_batch)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
@@ -248,7 +301,18 @@ def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
                         d, _, base = m.name.rpartition("/")
                         kp, _, ext = base.partition(".")
                         key = f"{d}/{kp}" if d else kp
-                        out["shard"].append(os.path.basename(row["path"]))
+                        # disambiguate the streaming sink's layout:
+                        # batch-000000/shard-00000.tar and
+                        # batch-000001/shard-00000.tar are DISTINCT
+                        # shards — a bare basename would merge them for
+                        # any consumer grouping on this column. Plain
+                        # (non-batch) layouts keep the bare name.
+                        sp = row["path"].rstrip("/")
+                        sname = os.path.basename(sp)
+                        parent = os.path.basename(os.path.dirname(sp))
+                        if re.fullmatch(r"batch-\d+", parent):
+                            sname = f"{parent}/{sname}"
+                        out["shard"].append(sname)
                         out["key"].append(key)
                         out["ext"].append(ext)
                         out["data"].append(tar.extractfile(m).read())

@@ -49,10 +49,14 @@ def watch_caipy(
 ):
     """Start the watcher; returns the StreamingQuery.
 
-    New ``Annotations/{split}/*.json`` files are parsed and appended to
-    ``{output_root}/images`` and ``{output_root}/annotations`` parquet
-    directories. ``available_now=True`` drains the current backlog and
-    stops (test/offline mode).
+    New ``Annotations/{split}/*.json`` files are parsed and delivered
+    to ``{output_root}/images`` and ``{output_root}/annotations``
+    parquet directories as ``batch=<id>`` partition dirs, overwritten
+    in place — so a crash-recovery replay of a half-delivered batch
+    rewrites instead of duplicating (exactly-once by idempotence, like
+    the webdataset streaming sink; reads of the parent dir gain a
+    ``batch`` partition column). ``available_now=True`` drains the
+    current backlog and stops (test/offline mode).
 
     >>> import json, os, tempfile
     >>> root, out = tempfile.mkdtemp(), tempfile.mkdtemp()
@@ -90,17 +94,27 @@ def watch_caipy(
     )
 
     def deliver(batch: DataFrame, batch_id: int) -> None:
+        # per-batch partition dirs OVERWRITTEN in place, not a blind
+        # append: foreachBatch replays the same batch_id after a crash
+        # between the two writes (or before the checkpoint commit), and
+        # an append would duplicate every row of the half-delivered
+        # batch. Overwriting batch=<id> makes the replay idempotent —
+        # the same exactly-once-by-idempotence recipe as the webdataset
+        # and near-dup-miner sinks. Readers of {output_root}/images get
+        # a bonus `batch` partition column (which drop delivered a row).
         img = batch.select("image.*", "split")
         if "file_name" in img.columns:
             img = img.withColumnRenamed("file_name", "relative_path")
-        img.write.mode("append").parquet(os.path.join(output_root, "images"))
+        img.write.mode("overwrite").parquet(
+            os.path.join(output_root, "images", f"batch={batch_id}")
+        )
         ann = batch.select(
             F.col("image.id").alias("image_id"),
             F.explode_outer("annotations").alias("a"),
             F.col("split"),
         ).select("image_id", "a.*", "split")
-        ann.write.mode("append").parquet(
-            os.path.join(output_root, "annotations")
+        ann.write.mode("overwrite").parquet(
+            os.path.join(output_root, "annotations", f"batch={batch_id}")
         )
 
     writer = (

@@ -19,12 +19,16 @@ stages are expressed right:
   ``dropDuplicatesWithinWatermark`` — duplicates are only caught
   within the window, but state is evicted past the watermark
   (bounded-state for infinite ingest);
-- stages run in the SAME order as the batch pipeline (dedup on RAW
-  text, then the quality filter, then redaction) so both modes keep
-  the same survivors: fingerprinting redacted text would merge docs
-  that differ only in their PII, and filtering before dedup would
-  let a later high-quality duplicate survive where batch drops the
-  group;
+- stages run in the SAME order as the batch pipeline (gopher rules,
+  then dedup on RAW text, then the quality filter, then redaction) so
+  both modes keep the same duplicate GROUPS: fingerprinting redacted
+  text would merge docs that differ only in their PII, and deduping
+  before the rule cut would let a gopher-doomed doc claim a
+  fingerprint its surviving batch-side duplicate holds. One honest
+  WITHIN-group divergence remains: ``dropDuplicates`` keeps each
+  fingerprint's FIRST-ARRIVING doc while the batch pipeline keeps the
+  MIN-ID one — the surviving groups match, the representative id can
+  differ when a lower id arrives in a later batch;
 - the per-language quality PERCENTILE of the batch pipeline is a
   corpus-wide rank — meaningless over an unbounded stream — so the
   streaming twin takes an absolute ``quality_min_score`` instead,
@@ -95,12 +99,24 @@ def curate_document_stream(
     """
     out = docs
 
+    if gopher is not None:
+        from lours_spark.operators.quality import filter_gopher
+
+        # stateless codegen'd projection — streaming-safe as-is, and
+        # BEFORE dedup like the batch pipeline: gopher-cut docs must
+        # not claim a fingerprint (batch drops doc A via gopher first,
+        # then dedup keeps its surviving duplicate B; deduping first
+        # would keep A, drop B, then gopher would kill A — nothing
+        # survives where batch keeps B)
+        out = filter_gopher(out, id_col, text_col, **gopher)
+
     if dedup_exact:
         from lours_spark.functions.text import fingerprint
 
-        # cross-batch keep-first on the RAW text, BEFORE filtering and
-        # redaction — same stage order as pipeline.curate_documents
-        # (see module docstring for why the order is semantic)
+        # cross-batch keep-first on the RAW text, BEFORE the quality
+        # filter and redaction — same stage order as
+        # pipeline.curate_documents (see module docstring for why the
+        # order is semantic)
         out = out.withColumn("__fp", fingerprint(F.col(text_col)))
         if ts_col is not None and dedup_within is not None:
             out = out.withWatermark(
@@ -109,13 +125,6 @@ def curate_document_stream(
         else:
             out = out.dropDuplicates(["__fp"])
         out = out.drop("__fp")
-
-    if gopher is not None:
-        from lours_spark.operators.quality import filter_gopher
-
-        # stateless codegen'd projection — streaming-safe as-is, and
-        # batch-parity with pipeline.curate_documents' gopher stage
-        out = filter_gopher(out, id_col, text_col, **gopher)
 
     if quality_min_score is not None:
         from lours_spark.functions.text import quality_score
@@ -153,6 +162,7 @@ def mine_neardup_stream(
     jaccard_threshold: float = 0.5,
     hash_fn: str = "md5",
     query_name: str = "neardup_miner",
+    available_now: bool = True,
 ):
     """Streaming twin of ``operators.dedup.minhash_lsh_pairs_incremental``:
     per micro-batch, mine the batch's documents against the ACCUMULATED
@@ -175,6 +185,11 @@ def mine_neardup_stream(
     bounded by corpus size, durable, shared with BATCH incremental
     mining (``build_minhash_index`` writes the same schema) — a
     backfilled corpus and a live stream can feed one index.
+
+    ``available_now`` (default True) drains the CURRENT backlog and
+    terminates — the batch-job-style invocation the tests use; pass
+    False for a continuously-running miner over a live drop directory
+    (the caller owns the query lifecycle either way).
 
     Returns the started ``StreamingQuery`` (caller awaits/stops)."""
     import os
@@ -244,10 +259,11 @@ def mine_neardup_stream(
         # micro-batch
         new_idx.unpersist()
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(mine_batch)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -227,6 +227,13 @@ def asof_enrich_stream(
         if tolerance is None
         else (pd.Timedelta(seconds=tolerance) if is_ts else tolerance)
     )
+    # suffix the payload columns ONCE before broadcasting: renaming in
+    # the executor kernel copied the whole static frame per task —
+    # for a feature table near the memory limit that doubles peak
+    # memory on every micro-batch task for nothing
+    static_pdf = static_pdf.rename(
+        columns={c: f"{c}{suffix}" for c in payload}
+    )
     b_static = stream.sparkSession.sparkContext.broadcast(static_pdf)
 
     out_schema = T.StructType(
@@ -240,9 +247,7 @@ def asof_enrich_stream(
     out_cols = [f.name for f in out_schema.fields]
 
     def enrich(batches):
-        right = b_static.value.rename(
-            columns={c: f"{c}{suffix}" for c in payload}
-        )
+        right = b_static.value
         for pdf in batches:
             if not len(pdf):
                 continue
