@@ -123,13 +123,14 @@ def from_folder(
             F.lit(0).alias("width"),
             F.lit(0).alias("height"),
         )
-    from pyspark.sql import Window
+    from lours_spark.functions.ids import global_row_number
 
+    # two-phase numbering (range-partition + per-partition row_number +
+    # offset prefix-sum): a bare row_number().over(orderBy(path)) would
+    # funnel a 10^7-file listing through ONE task. Same ids, parallel.
     images = (
-        images.withColumn(
-            "id",
-            F.row_number().over(Window.orderBy("relative_path")).cast("long") - 1,
-        )
+        global_row_number(images, ["relative_path"], out_col="id")
+        .withColumn("id", F.col("id").cast("long"))
         .withColumn(
             "type", F.regexp_extract(F.col("relative_path"), r"(\.[^.]+)$", 1)
         )

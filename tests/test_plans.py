@@ -92,6 +92,32 @@ def test_reset_index_from_mapping_unmapped_two_phase(spark):
     assert out.images.count() == 64
 
 
+def test_from_folder_ids_two_phase(spark, tmp_path):
+    """from_folder's id assignment must ride the two-phase
+    global_row_number on wide listings — no single-partition Exchange
+    funneling a 10^7-file listing through one task (VERDICT r7 item 2).
+    Tiny maxPartitionBytes forces one partition per file so the
+    two-phase route (not the ≤4-partition fast path) is what's
+    asserted."""
+    from lours_spark.io.folder import from_folder
+
+    ppm = b"P6\n4 2\n255\n" + b"\x00" * 24
+    for i in range(8):
+        (tmp_path / f"img_{i}.ppm").write_bytes(ppm)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+    try:
+        ds = from_folder(spark, str(tmp_path))
+        assert "Exchange SinglePartition" not in _plan(ds.images)
+        rows = sorted(ds.images.collect(), key=lambda r: r["id"])
+        assert [r["id"] for r in rows] == list(range(8))
+        assert [r["relative_path"] for r in rows] == sorted(
+            f"img_{i}.ppm" for i in range(8)
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_lsh_near_dup_no_cartesian(spark, suite):
     """The default near-dup path must not contain a cartesian product
     or a broadcast of the full corpus matrix — candidates come from the
