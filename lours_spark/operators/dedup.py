@@ -240,6 +240,45 @@ def _band_rows(
     )
 
 
+def _cap_bucket_rows(
+    rows: DataFrame,
+    key_cols: "tuple[str, ...]",
+    max_bucket_size: int,
+    has_new_col: "str | None" = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Split bucket-member rows into (kept, dropped) around a hot-bucket
+    cap. Bucket sizes come from a window count over the SAME keys the
+    downstream ``groupBy`` clusters on, so the filter costs no extra
+    exchange AND — the point — an oversized bucket is cut BEFORE its
+    ``collect_list`` row ever materializes (a 10⁶-member boilerplate
+    bucket would otherwise be a multi-MB aggregation row feeding 10¹²
+    candidate pairs).
+
+    ``kept`` is the member rows of buckets with 2..max size (singleton
+    buckets pair with nothing — pre-cut here too). ``dropped`` is one
+    row per skipped bucket ``(*key_cols, bucket_size)`` — the
+    no-silent-caps ledger; when ``has_new_col`` names a boolean member
+    flag, only oversized buckets that CONTAIN a flagged member are
+    reported (an all-old oversized bucket forfeits no pair in the
+    incremental miner)."""
+    w = Window.partitionBy(*key_cols)
+    sized = rows.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    if has_new_col is not None:
+        sized = sized.withColumn(
+            "__bnew", F.max(F.col(has_new_col).cast("int")).over(w)
+        )
+    kept = sized.filter(
+        (F.col("__bsz") > 1) & (F.col("__bsz") <= max_bucket_size)
+    ).drop("__bsz", *(["__bnew"] if has_new_col is not None else []))
+    dropped = sized.filter(F.col("__bsz") > max_bucket_size)
+    if has_new_col is not None:
+        dropped = dropped.filter(F.col("__bnew") == 1)
+    dropped = dropped.select(
+        *key_cols, F.col("__bsz").alias("bucket_size")
+    ).distinct()
+    return kept, dropped
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -249,7 +288,9 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "md5",
-) -> DataFrame:
+    max_bucket_size: "int | None" = None,
+    return_dropped: bool = False,
+) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
     Plan: signatures (narrow) → unpivot band keys (narrow) → ONE
@@ -264,6 +305,20 @@ def minhash_lsh_pairs(
     :func:`_minhash_agg`). Emitted pairs are exact-verified either way;
     only candidate recall depends on the hash family, identically in
     distribution.
+
+    ``max_bucket_size`` — the hot-bucket guard for crawl-shaped data:
+    per-bucket candidate fan-out is quadratic in bucket size, so ONE
+    band bucket holding a 10⁶-member boilerplate family is 10¹² pairs
+    and a multi-MB ``collect_list`` row. With a cap, buckets larger
+    than this many members are skipped BEFORE the collect (a window
+    count over the same bucket key — no extra exchange) and reported:
+    pass ``return_dropped=True`` to also get the skipped-bucket frame
+    ``(band, band_key, bucket_size)`` — count it, log it, or feed the
+    member docs to :func:`exact_duplicates`; near-identical mega
+    families are better pre-collapsed by exact fingerprint BEFORE
+    shingling anyway (one survivor per family keeps recall, kills the
+    hot bucket at the source). ``None`` (default) = uncapped, the
+    oracle-gated plan, byte-identical to previous rounds.
     """
     rows_per_band = num_hashes // bands
     sig = _minhash_agg(
@@ -276,6 +331,11 @@ def minhash_lsh_pairs(
     # subtree; the groupBy shape scans it once and fans out pairs with
     # a narrow JVM-side double-explode (same shape as the embedding
     # LSH path)
+    dropped = None
+    if max_bucket_size is not None:
+        band_rows, dropped = _cap_bucket_rows(
+            band_rows, ("band", "band_key"), max_bucket_size
+        )
     buckets = (
         band_rows.groupBy("band", "band_key")
         .agg(F.collect_list("__id").alias("__ids"))
@@ -300,7 +360,24 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if return_dropped:
+        return verified, _empty_dropped(
+            df.sparkSession, ("band", "band_key"), dropped
+        )
     return verified
+
+
+def _empty_dropped(spark, key_cols, dropped):
+    """The dropped-bucket frame, or its empty twin when no cap was set
+    (``return_dropped=True`` always returns a frame of the same shape
+    so callers can count/write it unconditionally)."""
+    if dropped is not None:
+        return dropped
+    fields = ", ".join(
+        f"{c} {'int' if c in ('band', 'table') else 'string' if c == 'band_key' else 'long'}"
+        for c in key_cols
+    )
+    return spark.createDataFrame([], f"{fields}, bucket_size long")
 
 
 def build_minhash_index(
@@ -339,7 +416,9 @@ def minhash_lsh_pairs_incremental(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "md5",
-) -> "tuple[DataFrame, DataFrame]":
+    max_bucket_size: "int | None" = None,
+    return_dropped: bool = False,
+) -> "tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]":
     """Incremental MinHash-LSH near-dup mining: pairs between a NEW
     document batch and an indexed corpus (plus new×new), without ever
     re-mining old×old pairs or touching old text.
@@ -350,6 +429,16 @@ def minhash_lsh_pairs_incremental(
     verified jaccard; parity-tested), and ``new_index_rows`` is the
     new batch's index frame to append to the stored index for the next
     batch.
+
+    ``max_bucket_size`` / ``return_dropped``: the hot-bucket guard —
+    see :func:`minhash_lsh_pairs`. The incremental miner is where the
+    guard matters most: a steady-state index concentrates every
+    boilerplate family ever ingested into the same band buckets, so an
+    uncapped bucket's ``collect_list`` row grows with CORPUS age, not
+    batch size. With ``return_dropped=True`` a third frame is returned
+    reporting each skipped bucket ``(band, band_key, bucket_size)`` —
+    only oversized buckets actually CONTAINING a new member (an
+    all-old oversized bucket forfeits no pair).
 
     Scale shape: the new batch is shingled once (the only text work);
     the index contributes a NARROW projection (id + n signature longs
@@ -374,6 +463,12 @@ def minhash_lsh_pairs_incremental(
     # the __new flag rides the band explode — a join back to sig would
     # re-scan the parquet index side a second time just to re-attach it
     band_rows = _band_rows(sig, bands, rows_per_band, carry=("__new",))
+    dropped = None
+    if max_bucket_size is not None:
+        band_rows, dropped = _cap_bucket_rows(
+            band_rows, ("band", "band_key"), max_bucket_size,
+            has_new_col="__new",
+        )
     buckets = (
         band_rows.groupBy("band", "band_key")
         .agg(
@@ -410,6 +505,10 @@ def minhash_lsh_pairs_incremental(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if return_dropped:
+        return pairs, new_sig, _empty_dropped(
+            new_docs.sparkSession, ("band", "band_key"), dropped
+        )
     return pairs, new_sig
 
 
@@ -530,8 +629,19 @@ def embedding_near_duplicates(
     num_centroids: int | None = None,
     num_probes: int = 3,
     seed: int = 7,
-) -> DataFrame:
+    max_bucket_size: "int | None" = None,
+    return_dropped: bool = False,
+) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    ``max_bucket_size`` / ``return_dropped`` (``method="lsh"`` only —
+    a cap on the other methods raises): the hot-bucket guard of
+    :func:`minhash_lsh_pairs`, here over the (table, sig) sign-LSH
+    buckets. An embedding corpus with a mass-duplicated vector (a
+    default/zero embedding, a template page) concentrates it into one
+    bucket PER TABLE; the cap skips those buckets before their
+    ``collect_list`` row forms and ``return_dropped=True`` returns the
+    ``(table, sig, bucket_size)`` ledger alongside the pairs.
 
     ``method="lsh"`` (default — the 100 TB path): banded
     random-hyperplane sign LSH. Each vector gets ``num_tables``
@@ -580,22 +690,46 @@ def embedding_near_duplicates(
     if method == "lsh":
         import math
 
-        if planes_per_table is None:
+        auto_r = planes_per_table is None
+        if auto_r:
             n = df.count()
             planes_per_table = max(12, math.ceil(math.log2(max(n, 2))) + 4)
         if num_tables is None:
             p = 1.0 - math.acos(max(min(threshold, 0.9999), -1.0)) / math.pi
             pr = p ** planes_per_table
-            num_tables = (
-                64
+            needed = (
+                1
                 if pr >= 1.0
-                else max(
-                    4,
-                    min(64, math.ceil(math.log(1 - target_recall) / math.log(1 - pr))),
-                )
+                else math.ceil(math.log(1 - target_recall) / math.log(1 - pr))
             )
+            num_tables = max(4, min(64, needed))
+            if needed > 64:
+                # auto-r grows with the corpus, so the table count the
+                # recall target implies can silently saturate the
+                # L≤64 clamp — say so instead of under-delivering
+                # recall without a signal (ADVICE r7)
+                import warnings
+
+                warnings.warn(
+                    f"embedding_near_duplicates: target_recall="
+                    f"{target_recall} at threshold={threshold} with "
+                    f"{'auto-sized' if auto_r else ''} planes_per_table="
+                    f"{planes_per_table} needs {needed} tables; clamped "
+                    f"to 64, boundary-pair recall ≈ "
+                    f"{1 - (1 - pr) ** 64:.6f}. Pass num_tables "
+                    f"explicitly to lift the clamp, or a smaller "
+                    f"planes_per_table to need fewer tables.",
+                    stacklevel=2,
+                )
         return _embedding_near_dup_lsh(
-            df, id_col, vec_col, threshold, num_tables, planes_per_table, seed
+            df, id_col, vec_col, threshold, num_tables, planes_per_table,
+            seed, max_bucket_size=max_bucket_size,
+            return_dropped=return_dropped,
+        )
+    if max_bucket_size is not None or return_dropped:
+        raise ValueError(
+            "max_bucket_size/return_dropped apply to method='lsh' only "
+            "(ivf bounds candidate volume via num_centroids)"
         )
     if method == "ivf":
         return _embedding_near_dup_ivf(
@@ -731,7 +865,9 @@ def _embedding_near_dup_lsh(
     num_tables: int,
     planes_per_table: int,
     seed: int,
-) -> DataFrame:
+    max_bucket_size: "int | None" = None,
+    return_dropped: bool = False,
+) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """Banded sign-LSH candidate generation + exact cosine verify (see
     :func:`embedding_near_duplicates`). One mapInPandas pass computes
     every table signature with a single (batch × planes) BLAS product;
@@ -773,6 +909,11 @@ def _embedding_near_dup_lsh(
     # (exchange reuse does not cover map-side Python stages), doubling
     # the dominant BLAS pass and adding a shuffle. Pair fan-out within
     # a bucket is a narrow double-explode, JVM-side.
+    dropped = None
+    if max_bucket_size is not None:
+        sig, dropped = _cap_bucket_rows(
+            sig, ("table", "sig"), max_bucket_size
+        )
     buckets = (
         sig.groupBy("table", "sig")
         .agg(F.collect_list("__id").alias("__ids"))
@@ -786,13 +927,18 @@ def _embedding_near_dup_lsh(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    return (
+    verified = (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", V.cosine_similarity_arrow()(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    if return_dropped:
+        return verified, _empty_dropped(
+            df.sparkSession, ("table", "sig"), dropped
+        )
+    return verified
 
 
 def semantic_dedup(

@@ -1298,3 +1298,152 @@ def test_minhash_incremental_matches_full_batch(spark):
 
     # the returned index rows are appendable (schema matches)
     assert new_idx.columns == index.columns
+
+
+def _hot_bucket_docs(spark, mega=60, mega_text=None):
+    """mega identical boilerplate docs (ONE band bucket per band holds
+    them all) + two small 2-doc near-dup families + singletons."""
+    mega_text = mega_text or (
+        "subscribe to our newsletter terms of service apply "
+        "copyright footer all rights reserved contact us today"
+    )
+    rows = [(i, mega_text) for i in range(mega)]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+        (1002, "one two three four five six seven eight nine ten"),
+        (1003, "one two three four five six seven eight nine eleven"),
+        (1004, "totally unrelated text about spark physical planning"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """The hot-bucket guard (VERDICT r7 item 1): a planted boilerplate
+    mega-family must not fan out quadratically — capped buckets are
+    skipped BEFORE their collect_list row forms, the small families
+    still pair, and the skipped buckets are reported (no silent cap)."""
+    docs = _hot_bucket_docs(spark, mega=60)
+
+    uncapped = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 60 * 59 // 2  # the mega family alone
+
+    pairs, dropped = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, max_bucket_size=20,
+        return_dropped=True,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # bounded: every mega pair is gone, candidate volume collapses
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+    assert len(got) < 20
+    # the small families survive the cap
+    assert (1000, 1001) in got and (1002, 1003) in got
+    # the ledger: identical docs collide in EVERY band → one skipped
+    # bucket per band, each holding the whole family
+    drows = dropped.collect()
+    assert len(drows) == 4  # default bands=4
+    assert all(r["bucket_size"] == 60 for r in drows)
+    assert set(dropped.columns) == {"band", "band_key", "bucket_size"}
+
+    # cap off + return_dropped: empty ledger, same pair set as plain
+    pairs0, dropped0 = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, return_dropped=True
+    )
+    assert dropped0.count() == 0
+    assert pairs0.count() == n_uncapped
+
+
+def test_minhash_incremental_hot_bucket_cap(spark):
+    """Incremental miner under the cap: an oversized bucket WITH a new
+    member is skipped and reported; an all-old oversized bucket (the
+    steady-state boilerplate case) is neither mined nor reported — it
+    forfeits no pair."""
+    from lours_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _hot_bucket_docs(spark, mega=30)
+    old = docs.filter(F.col("doc_id") < 25)  # 25 mega docs
+    new = docs.filter(F.col("doc_id") >= 25)  # 5 mega + small families
+    index = build_minhash_index(old)
+
+    pairs, _, dropped = minhash_lsh_pairs_incremental(
+        new, index, jaccard_threshold=0.5, max_bucket_size=10,
+        return_dropped=True,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+    assert (1000, 1001) in got and (1002, 1003) in got
+    drows = dropped.collect()
+    assert len(drows) == 4 and all(r["bucket_size"] == 30 for r in drows)
+
+    # new batch with NO mega member: the oversized bucket is all-old →
+    # ledger stays empty (nothing was forfeited)
+    new2 = docs.filter(F.col("doc_id") >= 1000)
+    pairs2, _, dropped2 = minhash_lsh_pairs_incremental(
+        new2, build_minhash_index(docs.filter(F.col("doc_id") < 30)),
+        jaccard_threshold=0.5, max_bucket_size=10, return_dropped=True,
+    )
+    assert dropped2.count() == 0
+    got2 = {(r["id_a"], r["id_b"]) for r in pairs2.collect()}
+    assert (1000, 1001) in got2 and (1002, 1003) in got2
+
+
+def test_embedding_hot_bucket_cap(spark):
+    """Embedding sign-LSH under the cap: a mass-duplicated vector (a
+    default embedding) concentrates into one bucket per table — capped
+    out and reported; distinct near pairs still verify."""
+    from lours_spark.operators.dedup import embedding_near_duplicates
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+    rows += [
+        (1000, [0.0, 1.0, 0.001, 0.0]),
+        (1001, [0.0, 1.0, 0.0, 0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs, dropped = embedding_near_duplicates(
+        df, id_col="vec_id", threshold=0.99, method="lsh",
+        num_tables=4, planes_per_table=8, max_bucket_size=10,
+        return_dropped=True,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1000, 1001) in got
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+    drows = dropped.collect()
+    assert len(drows) >= 4  # the mega bucket in each of the 4 tables
+    assert all(r["bucket_size"] >= 50 for r in drows)
+    assert set(dropped.columns) == {"table", "sig", "bucket_size"}
+
+    # the cap is an LSH-only knob — other methods bound candidates
+    # through their own parameters
+    with pytest.raises(ValueError, match="lsh"):
+        embedding_near_duplicates(
+            df, id_col="vec_id", method="ivf", max_bucket_size=10
+        )
+
+
+def test_embedding_lsh_table_clamp_warns(spark):
+    """When the recall target implies more than the 64-table clamp
+    (low threshold + auto-sized planes), the saturation is surfaced as
+    a warning instead of silently under-delivering recall (ADVICE r7)."""
+    import warnings as _w
+
+    rows = [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.warns(UserWarning, match="clamped"):
+        embedding_near_duplicates_mod = __import__(
+            "lours_spark.operators.dedup", fromlist=["embedding_near_duplicates"]
+        )
+        embedding_near_duplicates_mod.embedding_near_duplicates(
+            df, id_col="vec_id", threshold=0.6, method="lsh",
+            target_recall=0.9999,
+        )
+    # explicit num_tables: no warning
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        embedding_near_duplicates_mod.embedding_near_duplicates(
+            df, id_col="vec_id", threshold=0.6, method="lsh", num_tables=8
+        )
