@@ -400,10 +400,56 @@ def build_minhash_index(
     index rows (the frame this returns for the new batch alone) to the
     stored index. Parameters (k, num_hashes, hash_fn) must match
     across batches — band keys are derived from the signatures, so
-    ``bands`` may vary per query."""
-    return _minhash_agg(
+    ``bands`` may vary per query.
+
+    The build parameters are STAMPED into the index as column metadata
+    on ``__id`` (StructField metadata rides the Spark schema in every
+    parquet footer, costs zero rows and zero jobs to read back) —
+    :func:`minhash_lsh_pairs_incremental` fails loud on a mismatch, so
+    a stream resumed with different (k, num_hashes, hash_fn) cannot
+    silently mix incompatible signatures into one durable index.
+    Pre-round-8 indexes carry no stamp and are accepted as-is."""
+    out = _minhash_agg(
         df, id_col, text_col, k, num_hashes, hash_fn=hash_fn
     ).withColumnRenamed(id_col, "__id")
+    return out.withColumn(
+        "__id",
+        F.col("__id").alias(
+            "__id",
+            metadata={
+                "lours.minhash.k": k,
+                "lours.minhash.num_hashes": num_hashes,
+                "lours.minhash.hash_fn": hash_fn,
+            },
+        ),
+    )
+
+
+def _check_index_params(
+    index: DataFrame, k: int, num_hashes: int, hash_fn: str
+) -> None:
+    """Fail loud when a stamped index disagrees with the mining call's
+    parameters (see :func:`build_minhash_index`); unstamped (legacy)
+    indexes pass. Pure schema inspection — no Spark job."""
+    try:
+        meta = dict(index.schema["__id"].metadata or {})
+    except KeyError:
+        return
+    if "lours.minhash.k" not in meta:
+        return
+    stamped = (
+        meta.get("lours.minhash.k"),
+        meta.get("lours.minhash.num_hashes"),
+        meta.get("lours.minhash.hash_fn"),
+    )
+    if stamped != (k, num_hashes, hash_fn):
+        raise ValueError(
+            f"minhash index was built with (k, num_hashes, hash_fn)="
+            f"{stamped} but this call uses ({k}, {num_hashes}, "
+            f"{hash_fn!r}) — signatures from different parameter sets "
+            f"cannot be mixed; re-mine with the index's parameters or "
+            f"rebuild the index."
+        )
 
 
 def minhash_lsh_pairs_incremental(
@@ -453,6 +499,7 @@ def minhash_lsh_pairs_incremental(
     upstream; an id on both sides would self-pair at jaccard 1.0).
     """
     rows_per_band = num_hashes // bands
+    _check_index_params(index, k, num_hashes, hash_fn)
     new_sig = build_minhash_index(
         new_docs, id_col, text_col, k, num_hashes, hash_fn=hash_fn
     )

@@ -149,6 +149,134 @@ def curate_document_stream(
     return out
 
 
+def _list_child_dirs(spark: SparkSession, root: str) -> "list[str]":
+    """Child directories of ``root`` via the Hadoop FileSystem API —
+    works on any scheme the cluster can read (s3a://, hdfs://,
+    file://); a driver-local ``glob`` would silently return nothing
+    for remote stores."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return []
+    return sorted(
+        str(st.getPath().toString())
+        for st in fs.listStatus(path)
+        if st.isDirectory()
+    )
+
+
+def _classify_index_dirs(paths: "list[str]"):
+    """Split index child dirs into (batch dirs, compact dirs, others).
+    Matches anchor on the WHOLE basename, so a backfill named e.g.
+    "corpus-batch-3" is never mistaken for a stream batch dir."""
+    import os
+    import re
+
+    batches, compacts, others = [], [], []
+    for p in paths:
+        name = os.path.basename(p.rstrip("/"))
+        m = re.fullmatch(r"batch-(\d+)", name)
+        if m:
+            batches.append((int(m.group(1)), p))
+            continue
+        m = re.fullmatch(r"compact-(\d+)", name)
+        if m:
+            compacts.append((int(m.group(1)), p))
+            continue
+        others.append(p)
+    return batches, compacts, others
+
+
+def _prior_index_dirs(paths: "list[str]", batch_id: int) -> "list[str]":
+    """The index dirs that constitute the exact pre-``batch_id`` state:
+
+    - non-batch, non-compact dirs (backfilled corpus indexes) — always;
+    - the LATEST ``compact-K`` dir, which supersedes every ``batch-n``
+      with n < K and every older compact dir (crash leftovers between
+      a compaction's write and its deletes are therefore harmless —
+      superseded dirs are simply not selected);
+    - ``batch-n`` dirs with K ≤ n < batch_id (this batch's own dir and
+      later dirs are excluded: a crashed attempt may have half-written
+      them).
+
+    Raises when the compact bound exceeds ``batch_id`` — that compact
+    dir would contain this (uncommitted, replaying) batch's own rows,
+    which only a compaction run against a non-cleanly-stopped stream
+    can produce."""
+    batches, compacts, others = _classify_index_dirs(paths)
+    kmax, kpath = max(compacts) if compacts else (0, None)
+    if kpath is not None and kmax > batch_id:
+        raise RuntimeError(
+            f"index compaction bound {kmax} exceeds the replaying "
+            f"batch id {batch_id}: the compact dir mixes this batch's "
+            f"own rows into prior state. Compact only through "
+            f"committed batches (the compact_every automation "
+            f"guarantees this; manual compact_neardup_index calls "
+            f"must run against a cleanly stopped stream)."
+        )
+    prior = list(others)
+    if kpath is not None:
+        prior.append(kpath)
+    prior += [p for n, p in batches if kmax <= n < batch_id]
+    return sorted(prior)
+
+
+def compact_neardup_index(
+    spark: SparkSession, index_dir: str, upto_batch_id: "int | None" = None
+) -> int:
+    """Fold the per-micro-batch ``batch-%06d`` index dirs below
+    ``upto_batch_id`` (plus any older ``compact-*`` dir) into ONE
+    ``compact-%06d`` dir — the small-files/listing-tax remedy for a
+    long-lived :func:`mine_neardup_stream` (VERDICT r7 item 3).
+    Backfill dirs (non-batch names) are left standalone: they never
+    accumulate.
+
+    Replay-safe by construction: the compact dir's content is a pure
+    function of the dirs it consumes, prior-state selection treats a
+    ``compact-K`` dir as superseding everything it folded (so the
+    post-write deletes are cleanup, not correctness), and a rerun after
+    a crash between write and deletes detects the committed output
+    (``_SUCCESS``) and only finishes the deletes — it never rewrites
+    the compact dir from a partially-deleted input set.
+
+    ``upto_batch_id`` defaults to (max batch dir id) + 1 — correct
+    when the stream is cleanly stopped; while a stream is live, pass
+    the current batch id (the ``compact_every`` automation does).
+    Returns the number of dirs folded (0 = nothing to do)."""
+    import os
+
+    paths = _list_child_dirs(spark, index_dir)
+    batches, compacts, others = _classify_index_dirs(paths)
+    if upto_batch_id is None:
+        upto_batch_id = max((n for n, _ in batches), default=-1) + 1
+    kmax = max((k for k, _ in compacts), default=0)
+    if upto_batch_id < kmax:
+        return 0  # superseded by a newer compaction
+    consumed = [p for n, p in batches if n < upto_batch_id]
+    consumed += [p for k, p in compacts if k < upto_batch_id]
+    out = os.path.join(index_dir, f"compact-{upto_batch_id:06d}")
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    out_path = jvm.org.apache.hadoop.fs.Path(out)
+    fs = out_path.getFileSystem(hconf)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(os.path.join(out, "_SUCCESS"))):
+        # a prior attempt committed the compact dir but crashed before
+        # finishing its deletes — only clean up, NEVER rewrite from the
+        # partially-deleted input set
+        for p in consumed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+        return len(consumed)
+    if len(consumed) < 2:
+        return 0  # folding fewer than two dirs gains nothing
+    spark.read.parquet(*consumed).write.mode("overwrite").parquet(out)
+    for p in consumed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+    return len(consumed)
+
+
 def mine_neardup_stream(
     stream: DataFrame,
     index_dir: str,
@@ -163,6 +291,7 @@ def mine_neardup_stream(
     hash_fn: str = "md5",
     query_name: str = "neardup_miner",
     available_now: bool = True,
+    compact_every: "int | None" = None,
 ):
     """Streaming twin of ``operators.dedup.minhash_lsh_pairs_incremental``:
     per micro-batch, mine the batch's documents against the ACCUMULATED
@@ -191,45 +320,30 @@ def mine_neardup_stream(
     False for a continuously-running miner over a live drop directory
     (the caller owns the query lifecycle either way).
 
+    ``compact_every``: every N batches, fold the accumulated
+    ``batch-%06d`` index dirs into one ``compact-%06d`` dir via
+    :func:`compact_neardup_index` — a long-lived miner otherwise pays
+    a listing + small-files tax that grows one dir per micro-batch
+    ever ingested. Replay safety is preserved: the compaction bound is
+    always the CURRENT batch id (only committed batches fold), and
+    prior-state selection treats a compact dir as superseding the dirs
+    it consumed. ``None`` (default) = never compact.
+
     Returns the started ``StreamingQuery`` (caller awaits/stops)."""
     import os
-    import re
 
     from lours_spark.operators.dedup import minhash_lsh_pairs_incremental
 
-    def _list_index_dirs(spark) -> list:
-        """Child paths of ``index_dir`` via the Hadoop FileSystem API —
-        works on any scheme the cluster can read (s3a://, hdfs://,
-        file://); a driver-local ``glob`` would silently return nothing
-        for remote stores and every batch would mine only against
-        itself."""
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(index_dir)
-        fs = path.getFileSystem(hconf)
-        if not fs.exists(path):
-            return []
-        return sorted(
-            str(st.getPath().toString())
-            for st in fs.listStatus(path)
-            if st.isDirectory()
-        )
-
     def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # prior state = every index dir EXCEPT this batch's own (a
-        # crashed attempt may have half-written it) and any later
-        # batch-NNNNNN. The match anchors on the WHOLE basename, so a
-        # backfill named e.g. "corpus-batch-3" is NOT mistaken for a
-        # stream batch dir: non-batch-named dirs (a backfilled corpus
-        # index written with build_minhash_index) always count — a
-        # backfill and a live stream share one index_dir.
-        prior = []
-        for p in _list_index_dirs(spark):
-            m = re.fullmatch(r"batch-(\d+)", os.path.basename(p.rstrip("/")))
-            if m and int(m.group(1)) >= batch_id:
-                continue
-            prior.append(p)
+        # prior state = backfill dirs (non-batch names — a backfilled
+        # corpus index shares index_dir with the stream), the latest
+        # compact dir, and the batch dirs it does not supersede,
+        # excluding this batch's own dir and later ones (a crashed
+        # attempt may have half-written them) — see _prior_index_dirs
+        prior = _prior_index_dirs(
+            _list_child_dirs(spark, index_dir), batch_id
+        )
         if prior:
             index = spark.read.parquet(*prior)
         else:
@@ -258,6 +372,16 @@ def mine_neardup_stream(
         # it now or a long-lived stream accumulates a cached frame per
         # micro-batch
         new_idx.unpersist()
+        if (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            # bound = the CURRENT batch id: every dir below it belongs
+            # to a committed batch (this batch's own dir stays out of
+            # the fold, so a replay of THIS batch still sees the exact
+            # pre-batch state through the compact dir)
+            compact_neardup_index(spark, index_dir, upto_batch_id=batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(mine_batch)
