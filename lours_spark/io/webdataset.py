@@ -46,6 +46,8 @@ def dataset_to_webdataset(
     key_col: str = "doc_id",
     num_shards: int = 8,
     seed: int = 42,
+    staging: "bool | None" = None,
+    _fault_inject: "str | None" = None,
 ) -> None:
     """Write one tar shard per seeded hash bucket. ``columns`` maps
     member EXTENSION → source column (string or binary), e.g.
@@ -70,20 +72,40 @@ def dataset_to_webdataset(
     bad key never destroys the previous dataset; duplicate keys are
     rejected during the write (equal keys sort adjacent in one shard).
 
-    ``out_dir`` must be a filesystem every executor AND the driver see
-    at the same path (local disk on local[*], NFS/FUSE mounts on a
-    cluster): shards are written with plain POSIX file APIs in the
-    executor tasks and the driver does the stale cleanup. Tar append
-    has no Hadoop-output-committer equivalent, so object stores need a
-    local staging dir + an upload step — out of scope here, stated
-    rather than silently scattered across executor-local disks.
+    Two publish modes, same idempotence recipe either way (write the
+    whole shard somewhere private, then one rename/move to the final
+    name; retries republish byte-identical content):
+
+    - **direct** (``staging=False``, the default for plain paths):
+      ``out_dir`` is a filesystem every executor AND the driver see at
+      the same path (local disk on local[*], NFS/FUSE on a cluster);
+      shards stream straight into ``<out_dir>/shard-NNNNN.tar.<attempt>
+      .tmp`` and publish with an atomic ``os.replace``.
+    - **staging** (``staging=True``, auto-selected when ``out_dir``
+      carries a URI scheme): tar append has no Hadoop-output-committer
+      equivalent, so each shard is first written to EXECUTOR-LOCAL tmp
+      disk, then uploaded through ``pyarrow.fs`` (scheme-dispatched:
+      file://, s3://, hdfs://) to ``shard-NNNNN.tar.<attempt>.tmp`` and
+      moved to its final name. A task that dies mid-write or mid-upload
+      never publishes a partial shard — only the move creates the final
+      name (on object stores the move is a server-side copy: not
+      atomic, but retries overwrite with identical bytes, so
+      last-publisher-wins holds). The driver's stale cleanup runs
+      through the same pyarrow filesystem.
+
+    ``_fault_inject`` is a test-only hook: ``"before_publish"`` raises
+    in every task after the upload but before the final move,
+    simulating a crash at the worst moment (nothing must be published).
     """
+    import fnmatch
     import glob
 
     import pandas as pd
 
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1: {num_shards}")
+    if staging is None:
+        staging = "://" in out_dir
     # validate keys BEFORE the destructive stale-shard cleanup below: a
     # bad key surfacing mid-job (the per-row executor checks are the
     # backstop) must not leave the caller with the old dataset deleted
@@ -103,13 +125,28 @@ def dataset_to_webdataset(
             f"member basenames at the FIRST dot): found {bad[0]!r}; "
             "nothing was written or deleted"
         )
-    os.makedirs(out_dir, exist_ok=True)
-    # include orphaned tmp files from dead task attempts (their retry
-    # publishes under a new attempt id, so the old .tmp stays forever)
-    for stale in glob.glob(os.path.join(out_dir, "shard-*.tar")) + glob.glob(
-        os.path.join(out_dir, "shard-*.tar.*.tmp")
-    ):
-        os.remove(stale)
+    if staging:
+        # same cleanup, through the scheme-dispatched filesystem (an
+        # os.* call would silently no-op against s3://…)
+        from pyarrow import fs as pafs
+
+        fs_o, base = pafs.FileSystem.from_uri(out_dir)
+        fs_o.create_dir(base, recursive=True)
+        sel = pafs.FileSelector(base, recursive=False)
+        for info in fs_o.get_file_info(sel):
+            if fnmatch.fnmatch(info.base_name, "shard-*.tar") or fnmatch.fnmatch(
+                info.base_name, "shard-*.tar.*.tmp"
+            ):
+                fs_o.delete_file(info.path)
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        # include orphaned tmp files from dead task attempts (their
+        # retry publishes under a new attempt id, so the old .tmp
+        # stays forever)
+        for stale in glob.glob(
+            os.path.join(out_dir, "shard-*.tar")
+        ) + glob.glob(os.path.join(out_dir, "shard-*.tar.*.tmp")):
+            os.remove(stale)
     exts = sorted(columns)
     # POSITIONAL member-column aliases (__c_0, __c_1, …): extension
     # strings go straight into tar member names but make unusable Spark
@@ -136,6 +173,10 @@ def dataset_to_webdataset(
         from pyspark import TaskContext
 
         attempt = TaskContext.get().taskAttemptId()
+        if staging:
+            import tempfile
+
+            stage_dir = tempfile.mkdtemp(prefix="wds-stage-")
         state = {"shard": None, "tar": None, "tmp": None, "n": 0,
                  "prev_key": None}
         done: list[tuple[int, int]] = []
@@ -144,10 +185,34 @@ def dataset_to_webdataset(
             if state["tar"] is None:
                 return
             state["tar"].close()
-            final = os.path.join(
-                out_dir, f"shard-{state['shard']:05d}.tar"
-            )
-            os.replace(state["tmp"], final)
+            if staging:
+                # upload the complete local shard to a remote tmp name,
+                # then one move to publish — a death anywhere before
+                # the move leaves no final-name file behind
+                import shutil
+
+                from pyarrow import fs as pafs
+
+                fs_o, base = pafs.FileSystem.from_uri(out_dir)
+                remote_tmp = (
+                    f"{base}/shard-{state['shard']:05d}.tar.{attempt}.tmp"
+                )
+                final = f"{base}/shard-{state['shard']:05d}.tar"
+                with open(state["tmp"], "rb") as src, fs_o.open_output_stream(
+                    remote_tmp, compression=None
+                ) as dst:
+                    shutil.copyfileobj(src, dst, 8 << 20)
+                if _fault_inject == "before_publish":
+                    raise RuntimeError(
+                        "injected fault: died between upload and publish"
+                    )
+                fs_o.move(remote_tmp, final)
+                os.remove(state["tmp"])
+            else:
+                final = os.path.join(
+                    out_dir, f"shard-{state['shard']:05d}.tar"
+                )
+                os.replace(state["tmp"], final)
             done.append((state["shard"], state["n"]))
             state.update(shard=None, tar=None, tmp=None, n=0)
 
@@ -193,7 +258,8 @@ def dataset_to_webdataset(
                     # last-publisher-wins atomicity
                     state["shard"] = shard
                     state["tmp"] = os.path.join(
-                        out_dir, f"shard-{shard:05d}.tar.{attempt}.tmp"
+                        stage_dir if staging else out_dir,
+                        f"shard-{shard:05d}.tar.{attempt}.tmp",
                     )
                     state["tar"] = tarfile.open(state["tmp"], "w")
                 for e in exts:

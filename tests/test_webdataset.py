@@ -218,3 +218,72 @@ def test_webdataset_streaming_sink(spark, tmp_path):
     )
     q2.awaitTermination()
     assert from_webdataset(spark, out, ["txt"]).count() == 40
+
+
+def test_webdataset_staging_path_roundtrip_and_fault(spark, tmp_path):
+    """The object-store staging path (VERDICT r7 item 5), exercised via
+    a file:// URI: shards build on executor-local tmp disk, upload
+    through pyarrow.fs to a remote .tmp name, and publish with one
+    move. A fault injected between upload and publish must leave NO
+    final-name shard behind; the rerun cleans the orphaned remote tmp
+    files and publishes shards byte-identical to the direct-POSIX
+    writer's."""
+    import glob
+    import hashlib
+
+    import pytest as _pt
+
+    from lours_spark.io.webdataset import (
+        dataset_to_webdataset,
+        from_webdataset,
+    )
+
+    docs = _docs(spark)
+
+    # reference: the direct POSIX writer
+    ref_dir = str(tmp_path / "ref")
+    dataset_to_webdataset(docs, ref_dir, {"txt": "text"}, num_shards=3)
+    ref = {
+        os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(ref_dir, "shard-*.tar"))
+    }
+
+    # fault between upload and publish: the job fails and nothing is
+    # published under a final shard name
+    staged = tmp_path / "staged"
+    staged_uri = "file://" + str(staged)
+    with _pt.raises(Exception, match="between upload and publish"):
+        dataset_to_webdataset(
+            docs, staged_uri, {"txt": "text"}, num_shards=3,
+            _fault_inject="before_publish",
+        )
+    assert glob.glob(str(staged / "shard-*.tar")) == []
+    leftovers = glob.glob(str(staged / "shard-*.tar.*.tmp"))
+    assert leftovers  # the uploaded-but-unpublished remote tmp files
+
+    # clean rerun over the same out_dir: orphaned tmps are removed,
+    # shards publish byte-identical to the direct writer's
+    dataset_to_webdataset(docs, staged_uri, {"txt": "text"}, num_shards=3)
+    got = {
+        os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(str(staged / "shard-*.tar"))
+    }
+    assert got == ref
+    assert glob.glob(str(staged / "shard-*.tar.*.tmp")) == []
+
+    # and the reader consumes the URI-addressed dataset
+    back = from_webdataset(spark, staged_uri, ["txt"])
+    assert back.count() == 60
+
+    # auto-detection: a scheme'd out_dir takes the staging path even
+    # without staging=True (the call above already did); a plain path
+    # with staging=True forces it for shared-FS clusters
+    forced = str(tmp_path / "forced")
+    dataset_to_webdataset(
+        docs, forced, {"txt": "text"}, num_shards=3, staging=True
+    )
+    got_forced = {
+        os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(forced, "shard-*.tar"))
+    }
+    assert got_forced == ref
