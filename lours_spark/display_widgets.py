@@ -93,7 +93,16 @@ def gather_onehot(
     return out
 
 
-def truncate_for_display(pdf: pd.DataFrame, max_rows: int = 100) -> pd.DataFrame:
+DISPLAY_MAX_ROWS = 100
+"""Shared display bound: every display entry point truncates past this
+many rows (head+tail split), and Spark inputs collect a bounded
+``limit(DISPLAY_MAX_ROWS + 1)`` head — never the table. One constant so
+the collect bound and the truncation bound cannot drift (ADVICE r7)."""
+
+
+def truncate_for_display(
+    pdf: pd.DataFrame, max_rows: int = DISPLAY_MAX_ROWS
+) -> pd.DataFrame:
     """Head 50 + tail 50 for frames past ``max_rows`` (the reference's
     evident intent at ``notebook_utils.py:93-96``; see module
     docstring for its ``iloc[:-50]`` slip).
@@ -116,7 +125,7 @@ def display_variants(
     input_df,
     booleanized_columns: Iterable[str] = (),
     separator: str = ".",
-    max_rows: int = 100,
+    max_rows: int = DISPLAY_MAX_ROWS,
 ) -> dict[str, object]:
     """The four display variants the widget UI stacks (reference
     ``notebook_utils.py:107-136``): ``raw``, ``nested`` (MultiIndex
@@ -226,21 +235,32 @@ def display_booleanized_dataframe(
     input_df,
     booleanized_columns: Sequence[str] = (),
     separator: str = ".",
+    max_rows: int = DISPLAY_MAX_ROWS,
 ) -> None:
     """Reference ``display_booleanized_dataframe``
     (``notebook_utils.py:58-186``): show a dataframe with an
     interactive raw/nested × booleanized/gathered selector. Accepts a
     pandas frame or a Spark DataFrame (bounded head collect only).
     Degrades without ipywidgets: the default variant (per the
-    ``DISPLAY_*`` module flags) is displayed directly."""
+    ``DISPLAY_*`` module flags) is displayed directly.
+
+    For Spark inputs the view past ``max_rows`` is head+tail OF A
+    BOUNDED ``limit(max_rows + 1)`` HEAD — the "tail" rows are the tail
+    of that head, not of the dataset (collecting a true tail would scan
+    the table; sort and ``limit`` upstream if the real extremes
+    matter)."""
     if not isinstance(input_df, pd.DataFrame):
         # collect the bounded head ONCE; the nothing-to-format fallback
-        # below reuses it instead of running a second Spark job
-        input_df = input_df.limit(101).toPandas()
-    variants = display_variants(input_df, booleanized_columns, separator)
+        # below reuses it instead of running a second Spark job. Same
+        # max_rows flows to display_variants/truncate_for_display so
+        # the collect bound and the truncation bound cannot drift.
+        input_df = input_df.limit(max_rows + 1).toPandas()
+    variants = display_variants(
+        input_df, booleanized_columns, separator, max_rows=max_rows
+    )
     if not variants:
         # nothing to format: show the (possibly truncated) frame as-is
-        _plain_display(truncate_for_display(input_df))
+        _plain_display(truncate_for_display(input_df, max_rows))
         return
     try:
         ui = build_widget_ui(variants)

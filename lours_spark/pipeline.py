@@ -106,9 +106,12 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
     True
     """
     cfg = config
-    # reset per call: reusing one config across runs must not
-    # accumulate a doubled stage log
-    cfg.stages_run.clear()
+    # track stages in a LOCAL list and publish once at the end: a
+    # clear()-then-append on the caller's config would clobber a
+    # sibling pipeline sharing the object and erase the previous run's
+    # log the moment a new run STARTS (ADVICE r7). The config's
+    # stages_run is therefore "the per-most-recent COMPLETED call".
+    stages_run: list = []
     id_col, text_col = cfg.id_col, cfg.text_col
     out = docs
 
@@ -118,7 +121,7 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
         out = decontaminate(
             out, cfg.benchmark, id_col=id_col, text_col=text_col
         )
-        cfg.stages_run.append("decontaminate")
+        stages_run.append("decontaminate")
 
     if cfg.gopher is not None:
         from lours_spark.operators.quality import filter_gopher
@@ -127,7 +130,7 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
         # projection, so running it before the dedup window shrinks
         # everything downstream for free
         out = filter_gopher(out, id_col, text_col, **cfg.gopher)
-        cfg.stages_run.append("gopher")
+        stages_run.append("gopher")
 
     if cfg.dedup_exact:
         from lours_spark.functions.text import fingerprint
@@ -143,7 +146,7 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
             .filter("__keep")
             .drop("__fp", "__keep")
         )
-        cfg.stages_run.append("dedup_exact")
+        stages_run.append("dedup_exact")
 
     if cfg.quality_min_pct is not None:
         from lours_spark.functions.text import quality_score
@@ -157,7 +160,7 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
             id_col=id_col,
             approximate=cfg.quality_approximate,
         ).drop("q_pct")
-        cfg.stages_run.append("quality_filter")
+        stages_run.append("quality_filter")
         if not cfg.quality_approximate and (
             cfg.redact_pii
             or cfg.mixture_targets is not None
@@ -181,7 +184,7 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
         from lours_spark.operators.pii import redact_pii
 
         out = out.withColumn(text_col, redact_pii(F.col(text_col)))
-        cfg.stages_run.append("redact_pii")
+        stages_run.append("redact_pii")
 
     if cfg.mixture_targets is not None:
         from lours_spark.operators.sampling import (
@@ -199,7 +202,7 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
             out, weights, shard_col=cfg.lang_col, id_col=id_col,
             seed=cfg.seed,
         )
-        cfg.stages_run.append("mixture")
+        stages_run.append("mixture")
 
     if cfg.pack_budget is not None:
         from lours_spark.operators.packing import pack_chunked
@@ -208,6 +211,7 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
             out, budget=cfg.pack_budget, id_col=id_col,
             shard_col=cfg.shard_col,
         )
-        cfg.stages_run.append("pack")
+        stages_run.append("pack")
 
+    cfg.stages_run = stages_run
     return out

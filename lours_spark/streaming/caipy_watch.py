@@ -58,6 +58,14 @@ def watch_caipy(
     ``batch`` partition column). ``available_now=True`` drains the
     current backlog and stops (test/offline mode).
 
+    Output roots written by the pre-round-7 FLAT-APPEND sink are not
+    compatible: mixing top-level part files with ``batch=<id>``
+    partition dirs breaks Spark partition discovery on the parent
+    read, so this watcher FAILS FAST when it finds flat parquet files
+    at the top of ``images/``/``annotations/`` — migrate them into a
+    ``batch=-1`` style dir (or point the watcher at a fresh
+    output_root) first.
+
     >>> import json, os, tempfile
     >>> root, out = tempfile.mkdtemp(), tempfile.mkdtemp()
     >>> os.makedirs(os.path.join(root, "Annotations", "train"))
@@ -79,6 +87,19 @@ def watch_caipy(
     # dataset_root/Annotations
     ann_root = annotations_root or os.path.join(dataset_root, "Annotations")
     ann_base = os.path.basename(ann_root.rstrip("/"))
+    for sub in ("images", "annotations"):
+        top = os.path.join(output_root, sub)
+        if os.path.isdir(top) and any(
+            f.endswith(".parquet") and os.path.isfile(os.path.join(top, f))
+            for f in os.listdir(top)
+        ):
+            raise ValueError(
+                f"{top} holds flat parquet files from the legacy "
+                "append-mode watcher; mixing them with batch=<id> "
+                "partition dirs breaks partition discovery on the "
+                "parent read. Move them into a batch=<n> subdirectory "
+                "or use a fresh output_root."
+            )
     schema = schema or _doc_schema(spark, ann_root)
     docs = (
         spark.readStream.schema(schema)

@@ -206,3 +206,28 @@ def test_curation_pipeline_end_to_end(spark):
         r["doc_id"] for r in curate_documents(docs, cfg4).collect()
     }
     assert other != curated_ids_no_pack
+
+
+def test_curation_config_stage_log_not_clobbered_between_runs(spark):
+    """curate_documents must not mutate the caller's stage log in
+    place: a prior run's stages_run stays readable until the NEXT call
+    completes, and two pipelines sharing one config object see each
+    completed run's log, not an interleaved clear+append mess
+    (ADVICE r7)."""
+    from lours_spark.pipeline import CurationConfig, curate_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"unique body {i} " + "tok " * 30, "en", "web")
+         for i in range(6)],
+        "doc_id long, text string, lang string, source string",
+    )
+    cfg = CurationConfig(quality_min_pct=None)
+    curate_documents(docs, cfg)
+    first_log = cfg.stages_run
+    assert first_log == ["dedup_exact", "redact_pii"]
+
+    # a second run must not clear the list object the caller held
+    cfg2 = CurationConfig(quality_min_pct=None, redact_pii=False)
+    curate_documents(docs, cfg2)
+    assert first_log == ["dedup_exact", "redact_pii"]
+    assert cfg2.stages_run == ["dedup_exact"]

@@ -912,3 +912,23 @@ def test_streaming_neardup_miner_with_compaction(spark, tmp_path):
         ).select("__id").collect()
     }
     assert got_ids == expect_ids
+
+
+def test_caipy_watcher_rejects_legacy_flat_output(spark, tmp_path):
+    """A pre-round-7 append-mode output root (flat part files at the
+    top of images/) fails fast instead of corrupting partition
+    discovery when batch=<id> dirs land beside them (ADVICE r7)."""
+    import os
+
+    import pytest as _pt
+
+    from lours_spark.streaming.caipy_watch import watch_caipy
+
+    out = tmp_path / "out"
+    (out / "images").mkdir(parents=True)
+    (out / "images" / "part-00000-legacy.parquet").write_bytes(b"x")
+    with _pt.raises(ValueError, match="legacy"):
+        watch_caipy(
+            spark, str(tmp_path / "root"), str(out),
+            str(tmp_path / "ckpt"),
+        )
