@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "hourly_rollup",
     "greedy_matching",
     "matcher_skew",
+    "minhash_hot_bucket",
     "detection_pr_ap",
     # round 2: every formerly-ungated facet is timed too, so the bench
     # covers what the gate covers

@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 97)
+(50, 98)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -1117,6 +1117,50 @@ def _oracle_minhash_incremental() -> str:
     )
 
 
+def q_minhash_hot_bucket(spark, sf_dir):
+    """Hot-bucket stress facet (bench-only, like ``matcher_skew``):
+    30% of the corpus collapses onto ONE boilerplate text — the
+    crawl-shaped adversary for LSH bucketing (a single band bucket
+    holding the whole family would be a quadratic pair fan-out and a
+    multi-MB collect_list row). Runs ``minhash_lsh_pairs`` with
+    ``max_bucket_size=128`` so the capped candidate stage (window
+    count → skip → report) is MEASURED every round (the planted family
+    is ~150 docs at sf0.01 and ~1.5k at sf0.1 — over the cap at both
+    bench scales); output is the
+    one-row cost summary (surviving pair count, skipped buckets, the
+    hot bucket's size). Correctness of the cap is pytest-pinned in
+    tests/test_operators.py::test_minhash_hot_bucket_cap."""
+    from lours_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    boiler = F.lit(
+        "subscribe to our newsletter terms of service apply copyright "
+        "footer all rights reserved contact us today please"
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 3, boiler)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pairs, dropped = minhash_lsh_pairs(
+        docs,
+        jaccard_threshold=_LSH_THRESHOLD,
+        num_hashes=_LSH_HASHES,
+        bands=_LSH_BANDS,
+        max_bucket_size=128,
+        return_dropped=True,
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
+        dropped.agg(
+            F.count(F.lit(1)).alias("n_dropped_buckets"),
+            F.coalesce(F.max("bucket_size"), F.lit(0)).alias(
+                "max_dropped_bucket"
+            ),
+        )
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard similarity join via shingle inverted index."""
     from lours_spark.operators.dedup import ngram_jaccard_pairs
@@ -1930,6 +1974,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signature": q_minhash_signature,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_incremental": q_minhash_incremental,
+    "minhash_hot_bucket": q_minhash_hot_bucket,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     # embeddings

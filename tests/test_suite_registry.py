@@ -27,7 +27,7 @@ def test_all_queries_covers_gate_facets():
     from lours_spark.suite import ALL_QUERIES, GATE_FACETS, QUERIES
 
     assert len(QUERIES) == 50
-    assert len(ALL_QUERIES) == 97
+    assert len(ALL_QUERIES) == 98
     for combined, facets in GATE_FACETS.items():
         assert combined in QUERIES, combined
         for f in facets:
@@ -45,6 +45,7 @@ def test_all_queries_covers_gate_facets():
         "pack_greedy",           # FFD packing (not SQL-expressible)
         "curation_pipeline",     # composed chain; stages gated separately
         "bloom_novel",           # xxhash64 bloom (no DuckDB twin; pytest)
+        "minhash_hot_bucket",    # capped-LSH stress facet (cap pytest-pinned)
     }
 
 
