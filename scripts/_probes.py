@@ -140,3 +140,56 @@ def neardup_decade(spark, wait_for_calm, n: int, seed: int = 11) -> dict:
         "planes_per_table": planes,
         "num_tables": 16,
     }
+
+
+def balanced_split_auto_probe(spark, sf_dir: str) -> dict:
+    """mode="auto" routing evidence (VERDICT r7 item 4): run the gate's
+    split problem with the DEFAULT auto mode and record the chunk count
+    against AUTO_EXACT_MAX_CHUNKS — the decade shows the route flipping
+    exact → approximate as the chunk count crosses the threshold (the
+    flip itself is unit-pinned in
+    tests/test_split.py::test_balanced_split_auto_routes_by_chunk_count), and the
+    auto wall time tracking the leg it routed to."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from lours_spark import suite
+    from lours_spark.split import balanced as bal
+
+    o = suite._t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "id"
+    )
+    n_chunks = (
+        o.select(
+            F.coalesce(
+                F.col("o_custkey").cast("string"),
+                F.col("id").cast("string"),
+            ).alias("c")
+        )
+        .distinct()
+        .count()
+    )
+    t0 = _time.time()
+    out = bal.balanced_split(
+        o,
+        {"train": 0.8, "valid": 0.1, "eval": 0.1},
+        dims=["o_orderpriority"],
+        keep_separate=["o_custkey"],
+        seed=42,
+        mode="auto",
+    )
+    rows = out.groupBy("split", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    ).count()
+    return {
+        "sec": round(_time.time() - t0, 2),
+        "rows": rows,
+        "n_chunks": n_chunks,
+        "routed": (
+            "approximate"
+            if n_chunks > bal.AUTO_EXACT_MAX_CHUNKS
+            else "exact"
+        ),
+        "threshold": bal.AUTO_EXACT_MAX_CHUNKS,
+    }

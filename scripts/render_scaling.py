@@ -41,6 +41,7 @@ ROWS = {
     "embedding_near_dup": "embeddings",
     "curation_pipeline": "documents",
     "minhash_incremental": "documents",
+    "minhash_hot_bucket": "documents",
 }
 TABLE_ROWS = {
     "1x": {"lineitem": 600_000, "orders": 150_000, "documents": 5_000,
@@ -197,6 +198,28 @@ def main() -> None:
             "Recall 100% at both scales; pair volume scales exactly\n"
             "linearly by construction and measures so."
         )
+    if "balanced_split_auto" in s1 and "balanced_split_auto" in s10:
+        print()
+        print('## balanced_split mode="auto" routing')
+        print()
+        print(
+            "The default auto mode collects the chunk histogram once and\n"
+            "routes on chunk count: exact sequential greedy at or below\n"
+            "AUTO_EXACT_MAX_CHUNKS, the vectorized bounded-driver\n"
+            "approximate core above (flip unit-pinned in tests/\n"
+            "test_split.py::test_balanced_split_auto_routes_by_chunk_count).\n"
+            "The decade crosses the threshold, so the route — and the wall\n"
+            "time tracking the routed leg — is measured, not asserted."
+        )
+        print()
+        print("| scale | chunks | threshold | routed | sec |")
+        print("|---|---|---|---|---|")
+        for label, s in (("1x", s1), ("10x", s10)):
+            d = s["balanced_split_auto"]
+            print(
+                f"| {label} | {d['n_chunks']} | {d['threshold']} "
+                f"| {d['routed']} | {d['sec']} |"
+            )
     if "detection_confusion" in s1 and "detection_confusion" in s10:
         print()
         print("## Matcher-fed detection confusion (composed pipeline)")

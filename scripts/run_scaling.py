@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _calm import calibration as _calibration  # noqa: E402
 from _calm import cc_stats, rss_mb, wait_for_calm  # noqa: E402
 from _probes import (  # noqa: E402
+    balanced_split_auto_probe,
     detection_confusion_probe,
     neardup_decade,
     webdataset_probe,
@@ -54,6 +55,8 @@ QUERIES = [
     "embedding_near_dup",
     "curation_pipeline",
     "minhash_incremental",
+    # round 8: capped-LSH hot-bucket stress (VERDICT r7 item 1/6)
+    "minhash_hot_bucket",
 ]
 
 
@@ -112,6 +115,13 @@ def main() -> None:
             spark, sf_dir, "/root/repo/scale_data"
         )
         print(f"# {label} webdataset: {res['webdataset']}", file=sys.stderr)
+        wait_for_calm()
+        spark.catalog.clearCache()
+        res["balanced_split_auto"] = balanced_split_auto_probe(spark, sf_dir)
+        print(
+            f"# {label} balanced_split_auto: {res['balanced_split_auto']}",
+            file=sys.stderr,
+        )
         res["cc"] = cc_stats(spark, sf_dir)
         res["rss_mb_after"] = round(rss_mb(), 1)
         out["scales"][label] = res

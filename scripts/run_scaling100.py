@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _calm import calibration as _calibration  # noqa: E402
 from _calm import cc_stats, rss_mb, wait_for_calm  # noqa: E402
 from _probes import (  # noqa: E402
+    balanced_split_auto_probe,
     detection_confusion_probe,
     neardup_decade,
     webdataset_probe,
@@ -59,6 +60,8 @@ QUERIES = [
     "embedding_near_dup",
     "curation_pipeline",
     "minhash_incremental",
+    # round 8: capped-LSH hot-bucket stress (VERDICT r7 item 1/6)
+    "minhash_hot_bucket",
 ]
 
 
@@ -154,6 +157,15 @@ def main() -> None:
         spark, scaled, os.path.dirname(scaled.rstrip("/"))
     )
     print(f"# 100x webdataset: {out['webdataset']}", file=sys.stderr)
+
+    # mode="auto" routing at 100x (VERDICT r7 item 4)
+    wait_for_calm()
+    spark.catalog.clearCache()
+    out["balanced_split_auto"] = balanced_split_auto_probe(spark, scaled)
+    print(
+        f"# 100x balanced_split_auto: {out['balanced_split_auto']}",
+        file=sys.stderr,
+    )
 
     # LSH near-dup synthetic 100x point (see run_scaling.py's decade)
     out["neardup_synthetic_100x"] = neardup_decade(spark, wait_for_calm, 10_000_000)
