@@ -173,10 +173,23 @@ def dataset_to_webdataset(
         from pyspark import TaskContext
 
         attempt = TaskContext.get().taskAttemptId()
-        if staging:
-            import tempfile
+        if not staging:
+            yield from _write_rows(batches, attempt, None)
+            return
+        import shutil
+        import tempfile
 
-            stage_dir = tempfile.mkdtemp(prefix="wds-stage-")
+        # executor-local stage dir, removed however the task ends: on
+        # success only an empty dir would remain, but a failed task
+        # would strand a complete shard's bytes in /tmp — and a
+        # long-lived executor runs MANY tasks
+        stage_dir = tempfile.mkdtemp(prefix="wds-stage-")
+        try:
+            yield from _write_rows(batches, attempt, stage_dir)
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def _write_rows(batches, attempt, stage_dir):
         state = {"shard": None, "tar": None, "tmp": None, "n": 0,
                  "prev_key": None}
         done: list[tuple[int, int]] = []
@@ -206,6 +219,18 @@ def dataset_to_webdataset(
                     raise RuntimeError(
                         "injected fault: died between upload and publish"
                     )
+                # HDFS rename does NOT clobber an existing destination
+                # (unlike os.replace and S3's copy-overwrite), so a
+                # retry republishing an already-published shard would
+                # fail forever — clear the final name first. The tiny
+                # delete→move window is covered by the determinism
+                # contract: any concurrent publisher writes identical
+                # bytes, so last-publisher-wins stays correct.
+                if (
+                    fs_o.get_file_info(final).type
+                    != pafs.FileType.NotFound
+                ):
+                    fs_o.delete_file(final)
                 fs_o.move(remote_tmp, final)
                 os.remove(state["tmp"])
             else:

@@ -87,11 +87,18 @@ def watch_caipy(
     # dataset_root/Annotations
     ann_root = annotations_root or os.path.join(dataset_root, "Annotations")
     ann_base = os.path.basename(ann_root.rstrip("/"))
+    # legacy-layout guard through the Hadoop FS API — a driver-local
+    # os.listdir would silently no-op for s3a://hdfs:// output roots,
+    # exactly where the corruption it prevents would go unnoticed
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for sub in ("images", "annotations"):
         top = os.path.join(output_root, sub)
-        if os.path.isdir(top) and any(
-            f.endswith(".parquet") and os.path.isfile(os.path.join(top, f))
-            for f in os.listdir(top)
+        tpath = jvm.org.apache.hadoop.fs.Path(top)
+        fs = tpath.getFileSystem(hconf)
+        if fs.exists(tpath) and any(
+            st.isFile() and str(st.getPath().getName()).endswith(".parquet")
+            for st in fs.listStatus(tpath)
         ):
             raise ValueError(
                 f"{top} holds flat parquet files from the legacy "

@@ -167,6 +167,31 @@ def _list_child_dirs(spark: SparkSession, root: str) -> "list[str]":
     )
 
 
+def _drop_uncommitted_compacts(
+    spark: SparkSession, paths: "list[str]"
+) -> "list[str]":
+    """Remove ``compact-*`` dirs that lack a ``_SUCCESS`` marker — a
+    compaction that died mid-write leaves a partial dir which must not
+    supersede the batch dirs it failed to fold (reading it would wedge
+    every replay, or worse, silently truncate prior state). Batch and
+    backfill dirs pass through untouched: their own replay story is
+    overwrite-by-idempotence, not commit markers."""
+    import os
+    import re
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    kept = []
+    for p in paths:
+        name = os.path.basename(p.rstrip("/"))
+        if re.fullmatch(r"compact-(\d+)", name):
+            marker = jvm.org.apache.hadoop.fs.Path(p + "/_SUCCESS")
+            if not marker.getFileSystem(hconf).exists(marker):
+                continue
+        kept.append(p)
+    return kept
+
+
 def _classify_index_dirs(paths: "list[str]"):
     """Split index child dirs into (batch dirs, compact dirs, others).
     Matches anchor on the WHOLE basename, so a backfill named e.g.
@@ -196,7 +221,9 @@ def _prior_index_dirs(paths: "list[str]", batch_id: int) -> "list[str]":
     - the LATEST ``compact-K`` dir, which supersedes every ``batch-n``
       with n < K and every older compact dir (crash leftovers between
       a compaction's write and its deletes are therefore harmless —
-      superseded dirs are simply not selected);
+      superseded dirs are simply not selected). Callers must strip
+      UNCOMMITTED compact dirs first (:func:`_drop_uncommitted_compacts`)
+      so a compaction that died mid-write never supersedes anything;
     - ``batch-n`` dirs with K ≤ n < batch_id (this batch's own dir and
       later dirs are excluded: a crashed attempt may have half-written
       them).
@@ -247,7 +274,8 @@ def compact_neardup_index(
     Returns the number of dirs folded (0 = nothing to do)."""
     import os
 
-    paths = _list_child_dirs(spark, index_dir)
+    all_paths = _list_child_dirs(spark, index_dir)
+    paths = _drop_uncommitted_compacts(spark, all_paths)
     batches, compacts, others = _classify_index_dirs(paths)
     if upto_batch_id is None:
         upto_batch_id = max((n for n, _ in batches), default=-1) + 1
@@ -272,7 +300,26 @@ def compact_neardup_index(
     if len(consumed) < 2:
         return 0  # folding fewer than two dirs gains nothing
     spark.read.parquet(*consumed).write.mode("overwrite").parquet(out)
-    for p in consumed:
+    # uncommitted compact leftovers (crashed mid-write, stripped by
+    # _drop_uncommitted_compacts above) at or below the bound are
+    # garbage — delete without reading, alongside the consumed dirs
+    import re as _re
+
+    # (compare by basename: Hadoop listings return scheme'd URIs —
+    # file:/x/y — while `out` is a plain joined path)
+    garbage = [
+        p
+        for p in all_paths
+        if p not in set(paths)
+        and (
+            m := _re.fullmatch(
+                r"compact-(\d+)", os.path.basename(p.rstrip("/"))
+            )
+        )
+        and int(m.group(1)) <= upto_batch_id
+        and os.path.basename(p.rstrip("/")) != os.path.basename(out)
+    ]
+    for p in consumed + garbage:
         fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
     return len(consumed)
 
@@ -338,11 +385,15 @@ def mine_neardup_stream(
         spark = batch_df.sparkSession
         # prior state = backfill dirs (non-batch names — a backfilled
         # corpus index shares index_dir with the stream), the latest
-        # compact dir, and the batch dirs it does not supersede,
-        # excluding this batch's own dir and later ones (a crashed
-        # attempt may have half-written them) — see _prior_index_dirs
+        # COMMITTED compact dir, and the batch dirs it does not
+        # supersede, excluding this batch's own dir and later ones (a
+        # crashed attempt may have half-written them) — see
+        # _prior_index_dirs / _drop_uncommitted_compacts
         prior = _prior_index_dirs(
-            _list_child_dirs(spark, index_dir), batch_id
+            _drop_uncommitted_compacts(
+                spark, _list_child_dirs(spark, index_dir)
+            ),
+            batch_id,
         )
         if prior:
             index = spark.read.parquet(*prior)

@@ -932,3 +932,45 @@ def test_caipy_watcher_rejects_legacy_flat_output(spark, tmp_path):
             spark, str(tmp_path / "root"), str(out),
             str(tmp_path / "ckpt"),
         )
+
+
+def test_uncommitted_compact_dir_never_supersedes(spark, tmp_path):
+    """A compaction that died mid-write (compact dir present, no
+    _SUCCESS) must not supersede the batch dirs it failed to fold:
+    prior-state selection strips it, and the next compaction deletes
+    the garbage and refolds from the still-present inputs."""
+    import os
+
+    from lours_spark.streaming.documents import (
+        _drop_uncommitted_compacts,
+        _prior_index_dirs,
+        compact_neardup_index,
+    )
+
+    idx = tmp_path / "idx"
+    for name, committed in (
+        ("batch-000000", True),
+        ("batch-000001", True),
+        ("compact-000002", False),  # crashed mid-write: no _SUCCESS
+    ):
+        d = idx / name
+        d.mkdir(parents=True)
+        if committed:
+            spark.range(2).write.mode("overwrite").parquet(str(d))
+
+    paths = sorted(str(idx / n) for n in os.listdir(idx))
+    kept = _drop_uncommitted_compacts(spark, paths)
+    assert str(idx / "compact-000002") not in kept
+    prior = _prior_index_dirs(kept, 2)
+    assert prior == sorted(
+        [str(idx / "batch-000000"), str(idx / "batch-000001")]
+    )
+
+    # rerun of the compaction: reads the intact batch dirs, replaces
+    # the garbage dir with a committed one, total rows preserved
+    folded = compact_neardup_index(spark, str(idx), upto_batch_id=2)
+    assert folded == 2
+    out = idx / "compact-000002"
+    assert (out / "_SUCCESS").exists()
+    assert spark.read.parquet(str(out)).count() == 4
+    assert not (idx / "batch-000000").exists()
