@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     "matcher_skew",
     "minhash_hot_bucket",
     "detection_pr_ap",
+    # round 8: vocabulary induction, weighted sampling, z-order layout
+    "vocab_pair_stats",
+    "weighted_sample",
+    "zorder_layout",
     # round 2: every formerly-ungated facet is timed too, so the bench
     # covers what the gate covers
     "keep_classes",

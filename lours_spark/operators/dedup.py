@@ -70,6 +70,7 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
+    key: str = "value",
 ) -> DataFrame:
     """Global paragraph-level exact dedup (the Dolma-style pass between
     document-level dedup and quality filtering): every paragraph that
@@ -84,11 +85,20 @@ def paragraph_dedup(
     the exchange carries one row per DISTINCT paragraph, not one per
     paragraph occurrence); survivors rebuild with
     ``array_sort(collect_list(struct(pos, para)))``. Two shuffles
-    total (paragraph hash + doc reassembly) regardless of corpus size;
-    paragraph strings never leave the executors except as hashes would
-    at true scale (the value itself is the join key here for oracle
-    exactness — swap in ``md5(para)`` as the key at 100 TB to keep the
-    exchange narrow).
+    total (paragraph key + doc reassembly) regardless of corpus size.
+
+    ``key`` picks what the first-occurrence exchange carries:
+    ``"value"`` (default) keys on the paragraph string itself — exact
+    semantics, the oracle-gated form; ``"hash"`` keys on
+    ``md5(paragraph)`` so the aggregation exchange and the winner join
+    carry a 32-char digest instead of arbitrarily long paragraph text —
+    the 100 TB path (a boilerplate paragraph repeated 10⁹ times costs
+    the same either way thanks to map-side combine, but DISTINCT
+    paragraphs dominate a crawl and each one rides the wire once; md5
+    keeps that ride at 32 bytes). Results are identical short of an
+    md5 collision (~n²/2¹²⁹ for n distinct paragraphs — at 10¹²
+    paragraphs the collision odds are ~10⁻¹⁵), parity-locked by
+    ``tests/test_operators.py::test_paragraph_dedup_hash_key_parity``.
 
     Returns (id_col, text, n_paras_before, n_paras_after).
 
@@ -100,16 +110,26 @@ def paragraph_dedup(
     >>> (rows[2]["n_paras_before"], rows[2]["n_paras_after"])
     (2, 1)
     """
+    if key not in ("value", "hash"):
+        raise ValueError(f"key must be 'value' or 'hash', got {key!r}")
     paras = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
     )
-    first = paras.groupBy("__para").agg(
+    if key == "hash":
+        paras = paras.withColumn("__k", F.md5(F.col("__para")))
+        key_col = "__k"
+    else:
+        key_col = "__para"
+    first = paras.select(key_col, "__id", "__pos").groupBy(key_col).agg(
         F.min(F.struct("__id", "__pos")).alias("__first")
     )
-    kept = paras.join(first, "__para").filter(
-        (F.col("__first.__id") == F.col("__id"))
-        & (F.col("__first.__pos") == F.col("__pos"))
+    kept = (
+        paras.join(first, key_col)
+        .filter(
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.__pos") == F.col("__pos"))
+        )
     )
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
@@ -645,19 +665,36 @@ def simhash_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 16,
+    max_members: "int | None" = None,
 ) -> DataFrame:
     """Documents sharing an identical simhash value — groupBy on the
     packed hash (one shuffle on a long). Hamming-distance-1 variants can
-    union ``bits`` rotated copies before the groupBy."""
+    union ``bits`` rotated copies before the groupBy.
+
+    ``max_members`` bounds the ``doc_ids`` array: on crawl-shaped data a
+    boilerplate family collapses onto ONE simhash value, and an
+    unbounded ``collect_list`` materializes a multi-MB aggregation row
+    (the same hot-bucket hazard the LSH miners cap). With a cap, each
+    group keeps its ``max_members`` smallest ids (a row_number over the
+    SAME simhash key the groupBy clusters on — no extra exchange) while
+    ``group_size`` and ``keep_id`` stay exact, so nothing is silent:
+    ``group_size > size(doc_ids)`` marks a truncated group.
+    """
     h = df.select(
         F.col(id_col), TX.simhash(TX.tokens(F.col(text_col)), bits=bits).alias("simhash")
     )
+    member = F.col(id_col)
+    if max_members is not None:
+        w = Window.partitionBy("simhash").orderBy(id_col)
+        h = h.withColumn("__rn", F.row_number().over(w))
+        # collect_list drops NULLs -> the array holds only ranks <= cap
+        member = F.when(F.col("__rn") <= max_members, F.col(id_col))
     return (
         h.groupBy("simhash")
         .agg(
             F.count(F.lit(1)).alias("group_size"),
             F.min(id_col).alias("keep_id"),
-            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+            F.array_sort(F.collect_list(member)).alias("doc_ids"),
         )
         .filter(F.col("group_size") > 1)
         .select("simhash", "group_size", "keep_id", "doc_ids")

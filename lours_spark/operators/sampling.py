@@ -250,3 +250,68 @@ def cap_per_group(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``k`` rows with inclusion
+    probability proportional to ``weight_col`` (Efraimidis-Spirakis
+    A-ES, "Weighted random sampling with a reservoir", IPL 2006) —
+    the "sample a token-budget worth of documents, longer/higher-
+    quality docs proportionally more often" curation step.
+
+    Each row gets an exponential key ``-ln(u)/w`` from a seeded md5
+    uniform ``u`` of its id; the k SMALLEST keys are exactly a
+    weighted sample without replacement. Deterministic across retries,
+    partitionings and engines (the uniform is the same md5 PRF as
+    :func:`hash_sample`; ``ln`` agrees to the ulp across libm
+    implementations in practice, and key ties additionally break by
+    id).
+
+    Scale shape: a pure column expression + ``orderBy(key).limit(k)``,
+    which compiles to TakeOrderedAndProject — every partition keeps
+    its local top-k, the driver merges k-sized heaps; no global sort,
+    no shuffle of the losers. The final 1-based ``rank_col`` is a
+    window over the ALREADY-REDUCED k-row frame (k ~ 10²-10⁵ —
+    driver-bounded by construction, never corpus-sized).
+
+    Rows with NULL or non-positive weight can never be sampled (they
+    are filtered, matching "weight 0 = never include").
+
+    >>> df = spark.createDataFrame(
+    ...     [(i, 1 + (i % 7)) for i in range(400)], "doc_id long, w long")
+    >>> out = weighted_sample(df, "w", k=50)
+    >>> out.count()
+    50
+    >>> heavy = out.filter("w >= 6").count()  # heavy rows oversampled
+    >>> light = out.filter("w <= 2").count()
+    >>> bool(heavy > light)
+    True
+    >>> [r["sample_rank"] for r in out.orderBy("sample_rank").limit(3).collect()]
+    [1, 2, 3]
+    """
+    from pyspark.sql import Window
+
+    # u in (0, 1]: low 32 md5 bits + 1, over 2^32 — u=1 gives key 0
+    # exactly (best rank); a plain [0,1) fraction would map u=0 to an
+    # unsampleable +inf key instead
+    u = (
+        (md5_long(F.col(id_col).cast("string"), seed) % F.lit(_M32) + 1)
+        .cast("double")
+        / F.lit(float(_M32))
+    )
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__key", -F.log(u) / F.col(weight_col).cast("double"))
+    top = keyed.orderBy(F.col("__key"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("__key"), F.col(id_col))
+    return (
+        top.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .drop("__key")
+    )

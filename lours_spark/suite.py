@@ -4182,6 +4182,121 @@ FROM t JOIN nt USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# round 8: vocabulary induction, weighted sampling, z-order layout
+# --------------------------------------------------------------------------
+
+_VOCAB_TOP_PAIRS = 40
+
+
+def q_vocab_pair_stats(spark, sf_dir):
+    """BPE merge statistics (the counting pass of a tokenizer trainer):
+    every adjacent character pair, counted corpus-wide weighted by word
+    frequency. Pairs explode from the DISTINCT-word frame — candidate
+    volume is vocabulary-sized, not corpus-sized — and the top-N rides
+    TakeOrderedAndProject."""
+    from lours_spark.operators.vocab import merge_pair_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return merge_pair_stats(d, top_n=_VOCAB_TOP_PAIRS)
+
+
+def _oracle_vocab_pair_stats() -> str:
+    return f"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest({dd_tokens('text')}) AS w FROM documents
+  ) WHERE len(w) > 0
+), wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, w, n
+  FROM wc, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, sum(n)::BIGINT AS pair_count, count(DISTINCT w)::BIGINT AS n_words
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT {_VOCAB_TOP_PAIRS}
+"""
+
+
+_WSAMPLE_K = 100
+_WSAMPLE_SEED = 5
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys over the seeded md5 uniform): sample 100 docs with
+    probability proportional to length — the token-budget sampler.
+    Integer outputs only; the float key never leaves the engine."""
+    from lours_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        d, "n_chars", k=_WSAMPLE_K, id_col="doc_id", seed=_WSAMPLE_SEED
+    )
+    return out.select(
+        "doc_id", F.col("n_chars").alias("sample_weight"), "sample_rank"
+    )
+
+
+def _oracle_weighted_sample() -> str:
+    h = dd_md5_long("doc_id::VARCHAR", _WSAMPLE_SEED)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((({h}) % 4294967296 + 1)::DOUBLE / 4294967296e0)
+           / n_chars::DOUBLE AS key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars AS sample_weight,
+       row_number() OVER (ORDER BY key, doc_id) AS sample_rank
+FROM keyed ORDER BY key, doc_id LIMIT {_WSAMPLE_K}
+"""
+
+
+_Z_BITS = 8
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6  # 64 buckets from the 16-bit Morton key
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key: interleave the low 8 bits of
+    (l_partkey, l_suppkey) and derive the target file bucket from the
+    key's top 6 bits — the multi-dimensional data-skipping layout
+    (write path: operators.zorder.write_zordered). Pure integer
+    bit-ops inside whole-stage codegen."""
+    from lours_spark.operators.zorder import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zorder_key([F.col("l_partkey"), F.col("l_suppkey")], bits=_Z_BITS)
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        z.alias("zval"),
+        F.shiftright(z, _Z_BUCKET_SHIFT).alias("zbucket"),
+    )
+
+
+def _oracle_zorder_layout() -> str:
+    mask = (1 << _Z_BITS) - 1
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(
+            f"((((l_partkey & {mask}) >> {j}) & 1) * {1 << (2 * j)})"
+        )
+        terms.append(
+            f"((((l_suppkey & {mask}) >> {j}) & 1) * {1 << (2 * j + 1)})"
+        )
+    z = " + ".join(terms)
+    return f"""
+WITH z AS (
+  SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, ({z}) AS zval
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, zval, (zval >> {_Z_BUCKET_SHIFT}) AS zbucket
+FROM z
+"""
+
+
 QUERIES.update(
     {
         "decontaminate": q_decontaminate,
@@ -4211,6 +4326,9 @@ QUERIES.update(
         "rolling_agg": q_rolling_agg,
         "funnel": q_funnel,
         "curation_pipeline": q_curation_pipeline,
+        "vocab_pair_stats": q_vocab_pair_stats,
+        "weighted_sample": q_weighted_sample,
+        "zorder_layout": q_zorder_layout,
     }
 )
 _EXTRA_ORACLES.update(
@@ -4239,6 +4357,9 @@ _EXTRA_ORACLES.update(
         "range_join": _oracle_range_join,
         "rolling_agg": _oracle_rolling_agg,
         "funnel": _oracle_funnel,
+        "vocab_pair_stats": _oracle_vocab_pair_stats,
+        "weighted_sample": _oracle_weighted_sample,
+        "zorder_layout": _oracle_zorder_layout,
     }
 )
 
@@ -4368,6 +4489,10 @@ _CURATION_FACETS = (
     # round 7 (per the COVERAGE.md gate-headroom policy: dedup/curation
     # additions ride this slot)
     "minhash_incremental",
+    # round 8: vocabulary induction, weighted sampling, z-order layout
+    "vocab_pair_stats",
+    "weighted_sample",
+    "zorder_layout",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -4559,6 +4684,11 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 ],
                 "ngram_logprob": ["doc_id", "n_grams", "avg_nll"],
                 "minhash_incremental": ["id_a", "id_b", "jaccard"],
+                "vocab_pair_stats": ["pair", "pair_count", "n_words"],
+                "weighted_sample": ["doc_id", "sample_weight", "sample_rank"],
+                "zorder_layout": [
+                    "l_orderkey", "l_linenumber", "zval", "zbucket",
+                ],
             }
             out[name] = _facet_union_sql(
                 *[(n, base[n], leg_cols[n]) for n in _CURATION_FACETS]

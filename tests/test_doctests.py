@@ -67,7 +67,9 @@ MIN_EXAMPLES = {
     "lours_spark.operators.similarity": 3,
     "lours_spark.operators.skew": 3,
     "lours_spark.operators.temporal": 3,
+    "lours_spark.operators.vocab": 2,
     "lours_spark.operators.windows": 12,
+    "lours_spark.operators.zorder": 2,
     "lours_spark.dataset.remap_presets": 5,
     "lours_spark.split.balanced": 6,
     "lours_spark.split.chunks": 4,

@@ -507,6 +507,50 @@ def test_paragraph_dedup_global_first_occurrence(spark):
     assert got[2]["n_paras_before"] == 3 and got[2]["n_paras_after"] == 2
 
 
+def test_paragraph_dedup_hash_key_parity(spark):
+    """key="hash" (the 100 TB narrow-exchange path: the first-occurrence
+    aggregation keys on md5(paragraph), not the paragraph string) yields
+    row-identical output to the value-keyed default."""
+    from lours_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (i, "\n\n".join(f"para {(i * 7 + j) % 13}" for j in range(1 + i % 5)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    by_value = sorted(map(tuple, paragraph_dedup(df, key="value").collect()))
+    by_hash = sorted(map(tuple, paragraph_dedup(df, key="hash").collect()))
+    assert by_value == by_hash
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        paragraph_dedup(df, key="md5")
+
+
+def test_simhash_duplicates_member_cap(spark):
+    """A planted mega-group (one boilerplate text shared by most docs)
+    keeps an exact group_size/keep_id but a bounded doc_ids array under
+    max_members; untruncated groups are unchanged vs the uncapped run."""
+    from lours_spark.operators.dedup import simhash_duplicates
+
+    rows = [(i, "the same boilerplate body every mirror serves") for i in range(200)]
+    rows += [(1000 + i, "a rarer page that only two hosts mirror") for i in range(2)]
+    rows += [(2000, "a unique page unlike anything else at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+
+    capped = {r["simhash"]: r for r in simhash_duplicates(df, max_members=5).collect()}
+    full = {r["simhash"]: r for r in simhash_duplicates(df).collect()}
+    assert set(capped) == set(full)
+    mega = next(r for r in capped.values() if r["group_size"] == 200)
+    assert mega["doc_ids"] == list(range(5))  # 5 smallest ids, sorted
+    assert mega["keep_id"] == 0
+    small = next(r for r in capped.values() if r["group_size"] == 2)
+    assert small["doc_ids"] == [1000, 1001]  # under the cap: untouched
+    assert {k: r["group_size"] for k, r in capped.items()} == {
+        k: r["group_size"] for k, r in full.items()
+    }
+
+
 def test_pii_signals_and_redaction(spark):
     """Counts, redaction tokens, and the density filter behave on known
     PII strings; clean text is untouched."""
@@ -1489,3 +1533,192 @@ def test_minhash_index_param_stamp(spark, tmp_path):
     assert not dict(legacy.schema["__id"].metadata or {})
     p2, _ = minhash_lsh_pairs_incremental(new, legacy)
     p2.collect()
+
+
+def test_word_counts_and_merge_pair_stats(spark):
+    """BPE counting semantics: pair_count weights by word frequency and
+    counts every adjacent position; n_words counts distinct words; the
+    top pair is the first merge a BPE trainer would make."""
+    from lours_spark.operators.vocab import merge_pair_stats, word_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "lowest low newer"), (3, "new new")],
+        "doc_id long, text string",
+    ).repartition(3)
+    wc = {r["word"]: r["n"] for r in word_counts(df).collect()}
+    assert wc == {"low": 4, "lower": 1, "lowest": 1, "newer": 1, "new": 2}
+
+    stats = {r["pair"]: (r["pair_count"], r["n_words"]) for r in
+             merge_pair_stats(df).collect()}
+    # 'lo': in low(x4), lower(x1), lowest(x1) -> 6 occurrences, 3 words
+    assert stats["lo"] == (6, 3)
+    # 'ow': same words -> 6, 3
+    assert stats["ow"] == (6, 3)
+    # 'ne': newer(x1) + new(x2) -> 3 occurrences, 2 distinct words
+    assert stats["ne"] == (3, 2)
+    # 'we': lower, lowest, newer each once -> 3 occurrences, 3 words
+    assert stats["we"] == (3, 3)
+
+    top = merge_pair_stats(df, top_n=2).collect()
+    assert [r["pair"] for r in top] == ["lo", "ow"]  # count desc, pair asc
+
+    # min_count prunes the long tail (the 100 TB hygiene knob)
+    pruned = {r["pair"] for r in merge_pair_stats(df, min_count=4).collect()}
+    assert "we" not in pruned and "lo" in pruned
+
+
+def test_merge_pair_stats_single_char_and_repeats(spark):
+    """1-char words contribute no pairs; a repeated char inside one
+    word counts once per adjacent position ('aaa' -> 'aa' twice)."""
+    from lours_spark.operators.vocab import merge_pair_stats
+
+    df = spark.createDataFrame([(1, "a b aaa")], "doc_id long, text string")
+    stats = {r["pair"]: (r["pair_count"], r["n_words"]) for r in
+             merge_pair_stats(df).collect()}
+    assert stats == {"aa": (2, 1)}
+
+
+def test_weighted_sample_distribution_and_determinism(spark):
+    """A-ES weighted sampling: deterministic under reruns/partitioning,
+    inclusion frequency ordered by weight, zero/NULL weights excluded,
+    ranks dense 1..k."""
+    from lours_spark.operators.sampling import weighted_sample
+
+    rows = [(i, [0, 1, 10][i % 3]) for i in range(600)]
+    rows += [(600, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+
+    out = weighted_sample(df, "w", k=100, seed=5)
+    got = sorted((r["doc_id"], r["sample_rank"]) for r in out.collect())
+    again = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in weighted_sample(df.repartition(13), "w", k=100, seed=5).collect()
+    )
+    assert got == again and len(got) == 100
+    ranks = sorted(r for _, r in got)
+    assert ranks == list(range(1, 101))
+
+    by_w = {0: 0, 1: 0, 10: 0}
+    w_of = dict(rows[:-1])
+    for doc_id, _ in got:
+        by_w[w_of[doc_id]] += 1
+    assert by_w[0] == 0  # weight 0: never sampled
+    assert by_w[10] > by_w[1] * 3  # 10x weight -> much more frequent
+
+
+def test_weighted_sample_all_heavy_weight_tiny_k(spark):
+    """k larger than the positive-weight population returns exactly
+    that population."""
+    from lours_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, 2.5)], "doc_id long, w double"
+    )
+    got = sorted(r["doc_id"] for r in weighted_sample(df, "w", k=10).collect())
+    assert got == [1, 3]
+
+
+def test_zorder_key_locality_and_write(spark, tmp_path):
+    """The Morton key interleaves correctly (locality on both columns)
+    and write_zordered produces files whose per-file min/max ranges on
+    BOTH columns are narrow -- the data-skipping property."""
+    import pyspark.sql.functions as F
+
+    from lours_spark.operators.zorder import quantize, write_zordered, zorder_key
+
+    n_side = 64
+    df = spark.range(n_side * n_side).select(
+        (F.col("id") % n_side).alias("x"),
+        (F.col("id") / n_side).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, ["x", "y"], bits=6, num_files=16)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n_side * n_side
+
+    # per-file spans: a z-ordered 64x64 grid in 16 files gives each
+    # file a ~16x16 tile -> span ~15 on BOTH axes; a single-column
+    # sort would give span 63 on the minor axis
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(per_file) > 4
+    worst = max(max(r["sx"], r["sy"]) for r in per_file)
+    assert worst <= 31  # every file covers at most a half-axis tile
+
+
+def test_zorder_key_validation(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from lours_spark.operators.zorder import quantize, zorder_key
+
+    with _pt.raises(ValueError):
+        zorder_key([F.col("x")], bits=4)
+    with _pt.raises(ValueError):
+        zorder_key([F.col("x"), F.col("y")], bits=32)
+    with _pt.raises(ValueError):
+        quantize(F.col("x"), 5, 5)
+
+
+def test_train_bpe_matches_naive_reference(spark):
+    """The incremental-index trainer produces the exact merge list of a
+    from-scratch naive BPE (full recount per iteration) on a corpus
+    with repeats, ties, and 1-char words; apply_bpe segments with those
+    merges consistently."""
+    from collections import Counter
+
+    from lours_spark.operators.vocab import apply_bpe, train_bpe
+
+    texts = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest newest widest widest widest",
+        "a bb a bb ccc low newest wide wider widest",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+
+    def naive(word_freqs, num_merges):
+        segs = {w: list(w) + ["</w>"] for w in word_freqs}
+        merges = []
+        for _ in range(num_merges):
+            counts = Counter()
+            for w, n in word_freqs.items():
+                s = segs[w]
+                for p in zip(s, s[1:]):
+                    counts[p] += n
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            for w in word_freqs:
+                s, out, i = segs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                        out.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                segs[w] = out
+        return merges
+
+    wf = Counter(w for t in texts for w in t.lower().split())
+    expect = naive(dict(wf), 12)
+    got = train_bpe(df, num_merges=12)
+    assert got == expect
+
+    seg = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(df, got).collect()}
+    # re-joining subwords reproduces the original words
+    for i, t in enumerate(texts):
+        rejoined = "".join(seg[i]).replace("</w>", " ").split()
+        assert rejoined == t.lower().split()
+    # trained merges actually compress: fewer symbols than chars
+    assert len(seg[0]) < sum(len(w) + 1 for w in texts[0].split())
