@@ -420,3 +420,35 @@ def test_confusion_matrix_single_matcher_execution(spark, suite):
     # the only Union left is compute_matches' own gt⊕pred tagging union
     # UPSTREAM of the kernel; the matcher stage itself appears once
     assert plan.count("MapInArrow") == 1, plan.count("MapInArrow")
+
+
+def test_vocab_pair_stats_two_narrow_aggs(spark, suite):
+    """Pair stats shuffle the DISTINCT-word table, never corpus text:
+    word-count exchange + the distinct-count two-phase pair exchange,
+    topped by TakeOrderedAndProject (no global sort)."""
+    df = suite.q_vocab_pair_stats(spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_weighted_sample_take_ordered_no_exchange(spark, suite):
+    """A-ES sampling is a pure column expression + TakeOrderedAndProject:
+    local per-partition top-k, driver heap merge — NO shuffle; the rank
+    window runs over the already-reduced k-row frame."""
+    df = suite.q_weighted_sample(spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_zorder_key_pure_codegen_projection(spark, suite):
+    """The Morton key is integer bit-ops inside one whole-stage-codegen
+    projection over the scan — no exchange, no Python, no sort."""
+    df = suite.q_zorder_layout(spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    # "*(1) Project" is toString's whole-stage-codegen marker
+    assert "*(1) Project" in plan
+    assert "BatchEvalPython" not in plan
