@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "vocab_pair_stats",
     "weighted_sample",
     "zorder_layout",
+    "boilerplate_removal",
+    "classifier_score",
     # round 2: every formerly-ungated facet is timed too, so the bench
     # covers what the gate covers
     "keep_classes",

@@ -155,6 +155,103 @@ def paragraph_dedup(
     )
 
 
+def remove_boilerplate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    max_doc_frequency: "int | None" = None,
+    max_doc_share: "float | None" = None,
+    key: str = "value",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line
+    filter): a paragraph that appears in MORE than ``max_doc_frequency``
+    distinct documents (or more than ``max_doc_share`` of the corpus) is
+    navigation/cookie-banner/licence boilerplate and is removed from
+    EVERY document — unlike :func:`paragraph_dedup`, which keeps the
+    first occurrence of each paragraph.
+
+    Exactly one of ``max_doc_frequency`` / ``max_doc_share`` must be
+    given; with ``max_doc_share`` the absolute threshold is
+    ``floor(share * n_docs)`` over the input's distinct-id count.
+
+    Spark shape: posexplode → per-paragraph distinct-document count
+    (two-phase ``count_distinct`` — partial aggregation collapses a
+    paragraph's repeats within a document map-side) → the OVER-threshold
+    set is tiny by construction (at threshold K it has at most
+    total_occurrences / K members), so survivors come from a LEFT ANTI
+    join that AQE plans as a broadcast; reassembly is the same
+    ``array_sort(collect_list(struct(pos, para)))`` as paragraph_dedup.
+    ``key="hash"`` keys the frequency exchange and the anti join on
+    ``md5(paragraph)`` — 32-byte wire rows at crawl scale (same
+    collision odds as :func:`paragraph_dedup`; parity-locked by
+    ``test_boilerplate_hash_key_parity``).
+
+    Returns (id_col, text, n_paras_before, n_paras_after). Documents
+    whose every paragraph was boilerplate come back with empty text,
+    never dropped.
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "FOOTER\\n\\na"), (2, "FOOTER\\n\\nb"), (3, "FOOTER\\n\\nc")],
+    ...     "doc_id long, text string")
+    >>> rows = {r["doc_id"]: r for r in
+    ...         remove_boilerplate_paragraphs(df, max_doc_frequency=2).collect()}
+    >>> rows[1]["text"], rows[1]["n_paras_before"], rows[1]["n_paras_after"]
+    ('a', 2, 1)
+    >>> rows[3]["text"]  # removed from every doc, not just later ones
+    'c'
+    """
+    if (max_doc_frequency is None) == (max_doc_share is None):
+        raise ValueError(
+            "give exactly one of max_doc_frequency / max_doc_share"
+        )
+    if key not in ("value", "hash"):
+        raise ValueError(f"key must be 'value' or 'hash', got {key!r}")
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    if key == "hash":
+        paras = paras.withColumn("__k", F.md5(F.col("__para")))
+        key_col = "__k"
+    else:
+        key_col = "__para"
+    freq = paras.groupBy(key_col).agg(
+        F.count_distinct("__id").alias("__df")
+    )
+    if max_doc_frequency is not None:
+        boiler = freq.filter(F.col("__df") > max_doc_frequency)
+    else:
+        n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
+        boiler = freq.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("__df")
+            > F.floor(F.lit(float(max_doc_share)) * F.col("n"))
+        )
+    kept = paras.join(boiler.select(key_col), key_col, "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_paras_after"),
+    )
+    before = paras.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_paras_before")
+    )
+    return (
+        before.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_paras_before",
+            F.coalesce(F.col("n_paras_after"), F.lit(0)).alias("n_paras_after"),
+        )
+    )
+
+
 def with_minhash(
     df: DataFrame,
     id_col: str = "doc_id",

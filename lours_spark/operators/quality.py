@@ -557,3 +557,230 @@ def filter_quality_percentile(
             "__fq_n", "__fq_drop_at",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed n-gram linear quality classifier (fastText/DCLM-style)
+# ---------------------------------------------------------------------------
+
+
+def _spread_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin a NARROW projection across the cluster when the
+    source arrives in fewer partitions than there are cores (a small
+    corpus read as one parquet file serializes the per-gram md5 work
+    onto one task — the same near-serial trap as pipeline.py's
+    post-percentile middle). At real scale the input already has more
+    partitions than defaultParallelism and this is a no-op — no
+    exchange is ever added to a 100 TB scan."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+def hashed_ngram_buckets(
+    text: Column,
+    num_buckets: int = 1 << 18,
+    seed: int | str = 0,
+    bigrams: bool = True,
+) -> Column:
+    """Feature buckets of a document for a hashed linear classifier:
+    every whitespace unigram (and, with ``bigrams``, every adjacent
+    word bigram) hashed onto ``[0, num_buckets)`` with the portable
+    md5 PRF — the fastText hashing trick, engine-reproducible.
+
+    One bucket per gram OCCURRENCE (term frequency is preserved by
+    multiplicity); empty tokens are dropped, so blank text yields an
+    empty array. Pure Column expression — evaluates inside whole-stage
+    codegen with the token array bound once.
+
+    >>> df = spark.createDataFrame([("a b",)], ["text"])
+    >>> row = df.select(hashed_ngram_buckets(
+    ...     F.col("text"), num_buckets=16).alias("b")).first()
+    >>> len(row["b"])  # 'a', 'b', 'a b'
+    3
+    >>> all(0 <= v < 16 for v in row["b"])
+    True
+    """
+    from lours_spark.functions.text import md5_long
+
+    def build(t: Column) -> Column:
+        words = F.filter(t, lambda w: F.length(w) > 0)
+        n = F.size(words)
+        bi = (
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat(
+                        F.element_at(words, i.cast("int")),
+                        F.lit(" "),
+                        F.element_at(words, (i + 1).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            if bigrams
+            else F.array().cast("array<string>")
+        )
+        grams = F.concat(words, bi)
+        return F.transform(
+            grams, lambda g: md5_long(g, seed) % F.lit(num_buckets)
+        )
+
+    return _bind(tokens(text), build)
+
+
+def train_ngram_classifier(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    num_buckets: int = 1 << 18,
+    seed: int | str = 0,
+    bigrams: bool = True,
+    smoothing: float = 1.0,
+) -> "tuple[DataFrame, float]":
+    """Train a hashed n-gram naive-Bayes log-odds classifier (the
+    closed-form linear model behind "quality classifier" curation
+    stages a la CCNet/DCLM: positives = a trusted corpus, negatives =
+    raw crawl). Returns ``(weights, bias)``: a (bucket BIGINT, weight
+    DOUBLE) DataFrame plus a float bias, consumable by
+    :func:`classifier_score`.
+
+    Per-bucket weight is the smoothed log-likelihood ratio
+    ``ln((pos_b+a)/(pos+aB)) - ln((neg_b+a)/(neg+aB))``, CENTERED so
+    a never-seen bucket scores exactly 0 (the unseen-bucket default is
+    folded into the bias — scores are identical to the uncentered
+    model, but the weight table only needs observed buckets). Training
+    is ONE distributed pass: explode grams → a single map-side-combined
+    groupBy(bucket) carrying two conditional counts; the class totals
+    ride the same aggregate through a tiny second reduction. Nothing
+    driver-sized except the two scalars.
+
+    ``label_col`` must be 0/1 (cast tolerated). Both classes must be
+    non-empty.
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "good clean prose", 1), (2, "good text", 1),
+    ...      (3, "spam spam spam", 0), (4, "buy spam now", 0)],
+    ...     "doc_id long, text string, label int")
+    >>> w, b = train_ngram_classifier(df, "label", num_buckets=64)
+    >>> spam_w = [r for r in w.collect()]
+    >>> bool(len(spam_w) > 0)
+    True
+    """
+    import math
+
+    lab = F.col(label_col).cast("int")
+    g = _spread_narrow(
+        docs.select(lab.alias("__y"), F.col(text_col).alias("__t"))
+    ).select(
+        "__y",
+        F.explode(
+            hashed_ngram_buckets(
+                F.col("__t"), num_buckets=num_buckets, seed=seed,
+                bigrams=bigrams,
+            )
+        ).alias("bucket"),
+    )
+    # one job over gram volume, lineage truncated so the weights frame
+    # (consumed again by classifier_score's broadcast) never re-runs
+    # the corpus aggregation
+    per_bucket = (
+        g.groupBy("bucket")
+        .agg(
+            F.sum(F.col("__y")).alias("__pos"),
+            F.sum(1 - F.col("__y")).alias("__neg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per_bucket.agg(
+        F.sum("__pos").alias("p"), F.sum("__neg").alias("n")
+    ).first()
+    pos_tot, neg_tot = float(tot["p"] or 0), float(tot["n"] or 0)
+    if pos_tot == 0 or neg_tot == 0:
+        raise ValueError("both classes need at least one gram occurrence")
+    a, B = float(smoothing), float(num_buckets)
+    # unseen-bucket default, folded into the bias so missing rows = 0
+    default = math.log(a / (pos_tot + a * B)) - math.log(
+        a / (neg_tot + a * B)
+    )
+    weights = per_bucket.select(
+        "bucket",
+        (
+            F.log((F.col("__pos") + a) / F.lit(pos_tot + a * B))
+            - F.log((F.col("__neg") + a) / F.lit(neg_tot + a * B))
+            - F.lit(default)
+        ).alias("weight"),
+    )
+    cls = docs.agg(
+        F.sum(lab).alias("np"), F.sum(1 - lab).alias("nn")
+    ).first()
+    n_pos, n_neg = int(cls["np"] or 0), int(cls["nn"] or 0)
+    bias = math.log(max(n_pos, 1) / max(n_neg, 1)) + default
+    return weights, bias
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1 << 18,
+    seed: int | str = 0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Score every document with a trained hashed-linear model:
+    ``score = sigmoid(bias + mean(weight of each gram occurrence))``
+    (the mean normalizes for document length, as fastText does).
+    Returns (id_col, n_grams, score); a document with no grams scores
+    ``sigmoid(bias)``.
+
+    Scale shape: grams explode doc-locally and broadcast-join the
+    weight table (bounded by num_buckets — megabytes), so the ONLY
+    exchange over gram volume is the map-side-combined groupBy(id)
+    that immediately collapses it back to one row per document
+    (``explode_outer`` keeps gram-free documents in the stream — no
+    re-join back to the input). Hashing and the
+    mean replay exactly in the DuckDB oracle (portable md5 PRF,
+    deterministic fold order irrelevant at round-6).
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "good clean prose", 1), (2, "spam spam spam", 0)],
+    ...     "doc_id long, text string, label int")
+    >>> w, b = train_ngram_classifier(df, "label", num_buckets=64)
+    >>> out = {r["doc_id"]: r["score"]
+    ...        for r in classifier_score(df, w, b, num_buckets=64).collect()}
+    >>> bool(out[1] > out[2])
+    True
+    """
+    # explode_outer keeps gram-free documents in the stream as a NULL
+    # bucket row, so ONE groupBy covers every document — no re-join
+    # back to the input (count("bucket") skips the NULL sentinel)
+    g = _spread_narrow(
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    ).select(
+        "__id",
+        F.explode_outer(
+            hashed_ngram_buckets(
+                F.col("__t"), num_buckets=num_buckets, seed=seed,
+                bigrams=bigrams,
+            )
+        ).alias("bucket"),
+    )
+    agg = (
+        g.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("__id")
+        .agg(
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("__sw"),
+            F.count("bucket").alias("n_grams"),
+        )
+    )
+    raw = F.lit(float(bias)) + F.coalesce(
+        F.col("__sw") / F.nullif(F.col("n_grams"), F.lit(0)), F.lit(0.0)
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))).alias("score"),
+    )

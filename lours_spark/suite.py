@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 98)
+(50, 103)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -4297,6 +4297,165 @@ FROM z
 """
 
 
+_BOILER_SHARE = 0.1
+_BOILER_NAV = "SHARED NAV MENU HOME ABOUT CONTACT"
+_BOILER_FOOT = "COPYRIGHT FOOTER ALL RIGHTS RESERVED"
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (CCNet/RefinedWeb): a nav
+    paragraph is planted on every 4th document and a footer on every
+    6th — both exceed 10% of the corpus and are removed from EVERY
+    document (unlike paragraph_dedup's keep-first); genuine paragraphs
+    survive. Gate row: per-doc paragraph counts + md5 of the rebuilt
+    text."""
+    from lours_spark.operators.dedup import remove_boilerplate_paragraphs
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(_BOILER_NAV + "\n\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit("\n\n" + _BOILER_FOOT)
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = remove_boilerplate_paragraphs(planted, max_doc_share=_BOILER_SHARE)
+    return out.select(
+        "doc_id",
+        "n_paras_before",
+        "n_paras_after",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _oracle_boilerplate_removal() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 4 = 0
+       THEN '{_BOILER_NAV}' || chr(10) || chr(10) ELSE '' END)
+    || text ||
+    (CASE WHEN doc_id % 6 = 0
+       THEN chr(10) || chr(10) || '{_BOILER_FOOT}' ELSE '' END) AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM t
+), p AS (
+  SELECT doc_id, unnest(generate_series(1, len(parts))) AS i, parts FROM s
+), paras AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS para FROM p
+), thr AS (
+  SELECT floor({_BOILER_SHARE} * count(DISTINCT doc_id)) AS cut FROM t
+), boiler AS (
+  SELECT para FROM paras, thr
+  GROUP BY para, cut HAVING count(DISTINCT doc_id) > cut
+), kept AS (
+  SELECT paras.* FROM paras ANTI JOIN boiler USING (para)
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+         count(*) AS n_paras_after
+  FROM kept GROUP BY doc_id
+), before AS (
+  SELECT doc_id, count(*) AS n_paras_before FROM paras GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_paras_before,
+       coalesce(r.n_paras_after, 0) AS n_paras_after,
+       md5(coalesce(r.text, '')) AS text_md5
+FROM before b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+_CLS_BUCKETS = 4096
+_CLS_SEED = 8
+_CLS_ALPHA = 1.0
+
+
+def q_classifier_score(spark, sf_dir):
+    """Hashed n-gram linear quality classifier (fastText/DCLM-style):
+    train naive-Bayes log-odds weights on a deterministic text-derived
+    label (document contains the token 'the' — a proxy "trusted
+    corpus" split), then score every document. Train + score are both
+    replayed end-to-end in the oracle: same md5 bucket hashing, same
+    smoothing, same centered weights and bias."""
+    from lours_spark.functions.text import tokens as _tokens
+    from lours_spark.operators.quality import (
+        classifier_score,
+        train_ngram_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.withColumn(
+        "__y",
+        F.array_contains(_tokens(F.col("text")), "the").cast("int"),
+    )
+    w, b = train_ngram_classifier(
+        labeled, "__y", num_buckets=_CLS_BUCKETS, seed=_CLS_SEED,
+        smoothing=_CLS_ALPHA,
+    )
+    out = classifier_score(
+        d, w, b, num_buckets=_CLS_BUCKETS, seed=_CLS_SEED
+    )
+    return out.select(
+        "doc_id", "n_grams", F.round("score", 6).alias("score")
+    )
+
+
+def _oracle_classifier_score() -> str:
+    B, a = _CLS_BUCKETS, _CLS_ALPHA
+    h = dd_md5_long("gram", _CLS_SEED)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter({dd_tokens('text')}, w -> len(w) > 0) AS t
+  FROM documents
+), lab AS (
+  SELECT doc_id, t,
+         CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END AS y
+  FROM toks
+), uni AS (
+  SELECT doc_id, y, unnest(t) AS gram FROM lab
+), big AS (
+  SELECT doc_id, y, t[i] || ' ' || t[i+1] AS gram
+  FROM lab, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+), grams AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM big
+), bk AS (
+  SELECT doc_id, y, ({h}) % {B} AS bucket FROM grams
+), per AS (
+  SELECT bucket, sum(y)::DOUBLE AS pos, sum(1 - y)::DOUBLE AS neg
+  FROM bk GROUP BY bucket
+), tot AS (
+  SELECT sum(pos) AS p, sum(neg) AS n,
+         ln({a} / (sum(pos) + {a} * {B}))
+           - ln({a} / (sum(neg) + {a} * {B})) AS dflt
+  FROM per
+), w AS (
+  SELECT bucket,
+         ln((pos + {a}) / (p + {a} * {B}))
+           - ln((neg + {a}) / (n + {a} * {B})) - dflt AS weight
+  FROM per, tot
+), cls AS (
+  SELECT ln(greatest(sum(y), 1)::DOUBLE / greatest(sum(1 - y), 1)) AS lr
+  FROM lab
+), bias AS (SELECT lr + dflt AS b FROM cls, tot
+), doc AS (
+  SELECT doc_id, sum(coalesce(weight, 0)) AS sw, count(*) AS ng
+  FROM bk LEFT JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(doc.ng, 0) AS n_grams,
+       round(1.0 / (1.0 + exp(-(bias.b
+         + coalesce(doc.sw / doc.ng, 0)))), 6) AS score
+FROM documents d LEFT JOIN doc USING (doc_id), bias
+"""
+
+
 QUERIES.update(
     {
         "decontaminate": q_decontaminate,
@@ -4329,6 +4488,8 @@ QUERIES.update(
         "vocab_pair_stats": q_vocab_pair_stats,
         "weighted_sample": q_weighted_sample,
         "zorder_layout": q_zorder_layout,
+        "boilerplate_removal": q_boilerplate_removal,
+        "classifier_score": q_classifier_score,
     }
 )
 _EXTRA_ORACLES.update(
@@ -4360,6 +4521,8 @@ _EXTRA_ORACLES.update(
         "vocab_pair_stats": _oracle_vocab_pair_stats,
         "weighted_sample": _oracle_weighted_sample,
         "zorder_layout": _oracle_zorder_layout,
+        "boilerplate_removal": _oracle_boilerplate_removal,
+        "classifier_score": _oracle_classifier_score,
     }
 )
 
@@ -4489,10 +4652,13 @@ _CURATION_FACETS = (
     # round 7 (per the COVERAGE.md gate-headroom policy: dedup/curation
     # additions ride this slot)
     "minhash_incremental",
-    # round 8: vocabulary induction, weighted sampling, z-order layout
+    # round 8: vocabulary induction, weighted sampling, z-order layout,
+    # boilerplate removal, hashed n-gram classifier
     "vocab_pair_stats",
     "weighted_sample",
     "zorder_layout",
+    "boilerplate_removal",
+    "classifier_score",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -4689,6 +4855,10 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 "zorder_layout": [
                     "l_orderkey", "l_linenumber", "zval", "zbucket",
                 ],
+                "boilerplate_removal": [
+                    "doc_id", "n_paras_before", "n_paras_after", "text_md5",
+                ],
+                "classifier_score": ["doc_id", "n_grams", "score"],
             }
             out[name] = _facet_union_sql(
                 *[(n, base[n], leg_cols[n]) for n in _CURATION_FACETS]

@@ -66,6 +66,9 @@ QUERIES = [
     "vocab_pair_stats",
     "weighted_sample",
     "zorder_layout",
+    # round 8 (cont.): boilerplate removal + hashed n-gram classifier
+    "boilerplate_removal",
+    "classifier_score",
 ]
 
 

@@ -1722,3 +1722,123 @@ def test_train_bpe_matches_naive_reference(spark):
         assert rejoined == t.lower().split()
     # trained merges actually compress: fewer symbols than chars
     assert len(seg[0]) < sum(len(w) + 1 for w in texts[0].split())
+
+
+def test_remove_boilerplate_paragraphs(spark):
+    """Over-threshold paragraphs vanish from EVERY document (not just
+    later occurrences); under-threshold ones all survive; a document
+    that was pure boilerplate comes back empty, never dropped."""
+    from lours_spark.operators.dedup import remove_boilerplate_paragraphs
+
+    rows = [(i, f"NAV MENU\n\nbody {i}") for i in range(10)]
+    rows += [(100, "NAV MENU")]  # pure boilerplate
+    rows += [(200, "twice\n\nbody 200"), (201, "twice\n\nbody 201")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_paragraphs(
+            df, max_doc_frequency=3
+        ).collect()
+    }
+    assert len(out) == 13  # nothing dropped
+    for i in range(10):
+        assert out[i]["text"] == f"body {i}"
+        assert (out[i]["n_paras_before"], out[i]["n_paras_after"]) == (2, 1)
+    assert out[100]["text"] == "" and out[100]["n_paras_after"] == 0
+    # 'twice' appears in only 2 docs <= 3: kept everywhere
+    assert out[200]["text"] == "twice\n\nbody 200"
+
+    # share threshold: floor(0.25 * 13) = 3, same cut
+    by_share = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_paragraphs(
+            df, max_doc_share=0.25
+        ).collect()
+    }
+    assert by_share[5] == "body 5" and by_share[200].startswith("twice")
+
+    with pytest.raises(ValueError):
+        remove_boilerplate_paragraphs(df)
+    with pytest.raises(ValueError):
+        remove_boilerplate_paragraphs(
+            df, max_doc_frequency=3, max_doc_share=0.5
+        )
+
+
+def test_boilerplate_hash_key_parity(spark):
+    """key="hash" (32-byte frequency/anti-join exchange) is
+    row-identical to the value-keyed default."""
+    from lours_spark.operators.dedup import remove_boilerplate_paragraphs
+
+    rows = [
+        (i, "\n\n".join(f"para {(i * 3 + j) % 7}" for j in range(1 + i % 4)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    a = sorted(map(tuple, remove_boilerplate_paragraphs(
+        df, max_doc_frequency=8, key="value").collect()))
+    b = sorted(map(tuple, remove_boilerplate_paragraphs(
+        df, max_doc_frequency=8, key="hash").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        remove_boilerplate_paragraphs(df, max_doc_frequency=8, key="md5")
+
+
+def test_ngram_classifier_separates_classes(spark):
+    """Log-odds weights trained on a seed split rank held-out documents
+    of each class on the right side of sigmoid(bias); empty text scores
+    exactly sigmoid(bias) with n_grams=0."""
+    import math
+
+    from lours_spark.operators.quality import (
+        classifier_score,
+        train_ngram_classifier,
+    )
+
+    pos_words = "good clean helpful prose article essay"
+    neg_words = "buy cheap spam click casino pills"
+    rows = [(i, f"{pos_words} sample {i % 3}", 1) for i in range(20)]
+    rows += [(100 + i, f"{neg_words} offer {i % 3}", 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = train_ngram_classifier(df, "label", num_buckets=512, seed=3)
+
+    held = spark.createDataFrame(
+        [(1, "a clean helpful essay"), (2, "cheap casino spam pills"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           classifier_score(held, w, b, num_buckets=512, seed=3).collect()}
+    base = 1.0 / (1.0 + math.exp(-b))
+    assert out[1]["score"] > base > out[2]["score"]
+    assert out[3]["n_grams"] == 0
+    assert abs(out[3]["score"] - base) < 1e-12
+
+    # degenerate: single-class corpus fails loud
+    with pytest.raises(ValueError):
+        train_ngram_classifier(
+            df.filter("label = 1"), "label", num_buckets=512
+        )
+
+
+def test_hashed_ngram_buckets_range_and_multiplicity(spark):
+    from lours_spark.operators.quality import hashed_ngram_buckets
+
+    df = spark.createDataFrame(
+        [("x x y",), ("",), ("   ",)], ["text"]
+    )
+    rows = df.select(
+        hashed_ngram_buckets(F.col("text"), num_buckets=8).alias("b")
+    ).collect()
+    # 3 unigrams + 2 bigrams, duplicates preserved (tf by multiplicity)
+    assert len(rows[0]["b"]) == 5
+    assert all(0 <= v < 8 for v in rows[0]["b"])
+    assert rows[1]["b"] == [] and rows[2]["b"] == []
+    # unigram-only mode
+    uni = df.select(
+        hashed_ngram_buckets(
+            F.col("text"), num_buckets=8, bigrams=False
+        ).alias("b")
+    ).collect()
+    assert len(uni[0]["b"]) == 3

@@ -452,3 +452,30 @@ def test_zorder_key_pure_codegen_projection(spark, suite):
     # "*(1) Project" is toString's whole-stage-codegen marker
     assert "*(1) Project" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_boilerplate_removal_anti_join_broadcast(spark, suite):
+    """The over-threshold paragraph set is tiny by construction
+    (<= occurrences/K members), so survivors come from a broadcast
+    LEFT ANTI join — never a sort-merge over paragraph text — and
+    the whole pipeline stays JVM-side."""
+    df = suite.q_boilerplate_removal(spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # anti join + doc re-join
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_classifier_score_broadcast_weights_one_gram_exchange(spark, suite):
+    """Scoring explodes grams doc-locally (explode_outer — gram-free
+    docs stay in the stream, no re-join back to the input) and
+    broadcast-joins the bucket-bounded weight table: the only
+    hash exchange is the map-side-combined doc aggregation (train's
+    bucket agg runs at plan-build time as its own job) — no
+    sort-merge join, no Python."""
+    df = suite.q_classifier_score(spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
