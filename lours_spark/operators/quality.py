@@ -604,8 +604,11 @@ def hashed_ngram_buckets(
     """
     from lours_spark.functions.text import md5_long
 
-    def build(t: Column) -> Column:
-        words = F.filter(t, lambda w: F.length(w) > 0)
+    # bind the FILTERED array: higher-order functions are interpreted
+    # (no codegen CSE), so an unbound `filter(tokens, ...)` referenced
+    # inside the per-bigram lambda would re-run over the whole token
+    # array for every bigram index — O(n_tokens²) per document
+    def build(words: Column) -> Column:
         n = F.size(words)
         bi = (
             F.when(
@@ -627,7 +630,9 @@ def hashed_ngram_buckets(
             grams, lambda g: md5_long(g, seed) % F.lit(num_buckets)
         )
 
-    return _bind(tokens(text), build)
+    return _bind(
+        F.filter(tokens(text), lambda w: F.length(w) > 0), build
+    )
 
 
 def train_ngram_classifier(
@@ -652,9 +657,12 @@ def train_ngram_classifier(
     folded into the bias — scores are identical to the uncentered
     model, but the weight table only needs observed buckets). Training
     is ONE distributed pass: explode grams → a single map-side-combined
-    groupBy(bucket) carrying two conditional counts; the class totals
-    ride the same aggregate through a tiny second reduction. Nothing
-    driver-sized except the two scalars.
+    groupBy(bucket) carrying two conditional counts. The gram totals
+    AND the per-class document counts both derive from that one
+    aggregate (each document contributes a sentinel ``-1`` bucket row,
+    so the class split never re-scans — or re-tokenizes, when the
+    label is text-derived — the corpus). Nothing driver-sized except
+    a handful of scalars.
 
     ``label_col`` must be 0/1 (cast tolerated). Both classes must be
     non-empty.
@@ -671,14 +679,20 @@ def train_ngram_classifier(
     import math
 
     lab = F.col(label_col).cast("int")
+    # every document contributes one sentinel bucket -1 (real buckets
+    # live in [0, num_buckets)): its per_bucket row IS the per-class
+    # document count, so the class split costs no second corpus scan
     g = _spread_narrow(
         docs.select(lab.alias("__y"), F.col(text_col).alias("__t"))
     ).select(
         "__y",
         F.explode(
-            hashed_ngram_buckets(
-                F.col("__t"), num_buckets=num_buckets, seed=seed,
-                bigrams=bigrams,
+            F.concat(
+                F.array(F.lit(-1).cast("long")),
+                hashed_ngram_buckets(
+                    F.col("__t"), num_buckets=num_buckets, seed=seed,
+                    bigrams=bigrams,
+                ),
             )
         ).alias("bucket"),
     )
@@ -694,7 +708,10 @@ def train_ngram_classifier(
         .localCheckpoint(eager=True)
     )
     tot = per_bucket.agg(
-        F.sum("__pos").alias("p"), F.sum("__neg").alias("n")
+        F.sum(F.when(F.col("bucket") >= 0, F.col("__pos"))).alias("p"),
+        F.sum(F.when(F.col("bucket") >= 0, F.col("__neg"))).alias("n"),
+        F.sum(F.when(F.col("bucket") == -1, F.col("__pos"))).alias("np"),
+        F.sum(F.when(F.col("bucket") == -1, F.col("__neg"))).alias("nn"),
     ).first()
     pos_tot, neg_tot = float(tot["p"] or 0), float(tot["n"] or 0)
     if pos_tot == 0 or neg_tot == 0:
@@ -704,7 +721,7 @@ def train_ngram_classifier(
     default = math.log(a / (pos_tot + a * B)) - math.log(
         a / (neg_tot + a * B)
     )
-    weights = per_bucket.select(
+    weights = per_bucket.filter(F.col("bucket") >= 0).select(
         "bucket",
         (
             F.log((F.col("__pos") + a) / F.lit(pos_tot + a * B))
@@ -712,10 +729,7 @@ def train_ngram_classifier(
             - F.lit(default)
         ).alias("weight"),
     )
-    cls = docs.agg(
-        F.sum(lab).alias("np"), F.sum(1 - lab).alias("nn")
-    ).first()
-    n_pos, n_neg = int(cls["np"] or 0), int(cls["nn"] or 0)
+    n_pos, n_neg = int(tot["np"] or 0), int(tot["nn"] or 0)
     bias = math.log(max(n_pos, 1) / max(n_neg, 1)) + default
     return weights, bias
 

@@ -282,6 +282,14 @@ def compact_neardup_index(
     kmax = max((k for k, _ in compacts), default=0)
     if upto_batch_id < kmax:
         return 0  # superseded by a newer compaction
+    # READ exactly the prior-state selection (_prior_index_dirs'
+    # rule): the newest committed compact dir supersedes every batch
+    # dir below its bound, so a batch-n with n < kmax left behind by a
+    # prior compaction's crashed deletes is stale — reading it AND the
+    # compact dir that already folded it would duplicate its rows in
+    # the output. Stale dirs are still DELETED below.
+    folded = [p for k, p in compacts if k == kmax]
+    folded += [p for n, p in batches if kmax <= n < upto_batch_id]
     consumed = [p for n, p in batches if n < upto_batch_id]
     consumed += [p for k, p in compacts if k < upto_batch_id]
     out = os.path.join(index_dir, f"compact-{upto_batch_id:06d}")
@@ -297,9 +305,9 @@ def compact_neardup_index(
         for p in consumed:
             fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
         return len(consumed)
-    if len(consumed) < 2:
+    if len(folded) < 2:
         return 0  # folding fewer than two dirs gains nothing
-    spark.read.parquet(*consumed).write.mode("overwrite").parquet(out)
+    spark.read.parquet(*folded).write.mode("overwrite").parquet(out)
     # uncommitted compact leftovers (crashed mid-write, stripped by
     # _drop_uncommitted_compacts above) at or below the bound are
     # garbage — delete without reading, alongside the consumed dirs

@@ -974,3 +974,38 @@ def test_uncommitted_compact_dir_never_supersedes(spark, tmp_path):
     assert (out / "_SUCCESS").exists()
     assert spark.read.parquet(str(out)).count() == 4
     assert not (idx / "batch-000000").exists()
+
+
+def test_compaction_skips_batches_already_folded(spark, tmp_path):
+    """A prior compaction that committed but crashed before its
+    deletes leaves batch dirs BELOW the compact bound on disk. A later
+    (e.g. manual) compaction must read the compact dir OR those stale
+    batches — never both — or every row they share is duplicated into
+    the new compact dir and the incremental miner's joins multiply."""
+    import os
+
+    from lours_spark.streaming.documents import compact_neardup_index
+
+    idx = tmp_path / "idx"
+
+    def write(name, lo, hi):
+        spark.range(lo, hi).write.mode("overwrite").parquet(
+            str(idx / name)
+        )
+
+    # compact-000002 folded batches 0,1 (rows 0..3) but its delete
+    # phase crashed, so batch-000000/000001 survive beside it
+    write("batch-000000", 0, 2)
+    write("batch-000001", 2, 4)
+    write("compact-000002", 0, 4)
+    write("batch-000002", 4, 6)
+    write("batch-000003", 6, 8)
+
+    folded = compact_neardup_index(spark, str(idx), upto_batch_id=4)
+    assert folded == 5  # everything below the bound is swept away
+    names = sorted(os.listdir(idx))
+    assert names == ["compact-000004"]
+    rows = sorted(
+        r["id"] for r in spark.read.parquet(str(idx / "compact-000004")).collect()
+    )
+    assert rows == list(range(8))  # each id exactly once — no doubling
