@@ -42,6 +42,11 @@ ROWS = {
     "curation_pipeline": "documents",
     "minhash_incremental": "documents",
     "minhash_hot_bucket": "documents",
+    "vocab_pair_stats": "documents",
+    "weighted_sample": "documents",
+    "zorder_layout": "lineitem",
+    "boilerplate_removal": "documents",
+    "classifier_score": "documents",
 }
 TABLE_ROWS = {
     "1x": {"lineitem": 600_000, "orders": 150_000, "documents": 5_000,
