@@ -252,6 +252,50 @@ def remove_boilerplate_paragraphs(
     )
 
 
+def boilerplate_paragraph_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    max_doc_frequency: "int | None" = None,
+    max_doc_share: "float | None" = None,
+) -> DataFrame:
+    """The boilerplate LEDGER: md5 + distinct-document frequency of
+    every paragraph OVER the threshold (same thresholds as
+    :func:`remove_boilerplate_paragraphs`). Returns (para_md5 string,
+    doc_freq long) — bounded by total_occurrences / threshold, so it
+    collects safely; feed it to
+    ``streaming.documents.curate_document_stream`` as the FROZEN
+    boilerplate set a long-running stream strips per batch (the
+    streaming twin can't re-count corpus frequencies per micro-batch).
+
+    >>> df = spark.createDataFrame(
+    ...     [(1, "FOOT\\n\\na"), (2, "FOOT\\n\\nb"), (3, "FOOT")],
+    ...     "doc_id long, text string")
+    >>> rows = boilerplate_paragraph_hashes(df, max_doc_frequency=2).collect()
+    >>> [(r["doc_freq"],) for r in rows]
+    [(3,)]
+    """
+    if (max_doc_frequency is None) == (max_doc_share is None):
+        raise ValueError(
+            "give exactly one of max_doc_frequency / max_doc_share"
+        )
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("__para"),
+    )
+    freq = paras.groupBy(F.md5("__para").alias("para_md5")).agg(
+        F.count_distinct("__id").alias("doc_freq")
+    )
+    if max_doc_frequency is not None:
+        return freq.filter(F.col("doc_freq") > max_doc_frequency)
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
+    return freq.crossJoin(F.broadcast(n_docs)).filter(
+        F.col("doc_freq")
+        > F.floor(F.lit(float(max_doc_share)) * F.col("n"))
+    ).drop("n")
+
+
 def with_minhash(
     df: DataFrame,
     id_col: str = "doc_id",

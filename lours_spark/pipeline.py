@@ -7,7 +7,13 @@ beyond-reference curation layer into ONE lazy plan per stage chain:
 
     raw documents
       → decontaminate (benchmark n-gram overlap, broadcast join)
+      → boilerplate paragraph removal (corpus-frequency anti-join —
+        BEFORE the quality stages, so nav menus/footers don't distort
+        their signals)
       → Gopher rule filter (zero-shuffle codegen'd projection)
+      → quality-classifier filter (hashed n-gram log-odds score vs a
+        threshold, broadcast weights — the DCLM-style model cut after
+        the rule cut)
       → exact dedup (keep-first by fingerprint)
       → quality percentile filter (per-language cume_dist)
       → PII redaction (codegen'd regexp, no shuffle)
@@ -51,7 +57,18 @@ class CurationConfig:
     """
 
     benchmark: "DataFrame | None" = None
+    #: paragraphs appearing in more than this share of documents are
+    #: removed from EVERY document (remove_boilerplate_paragraphs);
+    #: None skips the stage
+    boilerplate_max_doc_share: "float | None" = None
     gopher: "dict | None" = None
+    #: (weights DataFrame, bias) from train_ngram_classifier plus the
+    #: minimum sigmoid score to keep; all three must be set together.
+    #: num_buckets/seed must match the training call.
+    classifier_weights: "DataFrame | None" = None
+    classifier_bias: "float | None" = None
+    classifier_min_score: "float | None" = None
+    classifier_num_buckets: int = 1 << 18
     dedup_exact: bool = True
     quality_min_pct: "float | None" = 0.2
     #: False (default): exact per-group cume_dist window — deterministic,
@@ -123,6 +140,27 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
         )
         stages_run.append("decontaminate")
 
+    if cfg.boilerplate_max_doc_share is not None:
+        from lours_spark.operators.dedup import (
+            remove_boilerplate_paragraphs,
+        )
+
+        # rebuild text with over-threshold paragraphs stripped, then
+        # re-attach the non-text columns by id (the operator returns
+        # only (id, text, counts) — the join is doc-grain, and the
+        # downstream dedup window re-partitions anyway)
+        rebuilt = remove_boilerplate_paragraphs(
+            out, id_col=id_col, text_col=text_col,
+            max_doc_share=cfg.boilerplate_max_doc_share,
+            key="hash",
+        ).select(id_col, F.col("text").alias("__bp_text"))
+        out = (
+            out.drop(text_col)
+            .join(rebuilt, id_col)
+            .withColumnRenamed("__bp_text", text_col)
+        )
+        stages_run.append("boilerplate")
+
     if cfg.gopher is not None:
         from lours_spark.operators.quality import filter_gopher
 
@@ -131,6 +169,22 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
         # everything downstream for free
         out = filter_gopher(out, id_col, text_col, **cfg.gopher)
         stages_run.append("gopher")
+
+    if cfg.classifier_min_score is not None:
+        from lours_spark.operators.quality import classifier_score
+
+        if cfg.classifier_weights is None or cfg.classifier_bias is None:
+            raise ValueError(
+                "classifier_min_score needs classifier_weights and "
+                "classifier_bias (train_ngram_classifier's outputs)"
+            )
+        keep = classifier_score(
+            out, cfg.classifier_weights, cfg.classifier_bias,
+            id_col=id_col, text_col=text_col,
+            num_buckets=cfg.classifier_num_buckets, seed=cfg.seed,
+        ).filter(F.col("score") >= cfg.classifier_min_score)
+        out = out.join(keep.select(id_col), id_col, "left_semi")
+        stages_run.append("classifier_filter")
 
     if cfg.dedup_exact:
         from lours_spark.functions.text import fingerprint

@@ -66,6 +66,85 @@ def read_document_stream(
     )
 
 
+def _strip_paragraphs_udf(boilerplate_hashes: DataFrame, sep: str):
+    """Arrow-batched paragraph stripper over a FROZEN md5 set (first
+    column of ``boilerplate_hashes``; bounded by construction — see
+    boilerplate_paragraph_hashes). Byte-compatible with the batch
+    operator: md5 of the UTF-8 paragraph, paragraphs rejoined with
+    ``sep`` in original order, all-boilerplate docs become ''."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    hashes = frozenset(
+        r[0] for r in boilerplate_hashes.select(
+            boilerplate_hashes.columns[0]
+        ).collect()
+    )
+
+    def _strip(texts):
+        def clean(t):
+            return sep.join(
+                p
+                for p in (t or "").split(sep)
+                if hashlib.md5(p.encode("utf-8")).hexdigest() not in hashes
+            )
+
+        return texts.map(clean)
+
+    _strip.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_strip, "string")
+
+
+def _classifier_score_udf(
+    weights: DataFrame, bias: float, num_buckets: int, seed
+):
+    """Arrow-batched stateless twin of
+    ``operators.quality.classifier_score``: same md5-prefix bucket
+    hashing over lowercase whitespace unigrams+bigrams, same
+    mean-weight + bias sigmoid, weights collected once (bucket-bounded)
+    into the UDF closure. Streaming-safe: no aggregation, no state."""
+    import hashlib
+    import math
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    wmap = {r["bucket"]: r["weight"] for r in weights.collect()}
+    # Java \s is ASCII-only; keep the token split byte-compatible with
+    # functions.text.tokens (split(trim(lower(text)), '\\s+'))
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _score(texts):
+        def score(t):
+            toks = [
+                w for w in ws.split((t or "").lower().strip(" ")) if w
+            ]
+            grams = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            if grams:
+                s = 0.0
+                for g in grams:
+                    h = int(
+                        hashlib.md5(f"{seed}:{g}".encode("utf-8"))
+                        .hexdigest()[:15],
+                        16,
+                    )
+                    s += wmap.get(h % num_buckets, 0.0)
+                raw = bias + s / len(grams)
+            else:
+                raw = bias
+            return 1.0 / (1.0 + math.exp(-raw))
+
+        return texts.map(score)
+
+    _score.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_score, "double")
+
+
 def curate_document_stream(
     docs: DataFrame,
     gopher: "dict | None" = None,
@@ -79,6 +158,12 @@ def curate_document_stream(
     seed: int = 0,
     ts_col: "str | None" = None,
     dedup_within: "str | None" = None,
+    boilerplate_hashes: "DataFrame | None" = None,
+    boilerplate_sep: str = "\n\n",
+    classifier_weights: "DataFrame | None" = None,
+    classifier_bias: "float | None" = None,
+    classifier_min_score: "float | None" = None,
+    classifier_num_buckets: int = 1 << 18,
 ) -> DataFrame:
     """Apply the curation chain to a streaming document frame (see
     module docstring for how each batch stage maps). Returns the
@@ -96,8 +181,39 @@ def curate_document_stream(
     ``ts_col`` + ``dedup_within`` (e.g. ``"30 days"``): bounded dedup
     state via ``dropDuplicatesWithinWatermark`` — see module
     docstring for the trade-off.
+
+    ``boilerplate_hashes``: a STATIC frame from
+    :func:`operators.dedup.boilerplate_paragraph_hashes` (computed
+    offline on the corpus so far) — paragraphs whose md5 is in the set
+    are stripped from every arriving document. Like mixture rates, the
+    set must be FROZEN for determinism: corpus frequencies can't be
+    re-counted per micro-batch, so this is the honest streaming twin
+    of ``remove_boilerplate_paragraphs`` (bounded by construction; it
+    collects at stream definition and rides an Arrow-batched UDF
+    closure).
+
+    ``classifier_weights`` / ``classifier_bias`` /
+    ``classifier_min_score``: the trained hashed n-gram model
+    (:func:`operators.quality.train_ngram_classifier`) applied as a
+    STATELESS per-doc score filter — the batch pipeline's groupBy
+    aggregation shape would be a streaming aggregation, so the twin
+    replays the identical hashing/mean arithmetic inside one
+    Arrow-batched UDF over the collected (bucket-bounded) weights;
+    parity with ``classifier_score`` is pinned by
+    ``test_streaming_classifier_parity``. ``seed`` doubles as the
+    hashing seed and must match training.
     """
     out = docs
+
+    if boilerplate_hashes is not None:
+        # frozen set, applied BEFORE the quality stages (same order as
+        # curate_documents: boilerplate must not distort their signals)
+        out = out.withColumn(
+            text_col,
+            _strip_paragraphs_udf(boilerplate_hashes, boilerplate_sep)(
+                F.col(text_col)
+            ),
+        )
 
     if gopher is not None:
         from lours_spark.operators.quality import filter_gopher
@@ -109,6 +225,21 @@ def curate_document_stream(
         # would keep A, drop B, then gopher would kill A — nothing
         # survives where batch keeps B)
         out = filter_gopher(out, id_col, text_col, **gopher)
+
+    if classifier_min_score is not None:
+        if classifier_weights is None or classifier_bias is None:
+            raise ValueError(
+                "classifier_min_score needs classifier_weights and "
+                "classifier_bias (train_ngram_classifier's outputs)"
+            )
+        # stateless score filter AFTER the rule cut and BEFORE dedup —
+        # the batch pipeline's stage order (a classifier-doomed doc
+        # must not claim a fingerprint its surviving duplicate needs)
+        score = _classifier_score_udf(
+            classifier_weights, float(classifier_bias),
+            classifier_num_buckets, seed,
+        )
+        out = out.filter(score(F.col(text_col)) >= classifier_min_score)
 
     if dedup_exact:
         from lours_spark.functions.text import fingerprint

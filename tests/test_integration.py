@@ -231,3 +231,53 @@ def test_curation_config_stage_log_not_clobbered_between_runs(spark):
     curate_documents(docs, cfg2)
     assert first_log == ["dedup_exact", "redact_pii"]
     assert cfg2.stages_run == ["dedup_exact"]
+
+
+def test_curation_pipeline_boilerplate_and_classifier_stages(spark):
+    """The round-8 stages compose into the chain: the shared footer is
+    stripped from EVERY doc before the quality stages, and the
+    classifier cut drops spam-shaped docs the rule filter can't see;
+    stage log records the order."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.operators.quality import train_ngram_classifier
+    from lours_spark.pipeline import CurationConfig, curate_documents
+
+    footer = "COOKIE BANNER ACCEPT ALL"
+    good = "a perfectly reasonable prose paragraph with many words here"
+    spam = "buy cheap pills casino click now offer"
+    rows = [
+        (i, f"{good} variant {i}\n\n{footer}", "en", "web", 1)
+        for i in range(8)
+    ]
+    rows += [(100 + i, f"{spam} deal {i}\n\n{footer}", "en", "web", 0)
+             for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, label int"
+    )
+    w, b = train_ngram_classifier(docs, "label", num_buckets=1024, seed=0)
+
+    cfg = CurationConfig(
+        boilerplate_max_doc_share=0.5,
+        classifier_weights=w,
+        classifier_bias=b,
+        classifier_min_score=0.5,
+        classifier_num_buckets=1024,
+        quality_min_pct=None,
+        redact_pii=False,
+    )
+    out = curate_documents(docs.drop("label"), cfg)
+    got = out.collect()
+    assert cfg.stages_run == ["boilerplate", "classifier_filter", "dedup_exact"]
+    ids = {r["doc_id"] for r in got}
+    assert ids == set(range(8))  # spam cut by the classifier
+    assert all(footer not in r["text"] for r in got)  # boilerplate gone
+    assert all(r["source"] == "web" for r in got)  # non-text cols survive
+
+    # guard: a threshold without the trained model fails loud
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="classifier_weights"):
+        curate_documents(
+            docs, CurationConfig(classifier_min_score=0.5)
+        )

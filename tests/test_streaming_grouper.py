@@ -1009,3 +1009,114 @@ def test_compaction_skips_batches_already_folded(spark, tmp_path):
         r["id"] for r in spark.read.parquet(str(idx / "compact-000004")).collect()
     )
     assert rows == list(range(8))  # each id exactly once — no doubling
+
+
+def test_streaming_classifier_parity(spark):
+    """The stateless UDF twin replays classifier_score's arithmetic
+    exactly: same md5 bucket hashing, same mean-weight + bias sigmoid,
+    on messy tokenization edges (multiple spaces, empty text,
+    single-word docs)."""
+    from lours_spark.operators.quality import (
+        classifier_score,
+        train_ngram_classifier,
+    )
+    from lours_spark.streaming.documents import _classifier_score_udf
+    from pyspark.sql import functions as F
+
+    train = spark.createDataFrame(
+        [(1, "good clean prose article", 1), (2, "fine words here", 1),
+         (3, "buy spam pills now", 0), (4, "casino spam click", 0)],
+        "doc_id long, text string, label int",
+    )
+    w, b = train_ngram_classifier(train, "label", num_buckets=256, seed=7)
+
+    docs = spark.createDataFrame(
+        [(1, "a  clean   prose article"), (2, "spam  pills"),
+         (3, ""), (4, "word"), (5, "  padded   edges  ")],
+        "doc_id long, text string",
+    )
+    batch = {
+        r["doc_id"]: r["score"]
+        for r in classifier_score(docs, w, b, num_buckets=256, seed=7).collect()
+    }
+    udf = _classifier_score_udf(w, b, 256, 7)
+    stream_like = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", udf(F.col("text")).alias("s")).collect()
+    }
+    for k in batch:
+        assert abs(batch[k] - stream_like[k]) < 1e-9, (k, batch[k], stream_like[k])
+
+
+def test_streaming_boilerplate_and_classifier_stages(spark, tmp_path):
+    """curate_document_stream with the two frozen-artifact stages: the
+    offline boilerplate ledger strips the shared footer from every
+    arriving doc (byte-equal to the batch operator's rebuild), and the
+    classifier filter drops spam-shaped docs before dedup."""
+    import glob
+    import os
+    import shutil
+
+    from lours_spark.operators.dedup import (
+        boilerplate_paragraph_hashes,
+        remove_boilerplate_paragraphs,
+    )
+    from lours_spark.operators.quality import train_ngram_classifier
+    from lours_spark.streaming.documents import curate_document_stream
+
+    footer = "SHARED FOOTER ALL RIGHTS RESERVED"
+    good = "a reasonable prose paragraph with words"
+    spam = "buy cheap pills casino click now"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(i, f"{good} v{i}\n\n{footer}", "en", "web", 1) for i in range(6)]
+    rows += [(100 + i, f"{spam} d{i}\n\n{footer}", "en", "web", 1)
+             for i in range(6)]
+    corpus = spark.createDataFrame(rows, schema)
+
+    # offline artifacts: boilerplate ledger + trained classifier
+    boiler = boilerplate_paragraph_hashes(corpus, max_doc_share=0.5)
+    labeled = corpus.withColumn(
+        "label", (~corpus.text.contains("pills")).cast("int")
+    )
+    w, b = train_ngram_classifier(labeled, "label", num_buckets=512, seed=3)
+
+    drop_dir = str(tmp_path / "drops")
+    os.makedirs(drop_dir)
+    stage = str(tmp_path / "stage")
+    corpus.coalesce(1).write.parquet(stage)
+    shutil.move(
+        glob.glob(stage + "/part-*.parquet")[0],
+        os.path.join(drop_dir, "b1.parquet"),
+    )
+    stream = spark.readStream.schema(schema).parquet(drop_dir)
+    curated = curate_document_stream(
+        stream, redact=False,
+        boilerplate_hashes=boiler,
+        classifier_weights=w, classifier_bias=b,
+        classifier_min_score=0.5, classifier_num_buckets=512, seed=3,
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("r8_stages")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r["text"] for r in spark.table("r8_stages").collect()}
+    assert set(got) == set(range(6))  # spam gone, good docs survive
+    # stripped text byte-equals the batch operator's rebuild
+    batch_text = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_paragraphs(
+            corpus, max_doc_share=0.5
+        ).collect()
+    }
+    for i in range(6):
+        assert got[i] == batch_text[i]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="classifier_weights"):
+        curate_document_stream(stream, classifier_min_score=0.5)
