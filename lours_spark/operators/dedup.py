@@ -155,6 +155,37 @@ def paragraph_dedup(
     )
 
 
+def _boilerplate_paras(df, id_col, text_col, sep):
+    """(id, pos, para) exploded frame shared by the boilerplate
+    operator and its ledger; NULL text counts as one empty paragraph
+    (a NULL-text document must still get an output row)."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("__pos", "__para"),
+    )
+
+
+def _boilerplate_threshold(
+    freq, df, id_col, max_doc_frequency, max_doc_share
+):
+    """Apply the one threshold rule both entry points share: keep rows
+    of ``freq`` (any frame with a ``doc_freq`` column) strictly OVER
+    the absolute count, or over ``floor(share * distinct ids)``."""
+    if (max_doc_frequency is None) == (max_doc_share is None):
+        raise ValueError(
+            "give exactly one of max_doc_frequency / max_doc_share"
+        )
+    if max_doc_frequency is not None:
+        return freq.filter(F.col("doc_freq") > max_doc_frequency)
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
+    return freq.crossJoin(F.broadcast(n_docs)).filter(
+        F.col("doc_freq")
+        > F.floor(F.lit(float(max_doc_share)) * F.col("n"))
+    ).drop("n")
+
+
 def remove_boilerplate_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -163,6 +194,7 @@ def remove_boilerplate_paragraphs(
     max_doc_frequency: "int | None" = None,
     max_doc_share: "float | None" = None,
     key: str = "value",
+    include_counts: bool = True,
 ) -> DataFrame:
     """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line
     filter): a paragraph that appears in MORE than ``max_doc_frequency``
@@ -187,9 +219,15 @@ def remove_boilerplate_paragraphs(
     collision odds as :func:`paragraph_dedup`; parity-locked by
     ``test_boilerplate_hash_key_parity``).
 
-    Returns (id_col, text, n_paras_before, n_paras_after). Documents
-    whose every paragraph was boilerplate come back with empty text,
-    never dropped.
+    Returns (id_col, text, n_paras_before, n_paras_after) — or just
+    (id_col, text) with ``include_counts=False``, which also skips the
+    bookkeeping aggregation over the exploded-paragraph frame (one
+    fewer paragraph-volume exchange; the row set comes from ``df``'s
+    ids instead — what the curation pipeline uses). Documents whose
+    every paragraph was boilerplate come back with empty text, never
+    dropped; NULL text counts as one empty paragraph. Ids are assumed
+    unique (reset_index first otherwise): duplicate ids would merge
+    their paragraphs into one rebuilt document.
 
     >>> df = spark.createDataFrame(
     ...     [(1, "FOOTER\\n\\na"), (2, "FOOTER\\n\\nb"), (3, "FOOTER\\n\\nc")],
@@ -201,33 +239,29 @@ def remove_boilerplate_paragraphs(
     >>> rows[3]["text"]  # removed from every doc, not just later ones
     'c'
     """
-    if (max_doc_frequency is None) == (max_doc_share is None):
-        raise ValueError(
-            "give exactly one of max_doc_frequency / max_doc_share"
-        )
     if key not in ("value", "hash"):
         raise ValueError(f"key must be 'value' or 'hash', got {key!r}")
-    paras = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
-    )
+    paras = _boilerplate_paras(df, id_col, text_col, sep)
     if key == "hash":
+        # the hash path's over-threshold set IS the public ledger —
+        # one shared expression tree, so the offline artifact a stream
+        # strips against can never desynchronize from this operator
         paras = paras.withColumn("__k", F.md5(F.col("__para")))
         key_col = "__k"
+        boiler = boilerplate_paragraph_hashes(
+            df, id_col=id_col, text_col=text_col, sep=sep,
+            max_doc_frequency=max_doc_frequency,
+            max_doc_share=max_doc_share,
+        ).select(F.col("para_md5").alias("__k"))
     else:
         key_col = "__para"
-    freq = paras.groupBy(key_col).agg(
-        F.count_distinct("__id").alias("__df")
-    )
-    if max_doc_frequency is not None:
-        boiler = freq.filter(F.col("__df") > max_doc_frequency)
-    else:
-        n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
-        boiler = freq.crossJoin(F.broadcast(n_docs)).filter(
-            F.col("__df")
-            > F.floor(F.lit(float(max_doc_share)) * F.col("n"))
+        freq = paras.groupBy(key_col).agg(
+            F.count_distinct("__id").alias("doc_freq")
         )
-    kept = paras.join(boiler.select(key_col), key_col, "left_anti")
+        boiler = _boilerplate_threshold(
+            freq, df, id_col, max_doc_frequency, max_doc_share
+        ).select(key_col)
+    kept = paras.join(boiler, key_col, "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
             F.transform(
@@ -238,6 +272,15 @@ def remove_boilerplate_paragraphs(
         ).alias("text"),
         F.count(F.lit(1)).alias("n_paras_after"),
     )
+    if not include_counts:
+        return (
+            df.select(F.col(id_col).alias("__id"))
+            .join(rebuilt.drop("n_paras_after"), "__id", "left")
+            .select(
+                F.col("__id").alias(id_col),
+                F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            )
+        )
     before = paras.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_paras_before")
     )
@@ -276,24 +319,12 @@ def boilerplate_paragraph_hashes(
     >>> [(r["doc_freq"],) for r in rows]
     [(3,)]
     """
-    if (max_doc_frequency is None) == (max_doc_share is None):
-        raise ValueError(
-            "give exactly one of max_doc_frequency / max_doc_share"
-        )
-    paras = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.split(F.col(text_col), sep)).alias("__para"),
+    freq = _boilerplate_paras(df, id_col, text_col, sep).groupBy(
+        F.md5("__para").alias("para_md5")
+    ).agg(F.count_distinct("__id").alias("doc_freq"))
+    return _boilerplate_threshold(
+        freq, df, id_col, max_doc_frequency, max_doc_share
     )
-    freq = paras.groupBy(F.md5("__para").alias("para_md5")).agg(
-        F.count_distinct("__id").alias("doc_freq")
-    )
-    if max_doc_frequency is not None:
-        return freq.filter(F.col("doc_freq") > max_doc_frequency)
-    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
-    return freq.crossJoin(F.broadcast(n_docs)).filter(
-        F.col("doc_freq")
-        > F.floor(F.lit(float(max_doc_share)) * F.col("n"))
-    ).drop("n")
 
 
 def with_minhash(

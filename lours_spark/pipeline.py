@@ -147,12 +147,17 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
 
         # rebuild text with over-threshold paragraphs stripped, then
         # re-attach the non-text columns by id (the operator returns
-        # only (id, text, counts) — the join is doc-grain, and the
-        # downstream dedup window re-partitions anyway)
+        # only (id, text) — the join is doc-grain, and the downstream
+        # dedup window re-partitions anyway). include_counts=False
+        # skips the per-doc paragraph-count aggregation the pipeline
+        # would only throw away, and guarantees one output row per
+        # input id (NULL text included), so the inner join drops
+        # nothing. Ids must be unique here, as everywhere in the chain
+        # (reset-index upstream otherwise).
         rebuilt = remove_boilerplate_paragraphs(
             out, id_col=id_col, text_col=text_col,
             max_doc_share=cfg.boilerplate_max_doc_share,
-            key="hash",
+            key="hash", include_counts=False,
         ).select(id_col, F.col("text").alias("__bp_text"))
         out = (
             out.drop(text_col)
@@ -170,14 +175,22 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
         out = filter_gopher(out, id_col, text_col, **cfg.gopher)
         stages_run.append("gopher")
 
+    _classifier_knobs = (
+        cfg.classifier_weights is not None,
+        cfg.classifier_bias is not None,
+        cfg.classifier_min_score is not None,
+    )
+    if any(_classifier_knobs) and not all(_classifier_knobs):
+        # a trained model without a threshold (or vice versa) is a
+        # misconfiguration, not a skipped stage — fail loud rather
+        # than silently running the pipeline with no classifier cut
+        raise ValueError(
+            "classifier_weights, classifier_bias and "
+            "classifier_min_score must be set together "
+            "(train_ngram_classifier returns the first two)"
+        )
     if cfg.classifier_min_score is not None:
         from lours_spark.operators.quality import classifier_score
-
-        if cfg.classifier_weights is None or cfg.classifier_bias is None:
-            raise ValueError(
-                "classifier_min_score needs classifier_weights and "
-                "classifier_bias (train_ngram_classifier's outputs)"
-            )
         keep = classifier_score(
             out, cfg.classifier_weights, cfg.classifier_bias,
             id_col=id_col, text_col=text_col,

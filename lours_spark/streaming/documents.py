@@ -70,13 +70,18 @@ def _strip_paragraphs_udf(boilerplate_hashes: DataFrame, sep: str):
     """Arrow-batched paragraph stripper over a FROZEN md5 set (first
     column of ``boilerplate_hashes``; bounded by construction — see
     boilerplate_paragraph_hashes). Byte-compatible with the batch
-    operator: md5 of the UTF-8 paragraph, paragraphs rejoined with
-    ``sep`` in original order, all-boilerplate docs become ''."""
+    operator: ``sep`` SPLITS as a regex (the ledger and
+    remove_boilerplate_paragraphs split with ``F.split``, which treats
+    it as one) but REJOINS as the literal string, exactly like the
+    batch ``array_join``; md5 of the UTF-8 paragraph;
+    all-boilerplate and NULL docs become ''."""
     import hashlib
+    import re
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    sep_re = re.compile(sep)
     hashes = frozenset(
         r[0] for r in boilerplate_hashes.select(
             boilerplate_hashes.columns[0]
@@ -87,7 +92,7 @@ def _strip_paragraphs_udf(boilerplate_hashes: DataFrame, sep: str):
         def clean(t):
             return sep.join(
                 p
-                for p in (t or "").split(sep)
+                for p in sep_re.split(t or "")
                 if hashlib.md5(p.encode("utf-8")).hexdigest() not in hashes
             )
 
@@ -226,12 +231,18 @@ def curate_document_stream(
         # survives where batch keeps B)
         out = filter_gopher(out, id_col, text_col, **gopher)
 
+    _knobs = (
+        classifier_weights is not None,
+        classifier_bias is not None,
+        classifier_min_score is not None,
+    )
+    if any(_knobs) and not all(_knobs):
+        raise ValueError(
+            "classifier_weights, classifier_bias and "
+            "classifier_min_score must be set together "
+            "(train_ngram_classifier returns the first two)"
+        )
     if classifier_min_score is not None:
-        if classifier_weights is None or classifier_bias is None:
-            raise ValueError(
-                "classifier_min_score needs classifier_weights and "
-                "classifier_bias (train_ngram_classifier's outputs)"
-            )
         # stateless score filter AFTER the rule cut and BEFORE dedup —
         # the batch pipeline's stage order (a classifier-doomed doc
         # must not claim a fingerprint its surviving duplicate needs)

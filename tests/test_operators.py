@@ -1842,3 +1842,28 @@ def test_hashed_ngram_buckets_range_and_multiplicity(spark):
         ).alias("b")
     ).collect()
     assert len(uni[0]["b"]) == 3
+
+
+def test_boilerplate_null_text_and_counts_off(spark):
+    """NULL text counts as one empty paragraph (row preserved, '' out)
+    and include_counts=False returns the same rebuilt text with one
+    row per input id and no bookkeeping columns."""
+    from lours_spark.operators.dedup import remove_boilerplate_paragraphs
+
+    rows = [(i, f"NAV\n\nbody {i}") for i in range(6)]
+    rows.append((50, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {r["doc_id"]: r for r in remove_boilerplate_paragraphs(
+        df, max_doc_frequency=3).collect()}
+    assert full[50]["text"] == "" and full[50]["n_paras_before"] == 1
+    lean = {r["doc_id"]: r for r in remove_boilerplate_paragraphs(
+        df, max_doc_frequency=3, include_counts=False).collect()}
+    assert set(lean) == set(full)
+    assert all(lean[k]["text"] == full[k]["text"] for k in full)
+    assert "n_paras_before" not in next(iter(lean.values())).asDict()
+
+    # hash path rides the shared ledger: identical rebuilds
+    hashed = {r["doc_id"]: r["text"] for r in remove_boilerplate_paragraphs(
+        df, max_doc_frequency=3, key="hash", include_counts=False).collect()}
+    assert hashed == {k: v["text"] for k, v in lean.items()}

@@ -1120,3 +1120,57 @@ def test_streaming_boilerplate_and_classifier_stages(spark, tmp_path):
 
     with _pt.raises(ValueError, match="classifier_weights"):
         curate_document_stream(stream, classifier_min_score=0.5)
+
+
+def test_streaming_boilerplate_regex_sep_parity(spark):
+    """F.split treats sep as a regex; the streaming strip UDF must
+    too, or a metacharacter sep silently strips nothing (ledger hashes
+    computed over regex-split paragraphs would never match)."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.operators.dedup import (
+        boilerplate_paragraph_hashes,
+        remove_boilerplate_paragraphs,
+    )
+    from lours_spark.streaming.documents import _strip_paragraphs_udf
+
+    sep = r"\n{2,}"  # two OR MORE newlines — a real regex
+    rows = [(i, f"FOOT\n\n\nbody {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ledger = boilerplate_paragraph_hashes(df, sep=sep, max_doc_frequency=3)
+    batch = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_paragraphs(
+            df, sep=sep, max_doc_frequency=3, key="hash",
+            include_counts=False,
+        ).collect()
+    }
+    udf = _strip_paragraphs_udf(ledger, sep)
+    stream_like = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", udf(F.col("text")).alias("t")).collect()
+    }
+    assert stream_like == batch
+    assert all("FOOT" not in t for t in stream_like.values())
+
+
+def test_curation_classifier_misconfig_fails_loud(spark):
+    """A trained model without a threshold (or vice versa) raises in
+    BOTH pipelines instead of silently skipping the cut."""
+    import pytest as _pt
+
+    from lours_spark.operators.quality import train_ngram_classifier
+    from lours_spark.pipeline import CurationConfig, curate_documents
+    from lours_spark.streaming.documents import curate_document_stream
+
+    docs = spark.createDataFrame(
+        [(1, "good words", 1), (2, "spam words", 0)],
+        "doc_id long, text string, label int",
+    )
+    w, b = train_ngram_classifier(docs, "label", num_buckets=64)
+    with _pt.raises(ValueError, match="set together"):
+        curate_documents(
+            docs, CurationConfig(classifier_weights=w, classifier_bias=b)
+        )
+    with _pt.raises(ValueError, match="set together"):
+        curate_document_stream(docs, classifier_weights=w)
