@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "zorder_layout",
     "boilerplate_removal",
     "classifier_score",
+    "embedding_incremental",
     # round 2: every formerly-ungated facet is timed too, so the bench
     # covers what the gate covers
     "keep_classes",

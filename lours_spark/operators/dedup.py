@@ -873,6 +873,261 @@ def simhash_duplicates(
     )
 
 
+def _lsh_sizing(
+    df, threshold, num_tables, planes_per_table, target_recall
+):
+    """Shared sign-LSH auto-sizing (one-shot AND index paths):
+    ``planes_per_table=None`` → ``max(12, ⌈log2(n)⌉ + 4)`` from one
+    count() (a fixed r is a scale cliff — see
+    :func:`embedding_near_duplicates`); ``num_tables=None`` → the L
+    that ``target_recall`` implies at the threshold angle, clamped to
+    [4, 64] with a loud warning at saturation (ADVICE r7)."""
+    import math
+
+    auto_r = planes_per_table is None
+    if auto_r:
+        n = df.count()
+        planes_per_table = max(12, math.ceil(math.log2(max(n, 2))) + 4)
+    if num_tables is None:
+        p = 1.0 - math.acos(max(min(threshold, 0.9999), -1.0)) / math.pi
+        pr = p ** planes_per_table
+        needed = (
+            1
+            if pr >= 1.0
+            else math.ceil(math.log(1 - target_recall) / math.log(1 - pr))
+        )
+        num_tables = max(4, min(64, needed))
+        if needed > 64:
+            # auto-r grows with the corpus, so the table count the
+            # recall target implies can silently saturate the L≤64
+            # clamp — say so instead of under-delivering recall
+            # without a signal (ADVICE r7)
+            import warnings
+
+            warnings.warn(
+                f"embedding sign-LSH: target_recall={target_recall} "
+                f"at threshold={threshold} with "
+                f"{'auto-sized' if auto_r else ''} planes_per_table="
+                f"{planes_per_table} needs {needed} tables; clamped "
+                f"to 64, boundary-pair recall ≈ "
+                f"{1 - (1 - pr) ** 64:.6f}. Pass num_tables "
+                f"explicitly to lift the clamp, or a smaller "
+                f"planes_per_table to need fewer tables.",
+                stacklevel=2,
+            )
+    return num_tables, planes_per_table
+
+
+def build_embedding_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_tables: "int | None" = None,
+    planes_per_table: "int | None" = None,
+    target_recall: float = 0.9999,
+    seed: int = 7,
+) -> DataFrame:
+    """The persistable embedding near-dup INDEX: one row per vector
+    with its raw embedding and all ``num_tables`` sign-LSH signatures
+    (``__id, __vec, __sigs``) — everything
+    :func:`embedding_near_dup_pairs_incremental` needs to match future
+    crawl drops against this corpus WITHOUT re-reading or re-hashing
+    its vectors. The embedding twin of :func:`build_minhash_index`:
+    write it to parquet next to the corpus; incremental builds fold
+    new drops in by appending the new batch's rows.
+
+    Signatures come from the one-shot operator's exact plane family
+    (``rng(seed)`` standard normals, sizing via the shared
+    ``_lsh_sizing`` — auto-r from this frame's count when
+    ``planes_per_table`` is None), so incremental mining against the
+    index produces byte-identical collisions to a one-shot run. The
+    resolved build parameters are STAMPED into the schema (column
+    metadata on ``__id``, zero-cost check in every parquet footer) and
+    the incremental miner fails loud on mismatch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    L, r = _lsh_sizing(
+        df, threshold, num_tables, planes_per_table, target_recall
+    )
+
+    def signatures(batches):
+        planes = None
+        weights = (1 << np.arange(r)).astype(np.int64)
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            M = np.stack(batch[vec_col].to_numpy()).astype("float64")
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((M.shape[1], L * r))
+            S = (M @ planes) >= 0
+            sigs = (
+                S.reshape(len(M), L, r).astype(np.int64) * weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "__id": batch[id_col].to_numpy(),
+                    "__vec": batch[vec_col],
+                    "__sigs": list(sigs),
+                }
+            )
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        signatures, "__id long, __vec array<float>, __sigs array<long>"
+    )
+    return out.withColumn(
+        "__id",
+        F.col("__id").alias(
+            "__id",
+            metadata={
+                "lours.emb.num_tables": L,
+                "lours.emb.planes_per_table": r,
+                "lours.emb.seed": seed,
+            },
+        ),
+    )
+
+
+def _check_emb_index_params(index: DataFrame, L: int, r: int, seed) -> None:
+    """Fail loud when a stamped embedding index disagrees with the
+    mining call's resolved parameters; unstamped frames pass. Pure
+    schema inspection — no Spark job."""
+    try:
+        meta = dict(index.schema["__id"].metadata or {})
+    except KeyError:
+        return
+    if "lours.emb.num_tables" not in meta:
+        return
+    stamped = (
+        meta.get("lours.emb.num_tables"),
+        meta.get("lours.emb.planes_per_table"),
+        meta.get("lours.emb.seed"),
+    )
+    if stamped != (L, r, seed):
+        raise ValueError(
+            f"embedding index was built with (num_tables, "
+            f"planes_per_table, seed)={stamped} but this call resolves "
+            f"to ({L}, {r}, {seed}) — signatures from different plane "
+            f"families cannot be mixed; pass the index's parameters "
+            f"explicitly or rebuild the index."
+        )
+
+
+def embedding_near_dup_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_tables: "int | None" = None,
+    planes_per_table: "int | None" = None,
+    target_recall: float = 0.9999,
+    seed: int = 7,
+    max_bucket_size: "int | None" = None,
+    return_dropped: bool = False,
+) -> "tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]":
+    """Incremental embedding near-dup mining: cosine ≥ ``threshold``
+    pairs between a NEW vector batch and an indexed corpus (plus
+    new×new), without re-hashing old vectors or re-mining old×old
+    pairs — the embedding twin of
+    :func:`minhash_lsh_pairs_incremental`, sharing its contract:
+    returns ``(pairs, new_index_rows)`` where ``pairs`` equals the
+    one-shot ``embedding_near_duplicates(old ∪ new, method="lsh")``
+    RESTRICTED to pairs with at least one new side (same seeded plane
+    family → same sign collisions; parity-tested), and
+    ``new_index_rows`` is the new batch's index frame to append.
+
+    When ``planes_per_table``/``num_tables`` are None they resolve
+    against the NEW batch's stamp-checked requirements: a stamped
+    index supplies its build parameters (auto-sizing on the new batch
+    alone would drift r as batches vary in size — the stamp is the
+    source of truth); an unstamped index falls back to
+    ``_lsh_sizing`` on the new batch.
+
+    Scale shape: the new batch is hashed once (one Arrow BLAS pass —
+    the only vector math); the index contributes its PRE-COMPUTED
+    signature arrays (a narrow projection — vectors stay columnar
+    until the verify join ships only candidate ids' vectors). Buckets
+    whose members are all old are dropped BEFORE the pair fan-out, so
+    steady-state cost per batch is ~|new| × bucket-mates, not
+    |corpus|². ``max_bucket_size`` / ``return_dropped``: the same
+    hot-bucket guard as every LSH candidate stage (a mass-duplicated
+    embedding — zero vectors, template pages — concentrates the whole
+    family into one bucket PER TABLE, and an indexed family grows with
+    corpus age, not batch size).
+
+    ``new_docs`` ids must be disjoint from the index's (enforce
+    upstream; an id on both sides would self-pair at cosine 1.0).
+    """
+    meta = dict(index.schema["__id"].metadata or {}) if "__id" in index.columns else {}
+    if "lours.emb.num_tables" in meta:
+        if num_tables is None:
+            num_tables = meta["lours.emb.num_tables"]
+        if planes_per_table is None:
+            planes_per_table = meta["lours.emb.planes_per_table"]
+    L, r = _lsh_sizing(
+        new_docs, threshold, num_tables, planes_per_table, target_recall
+    )
+    _check_emb_index_params(index, L, r, seed)
+    new_idx = build_embedding_index(
+        new_docs, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        num_tables=L, planes_per_table=r, seed=seed,
+    )
+    new_idx.cache()
+    both = index.withColumn("__new", F.lit(False)).unionByName(
+        new_idx.withColumn("__new", F.lit(True))
+    )
+    sig_rows = both.select(
+        "__id",
+        "__new",
+        F.posexplode("__sigs").alias("table", "sig"),
+    )
+    dropped = None
+    if max_bucket_size is not None:
+        sig_rows, dropped = _cap_bucket_rows(
+            sig_rows, ("table", "sig"), max_bucket_size,
+            has_new_col="__new",
+        )
+    buckets = (
+        sig_rows.groupBy("table", "sig")
+        .agg(
+            F.collect_list(F.struct("__id", "__new")).alias("__m"),
+            F.max(F.col("__new").cast("int")).alias("__has_new"),
+        )
+        .filter((F.size("__m") > 1) & (F.col("__has_new") == 1))
+    )
+    candidates = (
+        buckets.select(F.explode("__m").alias("a"), "__m")
+        .select("a", F.explode("__m").alias("b"))
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .filter(F.col("a.__new") | F.col("b.__new"))
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = both.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
+    vb = both.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+    pairs = (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            V.cosine_similarity_arrow()(F.col("__va"), F.col("__vb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    if return_dropped:
+        return pairs, new_idx, _empty_dropped(
+            new_docs.sparkSession, ("table", "sig"), dropped
+        )
+    return pairs, new_idx
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -944,39 +1199,9 @@ def embedding_near_duplicates(
     import pandas as pd
 
     if method == "lsh":
-        import math
-
-        auto_r = planes_per_table is None
-        if auto_r:
-            n = df.count()
-            planes_per_table = max(12, math.ceil(math.log2(max(n, 2))) + 4)
-        if num_tables is None:
-            p = 1.0 - math.acos(max(min(threshold, 0.9999), -1.0)) / math.pi
-            pr = p ** planes_per_table
-            needed = (
-                1
-                if pr >= 1.0
-                else math.ceil(math.log(1 - target_recall) / math.log(1 - pr))
-            )
-            num_tables = max(4, min(64, needed))
-            if needed > 64:
-                # auto-r grows with the corpus, so the table count the
-                # recall target implies can silently saturate the
-                # L≤64 clamp — say so instead of under-delivering
-                # recall without a signal (ADVICE r7)
-                import warnings
-
-                warnings.warn(
-                    f"embedding_near_duplicates: target_recall="
-                    f"{target_recall} at threshold={threshold} with "
-                    f"{'auto-sized' if auto_r else ''} planes_per_table="
-                    f"{planes_per_table} needs {needed} tables; clamped "
-                    f"to 64, boundary-pair recall ≈ "
-                    f"{1 - (1 - pr) ** 64:.6f}. Pass num_tables "
-                    f"explicitly to lift the clamp, or a smaller "
-                    f"planes_per_table to need fewer tables.",
-                    stacklevel=2,
-                )
+        num_tables, planes_per_table = _lsh_sizing(
+            df, threshold, num_tables, planes_per_table, target_recall
+        )
         return _embedding_near_dup_lsh(
             df, id_col, vec_col, threshold, num_tables, planes_per_table,
             seed, max_bucket_size=max_bucket_size,

@@ -527,9 +527,55 @@ def mine_neardup_stream(
     it consumed. ``None`` (default) = never compact.
 
     Returns the started ``StreamingQuery`` (caller awaits/stops)."""
-    import os
 
-    from lours_spark.operators.dedup import minhash_lsh_pairs_incremental
+    def empty_index(batch_df):
+        from lours_spark.operators.dedup import build_minhash_index
+
+        return build_minhash_index(
+            batch_df.limit(0), id_col, text_col, k, num_hashes,
+            hash_fn=hash_fn,
+        )
+
+    def mine(batch_df, index):
+        from lours_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+        )
+
+        return minhash_lsh_pairs_incremental(
+            batch_df,
+            index,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            hash_fn=hash_fn,
+        )
+
+    return _start_incremental_miner(
+        stream, index_dir, pairs_dir, checkpoint_dir, empty_index, mine,
+        query_name, available_now, compact_every,
+    )
+
+
+def _start_incremental_miner(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    empty_index_fn,
+    mine_fn,
+    query_name: str,
+    available_now: bool,
+    compact_every: "int | None",
+):
+    """The shared foreachBatch skeleton of the incremental miners
+    (minhash and embedding — the exactly-once recipe is content-
+    agnostic): per micro-batch, read prior index state, run
+    ``mine_fn(batch_df, index) -> (pairs, new_index_rows)``, land both
+    under replay-stable ``batch-%06d`` dirs, optionally compact."""
+    import os
 
     def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -548,28 +594,13 @@ def mine_neardup_stream(
         if prior:
             index = spark.read.parquet(*prior)
         else:
-            from lours_spark.operators.dedup import build_minhash_index
-
-            index = build_minhash_index(
-                batch_df.limit(0), id_col, text_col, k, num_hashes,
-                hash_fn=hash_fn,
-            )
-        pairs, new_idx = minhash_lsh_pairs_incremental(
-            batch_df,
-            index,
-            id_col=id_col,
-            text_col=text_col,
-            k=k,
-            num_hashes=num_hashes,
-            bands=bands,
-            jaccard_threshold=jaccard_threshold,
-            hash_fn=hash_fn,
-        )
+            index = empty_index_fn(batch_df)
+        pairs, new_idx = mine_fn(batch_df, index)
         tag = f"batch-{batch_id:06d}"
         pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, tag))
         new_idx.write.mode("overwrite").parquet(os.path.join(index_dir, tag))
-        # the operator caches the new batch's signature frame so the
-        # pair mining and the index write share one shingle pass; drop
+        # the operators cache the new batch's signature frame so the
+        # pair mining and the index write share one hashing pass; drop
         # it now or a long-lived stream accumulates a cached frame per
         # micro-batch
         new_idx.unpersist()
@@ -592,3 +623,69 @@ def mine_neardup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def mine_embedding_neardup_stream(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_tables: "int | None" = None,
+    planes_per_table: "int | None" = None,
+    seed: int = 7,
+    max_bucket_size: "int | None" = None,
+    query_name: str = "embedding_neardup_miner",
+    available_now: bool = True,
+    compact_every: "int | None" = None,
+):
+    """Streaming twin of
+    ``operators.dedup.embedding_near_dup_pairs_incremental`` — the
+    embedding counterpart of :func:`mine_neardup_stream`, riding the
+    same exactly-once skeleton, index-dir layout, replay rule and
+    compaction (:func:`compact_neardup_index` is content-agnostic).
+    State is the parquet embedding index (vector + sign-LSH signature
+    arrays, build params stamped in the schema), shared with batch
+    incremental mining and backfills.
+
+    ``num_tables``/``planes_per_table`` should be pinned explicitly
+    for a long-lived stream (auto-sizing resolves against each BATCH's
+    count; the first batch's stamp then locks them — a mismatch on a
+    later batch fails loud rather than mixing plane families).
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops)."""
+
+    def empty_index(batch_df):
+        from lours_spark.operators.dedup import build_embedding_index
+
+        return build_embedding_index(
+            batch_df.limit(0), id_col=id_col, vec_col=vec_col,
+            threshold=threshold,
+            num_tables=num_tables or 8,
+            planes_per_table=planes_per_table or 16,
+            seed=seed,
+        )
+
+    def mine(batch_df, index):
+        from lours_spark.operators.dedup import (
+            embedding_near_dup_pairs_incremental,
+        )
+
+        return embedding_near_dup_pairs_incremental(
+            batch_df,
+            index,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            num_tables=num_tables,
+            planes_per_table=planes_per_table,
+            seed=seed,
+            max_bucket_size=max_bucket_size,
+        )
+
+    return _start_incremental_miner(
+        stream, index_dir, pairs_dir, checkpoint_dir, empty_index, mine,
+        query_name, available_now, compact_every,
+    )

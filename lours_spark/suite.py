@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 103)
+(50, 104)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -1115,6 +1115,71 @@ def _oracle_minhash_incremental() -> str:
         f"SELECT * FROM ({_oracle_lsh()})\n"
         "WHERE id_a % 5 = 0 OR id_b % 5 = 0"
     )
+
+
+def q_embedding_incremental(spark, sf_dir):
+    """Incremental embedding near-dup mining: index the 'old' vector
+    slice (vec_id % 5 != 0), mine the 'new' drop against it via
+    ``embedding_near_dup_pairs_incremental`` — old vectors are never
+    re-hashed, old×old pairs never re-mined. Same seeded plane family
+    as the one-shot run (params resolve from the index stamp), so the
+    result equals the full run restricted to new-sided pairs; the
+    oracle is the exact all-pairs join so restricted (LSH recall =
+    exact at this corpus, as for embedding_near_dup)."""
+    from lours_spark.operators.dedup import (
+        build_embedding_index,
+        embedding_near_dup_pairs_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # the natural table has no 0.95+ pairs — plant cross-batch
+    # duplicates so the miner has real work in BOTH engines: every
+    # 15th vector (a 'new' id) takes its old neighbor's embedding
+    # (identical signatures → caught by every table; exact recall)
+    donor = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("__don"),
+    )
+    planted = (
+        emb.join(donor, "vec_id", "left")
+        .withColumn(
+            "embedding",
+            F.when(
+                (F.col("vec_id") % 15 == 0) & F.col("__don").isNotNull(),
+                F.col("__don"),
+            ).otherwise(F.col("embedding")),
+        )
+        .drop("__don")
+    )
+    old = planted.filter(F.col("vec_id") % 5 != 0)
+    new = planted.filter(F.col("vec_id") % 5 == 0)
+    # cache the inline-built index: a PRODUCTION index is a parquet
+    # scan (cheap to re-reference), but this facet builds it in-plan
+    # and the miner references the index side three times (bucket rows
+    # + both verify legs) — uncached, the BLAS pass would run 3x
+    index = build_embedding_index(old, threshold=0.95).cache()
+    pairs, _ = embedding_near_dup_pairs_incremental(
+        new, index, threshold=0.95
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 9).alias("cosine")
+    )
+
+
+def _oracle_embedding_incremental() -> str:
+    cos = _dd_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH planted AS (
+  SELECT e.vec_id,
+    CASE WHEN e.vec_id % 15 = 0 AND d.embedding IS NOT NULL
+      THEN d.embedding ELSE e.embedding END AS embedding
+  FROM embeddings e
+  LEFT JOIN embeddings d ON d.vec_id = e.vec_id + 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 9) AS cosine
+FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.95 AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+"""
 
 
 def q_minhash_hot_bucket(spark, sf_dir):
@@ -4490,6 +4555,7 @@ QUERIES.update(
         "zorder_layout": q_zorder_layout,
         "boilerplate_removal": q_boilerplate_removal,
         "classifier_score": q_classifier_score,
+        "embedding_incremental": q_embedding_incremental,
     }
 )
 _EXTRA_ORACLES.update(
@@ -4523,6 +4589,7 @@ _EXTRA_ORACLES.update(
         "zorder_layout": _oracle_zorder_layout,
         "boilerplate_removal": _oracle_boilerplate_removal,
         "classifier_score": _oracle_classifier_score,
+        "embedding_incremental": _oracle_embedding_incremental,
     }
 )
 
@@ -4659,6 +4726,7 @@ _CURATION_FACETS = (
     "zorder_layout",
     "boilerplate_removal",
     "classifier_score",
+    "embedding_incremental",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -4859,6 +4927,7 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                     "doc_id", "n_paras_before", "n_paras_after", "text_md5",
                 ],
                 "classifier_score": ["doc_id", "n_grams", "score"],
+                "embedding_incremental": ["id_a", "id_b", "cosine"],
             }
             out[name] = _facet_union_sql(
                 *[(n, base[n], leg_cols[n]) for n in _CURATION_FACETS]

@@ -47,6 +47,7 @@ ROWS = {
     "zorder_layout": "lineitem",
     "boilerplate_removal": "documents",
     "classifier_score": "documents",
+    "embedding_incremental": "embeddings",
 }
 TABLE_ROWS = {
     "1x": {"lineitem": 600_000, "orders": 150_000, "documents": 5_000,

@@ -64,6 +64,7 @@ QUERIES = [
     # round 8 (cont.): boilerplate removal + hashed n-gram classifier
     "boilerplate_removal",
     "classifier_score",
+    "embedding_incremental",
 ]
 
 

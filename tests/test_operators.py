@@ -1867,3 +1867,107 @@ def test_boilerplate_null_text_and_counts_off(spark):
     hashed = {r["doc_id"]: r["text"] for r in remove_boilerplate_paragraphs(
         df, max_doc_frequency=3, key="hash", include_counts=False).collect()}
     assert hashed == {k: v["text"] for k, v in lean.items()}
+
+
+def _planted_embeddings(spark, n, dim=16, dup_every=4, seed=11):
+    """n vectors, every dup_every-th a near-copy of its predecessor."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = None
+    for i in range(n):
+        if i % dup_every == dup_every - 1 and base is not None:
+            v = base + rng.normal(0, 0.01, dim)
+        else:
+            v = rng.normal(0, 1, dim)
+            base = v
+        rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_incremental_matches_one_shot(spark):
+    """Incremental mining (old corpus indexed, new drop mined against
+    it) equals the one-shot LSH run over everything, restricted to
+    pairs with a new side — same plane family, same collisions, same
+    verified cosines."""
+    from lours_spark.operators.dedup import (
+        build_embedding_index,
+        embedding_near_dup_pairs_incremental,
+        embedding_near_duplicates,
+    )
+
+    df = _planted_embeddings(spark, 80)
+    old = df.filter("vec_id % 5 != 0")
+    new = df.filter("vec_id % 5 = 0")
+    L, r = 8, 12
+
+    index = build_embedding_index(
+        old, num_tables=L, planes_per_table=r
+    )
+    pairs, new_idx = embedding_near_dup_pairs_incremental(
+        new, index, num_tables=L, planes_per_table=r, threshold=0.95
+    )
+    got = {
+        (p["id_a"], p["id_b"], round(p["cosine"], 9))
+        for p in pairs.collect()
+    }
+    full = embedding_near_duplicates(
+        df, threshold=0.95, num_tables=L, planes_per_table=r
+    )
+    want = {
+        (p["id_a"], p["id_b"], round(p["cosine"], 9))
+        for p in full.collect()
+        if p["id_a"] % 5 == 0 or p["id_b"] % 5 == 0
+    }
+    assert got == want and len(got) > 0
+    # the returned index rows append-extend the corpus index
+    assert new_idx.columns == ["__id", "__vec", "__sigs"]
+    assert new_idx.count() == new.count()
+
+
+def test_embedding_index_stamp_mismatch_fails_loud(spark):
+    from lours_spark.operators.dedup import (
+        build_embedding_index,
+        embedding_near_dup_pairs_incremental,
+    )
+
+    df = _planted_embeddings(spark, 20)
+    index = build_embedding_index(df, num_tables=8, planes_per_table=12)
+    with pytest.raises(ValueError, match="plane famil"):
+        embedding_near_dup_pairs_incremental(
+            df, index, num_tables=4, planes_per_table=12
+        )
+    # None params resolve FROM the stamp: no count, no mismatch
+    pairs, _ = embedding_near_dup_pairs_incremental(
+        df.limit(0), index
+    )
+    assert pairs.count() == 0
+
+
+def test_embedding_incremental_hot_bucket_cap(spark):
+    """A planted mega-family (one vector duplicated across the corpus)
+    is skipped-and-counted per table instead of pair-exploding."""
+    import numpy as np
+
+    from lours_spark.operators.dedup import (
+        build_embedding_index,
+        embedding_near_dup_pairs_incremental,
+    )
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 1, 16)
+    v = [float(x) for x in (v / np.linalg.norm(v))]
+    rows = [(i, v) for i in range(60)]  # one family, every bucket hot
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old = df.filter("vec_id < 40")
+    new = df.filter("vec_id >= 40")
+    index = build_embedding_index(old, num_tables=4, planes_per_table=12)
+    pairs, _, dropped = embedding_near_dup_pairs_incremental(
+        new, index, num_tables=4, planes_per_table=12,
+        max_bucket_size=8, return_dropped=True,
+    )
+    assert pairs.count() == 0  # the family never fans out
+    d = dropped.collect()
+    assert len(d) == 4  # one skipped bucket per table
+    assert all(r["bucket_size"] == 60 for r in d)

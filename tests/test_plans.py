@@ -479,3 +479,18 @@ def test_classifier_score_broadcast_weights_one_gram_exchange(spark, suite):
     assert plan.count("BroadcastHashJoin") >= 1
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_embedding_incremental_cached_sides_no_cartesian(spark, suite):
+    """Incremental embedding mining: candidates come from the ONE
+    groupBy bucket stage (no cartesian, no Python-side self-join), and
+    both signature frames sit behind caches — the new batch is cached
+    by the operator, the facet's inline-built index by the facet (a
+    production index is a parquet scan) — so each side's BLAS pass
+    executes once even though the miner references them three times
+    (bucket rows + both verify legs)."""
+    df = suite.q_embedding_incremental(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("InMemoryTableScan") >= 6  # 3 refs x 2 cached sides

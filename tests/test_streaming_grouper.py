@@ -1174,3 +1174,93 @@ def test_curation_classifier_misconfig_fails_loud(spark):
         )
     with _pt.raises(ValueError, match="set together"):
         curate_document_stream(docs, classifier_weights=w)
+
+
+def test_streaming_embedding_neardup_miner(spark, tmp_path):
+    """The embedding miner on the shared exactly-once skeleton: mined
+    pair set across micro-batches equals the one-shot LSH run over
+    everything ingested; compaction folds index batch dirs; a restart
+    with a new drop continues against the accumulated index."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    from lours_spark.operators.dedup import embedding_near_duplicates
+    from lours_spark.streaming.documents import (
+        mine_embedding_neardup_stream,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def vec(i):
+        if i % 4 == 3:
+            v = vec.base + rng.normal(0, 0.01, 16)
+        else:
+            v = rng.normal(0, 1, 16)
+            vec.base = v
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    vec.base = None
+    all_rows = [(i, vec(i)) for i in range(32)]
+    schema = "vec_id long, embedding array<float>"
+    drop_dir = str(tmp_path / "drops")
+    os.makedirs(drop_dir)
+
+    def drop(rows, name):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        shutil.move(
+            glob.glob(stage + "/part-*.parquet")[0],
+            os.path.join(drop_dir, name + ".parquet"),
+        )
+
+    for b in range(3):
+        drop(all_rows[8 * b:8 * b + 8], f"d{b}")
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    L, r = 8, 10
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(drop_dir)
+        )
+        q = mine_embedding_neardup_stream(
+            stream, index_dir, pairs_dir, ckpt,
+            threshold=0.9, num_tables=L, planes_per_table=r,
+            compact_every=2,
+        )
+        q.awaitTermination()
+
+    run()
+    names = sorted(os.path.basename(p) for p in glob.glob(index_dir + "/*"))
+    assert "compact-000002" in names and "batch-000000" not in names
+
+    def mined():
+        return {
+            (p["id_a"], p["id_b"], round(p["cosine"], 9))
+            for p in spark.read.parquet(
+                *sorted(glob.glob(pairs_dir + "/batch-*"))).collect()
+        }
+
+    def one_shot(n):
+        df = spark.createDataFrame(all_rows[:n], schema)
+        return {
+            (p["id_a"], p["id_b"], round(p["cosine"], 9))
+            for p in embedding_near_duplicates(
+                df, threshold=0.9, num_tables=L, planes_per_table=r
+            ).collect()
+        }
+
+    assert mined() == one_shot(24) and len(mined()) > 0
+
+    # restart with one more drop: mines against compact + batch dirs
+    drop(all_rows[24:32], "d3")
+    run()
+    assert mined() == one_shot(32)

@@ -27,7 +27,7 @@ def test_all_queries_covers_gate_facets():
     from lours_spark.suite import ALL_QUERIES, GATE_FACETS, QUERIES
 
     assert len(QUERIES) == 50
-    assert len(ALL_QUERIES) == 103
+    assert len(ALL_QUERIES) == 104
     for combined, facets in GATE_FACETS.items():
         assert combined in QUERIES, combined
         for f in facets:
