@@ -913,9 +913,32 @@ def _lsh_sizing(
                 f"{1 - (1 - pr) ** 64:.6f}. Pass num_tables "
                 f"explicitly to lift the clamp, or a smaller "
                 f"planes_per_table to need fewer tables.",
-                stacklevel=2,
+                # user frame: user -> public operator -> _lsh_sizing
+                stacklevel=3,
             )
     return num_tables, planes_per_table
+
+
+def _sign_planes(dim: int, L: int, r: int, seed):
+    """The ONE plane family of every sign-LSH path (one-shot AND
+    index builds share this — the incremental parity contract is
+    'byte-identical collisions', which holds only while both paths
+    hash with literally the same matrix)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, L * r))
+
+
+def _sign_sig_matrix(M, planes, L: int, r: int):
+    """(n, L) int64 signature matrix: r sign bits per table, packed
+    little-endian — shared by the one-shot and index signature
+    kernels."""
+    import numpy as np
+
+    weights = (1 << np.arange(r)).astype(np.int64)
+    S = (M @ planes) >= 0
+    return (S.reshape(len(M), L, r).astype(np.int64) * weights).sum(axis=2)
 
 
 def build_embedding_index(
@@ -945,6 +968,11 @@ def build_embedding_index(
     resolved build parameters are STAMPED into the schema (column
     metadata on ``__id``, zero-cost check in every parquet footer) and
     the incremental miner fails loud on mismatch.
+
+    ``__vec`` keeps the INPUT column's exact element type (float or
+    double) — a downcast here would make the incremental verify
+    cosines diverge from the one-shot path on double corpora and
+    silently drop boundary pairs.
     """
     import numpy as np
     import pandas as pd
@@ -955,18 +983,13 @@ def build_embedding_index(
 
     def signatures(batches):
         planes = None
-        weights = (1 << np.arange(r)).astype(np.int64)
         for batch in batches:
             if len(batch) == 0:
                 continue
             M = np.stack(batch[vec_col].to_numpy()).astype("float64")
             if planes is None:
-                rng = np.random.default_rng(seed)
-                planes = rng.standard_normal((M.shape[1], L * r))
-            S = (M @ planes) >= 0
-            sigs = (
-                S.reshape(len(M), L, r).astype(np.int64) * weights
-            ).sum(axis=2)
+                planes = _sign_planes(M.shape[1], L, r, seed)
+            sigs = _sign_sig_matrix(M, planes, L, r)
             yield pd.DataFrame(
                 {
                     "__id": batch[id_col].to_numpy(),
@@ -975,8 +998,9 @@ def build_embedding_index(
                 }
             )
 
+    vec_type = df.schema[vec_col].dataType.simpleString()
     out = df.select(id_col, vec_col).mapInPandas(
-        signatures, "__id long, __vec array<float>, __sigs array<long>"
+        signatures, f"__id long, __vec {vec_type}, __sigs array<long>"
     )
     return out.withColumn(
         "__id",
@@ -992,15 +1016,27 @@ def build_embedding_index(
 
 
 def _check_emb_index_params(index: DataFrame, L: int, r: int, seed) -> None:
-    """Fail loud when a stamped embedding index disagrees with the
-    mining call's resolved parameters; unstamped frames pass. Pure
-    schema inspection — no Spark job."""
+    """Fail loud when an embedding index disagrees with the mining
+    call's resolved parameters — INCLUDING a missing stamp: unlike the
+    minhash index (where pre-round-8 artifacts legitimately carry no
+    stamp), every embedding index ever built is stamped, so a missing
+    stamp means the metadata was stripped (a schema-merging read, a
+    rebuilt frame, a non-Spark writer) and the plane family can no
+    longer be trusted to match. Pure schema inspection — no Spark
+    job."""
     try:
         meta = dict(index.schema["__id"].metadata or {})
     except KeyError:
-        return
+        meta = {}
     if "lours.emb.num_tables" not in meta:
-        return
+        raise ValueError(
+            "embedding index carries no build-parameter stamp "
+            "(expected lours.emb.* column metadata on __id — present "
+            "in every build_embedding_index output and preserved by "
+            "parquet round-trips). A stripped stamp means the plane "
+            "family cannot be verified; rebuild the index or restore "
+            "the original schema."
+        )
     stamped = (
         meta.get("lours.emb.num_tables"),
         meta.get("lours.emb.planes_per_table"),
@@ -1361,18 +1397,15 @@ def _embedding_near_dup_lsh(
 
     def signatures(batches):
         planes = None
-        weights = (1 << np.arange(r)).astype(np.int64)
         for batch in batches:
             if len(batch) == 0:
                 continue
             M = np.stack(batch[vec_col].to_numpy()).astype("float64")
             if planes is None:
-                rng = np.random.default_rng(seed)
-                planes = rng.standard_normal((M.shape[1], L * r))
-            S = (M @ planes) >= 0  # (n, L*r) sign bits
-            sigs = (
-                S.reshape(len(M), L, r).astype(np.int64) * weights
-            ).sum(axis=2)
+                planes = _sign_planes(M.shape[1], L, r, seed)
+            # shared kernel: the incremental index path hashes with
+            # literally the same matrix — the parity contract
+            sigs = _sign_sig_matrix(M, planes, L, r)
             ids = np.repeat(batch[id_col].to_numpy(), L)
             yield pd.DataFrame(
                 {

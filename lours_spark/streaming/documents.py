@@ -658,13 +658,24 @@ def mine_embedding_neardup_stream(
     Returns the started ``StreamingQuery`` (caller awaits/stops)."""
 
     def empty_index(batch_df):
-        from lours_spark.operators.dedup import build_embedding_index
+        from lours_spark.operators.dedup import (
+            _lsh_sizing,
+            build_embedding_index,
+        )
 
+        # only ever called for the FIRST batch (no prior index dirs):
+        # resolve auto params against that batch's count — the stamp
+        # on this empty frame then locks them for the stream's life.
+        # Hardcoded fallbacks here would bypass auto-r and re-create
+        # the fixed-r scale cliff for large first drops.
+        L, r = _lsh_sizing(
+            batch_df, threshold, num_tables, planes_per_table, 0.9999
+        )
         return build_embedding_index(
             batch_df.limit(0), id_col=id_col, vec_col=vec_col,
             threshold=threshold,
-            num_tables=num_tables or 8,
-            planes_per_table=planes_per_table or 16,
+            num_tables=L,
+            planes_per_table=r,
             seed=seed,
         )
 

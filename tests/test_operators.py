@@ -1971,3 +1971,58 @@ def test_embedding_incremental_hot_bucket_cap(spark):
     d = dropped.collect()
     assert len(d) == 4  # one skipped bucket per table
     assert all(r["bucket_size"] == 60 for r in d)
+
+
+def test_embedding_index_preserves_vector_dtype(spark):
+    """The index must carry the INPUT element type (float or double) —
+    a silent float32 downcast would make incremental verify cosines
+    diverge from the one-shot path on double corpora and drop boundary
+    pairs. Parity is re-asserted on an array<double> corpus."""
+    from lours_spark.operators.dedup import (
+        build_embedding_index,
+        embedding_near_dup_pairs_incremental,
+        embedding_near_duplicates,
+    )
+
+    df64 = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]])
+         for r in _planted_embeddings(spark, 60).collect()],
+        "vec_id long, embedding array<double>",
+    )
+    idx = build_embedding_index(df64, num_tables=6, planes_per_table=10)
+    assert dict(idx.dtypes)["__vec"] == "array<double>"
+
+    old = df64.filter("vec_id % 5 != 0")
+    new = df64.filter("vec_id % 5 = 0")
+    index = build_embedding_index(old, num_tables=6, planes_per_table=10)
+    pairs, _ = embedding_near_dup_pairs_incremental(
+        new, index, num_tables=6, planes_per_table=10, threshold=0.95
+    )
+    got = {(p["id_a"], p["id_b"], p["cosine"]) for p in pairs.collect()}
+    want = {
+        (p["id_a"], p["id_b"], p["cosine"])
+        for p in embedding_near_duplicates(
+            df64, threshold=0.95, num_tables=6, planes_per_table=10
+        ).collect()
+        if p["id_a"] % 5 == 0 or p["id_b"] % 5 == 0
+    }
+    assert got == want and len(got) > 0  # bit-exact cosines, no rounding
+
+
+def test_embedding_index_unstamped_fails_loud(spark):
+    """Every legitimate embedding index is stamped (the builder is
+    new); a stripped stamp means the plane family can't be verified
+    and must raise, not silently mine with zero cross-batch recall."""
+    from lours_spark.operators.dedup import (
+        embedding_near_dup_pairs_incremental,
+    )
+
+    df = _planted_embeddings(spark, 20)
+    fake_index = df.selectExpr(
+        "vec_id as __id", "embedding as __vec",
+        "array(0L, 1L) as __sigs",
+    )
+    with pytest.raises(ValueError, match="no build-parameter stamp"):
+        embedding_near_dup_pairs_incremental(
+            df, fake_index, num_tables=2, planes_per_table=8
+        )
