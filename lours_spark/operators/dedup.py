@@ -1015,6 +1015,15 @@ def build_embedding_index(
     )
 
 
+def _emb_index_meta(index: DataFrame) -> dict:
+    """The lours.emb.* stamp of an embedding index frame (empty dict
+    when absent). Pure schema inspection — no Spark job."""
+    try:
+        return dict(index.schema["__id"].metadata or {})
+    except KeyError:
+        return {}
+
+
 def _check_emb_index_params(index: DataFrame, L: int, r: int, seed) -> None:
     """Fail loud when an embedding index disagrees with the mining
     call's resolved parameters — INCLUDING a missing stamp: unlike the
@@ -1022,12 +1031,8 @@ def _check_emb_index_params(index: DataFrame, L: int, r: int, seed) -> None:
     stamp), every embedding index ever built is stamped, so a missing
     stamp means the metadata was stripped (a schema-merging read, a
     rebuilt frame, a non-Spark writer) and the plane family can no
-    longer be trusted to match. Pure schema inspection — no Spark
-    job."""
-    try:
-        meta = dict(index.schema["__id"].metadata or {})
-    except KeyError:
-        meta = {}
+    longer be trusted to match."""
+    meta = _emb_index_meta(index)
     if "lours.emb.num_tables" not in meta:
         raise ValueError(
             "embedding index carries no build-parameter stamp "
@@ -1077,11 +1082,10 @@ def embedding_near_dup_pairs_incremental(
     ``new_index_rows`` is the new batch's index frame to append.
 
     When ``planes_per_table``/``num_tables`` are None they resolve
-    against the NEW batch's stamp-checked requirements: a stamped
-    index supplies its build parameters (auto-sizing on the new batch
-    alone would drift r as batches vary in size — the stamp is the
-    source of truth); an unstamped index falls back to
-    ``_lsh_sizing`` on the new batch.
+    FROM the index's stamp (auto-sizing on the new batch alone would
+    drift r as batches vary in size — the stamp is the source of
+    truth); an index without a stamp fails loud (see
+    :func:`_check_emb_index_params`).
 
     Scale shape: the new batch is hashed once (one Arrow BLAS pass —
     the only vector math); the index contributes its PRE-COMPUTED
@@ -1098,7 +1102,7 @@ def embedding_near_dup_pairs_incremental(
     ``new_docs`` ids must be disjoint from the index's (enforce
     upstream; an id on both sides would self-pair at cosine 1.0).
     """
-    meta = dict(index.schema["__id"].metadata or {}) if "__id" in index.columns else {}
+    meta = _emb_index_meta(index)
     if "lours.emb.num_tables" in meta:
         if num_tables is None:
             num_tables = meta["lours.emb.num_tables"]

@@ -564,6 +564,20 @@ def filter_quality_percentile(
 # ---------------------------------------------------------------------------
 
 
+def require_classifier_knobs(weights, bias, min_score) -> None:
+    """Shared validation of the classifier-stage configuration (batch
+    pipeline AND streaming twin): a trained model without a threshold
+    — or vice versa — is a misconfiguration, not a skipped stage; fail
+    loud rather than silently running with no classifier cut."""
+    knobs = (weights is not None, bias is not None, min_score is not None)
+    if any(knobs) and not all(knobs):
+        raise ValueError(
+            "classifier_weights, classifier_bias and "
+            "classifier_min_score must be set together "
+            "(train_ngram_classifier returns the first two)"
+        )
+
+
 def _spread_narrow(df: DataFrame) -> DataFrame:
     """Round-robin a NARROW projection across the cluster when the
     source arrives in fewer partitions than there are cores (a small

@@ -175,20 +175,12 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
         out = filter_gopher(out, id_col, text_col, **cfg.gopher)
         stages_run.append("gopher")
 
-    _classifier_knobs = (
-        cfg.classifier_weights is not None,
-        cfg.classifier_bias is not None,
-        cfg.classifier_min_score is not None,
+    from lours_spark.operators.quality import require_classifier_knobs
+
+    require_classifier_knobs(
+        cfg.classifier_weights, cfg.classifier_bias,
+        cfg.classifier_min_score,
     )
-    if any(_classifier_knobs) and not all(_classifier_knobs):
-        # a trained model without a threshold (or vice versa) is a
-        # misconfiguration, not a skipped stage — fail loud rather
-        # than silently running the pipeline with no classifier cut
-        raise ValueError(
-            "classifier_weights, classifier_bias and "
-            "classifier_min_score must be set together "
-            "(train_ngram_classifier returns the first two)"
-        )
     if cfg.classifier_min_score is not None:
         from lours_spark.operators.quality import classifier_score
         keep = classifier_score(

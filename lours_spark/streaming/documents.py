@@ -231,17 +231,11 @@ def curate_document_stream(
         # survives where batch keeps B)
         out = filter_gopher(out, id_col, text_col, **gopher)
 
-    _knobs = (
-        classifier_weights is not None,
-        classifier_bias is not None,
-        classifier_min_score is not None,
+    from lours_spark.operators.quality import require_classifier_knobs
+
+    require_classifier_knobs(
+        classifier_weights, classifier_bias, classifier_min_score
     )
-    if any(_knobs) and not all(_knobs):
-        raise ValueError(
-            "classifier_weights, classifier_bias and "
-            "classifier_min_score must be set together "
-            "(train_ngram_classifier returns the first two)"
-        )
     if classifier_min_score is not None:
         # stateless score filter AFTER the rule cut and BEFORE dedup —
         # the batch pipeline's stage order (a classifier-doomed doc
