@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "greedy_matching",
     "matcher_skew",
     "minhash_hot_bucket",
+    # round 9: star-mode twin — capped mega-family still collapses
+    "minhash_hot_bucket_star",
     "detection_pr_ap",
     # round 8: vocabulary induction, weighted sampling, z-order layout
     "vocab_pair_stats",
@@ -238,13 +240,14 @@ def main() -> None:
     for name in BENCH_QUERIES:
         dt, n = run_once(name)
         # the virtualized host shows bursty steal-time spikes that can
-        # double or triple one query's wall clock; a single sample of a
-        # slow-looking query is not trustworthy, so re-run it once and
-        # keep the min (cheap queries stay single-sample). A spike can
-        # outlast two samples — take a third when still over 5s.
-        if dt > 1.0:
-            dt2, _ = run_once(name)
-            dt = min(dt, dt2)
+        # double or triple one query's wall clock; a single sample is
+        # not trustworthy at ANY duration (round 8 saw ±30% wobble on
+        # untouched sub-second queries: semantic_dedup 0.60→0.92s,
+        # dup_spans +36%), so EVERY query is run at least twice and the
+        # min kept. A spike can outlast two samples — take a third when
+        # still over 2.5s.
+        dt2, _ = run_once(name)
+        dt = min(dt, dt2)
         if dt > 2.5:
             dt3, _ = run_once(name)
             dt = min(dt, dt3)
@@ -264,8 +267,9 @@ def main() -> None:
         "methodology": {
             "isolation": "spark.catalog.clearCache() + gc between queries",
             "order": "fixed, as listed in queries (single shared JVM)",
-            "runs_per_query": "1; queries over 1s re-run once, over 2.5s twice; "
-                              "min kept (robust to host steal-time spikes)",
+            "runs_per_query": "2 for every query (round 9: sub-second entries "
+                              "wobbled ±30% single-sampled), 3 when still over "
+                              "2.5s; min kept (robust to host steal-time spikes)",
             "warmup": "lineitem scan + python-worker pool (pandas_udf)",
             "state": "each number is a first run in a warmed JVM "
                      "with cleared DataFrame cache (cold plans, "

@@ -437,22 +437,44 @@ def _cap_bucket_rows(
     key_cols: "tuple[str, ...]",
     max_bucket_size: int,
     has_new_col: "str | None" = None,
-) -> "tuple[DataFrame, DataFrame]":
-    """Split bucket-member rows into (kept, dropped) around a hot-bucket
-    cap. Bucket sizes come from a window count over the SAME keys the
-    downstream ``groupBy`` clusters on, so the filter costs no extra
-    exchange AND — the point — an oversized bucket is cut BEFORE its
-    ``collect_list`` row ever materializes (a 10⁶-member boilerplate
+    oversize: str = "skip",
+) -> "tuple[DataFrame, DataFrame, DataFrame | None]":
+    """Split bucket-member rows into (kept, dropped, star) around a
+    hot-bucket cap. Bucket sizes come from a window count over the SAME
+    keys the downstream ``groupBy`` clusters on, so the filter costs no
+    extra exchange AND — the point — an oversized bucket is cut BEFORE
+    its ``collect_list`` row ever materializes (a 10⁶-member boilerplate
     bucket would otherwise be a multi-MB aggregation row feeding 10¹²
     candidate pairs).
 
     ``kept`` is the member rows of buckets with 2..max size (singleton
     buckets pair with nothing — pre-cut here too). ``dropped`` is one
-    row per skipped bucket ``(*key_cols, bucket_size)`` — the
+    row per oversized bucket ``(*key_cols, bucket_size)`` — the
     no-silent-caps ledger; when ``has_new_col`` names a boolean member
     flag, only oversized buckets that CONTAIN a flagged member are
     reported (an all-old oversized bucket forfeits no pair in the
-    incremental miner)."""
+    incremental miner).
+
+    ``oversize`` decides what an oversized bucket FORFEITS:
+
+    - ``"skip"`` (default): all of its pairs — ledger-only. The
+      byte-identical legacy mode every gate query runs.
+    - ``"star"``: emit ``(min_id, member)`` candidate pairs — one per
+      member, O(bucket) not O(bucket²) — as the third return frame
+      (columns ``id_a < id_b``). The caller unions them into its
+      candidate set, so the exact verify stage prices them and
+      connected components then collapses a verified mega-family into
+      ONE cluster even with the cap active — the crawl-dedup behavior
+      a boilerplate family needs. The hub min-id comes from a window
+      min over the same keys (no extra exchange). With ``has_new_col``,
+      only pairs with a new side are emitted (old×old hub pairs were
+      mined when those members were new).
+
+    ``star`` is ``None`` when ``oversize="skip"``."""
+    if oversize not in ("skip", "star"):
+        raise ValueError(
+            f"oversize must be 'skip' or 'star', got {oversize!r}"
+        )
     w = Window.partitionBy(*key_cols)
     sized = rows.withColumn("__bsz", F.count(F.lit(1)).over(w))
     if has_new_col is not None:
@@ -462,13 +484,35 @@ def _cap_bucket_rows(
     kept = sized.filter(
         (F.col("__bsz") > 1) & (F.col("__bsz") <= max_bucket_size)
     ).drop("__bsz", *(["__bnew"] if has_new_col is not None else []))
-    dropped = sized.filter(F.col("__bsz") > max_bucket_size)
+    over = sized.filter(F.col("__bsz") > max_bucket_size)
     if has_new_col is not None:
-        dropped = dropped.filter(F.col("__bnew") == 1)
-    dropped = dropped.select(
+        over = over.filter(F.col("__bnew") == 1)
+    dropped = over.select(
         *key_cols, F.col("__bsz").alias("bucket_size")
     ).distinct()
-    return kept, dropped
+    star = None
+    if oversize == "star":
+        # hub = the bucket's min id (min over a struct so the hub's
+        # new-flag rides along); `over` kept ALL rows of qualifying
+        # buckets (both filters are bucket-level), so the window min
+        # is the true bucket minimum — and the window spec matches the
+        # sizing window, so no extra exchange is introduced
+        hub_fields = [F.col("__id")] + (
+            [F.col(has_new_col).cast("int").alias("__hn")]
+            if has_new_col is not None
+            else []
+        )
+        starred = over.withColumn("__hub", F.min(F.struct(*hub_fields)).over(w))
+        starred = starred.filter(F.col("__id") != F.col("__hub.__id"))
+        if has_new_col is not None:
+            starred = starred.filter(
+                F.col(has_new_col) | (F.col("__hub.__hn") == 1)
+            )
+        # hub is the bucket min, so id_a < id_b holds by construction
+        star = starred.select(
+            F.col("__hub.__id").alias("id_a"), F.col("__id").alias("id_b")
+        )
+    return kept, dropped, star
 
 
 def minhash_lsh_pairs(
@@ -482,6 +526,7 @@ def minhash_lsh_pairs(
     hash_fn: str = "md5",
     max_bucket_size: "int | None" = None,
     return_dropped: bool = False,
+    oversize: str = "skip",
 ) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
@@ -511,6 +556,13 @@ def minhash_lsh_pairs(
     shingling anyway (one survivor per family keeps recall, kills the
     hot bucket at the source). ``None`` (default) = uncapped, the
     oracle-gated plan, byte-identical to previous rounds.
+
+    ``oversize`` (with a cap set): ``"skip"`` forfeits ALL pairs of an
+    oversized bucket (ledger-only, the default); ``"star"`` keeps the
+    family collapsible at O(bucket) cost — each member becomes a
+    candidate pair with the bucket's min id, the exact-jaccard verify
+    prices those like any candidate, and connected components then
+    lands the family in ONE cluster (see :func:`_cap_bucket_rows`).
     """
     rows_per_band = num_hashes // bands
     sig = _minhash_agg(
@@ -523,10 +575,11 @@ def minhash_lsh_pairs(
     # subtree; the groupBy shape scans it once and fans out pairs with
     # a narrow JVM-side double-explode (same shape as the embedding
     # LSH path)
-    dropped = None
+    dropped = star = None
     if max_bucket_size is not None:
-        band_rows, dropped = _cap_bucket_rows(
-            band_rows, ("band", "band_key"), max_bucket_size
+        band_rows, dropped, star = _cap_bucket_rows(
+            band_rows, ("band", "band_key"), max_bucket_size,
+            oversize=oversize,
         )
     buckets = (
         band_rows.groupBy("band", "band_key")
@@ -537,8 +590,10 @@ def minhash_lsh_pairs(
         buckets.select(F.explode("__ids").alias("id_a"), "__ids")
         .select("id_a", F.explode("__ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
     )
+    if star is not None:
+        candidates = candidates.unionByName(star)
+    candidates = candidates.distinct()
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a"))
     sb = sig.select(F.col("__id").alias("id_b"), F.col("__shingles").alias("__sh_b"))
     verified = (
@@ -656,6 +711,7 @@ def minhash_lsh_pairs_incremental(
     hash_fn: str = "md5",
     max_bucket_size: "int | None" = None,
     return_dropped: bool = False,
+    oversize: str = "skip",
 ) -> "tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]":
     """Incremental MinHash-LSH near-dup mining: pairs between a NEW
     document batch and an indexed corpus (plus new×new), without ever
@@ -676,7 +732,12 @@ def minhash_lsh_pairs_incremental(
     batch size. With ``return_dropped=True`` a third frame is returned
     reporting each skipped bucket ``(band, band_key, bucket_size)`` —
     only oversized buckets actually CONTAINING a new member (an
-    all-old oversized bucket forfeits no pair).
+    all-old oversized bucket forfeits no pair). ``oversize="star"``
+    additionally emits member↔min-id candidate pairs for oversized
+    buckets (new-sided only — old×old hub pairs were mined when those
+    members were new), so an indexed boilerplate family keeps
+    absorbing new members into one cluster at O(bucket) cost (see
+    :func:`_cap_bucket_rows`).
 
     Scale shape: the new batch is shingled once (the only text work);
     the index contributes a NARROW projection (id + n signature longs
@@ -702,11 +763,11 @@ def minhash_lsh_pairs_incremental(
     # the __new flag rides the band explode — a join back to sig would
     # re-scan the parquet index side a second time just to re-attach it
     band_rows = _band_rows(sig, bands, rows_per_band, carry=("__new",))
-    dropped = None
+    dropped = star = None
     if max_bucket_size is not None:
-        band_rows, dropped = _cap_bucket_rows(
+        band_rows, dropped, star = _cap_bucket_rows(
             band_rows, ("band", "band_key"), max_bucket_size,
-            has_new_col="__new",
+            has_new_col="__new", oversize=oversize,
         )
     buckets = (
         band_rows.groupBy("band", "band_key")
@@ -725,8 +786,10 @@ def minhash_lsh_pairs_incremental(
         .select(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
         )
-        .distinct()
     )
+    if star is not None:
+        candidates = candidates.unionByName(star)
+    candidates = candidates.distinct()
     sa = sig.select(
         F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a")
     )
@@ -1069,6 +1132,7 @@ def embedding_near_dup_pairs_incremental(
     seed: int = 7,
     max_bucket_size: "int | None" = None,
     return_dropped: bool = False,
+    oversize: str = "skip",
 ) -> "tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]":
     """Incremental embedding near-dup mining: cosine ≥ ``threshold``
     pairs between a NEW vector batch and an indexed corpus (plus
@@ -1093,11 +1157,13 @@ def embedding_near_dup_pairs_incremental(
     until the verify join ships only candidate ids' vectors). Buckets
     whose members are all old are dropped BEFORE the pair fan-out, so
     steady-state cost per batch is ~|new| × bucket-mates, not
-    |corpus|². ``max_bucket_size`` / ``return_dropped``: the same
-    hot-bucket guard as every LSH candidate stage (a mass-duplicated
-    embedding — zero vectors, template pages — concentrates the whole
-    family into one bucket PER TABLE, and an indexed family grows with
-    corpus age, not batch size).
+    |corpus|². ``max_bucket_size`` / ``return_dropped`` / ``oversize``:
+    the same hot-bucket guard as every LSH candidate stage (a
+    mass-duplicated embedding — zero vectors, template pages —
+    concentrates the whole family into one bucket PER TABLE, and an
+    indexed family grows with corpus age, not batch size);
+    ``oversize="star"`` keeps capped families collapsible at O(bucket)
+    cost, new-sided pairs only (see :func:`_cap_bucket_rows`).
 
     ``new_docs`` ids must be disjoint from the index's (enforce
     upstream; an id on both sides would self-pair at cosine 1.0).
@@ -1125,11 +1191,11 @@ def embedding_near_dup_pairs_incremental(
         "__new",
         F.posexplode("__sigs").alias("table", "sig"),
     )
-    dropped = None
+    dropped = star = None
     if max_bucket_size is not None:
-        sig_rows, dropped = _cap_bucket_rows(
+        sig_rows, dropped, star = _cap_bucket_rows(
             sig_rows, ("table", "sig"), max_bucket_size,
-            has_new_col="__new",
+            has_new_col="__new", oversize=oversize,
         )
     buckets = (
         sig_rows.groupBy("table", "sig")
@@ -1147,8 +1213,10 @@ def embedding_near_dup_pairs_incremental(
         .select(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
         )
-        .distinct()
     )
+    if star is not None:
+        candidates = candidates.unionByName(star)
+    candidates = candidates.distinct()
     va = both.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
     vb = both.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
     pairs = (
@@ -1182,17 +1250,21 @@ def embedding_near_duplicates(
     seed: int = 7,
     max_bucket_size: "int | None" = None,
     return_dropped: bool = False,
+    oversize: str = "skip",
 ) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    ``max_bucket_size`` / ``return_dropped`` (``method="lsh"`` only —
-    a cap on the other methods raises): the hot-bucket guard of
-    :func:`minhash_lsh_pairs`, here over the (table, sig) sign-LSH
-    buckets. An embedding corpus with a mass-duplicated vector (a
-    default/zero embedding, a template page) concentrates it into one
-    bucket PER TABLE; the cap skips those buckets before their
-    ``collect_list`` row forms and ``return_dropped=True`` returns the
-    ``(table, sig, bucket_size)`` ledger alongside the pairs.
+    ``max_bucket_size`` / ``return_dropped`` / ``oversize``
+    (``method="lsh"`` only — a cap on the other methods raises): the
+    hot-bucket guard of :func:`minhash_lsh_pairs`, here over the
+    (table, sig) sign-LSH buckets. An embedding corpus with a
+    mass-duplicated vector (a default/zero embedding, a template page)
+    concentrates it into one bucket PER TABLE; the cap skips those
+    buckets before their ``collect_list`` row forms and
+    ``return_dropped=True`` returns the ``(table, sig, bucket_size)``
+    ledger alongside the pairs. ``oversize="star"`` keeps a capped
+    family collapsible — member↔min-id candidates at O(bucket) cost
+    (see :func:`_cap_bucket_rows`).
 
     ``method="lsh"`` (default — the 100 TB path): banded
     random-hyperplane sign LSH. Each vector gets ``num_tables``
@@ -1245,7 +1317,7 @@ def embedding_near_duplicates(
         return _embedding_near_dup_lsh(
             df, id_col, vec_col, threshold, num_tables, planes_per_table,
             seed, max_bucket_size=max_bucket_size,
-            return_dropped=return_dropped,
+            return_dropped=return_dropped, oversize=oversize,
         )
     if max_bucket_size is not None or return_dropped:
         raise ValueError(
@@ -1388,6 +1460,7 @@ def _embedding_near_dup_lsh(
     seed: int,
     max_bucket_size: "int | None" = None,
     return_dropped: bool = False,
+    oversize: str = "skip",
 ) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """Banded sign-LSH candidate generation + exact cosine verify (see
     :func:`embedding_near_duplicates`). One mapInPandas pass computes
@@ -1427,10 +1500,10 @@ def _embedding_near_dup_lsh(
     # (exchange reuse does not cover map-side Python stages), doubling
     # the dominant BLAS pass and adding a shuffle. Pair fan-out within
     # a bucket is a narrow double-explode, JVM-side.
-    dropped = None
+    dropped = star = None
     if max_bucket_size is not None:
-        sig, dropped = _cap_bucket_rows(
-            sig, ("table", "sig"), max_bucket_size
+        sig, dropped, star = _cap_bucket_rows(
+            sig, ("table", "sig"), max_bucket_size, oversize=oversize
         )
     buckets = (
         sig.groupBy("table", "sig")
@@ -1441,8 +1514,10 @@ def _embedding_near_dup_lsh(
         buckets.select(F.explode("__ids").alias("id_a"), "__ids")
         .select("id_a", F.explode("__ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()  # a pair may collide in several tables
     )
+    if star is not None:
+        candidates = candidates.unionByName(star)
+    candidates = candidates.distinct()  # a pair may collide in several tables
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     verified = (

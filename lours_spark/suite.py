@@ -1226,6 +1226,52 @@ def q_minhash_hot_bucket(spark, sf_dir):
     )
 
 
+def q_minhash_hot_bucket_star(spark, sf_dir):
+    """Star-mode twin of ``minhash_hot_bucket`` (bench-only): the same
+    planted boilerplate family and cap, but ``oversize="star"`` — the
+    capped family still collapses via member↔min-id candidates, priced
+    here every round so the O(bucket) claim has a measured number next
+    to the skip-mode baseline. ``family_pairs`` counts the surviving
+    hub pairs (= family size − 1 when every member verifies); the
+    ledger columns match the skip-mode query. Star semantics are
+    pytest-pinned in tests/test_operators.py::test_minhash_hot_bucket_star."""
+    from lours_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    boiler = F.lit(
+        "subscribe to our newsletter terms of service apply copyright "
+        "footer all rights reserved contact us today please"
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 3, boiler)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pairs, dropped = minhash_lsh_pairs(
+        docs,
+        jaccard_threshold=_LSH_THRESHOLD,
+        num_hashes=_LSH_HASHES,
+        bands=_LSH_BANDS,
+        max_bucket_size=128,
+        return_dropped=True,
+        oversize="star",
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(
+            F.when((F.col("id_a") % 10 < 3) & (F.col("id_b") % 10 < 3), 1)
+        ).alias("family_pairs"),
+    ).crossJoin(
+        dropped.agg(
+            F.count(F.lit(1)).alias("n_dropped_buckets"),
+            F.coalesce(F.max("bucket_size"), F.lit(0)).alias(
+                "max_dropped_bucket"
+            ),
+        )
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard similarity join via shingle inverted index."""
     from lours_spark.operators.dedup import ngram_jaccard_pairs
@@ -2040,6 +2086,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_incremental": q_minhash_incremental,
     "minhash_hot_bucket": q_minhash_hot_bucket,
+    "minhash_hot_bucket_star": q_minhash_hot_bucket_star,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     # embeddings

@@ -1435,6 +1435,128 @@ def test_minhash_incremental_hot_bucket_cap(spark):
     assert (1000, 1001) in got2 and (1002, 1003) in got2
 
 
+def test_minhash_hot_bucket_star(spark):
+    """``oversize="star"`` (VERDICT r8 item 1): a capped mega-family
+    still COLLAPSES — each member pairs with the bucket's min id at
+    O(bucket) cost, so connected components lands the whole family in
+    one cluster — while the quadratic fan-out stays dead and the
+    ledger still reports the bucket."""
+    from lours_spark.split.chunks import connected_components
+
+    docs = _hot_bucket_docs(spark, mega=60)
+    pairs, dropped = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, max_bucket_size=20,
+        return_dropped=True, oversize="star",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    mega = {(a, b) for a, b in got if a < 1000 and b < 1000}
+    # O(bucket), not O(bucket²): exactly hub→member, all exact-verified
+    assert mega == {(0, i) for i in range(1, 60)}
+    assert (1000, 1001) in got and (1002, 1003) in got
+    # the ledger is mode-independent — the bucket is still reported
+    drows = dropped.collect()
+    assert len(drows) == 4 and all(r["bucket_size"] == 60 for r in drows)
+    # the family lands in ONE cluster with the cap active
+    comp = {
+        r["node_id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+        if r["node_id"] < 1000
+    }
+    assert len(comp) == 60 and len(set(comp.values())) == 1
+
+    with pytest.raises(ValueError, match="oversize"):
+        minhash_lsh_pairs(
+            docs, max_bucket_size=20, oversize="explode"
+        ).count()
+
+
+def test_minhash_incremental_star(spark):
+    """Incremental miner with ``oversize="star"``: new members of an
+    indexed boilerplate family attach to the family hub (min id, even
+    when the hub is old); old×old hub pairs are NOT re-emitted."""
+    from lours_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _hot_bucket_docs(spark, mega=30)
+    old = docs.filter(F.col("doc_id") < 25)
+    new = docs.filter(F.col("doc_id") >= 25)
+    index = build_minhash_index(old)
+
+    pairs, _, dropped = minhash_lsh_pairs_incremental(
+        new, index, jaccard_threshold=0.5, max_bucket_size=10,
+        return_dropped=True, oversize="star",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    mega = {(a, b) for a, b in got if a < 1000 and b < 1000}
+    # the 5 new family members, each to the (old) hub — nothing else
+    assert mega == {(0, i) for i in range(25, 30)}
+    assert (1000, 1001) in got and (1002, 1003) in got
+    drows = dropped.collect()
+    assert len(drows) == 4 and all(r["bucket_size"] == 30 for r in drows)
+
+
+def test_embedding_hot_bucket_star(spark):
+    """Embedding sign-LSH star mode: a mass-duplicated vector family
+    collapses to hub→member pairs (verified at cosine 1.0) instead of
+    being forfeited; candidate volume stays linear in the family."""
+    from lours_spark.operators.dedup import embedding_near_duplicates
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+    rows += [
+        (1000, [0.0, 1.0, 0.001, 0.0]),
+        (1001, [0.0, 1.0, 0.0, 0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs, dropped = embedding_near_duplicates(
+        df, id_col="vec_id", threshold=0.99, method="lsh",
+        num_tables=4, planes_per_table=8, max_bucket_size=10,
+        return_dropped=True, oversize="star",
+    )
+    rows_out = pairs.collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows_out}
+    mega = {(a, b) for a, b in got if a < 1000 and b < 1000}
+    assert mega == {(0, i) for i in range(1, 50)}
+    assert all(
+        r["cosine"] >= 0.99 for r in rows_out if r["id_a"] < 1000
+    )
+    assert (1000, 1001) in got
+    assert dropped.count() >= 4
+
+
+def test_embedding_incremental_star(spark):
+    """Embedding incremental miner star mode: new members of an indexed
+    mega-family attach to the family hub; old×old pairs stay unmined."""
+    from lours_spark.operators.dedup import (
+        build_embedding_index,
+        embedding_near_dup_pairs_incremental,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    rows += [
+        (1000, [0.0, 1.0, 0.001, 0.0]),
+        (1001, [0.0, 1.0, 0.0, 0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = df.filter(F.col("vec_id") < 35)
+    new = df.filter(F.col("vec_id") >= 35)
+    index = build_embedding_index(
+        old, id_col="vec_id", threshold=0.99, num_tables=4,
+        planes_per_table=8,
+    )
+    pairs, new_idx, dropped = embedding_near_dup_pairs_incremental(
+        new, index, id_col="vec_id", threshold=0.99,
+        max_bucket_size=10, return_dropped=True, oversize="star",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    mega = {(a, b) for a, b in got if a < 1000 and b < 1000}
+    assert mega == {(0, i) for i in range(35, 40)}
+    assert (1000, 1001) in got
+    assert dropped.count() >= 4
+    new_idx.unpersist()
+
+
 def test_embedding_hot_bucket_cap(spark):
     """Embedding sign-LSH under the cap: a mass-duplicated vector (a
     default embedding) concentrates into one bucket per table — capped

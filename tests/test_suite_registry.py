@@ -27,7 +27,7 @@ def test_all_queries_covers_gate_facets():
     from lours_spark.suite import ALL_QUERIES, GATE_FACETS, QUERIES
 
     assert len(QUERIES) == 50
-    assert len(ALL_QUERIES) == 104
+    assert len(ALL_QUERIES) == 105
     for combined, facets in GATE_FACETS.items():
         assert combined in QUERIES, combined
         for f in facets:
@@ -46,6 +46,7 @@ def test_all_queries_covers_gate_facets():
         "curation_pipeline",     # composed chain; stages gated separately
         "bloom_novel",           # xxhash64 bloom (no DuckDB twin; pytest)
         "minhash_hot_bucket",    # capped-LSH stress facet (cap pytest-pinned)
+        "minhash_hot_bucket_star",  # star-mode twin (semantics pytest-pinned)
     }
 
 
