@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 
 from lours_spark.functions import text as TX
 
+#: fail-loud ceiling on the word table :func:`train_bpe` collects to
+#: the driver. A web crawl's distinct-"word" long tail (typos, URLs,
+#: binary junk) is corpus-sized, not vocabulary-sized — with
+#: ``min_count=1`` the collect would OOM the driver with no
+#: diagnostic. 5M rows ≈ low hundreds of MB of segment state, well
+#: inside a normal driver; raise via the ``max_vocab_words`` argument
+#: when you know your vocabulary (same pattern as
+#: ``similarity.MAX_COLLECTED_QUERIES``).
+MAX_VOCAB_WORDS = 5_000_000
+
 
 def word_counts(
     df: DataFrame,
@@ -124,6 +134,7 @@ def train_bpe(
     text_col: str = "text",
     min_count: int = 1,
     end_of_word: str = "</w>",
+    max_vocab_words: "int | None" = None,
 ) -> "list[tuple[str, str]]":
     """Train ``num_merges`` BPE merges on the corpus (Sennrich et al.
     2016, Algorithm 1) and return them in merge order.
@@ -142,6 +153,12 @@ def train_bpe(
     adjusted by their delta — the classic inverted-index trick that
     makes the loop O(affected words) per merge instead of O(vocab).
 
+    ``max_vocab_words`` (default :data:`MAX_VOCAB_WORDS`) is the
+    fail-loud ceiling on the collected word table — a LIMIT-probe, so
+    the over-cap case never ships more than cap+1 rows to the driver.
+    On crawl-shaped text with ``min_count=1`` the distinct-"word" tail
+    is corpus-sized; the error message says which knobs prune it.
+
     >>> df = spark.createDataFrame(
     ...     [(1, "low low low low low lower lower newest newest"),
     ...      (2, "newest newest newest newest widest widest widest")],
@@ -158,7 +175,23 @@ def train_bpe(
     """
     from collections import Counter, defaultdict
 
-    rows = word_counts(df, text_col=text_col, min_count=min_count).collect()
+    cap = MAX_VOCAB_WORDS if max_vocab_words is None else int(max_vocab_words)
+    rows = (
+        word_counts(df, text_col=text_col, min_count=min_count)
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            "train_bpe collects the distinct-word frequency table to "
+            f"the driver; more than {cap} distinct words found (after "
+            f"min_count={min_count}). On crawl-shaped text the word "
+            "tail (typos, URLs, binary junk) is corpus-sized — raise "
+            "min_count to prune it (min_count>=2 typically cuts the "
+            "tail by orders of magnitude), or pass a larger "
+            "max_vocab_words if the driver can genuinely hold the "
+            "table."
+        )
     # symbol sequences per word + global pair counts + inverted index
     segs: dict[str, list[str]] = {}
     freqs: dict[str, int] = {}
