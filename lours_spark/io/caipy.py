@@ -154,17 +154,25 @@ def from_caipy(
 ) -> SparkDataset:
     """Read a cAIpy tree (reference ``io/caipy.py:30-349``).
 
-    ``booleanize_enums`` maps annotation list-column names to their
-    enum domains (the reference derives these from the JSON schema,
-    ``schema_util_functions.py:47-82``); listed columns are one-hot
-    expanded on read (``caipy.py:334-348``) and tracked in
-    ``booleanized_columns`` so merge/write round-trip them.
+    ``booleanize_enums`` maps list-column names (flattened dot-names
+    for nested ones, e.g. ``attributes.colors``) to their enum
+    domains; listed columns are one-hot expanded on read
+    (``caipy.py:334-348``) and tracked in ``booleanized_columns`` so
+    merge/write round-trip them.
 
     ``schema``: optional JSON schema dict — every annotation file is
     validated executor-side before the read (reference
-    ``caipy.py:37-48``). ``on_invalid="raise"`` raises with the first
-    few violations; ``"skip"`` proceeds with the read regardless (the
-    report is still computed; fetch it via :func:`validate_caipy`).
+    ``caipy.py:37-48``), AND, like the reference (``caipy.py:334-348``
+    + ``schema_util_functions.py:47-82,116-163``), the schema drives
+    the read itself: enum domains for both the image and annotation
+    tables are derived from ``array``+``items.enum``+``uniqueItems``
+    properties and booleanized automatically (an explicit
+    ``booleanize_enums`` wins), and schema dtypes/defaults are applied
+    (optional-field ``default`` fills, ``[]`` for optional arrays,
+    integer/boolean casts). ``on_invalid="raise"`` raises with the
+    first few violations; ``"skip"`` proceeds with the read regardless
+    (the report is still computed; fetch it via
+    :func:`validate_caipy`).
 
     One JSON document per image under ``Annotations/<split>/``:
 
@@ -273,14 +281,43 @@ def from_caipy(
             annotations.filter(F.col("category_id").isNotNull())
         )
     annotations = annotations.filter(F.col("id").isNotNull())
+
+    # schema-driven derivation (reference caipy.py:334-348): enum
+    # domains and dtype/default fills come from the schema dict —
+    # driver-side dict walking, applied as narrow projections
+    image_enums: dict[str, list[str]] = {}
+    if schema is not None:
+        from lours_spark.io.schema_tools import (
+            apply_schema_columns,
+            schema_enums,
+        )
+
+        props = schema.get("properties") or {}
+        image_schema = props.get("image")
+        ann_schema = (props.get("annotations") or {}).get("items")
+        if ann_schema:
+            if booleanize_enums is None:
+                booleanize_enums = schema_enums(ann_schema)
+            annotations = apply_schema_columns(annotations, ann_schema)
+        if image_schema:
+            image_enums = schema_enums(image_schema)
+            images = apply_schema_columns(images, image_schema)
+
     booleanized: dict[str, set[str]] = {}
-    if booleanize_enums:
+
+    def _booleanize_table(df, enums):
+        from lours_spark.io.schema_tools import promote_nested_column
         from lours_spark.operators.booleanize import booleanize
 
-        for col, domain in booleanize_enums.items():
-            if col in annotations.columns:
-                annotations, dom = booleanize(annotations, col, domain=domain)
+        for col, domain in (enums or {}).items():
+            df = promote_nested_column(df, col)  # no-op when flat/absent
+            if col in df.columns:
+                df, dom = booleanize(df, col, domain=domain)
                 booleanized[col] = set(dom)
+        return df
+
+    annotations = _booleanize_table(annotations, booleanize_enums)
+    images = _booleanize_table(images, image_enums)
     ds = SparkDataset(
         images=images,
         annotations=annotations,
@@ -335,15 +372,23 @@ def _per_image_docs(ds: SparkDataset) -> tuple[DataFrame, bool]:
     """images ⟕ collect_list(annotation struct) — the one-JSON-per-image
     document frame both caipy writers emit from."""
     if ds.booleanized_columns:
-        from lours_spark.operators.booleanize import debooleanize
+        from lours_spark.operators.booleanize import (
+            debooleanize,
+            get_bool_columns,
+        )
 
-        ann = ds.annotations
+        ann, img = ds.annotations, ds.images
         for prefix in sorted(ds.booleanized_columns):
-            try:
+            # a prefix lives on exactly one table (annotation enums vs
+            # image enums — both derivable from a caipy schema)
+            if get_bool_columns(ann, prefix):
                 ann = debooleanize(ann, prefix)
-            except ValueError:
-                pass  # stale prefix (columns pruned downstream)
-        ds = ds.from_template(annotations=ann, booleanized_columns={})
+            elif get_bool_columns(img, prefix):
+                img = debooleanize(img, prefix)
+            # else: stale prefix (columns pruned downstream)
+        ds = ds.from_template(
+            annotations=ann, images=img, booleanized_columns={}
+        )
     # image_id is implied by the enclosing document — exclude it from
     # the per-annotation struct (restored on read from image.id)
     ann_cols = [c for c in ds.annotations.columns if c not in ("split", "image_id")]
@@ -353,7 +398,9 @@ def _per_image_docs(ds: SparkDataset) -> tuple[DataFrame, bool]:
     )
     per_image = (
         ds.annotations.withColumn(
-            "__a", F.struct(*[F.col(c) for c in ann_cols])
+            # backticks: a debooleanized dot-NAMED flat column must not
+            # be resolved as a struct path
+            "__a", F.struct(*[F.col(f"`{c}`") for c in ann_cols])
         )
         .groupBy("image_id")
         .agg(F.collect_list("__a").alias("__anns"))
@@ -362,6 +409,50 @@ def _per_image_docs(ds: SparkDataset) -> tuple[DataFrame, bool]:
         per_image, ds.images.id == per_image.image_id, "left"
     ).drop("image_id")
     return joined, has_bbox
+
+
+def _nest_dot_keys(d: dict) -> dict:
+    """Re-nest flat dot-named keys into sub-dicts (the reference's
+    ``remap_dict``, ``schema_util_functions.py:286-326``): a
+    debooleanized ``attributes.colors`` column serializes as
+    ``{"attributes": {"colors": [...]}}`` so the emitted JSON matches
+    the schema the tree was read with. Dotless keys pass through;
+    nesting merges into an existing sub-dict."""
+    out: dict = {}
+    dotted = []
+    for k, v in d.items():
+        if "." in k:
+            dotted.append((k, v))
+        else:
+            out[k] = v  # structs land first so dotted keys merge in
+    for k, v in dotted:
+        parts = k.split(".")
+        cur: "dict | None" = out
+        for p in parts[:-1]:
+            nxt = cur.setdefault(p, {})
+            if not isinstance(nxt, dict):  # leaf/prefix clash: keep flat
+                cur = None
+                break
+            cur = nxt
+        if cur is None:
+            out[k] = v
+        else:
+            cur[parts[-1]] = v
+    return out
+
+
+def _drop_absent_values(d: dict) -> dict:
+    """Drop None values and empty lists recursively (the reference's
+    ``remap_dict`` output rule, ``schema_util_functions.py:307-325``):
+    an absent optional field must be ABSENT from the emitted JSON, not
+    ``null`` — a schema typing the field would reject ``null``, and
+    the reader treats missing and null identically anyway."""
+    out: dict = {}
+    for k, v in d.items():
+        if v is None or (isinstance(v, list) and not v):
+            continue
+        out[k] = _drop_absent_values(v) if isinstance(v, dict) else v
+    return out
 
 
 def _write_caipy_split(
@@ -390,8 +481,13 @@ def _write_caipy_split(
 
         for r in rows:
             d = r.asDict(recursive=True)
-            anns = d.pop("__anns", None) or []
-            image = {k: v for k, v in d.items() if k != "split"}
+            anns = [
+                _drop_absent_values(_nest_dot_keys(a))
+                for a in d.pop("__anns", None) or []
+            ]
+            image = _drop_absent_values(
+                _nest_dot_keys({k: v for k, v in d.items() if k != "split"})
+            )
             rel = image.pop("relative_path", None)
             if rel is not None:
                 out_rel = _output_relative_path(rel, flatten_paths)

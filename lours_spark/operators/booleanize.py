@@ -22,7 +22,7 @@ def discover_domain(df: DataFrame, column: str) -> list[str]:
     """Union of list values across the table (reference
     ``column_booleanizer.py:41-55`` domain-from-data path)."""
     rows = (
-        df.select(F.explode_outer(F.col(column)).alias("v"))
+        df.select(F.explode_outer(F.col(f"`{column}`")).alias("v"))
         .filter(F.col("v").isNotNull())
         .distinct()
         .collect()
@@ -54,7 +54,11 @@ def booleanize(
     for v in domain:
         out = out.withColumn(
             f"{column}.{v}",
-            F.coalesce(F.array_contains(F.col(column), v), F.lit(False)),
+            # backticks: a flattened dot-NAMED source column (caipy
+            # nested enums) must not be parsed as a struct path
+            F.coalesce(
+                F.array_contains(F.col(f"`{column}`"), v), F.lit(False)
+            ),
         )
     if drop_source:
         out = out.drop(column)

@@ -348,6 +348,124 @@ def test_caipy_jsonschema_validation(spark, tmp_path):
     assert ds2.images.count() >= 3
 
 
+def test_caipy_schema_driven_enums_and_dtypes(spark, tmp_path):
+    """Reference caipy.py:334-348 + schema_util_functions.py:47-82,
+    116-163: a schema dict drives the read — enum domains (image AND
+    annotation side, nested ones by dot-name) booleanize with NO
+    explicit booleanize_enums, optional-field defaults fill, optional
+    integers stay nullable long — and the tree round-trips through
+    dataset_to_caipy (debooleanize both tables, re-nest dot keys)."""
+    from lours_spark.io.caipy import dataset_to_caipy, from_caipy
+
+    schema = {
+        "type": "object",
+        "required": ["image", "annotations"],
+        "properties": {
+            "image": {
+                "type": "object",
+                "required": ["id", "file_name", "width", "height"],
+                "properties": {
+                    "id": {"type": "integer"},
+                    "width": {"type": "integer"},
+                    "height": {"type": "integer"},
+                    "file_name": {"type": "string"},
+                    "sensors": {
+                        "type": "array",
+                        "uniqueItems": True,
+                        "items": {"enum": ["ir", "rgb"]},
+                    },
+                },
+            },
+            "annotations": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "required": ["id", "category_id", "category_str", "bbox"],
+                    "properties": {
+                        "id": {"type": "integer"},
+                        "category_id": {"type": "integer"},
+                        "category_str": {"type": "string"},
+                        "bbox": {"type": "array"},
+                        "occluded": {"type": "boolean", "default": False},
+                        "track_id": {"type": "integer"},
+                        "attributes": {
+                            "type": "object",
+                            "properties": {
+                                "colors": {
+                                    "type": "array",
+                                    "uniqueItems": True,
+                                    "items": {"enum": ["blue", "red"]},
+                                },
+                            },
+                        },
+                    },
+                },
+            },
+        },
+    }
+    root = tmp_path / "caipy_schema"
+    d = root / "Annotations" / "train"
+    d.mkdir(parents=True)
+    docs = [
+        {"image": {"id": 0, "file_name": "0.jpg", "width": 10,
+                   "height": 10, "sensors": ["rgb"]},
+         "annotations": [
+             {"id": 0, "category_id": 1, "category_str": "car",
+              "bbox": [1.0, 1.0, 2.0, 2.0], "occluded": True,
+              "track_id": 7, "attributes": {"colors": ["red"]}},
+         ]},
+        {"image": {"id": 1, "file_name": "1.jpg", "width": 10,
+                   "height": 10},
+         "annotations": [
+             {"id": 1, "category_id": 1, "category_str": "car",
+              "bbox": [2.0, 2.0, 3.0, 3.0]},
+         ]},
+    ]
+    for doc in docs:
+        (d / f"{doc['image']['id']}.json").write_text(json.dumps(doc))
+
+    ds = from_caipy(spark, str(root), schema=schema)
+    assert ds.booleanized_columns == {
+        "attributes.colors": {"blue", "red"},
+        "sensors": {"ir", "rgb"},
+    }
+    ann = {r["id"]: r for r in ds.annotations.collect()}
+    assert ann[0]["attributes.colors.red"] is True
+    assert ann[1]["attributes.colors.red"] is False
+    assert "attributes" not in ds.annotations.columns  # emptied struct
+    # default fill + nullable integer dtype
+    assert ann[0]["occluded"] is True and ann[1]["occluded"] is False
+    assert ann[0]["track_id"] == 7 and ann[1]["track_id"] is None
+    assert dict(ds.annotations.dtypes)["track_id"] == "bigint"
+    img = {r["id"]: r for r in ds.images.collect()}
+    assert img[0]["sensors.rgb"] is True and img[1]["sensors.rgb"] is False
+
+    # explicit booleanize_enums still wins over the schema's domains
+    ds2 = from_caipy(
+        spark, str(root), schema=schema,
+        booleanize_enums={"attributes.colors": ["blue", "green", "red"]},
+    )
+    assert ds2.booleanized_columns["attributes.colors"] == {
+        "blue", "green", "red"
+    }
+
+    # round-trip: written JSON re-nests dot keys (schema-conformant,
+    # so the second schema-validated read passes) and re-derives the
+    # same booleanization
+    out = tmp_path / "caipy_schema_out"
+    dataset_to_caipy(ds, str(out), copy_images=False)
+    written = json.loads(
+        (out / "Annotations" / "train" / "0.json").read_text()
+    )
+    assert written["annotations"][0]["attributes"] == {"colors": ["red"]}
+    assert written["image"]["sensors"] == ["rgb"]
+    back = from_caipy(spark, str(out), schema=schema)
+    assert back.booleanized_columns == ds.booleanized_columns
+    ann_b = {r["id"]: r for r in back.annotations.collect()}
+    assert ann_b[0]["attributes.colors.red"] is True
+    assert ann_b[1]["occluded"] is False
+
+
 def _yolo_dataset(spark):
     from lours_spark.dataset.core import SparkDataset
 
