@@ -67,12 +67,29 @@ _SIZE_SCHEMA = T.StructType(
 )
 
 
-@F.udf(_SIZE_SCHEMA)
-def _size_udf(content: bytes):
-    try:
-        return _sniff_size(bytes(content[:65536]))
-    except Exception:
-        return (0, 0)
+def _size_udf():
+    """Arrow-batched size sniffer (struct<width,height> pandas UDF):
+    header parsing is trivial, so per-row pickling would dominate a
+    row-at-a-time UDF — Arrow ships each binary batch once and the
+    plan stays ``ArrowEvalPython`` (guarded in test_plans.py). Built
+    lazily so importing this module never needs a SparkContext."""
+    import pandas as pd
+
+    def sizes(contents):
+        w, h = [], []
+        for c in contents:
+            try:
+                sw, sh = _sniff_size(bytes(c[:65536]))
+            except Exception:
+                sw = sh = 0
+            w.append(sw)
+            h.append(sh)
+        return pd.DataFrame({"width": w, "height": h})
+
+    # no inline type hints: ``from __future__ import annotations``
+    # stringifies them, which breaks pandas_udf signature inference
+    sizes.__annotations__ = {"contents": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(sizes, _SIZE_SCHEMA)
 
 
 def from_folder(
@@ -111,7 +128,7 @@ def from_folder(
         F.col("content"),
     )
     if with_sizes:
-        images = images.withColumn("__size", _size_udf(F.col("content")))
+        images = images.withColumn("__size", _size_udf()(F.col("content")))
         images = images.select(
             "relative_path",
             F.col("__size.width").alias("width"),

@@ -750,6 +750,11 @@ def minhash_lsh_pairs_incremental(
 
     ``new_docs`` ids must be disjoint from the index's (enforce
     upstream; an id on both sides would self-pair at jaccard 1.0).
+
+    Cache ownership: the returned ``new_index_rows`` frame is
+    ``cache()``d here (the pairs plan and the caller's index append
+    both read it); the CALLER must ``unpersist()`` it once both
+    consumers have materialized, as the streaming skeleton does.
     """
     rows_per_band = num_hashes // bands
     _check_index_params(index, k, num_hashes, hash_fn)
@@ -1167,6 +1172,13 @@ def embedding_near_dup_pairs_incremental(
 
     ``new_docs`` ids must be disjoint from the index's (enforce
     upstream; an id on both sides would self-pair at cosine 1.0).
+
+    Cache ownership: the returned ``new_index_rows`` frame is
+    ``cache()``d here (both the pairs plan and the caller's index
+    append read it — uncached, the Arrow hashing pass would run
+    twice). The CALLER must ``unpersist()`` it once both consumers
+    have materialized, as the streaming skeleton does — a driver loop
+    that skips this accumulates one cached frame per batch.
     """
     meta = _emb_index_meta(index)
     if "lours.emb.num_tables" in meta:

@@ -564,17 +564,65 @@ def filter_quality_percentile(
 # ---------------------------------------------------------------------------
 
 
-def require_classifier_knobs(weights, bias, min_score) -> None:
+def require_classifier_knobs(
+    weights,
+    bias,
+    min_score,
+    num_buckets: "int | None" = None,
+    seed=None,
+    bigrams: "bool | None" = None,
+) -> None:
     """Shared validation of the classifier-stage configuration (batch
     pipeline AND streaming twin): a trained model without a threshold
     — or vice versa — is a misconfiguration, not a skipped stage; fail
-    loud rather than silently running with no classifier cut."""
+    loud rather than silently running with no classifier cut. When the
+    scoring knobs (num_buckets/seed/bigrams) are passed too, they are
+    checked against the stamp ``train_ngram_classifier`` wrote into
+    the weights frame — scoring with hashing parameters that differ
+    from training degenerates to near-constant ``sigmoid(bias)``
+    (keep-all or drop-all) with no error otherwise."""
     knobs = (weights is not None, bias is not None, min_score is not None)
     if any(knobs) and not all(knobs):
         raise ValueError(
             "classifier_weights, classifier_bias and "
             "classifier_min_score must be set together "
             "(train_ngram_classifier returns the first two)"
+        )
+    if weights is not None and num_buckets is not None:
+        _check_classifier_params(weights, num_buckets, seed, bigrams)
+
+
+def _check_classifier_params(
+    weights: DataFrame, num_buckets: int, seed, bigrams: "bool | None"
+) -> None:
+    """Fail loud when a stamped weights frame disagrees with the
+    scoring call's hashing parameters (same pattern as the minhash /
+    embedding index stamps — ``operators.dedup._check_index_params``);
+    unstamped (hand-built or legacy) frames pass. Pure schema
+    inspection — no Spark job."""
+    try:
+        meta = dict(weights.schema["bucket"].metadata or {})
+    except KeyError:
+        return
+    if "lours.classifier.num_buckets" not in meta:
+        return
+    stamped = (
+        meta.get("lours.classifier.num_buckets"),
+        meta.get("lours.classifier.seed"),
+        meta.get("lours.classifier.bigrams"),
+    )
+    used = (
+        int(num_buckets),
+        str(seed),
+        bool(bigrams) if bigrams is not None else stamped[2],
+    )
+    if stamped != used:
+        raise ValueError(
+            f"classifier weights were trained with (num_buckets, seed, "
+            f"bigrams)={stamped} but this call scores with {used} — "
+            f"hashed buckets would not line up and every document "
+            f"would score ~sigmoid(bias); score with the training "
+            f"parameters or retrain."
         )
 
 
@@ -695,9 +743,16 @@ def train_ngram_classifier(
     lab = F.col(label_col).cast("int")
     # every document contributes one sentinel bucket -1 (real buckets
     # live in [0, num_buckets)): its per_bucket row IS the per-class
-    # document count, so the class split costs no second corpus scan
+    # document count, so the class split costs no second corpus scan.
+    # NULL text coalesces to '' so the concat below stays non-NULL and
+    # the explode keeps the sentinel — a NULL-text document must still
+    # count in the class prior (classifier_score keeps such documents
+    # via explode_outer; dropping them here would skew the bias)
     g = _spread_narrow(
-        docs.select(lab.alias("__y"), F.col(text_col).alias("__t"))
+        docs.select(
+            lab.alias("__y"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+        )
     ).select(
         "__y",
         F.explode(
@@ -735,8 +790,20 @@ def train_ngram_classifier(
     default = math.log(a / (pos_tot + a * B)) - math.log(
         a / (neg_tot + a * B)
     )
+    # hashing params are STAMPED as column metadata (rides the schema
+    # into any parquet footer, zero rows / zero jobs to read back) so
+    # scoring with mismatched num_buckets/seed/bigrams fails loud
+    # instead of silently degenerating to sigmoid(bias) — the same
+    # contract as the minhash/embedding index stamps
     weights = per_bucket.filter(F.col("bucket") >= 0).select(
-        "bucket",
+        F.col("bucket").alias(
+            "bucket",
+            metadata={
+                "lours.classifier.num_buckets": int(num_buckets),
+                "lours.classifier.seed": str(seed),
+                "lours.classifier.bigrams": bool(bigrams),
+            },
+        ),
         (
             F.log((F.col("__pos") + a) / F.lit(pos_tot + a * B))
             - F.log((F.col("__neg") + a) / F.lit(neg_tot + a * B))
@@ -782,6 +849,7 @@ def classifier_score(
     >>> bool(out[1] > out[2])
     True
     """
+    _check_classifier_params(weights, num_buckets, seed, bigrams)
     # explode_outer keeps gram-free documents in the stream as a NULL
     # bucket row, so ONE groupBy covers every document — no re-join
     # back to the input (count("bucket") skips the NULL sentinel)

@@ -64,11 +64,18 @@ class CurationConfig:
     gopher: "dict | None" = None
     #: (weights DataFrame, bias) from train_ngram_classifier plus the
     #: minimum sigmoid score to keep; all three must be set together.
-    #: num_buckets/seed must match the training call.
+    #: num_buckets/seed/bigrams must match the training call — the
+    #: weights frame carries a stamp and the pipeline fails loud on a
+    #: mismatch (scoring with different hashing params degenerates to
+    #: near-constant sigmoid(bias)).
     classifier_weights: "DataFrame | None" = None
     classifier_bias: "float | None" = None
     classifier_min_score: "float | None" = None
     classifier_num_buckets: int = 1 << 18
+    #: hashing seed for scoring; None = fall back to ``seed`` (the
+    #: pre-round-9 behavior, which silently coupled the two)
+    classifier_seed: "int | str | None" = None
+    classifier_bigrams: bool = True
     dedup_exact: bool = True
     quality_min_pct: "float | None" = 0.2
     #: False (default): exact per-group cume_dist window — deterministic,
@@ -177,16 +184,20 @@ def curate_documents(docs: DataFrame, config: CurationConfig) -> DataFrame:
 
     from lours_spark.operators.quality import require_classifier_knobs
 
+    clf_seed = cfg.classifier_seed if cfg.classifier_seed is not None else cfg.seed
     require_classifier_knobs(
         cfg.classifier_weights, cfg.classifier_bias,
         cfg.classifier_min_score,
+        num_buckets=cfg.classifier_num_buckets, seed=clf_seed,
+        bigrams=cfg.classifier_bigrams,
     )
     if cfg.classifier_min_score is not None:
         from lours_spark.operators.quality import classifier_score
         keep = classifier_score(
             out, cfg.classifier_weights, cfg.classifier_bias,
             id_col=id_col, text_col=text_col,
-            num_buckets=cfg.classifier_num_buckets, seed=cfg.seed,
+            num_buckets=cfg.classifier_num_buckets, seed=clf_seed,
+            bigrams=cfg.classifier_bigrams,
         ).filter(F.col("score") >= cfg.classifier_min_score)
         out = out.join(keep.select(id_col), id_col, "left_semi")
         stages_run.append("classifier_filter")

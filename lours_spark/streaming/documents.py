@@ -103,13 +103,17 @@ def _strip_paragraphs_udf(boilerplate_hashes: DataFrame, sep: str):
 
 
 def _classifier_score_udf(
-    weights: DataFrame, bias: float, num_buckets: int, seed
+    weights: DataFrame, bias: float, num_buckets: int, seed,
+    bigrams: bool = True,
 ):
     """Arrow-batched stateless twin of
     ``operators.quality.classifier_score``: same md5-prefix bucket
-    hashing over lowercase whitespace unigrams+bigrams, same
+    hashing over lowercase whitespace unigrams (+bigrams), same
     mean-weight + bias sigmoid, weights collected once (bucket-bounded)
-    into the UDF closure. Streaming-safe: no aggregation, no state."""
+    into the UDF closure. Streaming-safe: no aggregation, no state.
+    The hashing knobs are validated against the weights frame's
+    training stamp — a mismatch would silently score every document
+    ~sigmoid(bias)."""
     import hashlib
     import math
     import re
@@ -117,6 +121,9 @@ def _classifier_score_udf(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from lours_spark.operators.quality import _check_classifier_params
+
+    _check_classifier_params(weights, num_buckets, seed, bigrams)
     wmap = {r["bucket"]: r["weight"] for r in weights.collect()}
     # Java \s is ASCII-only; keep the token split byte-compatible with
     # functions.text.tokens (split(trim(lower(text)), '\\s+'))
@@ -127,9 +134,11 @@ def _classifier_score_udf(
             toks = [
                 w for w in ws.split((t or "").lower().strip(" ")) if w
             ]
-            grams = toks + [
-                f"{a} {b}" for a, b in zip(toks, toks[1:])
-            ]
+            grams = toks + (
+                [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+                if bigrams
+                else []
+            )
             if grams:
                 s = 0.0
                 for g in grams:
@@ -169,6 +178,8 @@ def curate_document_stream(
     classifier_bias: "float | None" = None,
     classifier_min_score: "float | None" = None,
     classifier_num_buckets: int = 1 << 18,
+    classifier_seed: "int | str | None" = None,
+    classifier_bigrams: bool = True,
 ) -> DataFrame:
     """Apply the curation chain to a streaming document frame (see
     module docstring for how each batch stage maps). Returns the
@@ -205,8 +216,11 @@ def curate_document_stream(
     replays the identical hashing/mean arithmetic inside one
     Arrow-batched UDF over the collected (bucket-bounded) weights;
     parity with ``classifier_score`` is pinned by
-    ``test_streaming_classifier_parity``. ``seed`` doubles as the
-    hashing seed and must match training.
+    ``test_streaming_classifier_parity``. ``classifier_seed`` /
+    ``classifier_bigrams`` must match training (``classifier_seed``
+    falls back to ``seed`` when None — the pre-round-9 coupling);
+    the weights frame's training stamp is validated, so a mismatch
+    fails loud instead of scoring every document ~sigmoid(bias).
     """
     out = docs
 
@@ -233,8 +247,11 @@ def curate_document_stream(
 
     from lours_spark.operators.quality import require_classifier_knobs
 
+    clf_seed = classifier_seed if classifier_seed is not None else seed
     require_classifier_knobs(
-        classifier_weights, classifier_bias, classifier_min_score
+        classifier_weights, classifier_bias, classifier_min_score,
+        num_buckets=classifier_num_buckets, seed=clf_seed,
+        bigrams=classifier_bigrams,
     )
     if classifier_min_score is not None:
         # stateless score filter AFTER the rule cut and BEFORE dedup —
@@ -242,7 +259,7 @@ def curate_document_stream(
         # must not claim a fingerprint its surviving duplicate needs)
         score = _classifier_score_udf(
             classifier_weights, float(classifier_bias),
-            classifier_num_buckets, seed,
+            classifier_num_buckets, clf_seed, classifier_bigrams,
         )
         out = out.filter(score(F.col(text_col)) >= classifier_min_score)
 

@@ -1964,6 +1964,83 @@ def test_ngram_classifier_separates_classes(spark):
         )
 
 
+def test_classifier_params_stamped_and_checked(spark):
+    """ADVICE r8: the trained weights carry a (num_buckets, seed,
+    bigrams) stamp; scoring with mismatched hashing params fails loud
+    instead of silently degenerating to sigmoid(bias). Unstamped
+    (hand-built) frames still score."""
+    from lours_spark.operators.quality import (
+        classifier_score,
+        train_ngram_classifier,
+    )
+    from lours_spark.streaming.documents import _classifier_score_udf
+
+    df = spark.createDataFrame(
+        [(1, "good clean prose", 1), (2, "spam spam spam", 0),
+         (3, "buy cheap pills", 0), (4, "helpful essay text", 1)],
+        "doc_id long, text string, label int")
+    w, b = train_ngram_classifier(
+        df, "label", num_buckets=64, seed=5, bigrams=False
+    )
+    # matching params score fine
+    assert classifier_score(
+        df, w, b, num_buckets=64, seed=5, bigrams=False
+    ).count() == 4
+    for bad in (
+        dict(num_buckets=128, seed=5, bigrams=False),   # buckets drift
+        dict(num_buckets=64, seed=0, bigrams=False),    # seed drift
+        dict(num_buckets=64, seed=5, bigrams=True),     # bigram drift
+    ):
+        with pytest.raises(ValueError, match="trained with"):
+            classifier_score(df, w, b, **bad)
+    # the streaming twin validates the same stamp at UDF build time
+    with pytest.raises(ValueError, match="trained with"):
+        _classifier_score_udf(w, float(b), 64, 0, False)
+    # an unstamped frame (user-built weights) passes unchecked
+    w_plain = spark.createDataFrame(
+        [(r["bucket"], r["weight"]) for r in w.collect()],
+        "bucket long, weight double",
+    )
+    assert classifier_score(
+        df, w_plain, b, num_buckets=999, seed=42
+    ).count() == 4
+    # the stamp survives a parquet round-trip (footer metadata)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        w.write.mode("overwrite").parquet(f"{td}/w")
+        w_back = spark.read.parquet(f"{td}/w")
+        with pytest.raises(ValueError, match="trained with"):
+            classifier_score(df, w_back, b, num_buckets=64, seed=0,
+                             bigrams=False)
+
+
+def test_classifier_null_text_counts_in_prior(spark):
+    """ADVICE r8: a NULL-text document must contribute its sentinel
+    row to the class prior exactly like an empty-string one —
+    training on NULL vs '' yields identical (weights, bias)."""
+    from lours_spark.operators.quality import train_ngram_classifier
+
+    base = [(1, "good clean prose", 1), (2, "spam spam spam", 0),
+            (3, "buy cheap pills", 0)]
+    with_null = spark.createDataFrame(
+        base + [(4, None, 1)], "doc_id long, text string, label int")
+    with_empty = spark.createDataFrame(
+        base + [(4, "", 1)], "doc_id long, text string, label int")
+    w_n, b_n = train_ngram_classifier(with_null, "label", num_buckets=64)
+    w_e, b_e = train_ngram_classifier(with_empty, "label", num_buckets=64)
+    assert b_n == pytest.approx(b_e, abs=1e-12)
+    rows_n = {r["bucket"]: r["weight"] for r in w_n.collect()}
+    rows_e = {r["bucket"]: r["weight"] for r in w_e.collect()}
+    assert rows_n == rows_e
+    # and the prior actually moved: without doc 4 the pos count is 1
+    _, b_without = train_ngram_classifier(
+        spark.createDataFrame(
+            base, "doc_id long, text string, label int"),
+        "label", num_buckets=64)
+    assert b_n != pytest.approx(b_without, abs=1e-12)
+
+
 def test_hashed_ngram_buckets_range_and_multiplicity(spark):
     from lours_spark.operators.quality import hashed_ngram_buckets
 

@@ -108,7 +108,12 @@ def test_from_folder_ids_two_phase(spark, tmp_path):
     spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
     try:
         ds = from_folder(spark, str(tmp_path))
-        assert "Exchange SinglePartition" not in _plan(ds.images)
+        plan = _plan(ds.images)
+        assert "Exchange SinglePartition" not in plan
+        # the size sniff is Arrow-batched, never a row-pickling UDF
+        # (VERDICT r8 item 4)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" in plan
         rows = sorted(ds.images.collect(), key=lambda r: r["id"])
         assert [r["id"] for r in rows] == list(range(8))
         assert [r["relative_path"] for r in rows] == sorted(
