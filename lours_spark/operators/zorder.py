@@ -26,6 +26,18 @@ Two pieces:
   quality) is deterministic.
 
 ``n_cols * bits`` must be <= 62 to stay in a signed BIGINT.
+
+Beyond two columns Morton degrades gracefully, not silently: per-axis
+resolution within a fixed file budget falls as bits/n (64 files over a
+64³ grid: aligned tiles span 15 cells per axis vs 7 for 2-D), and the
+curve's discontinuities mean a file whose z-range crosses a HIGH
+interleaved-bit boundary can span a full axis. Measured on that 64³
+grid: 62/64 files stay <= half an axis on EVERY column, two
+boundary-crossing files span one axis fully (test_zorder_three_column_spans;
+SCALING.md "z-order at three columns"). A Hilbert curve would remove
+the discontinuity at ~10x expression complexity — with min/max pruning
+the two outlier files cost two extra file reads per query, so Morton
+is the deliberate choice here.
 """
 
 from __future__ import annotations
