@@ -379,13 +379,15 @@ def _per_image_docs(ds: SparkDataset) -> tuple[DataFrame, bool]:
 
         ann, img = ds.annotations, ds.images
         for prefix in sorted(ds.booleanized_columns):
-            # a prefix lives on exactly one table (annotation enums vs
-            # image enums — both derivable from a caipy schema)
+            # a prefix usually lives on one table (annotation enums vs
+            # image enums — both derivable from a caipy schema), but a
+            # same-named enum on both is legal: gather each side that
+            # actually has the bool columns. A prefix on neither is
+            # stale (columns pruned downstream) and skipped.
             if get_bool_columns(ann, prefix):
                 ann = debooleanize(ann, prefix)
-            elif get_bool_columns(img, prefix):
+            if get_bool_columns(img, prefix):
                 img = debooleanize(img, prefix)
-            # else: stale prefix (columns pruned downstream)
         ds = ds.from_template(
             annotations=ann, images=img, booleanized_columns={}
         )
@@ -501,11 +503,13 @@ def _write_caipy_split(
                 out_stem = str(image["id"])
             if has_bbox:
                 for a in anns:
+                    # default None: a null box coordinate was dropped
+                    # by _drop_absent_values above
                     a["bbox"] = [
-                        a.pop("box_x_min"),
-                        a.pop("box_y_min"),
-                        a.pop("box_width"),
-                        a.pop("box_height"),
+                        a.pop("box_x_min", None),
+                        a.pop("box_y_min", None),
+                        a.pop("box_width", None),
+                        a.pop("box_height", None),
                     ]
             doc = {"image": image, "annotations": anns}
             # JSON path mirrors the (split-stripped) relative path, so

@@ -1514,6 +1514,13 @@ def _embedding_near_dup_lsh(
     # a bucket is a narrow double-explode, JVM-side.
     dropped = star = None
     if max_bucket_size is not None:
+        if oversize == "star":
+            # the star leg and the bucket groupBy are two consumers of
+            # the signature subtree; exchange reuse does not cover
+            # map-side Python stages, so an uncached sig would run the
+            # dominant BLAS pass once per union leg (same precedent as
+            # minhash_lsh_pairs' sig.cache())
+            sig = sig.cache()
         sig, dropped, star = _cap_bucket_rows(
             sig, ("table", "sig"), max_bucket_size, oversize=oversize
         )

@@ -497,6 +497,8 @@ def mine_neardup_stream(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "md5",
+    max_bucket_size: "int | None" = None,
+    oversize: str = "skip",
     query_name: str = "neardup_miner",
     available_now: bool = True,
     compact_every: "int | None" = None,
@@ -537,6 +539,13 @@ def mine_neardup_stream(
     prior-state selection treats a compact dir as superseding the dirs
     it consumed. ``None`` (default) = never compact.
 
+    ``max_bucket_size`` / ``oversize``: the hot-bucket guard, which
+    matters MOST on a long-lived stream — an indexed boilerplate
+    family's bucket grows with corpus age, not batch size.
+    ``oversize="star"`` keeps capped families collapsible (new members
+    pair with the family min-id; see
+    ``operators.dedup._cap_bucket_rows``).
+
     Returns the started ``StreamingQuery`` (caller awaits/stops)."""
 
     def empty_index(batch_df):
@@ -562,6 +571,8 @@ def mine_neardup_stream(
             bands=bands,
             jaccard_threshold=jaccard_threshold,
             hash_fn=hash_fn,
+            max_bucket_size=max_bucket_size,
+            oversize=oversize,
         )
 
     return _start_incremental_miner(
@@ -648,6 +659,7 @@ def mine_embedding_neardup_stream(
     planes_per_table: "int | None" = None,
     seed: int = 7,
     max_bucket_size: "int | None" = None,
+    oversize: str = "skip",
     query_name: str = "embedding_neardup_miner",
     available_now: bool = True,
     compact_every: "int | None" = None,
@@ -665,6 +677,12 @@ def mine_embedding_neardup_stream(
     for a long-lived stream (auto-sizing resolves against each BATCH's
     count; the first batch's stamp then locks them — a mismatch on a
     later batch fails loud rather than mixing plane families).
+
+    ``max_bucket_size`` / ``oversize``: the hot-bucket guard, which
+    matters MOST here — an indexed mega-family's bucket grows with
+    corpus age, not batch size. ``oversize="star"`` keeps capped
+    families collapsible (new members pair with the family min-id; see
+    ``operators.dedup._cap_bucket_rows``).
 
     Returns the started ``StreamingQuery`` (caller awaits/stops)."""
 
@@ -705,6 +723,7 @@ def mine_embedding_neardup_stream(
             planes_per_table=planes_per_table,
             seed=seed,
             max_bucket_size=max_bucket_size,
+            oversize=oversize,
         )
 
     return _start_incremental_miner(
