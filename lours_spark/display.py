@@ -143,8 +143,14 @@ def show_dataset(ds, n: int = 20, separator: str = ".") -> dict[str, pd.DataFram
          "category_str", "split"],
         separator,
     )
+    # both tables get the gather pass: a prefix only debooleanizes on
+    # the table that actually carries its bool columns (image-side
+    # enums exist since schema-driven caipy reads), and
+    # head_for_display skips absent prefixes
     return {
-        "images": head_for_display(img, n, separator=separator),
+        "images": head_for_display(
+            img, n, sorted(ds.booleanized_columns), separator
+        ),
         "annotations": head_for_display(
             ann, n, sorted(ds.booleanized_columns), separator
         ),

@@ -444,14 +444,18 @@ def _nest_dot_keys(d: dict) -> dict:
 
 
 def _drop_absent_values(d: dict) -> dict:
-    """Drop None values and empty lists recursively (the reference's
-    ``remap_dict`` output rule, ``schema_util_functions.py:307-325``):
-    an absent optional field must be ABSENT from the emitted JSON, not
-    ``null`` — a schema typing the field would reject ``null``, and
-    the reader treats missing and null identically anyway."""
+    """Drop None values recursively (the reference's ``remap_dict``
+    output rule, ``schema_util_functions.py:307-325``): an absent
+    optional field must be ABSENT from the emitted JSON, not ``null``
+    — a schema typing the field would reject ``null``, and the reader
+    treats missing and null identically anyway. Deliberate divergence:
+    the reference also drops EMPTY LISTS, but a schema may mark an
+    array property *required* — dropping ``[]`` would make this
+    writer's own output fail the schema validation ``from_caipy`` runs
+    by default, so empty lists are kept (schema-valid either way)."""
     out: dict = {}
     for k, v in d.items():
-        if v is None or (isinstance(v, list) and not v):
+        if v is None:
             continue
         out[k] = _drop_absent_values(v) if isinstance(v, dict) else v
     return out

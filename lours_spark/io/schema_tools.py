@@ -126,14 +126,30 @@ def _resolve_path(
     return root, parts[1:], dt
 
 
+def _null_struct(dt: T.StructType) -> Column:
+    """A non-NULL struct literal of ``dt`` with every field NULL —
+    the substrate ``withField`` needs on rows whose parent struct is
+    NULL (``UpdateFields`` on a NULL struct yields NULL, which would
+    silently skip default fills for docs missing the whole object)."""
+    return F.struct(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in dt.fields]
+    )
+
+
 def _with_nested(
     df: DataFrame,
     key: str,
     make: "callable",
     separator: str = ".",
+    create_parents: bool = False,
 ) -> DataFrame:
     """Rewrite the column/struct-field at a flattened key with
-    ``make(column, leaf_type) -> Column``; no-op when absent."""
+    ``make(column, leaf_type) -> Column``; no-op when absent.
+    ``create_parents=True`` (default fills) coalesces each NULL parent
+    struct to a typed all-NULL struct first, so a document missing the
+    whole object still receives nested defaults — the reference's
+    ``json_normalize`` + ``fillna`` reaches those rows too (a NaN cell
+    exists whether or not the parent dict did)."""
     resolved = _resolve_path(df, key, separator)
     if resolved is None:
         return df
@@ -141,12 +157,19 @@ def _with_nested(
     if not path:
         return df.withColumn(root, make(F.col(f"`{root}`"), leaf))
 
-    def rebuild(col: Column, rest: list[str]) -> Column:
+    def rebuild(col: Column, dt: T.StructType, rest: list[str]) -> Column:
+        if create_parents:
+            col = F.coalesce(col, _null_struct(dt))
         if len(rest) == 1:
             return col.withField(rest[0], make(col.getField(rest[0]), leaf))
-        return col.withField(rest[0], rebuild(col.getField(rest[0]), rest[1:]))
+        return col.withField(
+            rest[0],
+            rebuild(col.getField(rest[0]), dt[rest[0]].dataType, rest[1:]),
+        )
 
-    return df.withColumn(root, rebuild(F.col(f"`{root}`"), path))
+    root_dt = df.schema[root].dataType
+    assert isinstance(root_dt, T.StructType)
+    return df.withColumn(root, rebuild(F.col(f"`{root}`"), root_dt, path))
 
 
 def apply_schema_columns(
@@ -164,13 +187,13 @@ def apply_schema_columns(
             df = _with_nested(
                 df, key,
                 lambda c, dt: F.coalesce(c, F.array().cast(dt)),
-                separator,
+                separator, create_parents=True,
             )
         else:
             df = _with_nested(
                 df, key,
                 lambda c, dt, d=default: F.coalesce(c, F.lit(d).cast(dt)),
-                separator,
+                separator, create_parents=True,
             )
     for key, cast_to in dtypes.items():
         df = _with_nested(

@@ -432,6 +432,23 @@ def _band_rows(
     )
 
 
+def _check_oversize(oversize: str, max_bucket_size: "int | None") -> None:
+    """Eager validation of the hot-bucket knobs at every public entry
+    (the knobs-set-together convention of ``require_classifier_knobs``
+    / ``_check_index_params``): a typo'd mode or a star request with
+    no cap must fail at call time, not silently run uncapped."""
+    if oversize not in ("skip", "star"):
+        raise ValueError(
+            f"oversize must be 'skip' or 'star', got {oversize!r}"
+        )
+    if oversize != "skip" and max_bucket_size is None:
+        raise ValueError(
+            "oversize='star' requires max_bucket_size — star mode is a "
+            "treatment for buckets OVER the cap; without a cap there is "
+            "nothing to star"
+        )
+
+
 def _cap_bucket_rows(
     rows: DataFrame,
     key_cols: "tuple[str, ...]",
@@ -470,11 +487,8 @@ def _cap_bucket_rows(
       only pairs with a new side are emitted (old×old hub pairs were
       mined when those members were new).
 
-    ``star`` is ``None`` when ``oversize="skip"``."""
-    if oversize not in ("skip", "star"):
-        raise ValueError(
-            f"oversize must be 'skip' or 'star', got {oversize!r}"
-        )
+    ``star`` is ``None`` when ``oversize="skip"`` (validation happens
+    in :func:`_check_oversize` at the public entries)."""
     w = Window.partitionBy(*key_cols)
     sized = rows.withColumn("__bsz", F.count(F.lit(1)).over(w))
     if has_new_col is not None:
@@ -557,13 +571,14 @@ def minhash_lsh_pairs(
     hot bucket at the source). ``None`` (default) = uncapped, the
     oracle-gated plan, byte-identical to previous rounds.
 
-    ``oversize`` (with a cap set): ``"skip"`` forfeits ALL pairs of an
+    ``oversize`` (requires a cap): ``"skip"`` forfeits ALL pairs of an
     oversized bucket (ledger-only, the default); ``"star"`` keeps the
     family collapsible at O(bucket) cost — each member becomes a
     candidate pair with the bucket's min id, the exact-jaccard verify
     prices those like any candidate, and connected components then
     lands the family in ONE cluster (see :func:`_cap_bucket_rows`).
     """
+    _check_oversize(oversize, max_bucket_size)
     rows_per_band = num_hashes // bands
     sig = _minhash_agg(
         df, id_col, text_col, k, num_hashes, hash_fn=hash_fn
@@ -756,6 +771,7 @@ def minhash_lsh_pairs_incremental(
     both read it); the CALLER must ``unpersist()`` it once both
     consumers have materialized, as the streaming skeleton does.
     """
+    _check_oversize(oversize, max_bucket_size)
     rows_per_band = num_hashes // bands
     _check_index_params(index, k, num_hashes, hash_fn)
     new_sig = build_minhash_index(
@@ -1180,6 +1196,7 @@ def embedding_near_dup_pairs_incremental(
     have materialized, as the streaming skeleton does — a driver loop
     that skips this accumulates one cached frame per batch.
     """
+    _check_oversize(oversize, max_bucket_size)
     meta = _emb_index_meta(index)
     if "lours.emb.num_tables" in meta:
         if num_tables is None:
@@ -1322,6 +1339,7 @@ def embedding_near_duplicates(
     import numpy as np
     import pandas as pd
 
+    _check_oversize(oversize, max_bucket_size)
     if method == "lsh":
         num_tables, planes_per_table = _lsh_sizing(
             df, threshold, num_tables, planes_per_table, target_recall

@@ -544,9 +544,15 @@ def mine_neardup_stream(
     family's bucket grows with corpus age, not batch size.
     ``oversize="star"`` keeps capped families collapsible (new members
     pair with the family min-id; see
-    ``operators.dedup._cap_bucket_rows``).
+    ``operators.dedup._cap_bucket_rows``). With a cap set, each
+    batch's skipped-bucket ledger lands as
+    ``<pairs_dir>/dropped-batch-%06d`` — capped forfeits stay
+    auditable on a stream, not just in the batch API.
 
     Returns the started ``StreamingQuery`` (caller awaits/stops)."""
+    from lours_spark.operators.dedup import _check_oversize
+
+    _check_oversize(oversize, max_bucket_size)  # at call time, not batch 1
 
     def empty_index(batch_df):
         from lours_spark.operators.dedup import build_minhash_index
@@ -573,6 +579,7 @@ def mine_neardup_stream(
             hash_fn=hash_fn,
             max_bucket_size=max_bucket_size,
             oversize=oversize,
+            return_dropped=max_bucket_size is not None,
         )
 
     return _start_incremental_miner(
@@ -595,8 +602,14 @@ def _start_incremental_miner(
     """The shared foreachBatch skeleton of the incremental miners
     (minhash and embedding — the exactly-once recipe is content-
     agnostic): per micro-batch, read prior index state, run
-    ``mine_fn(batch_df, index) -> (pairs, new_index_rows)``, land both
-    under replay-stable ``batch-%06d`` dirs, optionally compact."""
+    ``mine_fn(batch_df, index) -> (pairs, new_index_rows[, dropped])``,
+    land the frames under replay-stable ``batch-%06d`` dirs, optionally
+    compact. When ``mine_fn`` returns a third (dropped-bucket ledger)
+    frame it lands as ``<pairs_dir>/dropped-batch-%06d`` — the
+    no-silent-caps ledger must survive on the one path where the
+    hot-bucket guard matters most; ``batch-*`` globs over the pairs
+    dir are unaffected. Same exactly-once rule: deterministic content,
+    replay overwrites identically."""
     import os
 
     def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -617,9 +630,15 @@ def _start_incremental_miner(
             index = spark.read.parquet(*prior)
         else:
             index = empty_index_fn(batch_df)
-        pairs, new_idx = mine_fn(batch_df, index)
+        mined = mine_fn(batch_df, index)
+        pairs, new_idx = mined[0], mined[1]
+        dropped = mined[2] if len(mined) > 2 else None
         tag = f"batch-{batch_id:06d}"
         pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, tag))
+        if dropped is not None:
+            dropped.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"dropped-{tag}")
+            )
         new_idx.write.mode("overwrite").parquet(os.path.join(index_dir, tag))
         # the operators cache the new batch's signature frame so the
         # pair mining and the index write share one hashing pass; drop
@@ -682,9 +701,14 @@ def mine_embedding_neardup_stream(
     matters MOST here — an indexed mega-family's bucket grows with
     corpus age, not batch size. ``oversize="star"`` keeps capped
     families collapsible (new members pair with the family min-id; see
-    ``operators.dedup._cap_bucket_rows``).
+    ``operators.dedup._cap_bucket_rows``). With a cap set, each
+    batch's skipped-bucket ledger lands as
+    ``<pairs_dir>/dropped-batch-%06d``.
 
     Returns the started ``StreamingQuery`` (caller awaits/stops)."""
+    from lours_spark.operators.dedup import _check_oversize
+
+    _check_oversize(oversize, max_bucket_size)  # at call time, not batch 1
 
     def empty_index(batch_df):
         from lours_spark.operators.dedup import (
@@ -724,6 +748,7 @@ def mine_embedding_neardup_stream(
             seed=seed,
             max_bucket_size=max_bucket_size,
             oversize=oversize,
+            return_dropped=max_bucket_size is not None,
         )
 
     return _start_incremental_miner(

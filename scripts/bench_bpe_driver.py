@@ -8,10 +8,12 @@ terabytes" after pruning — this script MEASURES the driver loop at
 web vocabulary) so the claim has numbers: wall seconds for 50 merges
 and the resident-set delta of the segment/index state.
 
-Corpus shape: one distinct base-36 word per row plus three shared stop
-words, so (a) the distinct count is exactly n+3 and (b) early merges
-hit large fractions of the vocabulary — the worst case for the
-incremental re-segmentation index, not a cherry-picked sparse one.
+Corpus shape: one distinct base-36 word per row plus three shared
+underscore-prefixed stop words (underscores cannot appear in base-36,
+so no id ever collides with a stop word), so (a) the distinct count is
+exactly n+3 and (b) early merges hit large fractions of the vocabulary
+— the worst case for the incremental re-segmentation index, not a
+cherry-picked sparse one.
 
 Usage: python scripts/bench_bpe_driver.py
 Prints one JSON line; paste the numbers into SCALING.md.
@@ -33,11 +35,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def corpus(spark, n: int):
-    """n distinct base-36 words (one per doc) + 3 shared stop words."""
+    """n distinct base-36 words (one per doc) + 3 collision-proof
+    stop words (base-36 is [0-9a-z]; '_the' can never be an id)."""
     return spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat(
-            F.lit("the of and "), F.lower(F.conv(F.col("id"), 10, 36))
+            F.lit("_the _of _and "), F.lower(F.conv(F.col("id"), 10, 36))
         ).alias("text"),
     )
 

@@ -101,8 +101,11 @@ def main() -> None:
     ]
     per_batch.sort()
     secs = [s for _, s in per_batch]
-    first5 = sum(secs[:5]) / 5
-    last5 = sum(secs[-5:]) / 5
+    # window sized to the actual batch count so a short argv override
+    # still yields honest (non-overlapping) means
+    k = min(5, max(1, len(secs) // 2))
+    first5 = sum(secs[:k]) / k
+    last5 = sum(secs[-k:]) / k
 
     index_dirs = sorted(
         os.path.basename(p) for p in glob.glob(index_dir + "/*")

@@ -620,6 +620,25 @@ def test_display_utilities(spark, tiny_dataset):
     ]
     assert len(out["annotations"]) == 4
 
+    # image-side booleanized prefixes (schema-driven caipy enums)
+    # gather on the IMAGES head too, not just annotations (round 9)
+    bz = tiny_dataset.from_template(
+        images=tiny_dataset.images
+        .withColumn("sensors.ir", F.lit(True))
+        .withColumn("sensors.rgb", F.lit(False)),
+        booleanized_columns={"sensors": {"ir", "rgb"}},
+    )
+    img_head = show_dataset(bz, n=3)["images"]
+    flat = [
+        ".".join(p for p in c if p) if isinstance(c, tuple) else c
+        for c in img_head.columns
+    ]
+    assert "sensors" in flat
+    assert not any(c.startswith("sensors.") for c in flat)
+    assert img_head.iloc[0][
+        [c for c, f in zip(img_head.columns, flat) if f == "sensors"][0]
+    ] == ["ir"]
+
 
 def test_display_confusion_matrix_import_seam():
     """display_confusion_matrix mirrors the reference's plot-utils

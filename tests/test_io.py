@@ -466,6 +466,92 @@ def test_caipy_schema_driven_enums_and_dtypes(spark, tmp_path):
     assert ann_b[1]["occluded"] is False
 
 
+def test_schema_defaults_reach_null_parent_structs(spark):
+    """A document missing the whole optional object must still receive
+    nested defaults (review r9): withField on a NULL struct yields
+    NULL, so apply_schema_columns coalesces each NULL parent to a
+    typed all-NULL struct first — matching the reference's
+    json_normalize+fillna, which fills the flattened NaN cell whether
+    or not the parent dict existed."""
+    from lours_spark.io.schema_tools import apply_schema_columns
+
+    schema = {
+        "type": "object",
+        "required": ["id"],
+        "properties": {
+            "id": {"type": "integer"},
+            "attributes": {
+                "type": "object",
+                "properties": {
+                    "occluded": {"type": "boolean", "default": False},
+                    "tags": {"type": "array"},
+                },
+            },
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, ([], True)), (2, None)],
+        "id long, attributes struct<tags: array<string>, occluded: boolean>",
+    )
+    out = {r["id"]: r["attributes"] for r in
+           apply_schema_columns(df, schema).collect()}
+    assert out[1]["occluded"] is True and list(out[1]["tags"]) == []
+    # doc 2 had NO attributes object at all — defaults still land
+    assert out[2]["occluded"] is False
+    assert list(out[2]["tags"]) == []
+
+
+def test_caipy_write_keeps_required_empty_arrays(spark, tmp_path):
+    """Review r9: None values are dropped from written JSON but empty
+    LISTS are kept — a schema may mark an array property required, and
+    dropping [] would make the writer's own output fail the schema
+    validation from_caipy runs by default."""
+    import json as _json
+
+    from lours_spark.io.caipy import dataset_to_caipy, from_caipy
+    from lours_spark.dataset.core import SparkDataset
+
+    images = spark.createDataFrame(
+        [(0, 10, 10, "0.jpg", ".jpg", "train")],
+        "id long, width int, height int, relative_path string,"
+        " type string, split string",
+    )
+    ann = spark.createDataFrame(
+        [(0, 0, 1, 1.0, 1.0, 2.0, 2.0, [], None)],
+        "id long, image_id long, category_id long, box_x_min double,"
+        " box_y_min double, box_width double, box_height double,"
+        " parts array<string>, note string",
+    )
+    ds = SparkDataset(
+        images=images, annotations=ann, label_map={1: "car"},
+        images_root=str(tmp_path / "imgs"),
+    )
+    out = tmp_path / "caipy_empty"
+    dataset_to_caipy(ds, str(out), copy_images=False)
+    doc = _json.loads(
+        (out / "Annotations" / "train" / "0.json").read_text()
+    )
+    a = doc["annotations"][0]
+    assert a["parts"] == []        # empty list kept
+    assert "note" not in a         # None dropped
+    # the written tree re-reads under a schema requiring 'parts'
+    schema = {
+        "type": "object",
+        "properties": {
+            "annotations": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "required": ["parts"],
+                    "properties": {"parts": {"type": "array"}},
+                },
+            },
+        },
+    }
+    back = from_caipy(spark, str(out), schema=schema)
+    assert back.annotations.count() == 1
+
+
 def _yolo_dataset(spark):
     from lours_spark.dataset.core import SparkDataset
 

@@ -1468,6 +1468,10 @@ def test_minhash_hot_bucket_star(spark):
         minhash_lsh_pairs(
             docs, max_bucket_size=20, oversize="explode"
         ).count()
+    # star without a cap is a misconfiguration, not a silent no-op —
+    # validated eagerly at every public entry (review r9)
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        minhash_lsh_pairs(docs, oversize="star")
 
 
 def test_minhash_incremental_star(spark):

@@ -914,6 +914,81 @@ def test_streaming_neardup_miner_with_compaction(spark, tmp_path):
     assert got_ids == expect_ids
 
 
+def test_streaming_miner_capped_ledger_and_star(spark, tmp_path):
+    """Review r9: a capped streaming miner must persist the
+    skipped-bucket ledger (dropped-batch-%06d beside the pair dirs —
+    no silent caps on the path where the guard matters most), and
+    star mode keeps the indexed mega-family absorbing new members via
+    hub pairs. Also: star without a cap fails at CALL time."""
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pt
+
+    from lours_spark.streaming.documents import mine_neardup_stream
+
+    boiler = "subscribe newsletter terms of service apply footer " * 3
+
+    def text(i):
+        return boiler if i % 2 == 0 else (
+            f"unique {i} words " + f"filler {i} " * 4
+        )
+
+    schema = "doc_id long, text string"
+    drop_dir = str(tmp_path / "drops")
+    os.makedirs(drop_dir)
+
+    def drop(ids, name):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            [(i, text(i)) for i in ids], schema
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, os.path.join(drop_dir, name + ".parquet"))
+
+    drop(range(0, 20), "d0")    # 10 boilerplate docs
+    drop(range(20, 40), "d1")   # 10 more join the indexed family
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(drop_dir)
+    )
+    with _pt.raises(ValueError, match="max_bucket_size"):
+        mine_neardup_stream(
+            stream, str(tmp_path / "i0"), str(tmp_path / "p0"),
+            str(tmp_path / "c0"), oversize="star",
+        )
+
+    pairs_dir = str(tmp_path / "pairs")
+    q = mine_neardup_stream(
+        stream, str(tmp_path / "index"), pairs_dir,
+        str(tmp_path / "ckpt"), jaccard_threshold=0.5,
+        max_bucket_size=5, oversize="star",
+    )
+    q.awaitTermination()
+
+    # ledger dirs exist per batch and report the family bucket; the
+    # batch-* pair glob is unaffected by the dropped-* siblings
+    dropped_dirs = sorted(glob.glob(pairs_dir + "/dropped-batch-*"))
+    assert len(dropped_dirs) == 2
+    ledger = spark.read.parquet(*dropped_dirs)
+    assert set(ledger.columns) == {"band", "band_key", "bucket_size"}
+    assert ledger.count() > 0
+    assert ledger.agg({"bucket_size": "max"}).first()[0] >= 10
+
+    mined = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(
+            *sorted(glob.glob(pairs_dir + "/batch-*"))
+        ).collect()
+    }
+    fam = {p for p in mined if p[0] % 2 == 0 and p[1] % 2 == 0}
+    # batch 0: family (10 members > cap) stars to hub 0; batch 1: the
+    # 10 new members attach to the same indexed hub — ONE family
+    assert fam == {(0, i) for i in range(2, 40, 2)}
+
+
 def test_caipy_watcher_rejects_legacy_flat_output(spark, tmp_path):
     """A pre-round-7 append-mode output root (flat part files at the
     top of images/) fails fast instead of corrupting partition
