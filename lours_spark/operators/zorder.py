@@ -34,10 +34,20 @@ curve's discontinuities mean a file whose z-range crosses a HIGH
 interleaved-bit boundary can span a full axis. Measured on that 64³
 grid: 62/64 files stay <= half an axis on EVERY column, two
 boundary-crossing files span one axis fully (test_zorder_three_column_spans;
-SCALING.md "z-order at three columns"). A Hilbert curve would remove
-the discontinuity at ~10x expression complexity — with min/max pruning
-the two outlier files cost two extra file reads per query, so Morton
-is the deliberate choice here.
+SCALING.md "z-order at three columns").
+
+For workloads where those boundary outliers matter,
+``write_zordered(..., curve="hilbert")`` orders by a HILBERT index
+instead (:func:`hilbert_key` — Skilling's 2004 transpose algorithm,
+public domain, vectorized in numpy behind an Arrow-batched pandas
+UDF): the Hilbert curve is continuous, so every contiguous key range
+is a connected region and no file ever jumps across the space.
+Measured on the same 64³ grid the full-axis outliers disappear
+(test_hilbert_three_column_spans). The trade: the key is a Python
+(Arrow) stage, not whole-stage codegen — one vectorized bit-twiddling
+pass over the rows being written, which a layout job amortizes
+trivially. Morton stays the default because the key is pure codegen
+and engine-portable.
 """
 
 from __future__ import annotations
@@ -94,6 +104,92 @@ def zorder_key(cols: "list[Column]", bits: int = 16) -> Column:
     return z
 
 
+def _hilbert_transpose(X, bits: int):
+    """Skilling's AxesToTranspose, vectorized over rows: mutate the
+    (rows × n_dims) uint64 coordinate matrix into Hilbert "transpose"
+    form (J. Skilling, "Programming the Hilbert curve", AIP Conf.
+    Proc. 707, 2004 — the standard public-domain bit-twiddling
+    recipe, here with numpy boolean masks replacing the per-point
+    branches)."""
+    import numpy as np
+
+    n = X.shape[1]
+    M = np.uint64(1) << np.uint64(bits - 1)
+    Q = M
+    while Q > np.uint64(1):
+        P = Q - np.uint64(1)
+        for i in range(n):
+            hit = (X[:, i] & Q) != 0
+            # bit set: invert the low bits of axis 0
+            X[hit, 0] ^= P
+            # bit clear: exchange the low bits of axis i and axis 0
+            t = (X[~hit, 0] ^ X[~hit, i]) & P
+            X[~hit, 0] ^= t
+            X[~hit, i] ^= t
+        Q >>= np.uint64(1)
+    # Gray encode
+    for i in range(1, n):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(len(X), dtype=np.uint64)
+    Q = M
+    while Q > np.uint64(1):
+        hit = (X[:, n - 1] & Q) != 0
+        t[hit] ^= Q - np.uint64(1)
+        Q >>= np.uint64(1)
+    for i in range(n):
+        X[:, i] ^= t
+    return X
+
+
+def _hilbert_index_array(X, bits: int):
+    """(rows × n_dims) quantized coords → Hilbert index (uint64), by
+    interleaving the transpose's bits MSB-first, axis 0 outermost."""
+    import numpy as np
+
+    n = X.shape[1]
+    T = _hilbert_transpose(X.astype(np.uint64, copy=True), bits)
+    H = np.zeros(len(T), dtype=np.uint64)
+    for j in range(bits - 1, -1, -1):
+        for i in range(n):
+            bit = (T[:, i] >> np.uint64(j)) & np.uint64(1)
+            H = (H << np.uint64(1)) | bit
+    return H
+
+
+def hilbert_key(cols: "list[str]", bits: int = 16):
+    """Hilbert index of n already-quantized non-negative integer
+    columns as an Arrow-batched pandas UDF returning BIGINT — the
+    continuous-curve alternative to :func:`zorder_key` (see the module
+    docstring for the trade). ``n_cols * bits`` <= 62 like Morton.
+
+    >>> df = spark.createDataFrame([(0, 0), (0, 1), (1, 1), (1, 0)],
+    ...                            "x long, y long")
+    >>> k = hilbert_key(["x", "y"], bits=1)
+    >>> sorted((r["h"], r["x"], r["y"]) for r in
+    ...        df.select("x", "y", k.alias("h")).collect())
+    [(0, 0, 0), (1, 0, 1), (2, 1, 1), (3, 1, 0)]
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("hilbert_key needs at least two columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
+
+    def key(*series):
+        X = np.stack(
+            [s.to_numpy(dtype="int64", na_value=0) for s in series], axis=1
+        ).astype(np.uint64)
+        X &= np.uint64((1 << bits) - 1)
+        return pd.Series(_hilbert_index_array(X, bits).astype("int64"))
+
+    key.__annotations__ = {"series": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(key, "long")
+    return udf(*[F.col(f"`{c}`") for c in cols])
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -101,19 +197,29 @@ def write_zordered(
     bits: int = 16,
     num_files: int = 32,
     mode: str = "overwrite",
+    curve: str = "morton",
 ) -> None:
-    """Write ``df`` as parquet clustered by the Morton order of
-    ``cols`` (already-quantized non-negative integer columns — apply
-    :func:`quantize` upstream for continuous values).
+    """Write ``df`` as parquet clustered by the space-filling-curve
+    order of ``cols`` (already-quantized non-negative integer columns
+    — apply :func:`quantize` upstream for continuous values).
 
-    ``repartitionByRange`` on the z-key gives each task one contiguous
-    z-range (one hyper-rectangle per file — tight min/max stats on
-    every z-ordered column), and ``sortWithinPartitions`` keeps row
+    ``curve``: ``"morton"`` (default — pure codegen key) or
+    ``"hilbert"`` (continuous curve, no cross-space jumps; Arrow
+    pandas-UDF key — see the module docstring for the trade).
+
+    ``repartitionByRange`` on the key gives each task one contiguous
+    key range (one connected region per file — tight min/max stats on
+    every ordered column), and ``sortWithinPartitions`` keeps row
     groups inside a file clustered too. At 100 TB pick ``num_files``
     from the target file size (~1 GiB); the write is one range
     exchange, no global sort materialization.
     """
-    z = zorder_key([F.col(c) for c in cols], bits=bits)
+    if curve == "morton":
+        z = zorder_key([F.col(c) for c in cols], bits=bits)
+    elif curve == "hilbert":
+        z = hilbert_key(cols, bits=bits)
+    else:
+        raise ValueError(f"curve must be 'morton' or 'hilbert', got {curve!r}")
     (
         df.withColumn("__z", z)
         .repartitionByRange(num_files, "__z")

@@ -1817,14 +1817,80 @@ def test_zorder_three_column_spans(spark, tmp_path):
     spans = sorted(max(r["sx"], r["sy"], r["sz"]) for r in per_file)
     # distributional, not worst-case: a contiguous z-range that
     # crosses a HIGH interleaved-bit boundary jumps across the space
-    # (the Morton discontinuity a Hilbert curve would remove), so the
-    # few files containing such crossings legitimately span a full
-    # axis — measured: 62/64 files <= 31, two boundary files at 63.
-    # A single-column sort leaves EVERY file at 63 on both minor axes.
+    # (the Morton discontinuity curve="hilbert" removes — see
+    # test_hilbert_three_column_spans), so the few files containing
+    # such crossings legitimately span a full axis — measured: 62/64
+    # files <= 31, two boundary files at 63. A single-column sort
+    # leaves EVERY file at 63 on both minor axes.
     n = len(spans)
     assert spans[int(n * 0.9)] <= 31          # p90: at most a half-axis
     assert sum(spans) / n <= 31               # mean well below full span
     assert sum(1 for s in spans if s > 47) <= max(4, n // 16)
+
+
+def test_hilbert_kernel_bijective_and_continuous():
+    """Skilling-kernel invariants, exhaustively over small grids: the
+    index is a bijection onto [0, side^n) and consecutive indexes
+    differ by exactly one step in one coordinate — the continuity
+    that removes Morton's cross-space jumps."""
+    import numpy as np
+
+    from lours_spark.operators.zorder import _hilbert_index_array
+
+    # the canonical 2x2 U
+    U = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], dtype=np.uint64)
+    assert _hilbert_index_array(U, 1).tolist() == [0, 1, 2, 3]
+
+    for n, bits in ((2, 3), (3, 2), (3, 3)):
+        side = 1 << bits
+        grid = np.indices((side,) * n).reshape(n, -1).T.astype(np.uint64)
+        H = _hilbert_index_array(grid, bits)
+        assert len(set(H.tolist())) == side**n
+        order = grid[np.argsort(H)].astype(np.int64)
+        steps = np.abs(np.diff(order, axis=0)).sum(axis=1)
+        assert (steps == 1).all()
+
+
+def test_hilbert_three_column_spans(spark, tmp_path):
+    """curve="hilbert" on the same 64^3 grid as
+    test_zorder_three_column_spans: the continuous curve removes the
+    full-axis boundary outliers Morton shows (every contiguous key
+    range is a connected region), with the same tile-scale typical
+    spans."""
+    import pyspark.sql.functions as F
+
+    from lours_spark.operators.zorder import write_zordered
+
+    n_side = 64
+    df = spark.range(n_side**3).select(
+        (F.col("id") % n_side).alias("x"),
+        ((F.col("id") / n_side).cast("long") % n_side).alias("y"),
+        (F.col("id") / (n_side * n_side)).cast("long").alias("z"),
+    )
+    path = str(tmp_path / "hilbert3")
+    write_zordered(
+        df, path, ["x", "y", "z"], bits=6, num_files=64, curve="hilbert"
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == n_side**3
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+            (F.max("z") - F.min("z")).alias("sz"),
+        )
+        .collect()
+    )
+    spans = sorted(max(r["sx"], r["sy"], r["sz"]) for r in per_file)
+    assert len(spans) > 16
+    # no file jumps across the space: every span stays at tile scale
+    assert spans[-1] <= 47            # Morton measured 63 here
+    assert sum(spans) / len(spans) <= 31
+
+    with pytest.raises(ValueError, match="curve"):
+        write_zordered(df, path, ["x", "y"], curve="peano")
 
 
 def test_zorder_key_validation(spark):
