@@ -57,6 +57,8 @@ QUERIES = [
     "minhash_incremental",
     # round 8: capped-LSH hot-bucket stress (VERDICT r7 item 1/6)
     "minhash_hot_bucket",
+    # round 9: star-mode twin (capped family still collapses)
+    "minhash_hot_bucket_star",
     # round 8 (cont.): vocabulary induction, weighted sampling, z-order
     "vocab_pair_stats",
     "weighted_sample",
