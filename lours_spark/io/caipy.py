@@ -507,14 +507,19 @@ def _write_caipy_split(
                 out_stem = str(image["id"])
             if has_bbox:
                 for a in anns:
-                    # default None: a null box coordinate was dropped
-                    # by _drop_absent_values above
-                    a["bbox"] = [
+                    # a null coordinate was dropped by
+                    # _drop_absent_values above; a partial box is no
+                    # box — omit the key entirely (absent-not-null,
+                    # same rule as every other optional field) so the
+                    # written JSON stays schema-valid
+                    coords = [
                         a.pop("box_x_min", None),
                         a.pop("box_y_min", None),
                         a.pop("box_width", None),
                         a.pop("box_height", None),
                     ]
+                    if all(c is not None for c in coords):
+                        a["bbox"] = coords
             doc = {"image": image, "annotations": anns}
             # JSON path mirrors the (split-stripped) relative path, so
             # unflattened exports keep subdirs and a/x.jpg vs b/x.jpg

@@ -1532,13 +1532,18 @@ def _embedding_near_dup_lsh(
     # a bucket is a narrow double-explode, JVM-side.
     dropped = star = None
     if max_bucket_size is not None:
-        if oversize == "star":
-            # the star leg and the bucket groupBy are two consumers of
-            # the signature subtree; exchange reuse does not cover
-            # map-side Python stages, so an uncached sig would run the
-            # dominant BLAS pass once per union leg (same precedent as
-            # minhash_lsh_pairs' sig.cache())
-            sig = sig.cache()
+        if oversize == "star" or return_dropped:
+            # the star leg / the dropped-ledger action and the bucket
+            # groupBy are separate consumers of the signature subtree;
+            # exchange reuse does not cover map-side Python stages, so
+            # an unmaterialized sig would run the dominant BLAS pass
+            # once per consumer. localCheckpoint, NOT cache(): a
+            # CacheManager entry from a function-local frame has no
+            # unpersist path and leaks for the session's life, while
+            # checkpoint blocks are freed by the ContextCleaner once
+            # the caller drops the returned frames (the quality.py
+            # per_bucket precedent)
+            sig = sig.localCheckpoint(eager=True)
         sig, dropped, star = _cap_bucket_rows(
             sig, ("table", "sig"), max_bucket_size, oversize=oversize
         )

@@ -179,11 +179,21 @@ def hilbert_key(cols: "list[str]", bits: int = 16):
         raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
 
     def key(*series):
+        # NULL propagates like zorder_key's bit-ops: any NULL
+        # coordinate -> NULL key (coercing to cell 0 would silently
+        # mix missing-data rows into the origin files)
+        nulls = np.zeros(len(series[0]), dtype=bool)
+        for s in series:
+            nulls |= s.isna().to_numpy()
         X = np.stack(
             [s.to_numpy(dtype="int64", na_value=0) for s in series], axis=1
         ).astype(np.uint64)
         X &= np.uint64((1 << bits) - 1)
-        return pd.Series(_hilbert_index_array(X, bits).astype("int64"))
+        out = pd.array(
+            _hilbert_index_array(X, bits).astype("int64"), dtype="Int64"
+        )
+        out[nulls] = pd.NA
+        return pd.Series(out)
 
     key.__annotations__ = {"series": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(key, "long")

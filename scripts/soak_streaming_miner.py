@@ -78,6 +78,13 @@ def main() -> None:
     pairs_dir = os.path.join(tmp, "pairs")
     ckpt = os.path.join(tmp, "ckpt")
 
+    # recentProgress retains only ~100 entries by default — a longer
+    # argv horizon would silently drop the EARLIEST batches and turn
+    # the first-vs-last flatness check into late-vs-later
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(N_BATCHES + 16),
+    )
     stream = (
         spark.readStream.format("parquet")
         .schema(SCHEMA)
@@ -101,6 +108,10 @@ def main() -> None:
     ]
     per_batch.sort()
     secs = [s for _, s in per_batch]
+    assert len(secs) >= N_BATCHES, (
+        f"only {len(secs)} of {N_BATCHES} batch timings retained — "
+        "raise numRecentProgressUpdates"
+    )
     # window sized to the actual batch count so a short argv override
     # still yields honest (non-overlapping) means
     k = min(5, max(1, len(secs) // 2))

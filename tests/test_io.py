@@ -517,7 +517,10 @@ def test_caipy_write_keeps_required_empty_arrays(spark, tmp_path):
         " type string, split string",
     )
     ann = spark.createDataFrame(
-        [(0, 0, 1, 1.0, 1.0, 2.0, 2.0, [], None)],
+        [(0, 0, 1, 1.0, 1.0, 2.0, 2.0, [], None),
+         # classification-only annotation: NULL box — the writer must
+         # omit 'bbox' entirely, never emit [null, null, null, null]
+         (1, 0, 1, None, None, None, None, ["wheel"], "tagged")],
         "id long, image_id long, category_id long, box_x_min double,"
         " box_y_min double, box_width double, box_height double,"
         " parts array<string>, note string",
@@ -531,9 +534,14 @@ def test_caipy_write_keeps_required_empty_arrays(spark, tmp_path):
     doc = _json.loads(
         (out / "Annotations" / "train" / "0.json").read_text()
     )
-    a = doc["annotations"][0]
+    anns_by_id = {a["id"]: a for a in doc["annotations"]}
+    a = anns_by_id[0]
     assert a["parts"] == []        # empty list kept
     assert "note" not in a         # None dropped
+    assert a["bbox"] == [1.0, 1.0, 2.0, 2.0]
+    boxless = anns_by_id[1]
+    assert "bbox" not in boxless   # partial/absent box omitted
+    assert boxless["parts"] == ["wheel"] and boxless["note"] == "tagged"
     # the written tree re-reads under a schema requiring 'parts'
     schema = {
         "type": "object",
@@ -549,7 +557,7 @@ def test_caipy_write_keeps_required_empty_arrays(spark, tmp_path):
         },
     }
     back = from_caipy(spark, str(out), schema=schema)
-    assert back.annotations.count() == 1
+    assert back.annotations.count() == 2
 
 
 def _yolo_dataset(spark):

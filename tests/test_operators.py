@@ -1893,6 +1893,30 @@ def test_hilbert_three_column_spans(spark, tmp_path):
         write_zordered(df, path, ["x", "y"], curve="peano")
 
 
+def test_hilbert_key_null_propagation(spark):
+    """A NULL coordinate yields a NULL key, matching zorder_key's
+    bit-op propagation — never a silent coercion to cell 0."""
+    import pyspark.sql.functions as F
+
+    from lours_spark.operators.zorder import hilbert_key, zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 3, 5), (2, None, 5), (3, 4, None)],
+        "id long, x long, y long",
+    )
+    rows = {
+        r["id"]: (r["h"], r["m"])
+        for r in df.select(
+            "id",
+            hilbert_key(["x", "y"], bits=4).alias("h"),
+            zorder_key([F.col("x"), F.col("y")], bits=4).alias("m"),
+        ).collect()
+    }
+    assert rows[1][0] is not None and rows[1][1] is not None
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, None)
+
+
 def test_zorder_key_validation(spark):
     import pyspark.sql.functions as F
     import pytest as _pt
