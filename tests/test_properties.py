@@ -594,3 +594,55 @@ def test_gather_onehot_roundtrip_property(rows):
         return
     assert [list(x) for x in out["tags"]] == [sorted(r) for r in rows]
     assert not any(str(c).startswith("tags.") for c in out.columns)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    family_sizes=st.lists(st.integers(min_value=2, max_value=25),
+                          min_size=1, max_size=3),
+    cap=st.integers(min_value=2, max_value=12),
+)
+def test_star_mode_preserves_family_clusters_property(
+    spark, family_sizes, cap
+):
+    """Star-mode invariant (round 9): for corpora of IDENTICAL-text
+    families, the connected components of star-capped mining equal the
+    uncapped clustering — whatever the family sizes and wherever the
+    cap falls. Skip mode, by contrast, loses every family over the
+    cap (the forfeit star mode exists to repair)."""
+    from lours_spark.operators.dedup import minhash_lsh_pairs
+    from lours_spark.split.chunks import connected_components
+
+    rows, doc_id = [], 0
+    expected = []
+    for fam, size in enumerate(family_sizes):
+        text = f"family {fam} boilerplate tail words " * 3
+        members = []
+        for _ in range(size):
+            rows.append((doc_id, text))
+            members.append(doc_id)
+            doc_id += 1
+        expected.append(frozenset(members))
+    # noise singletons that must never join a family
+    for i in range(3):
+        rows.append((1000 + i, f"totally unrelated text {i} about spark"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def clusters(pairs):
+        comp: dict = {}
+        for r in connected_components(pairs).collect():
+            comp.setdefault(r["component_id"], set()).add(r["node_id"])
+        return {frozenset(v) for v in comp.values()}
+
+    starred = clusters(
+        minhash_lsh_pairs(
+            df, jaccard_threshold=0.5, max_bucket_size=cap,
+            oversize="star",
+        )
+    )
+    uncapped = clusters(minhash_lsh_pairs(df, jaccard_threshold=0.5))
+    assert starred == uncapped == set(expected)
