@@ -1,4 +1,4 @@
-"""Third-decade soak of the incremental streaming near-dup miner
+"""Third-decade soak of the incremental streaming near-dup miners
 (VERDICT r8 item 6): the parity/crash tests drive 4-5 micro-batches —
 this script runs a LONG horizon (24 batches, 10x the test's drop size,
 ``compact_every=5``) and checks the three properties a long-lived
@@ -12,7 +12,11 @@ miner must keep:
 3. pair-set equality with the one-shot batch run over everything
    ingested (exactly-once across the whole horizon).
 
-Usage: python scripts/soak_streaming_miner.py [n_batches] [docs_per_batch]
+Usage:
+    python scripts/soak_streaming_miner.py [n_batches] [per_batch] [mode]
+``mode`` is ``minhash`` (default) or ``embedding`` — the same horizon
+over the embedding twin (planted cos~0.9999 near-dups, pinned LSH
+sizing so the first batch's stamp matches every later one).
 Prints one JSON line; paste the summary into SCALING.md.
 """
 
@@ -32,10 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _calm import calibration, wait_for_calm  # noqa: E402
 
 N_BATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-DOCS_PER_BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+PER_BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+MODE = sys.argv[3] if len(sys.argv) > 3 else "minhash"
 COMPACT_EVERY = 5
 
 BASE = "quick brown fox jumps over the lazy dog near the river bank "
+DIM = 16
+EMB_TABLES, EMB_PLANES, EMB_THRESHOLD = 8, 12, 0.99
 
 
 def text(i: int) -> str:
@@ -46,26 +53,101 @@ def text(i: int) -> str:
     return BASE + f"unique {i} " + (f"filler {i} ") * 3
 
 
-SCHEMA = "doc_id long, text string"
+def vector(i: int) -> "list[float]":
+    # deterministic per-id unit vector; every 4th is a tiny
+    # perturbation of the one 3 earlier (cos ~ 0.9999)
+    import numpy as np
+
+    base = i - 3 if i % 4 == 3 else i
+    rng = np.random.default_rng(base)
+    v = rng.standard_normal(DIM)
+    if i % 4 == 3:
+        v = v + 0.003 * np.random.default_rng(i).standard_normal(DIM)
+    v = v / np.linalg.norm(v)
+    return [float(x) for x in v]
+
+
+def make_mode(spark):
+    """(schema, row_fn, start_fn, one_shot_fn, pair_key) per mode."""
+    if MODE == "minhash":
+        from lours_spark.operators.dedup import minhash_lsh_pairs
+        from lours_spark.streaming.documents import mine_neardup_stream
+
+        schema = "doc_id long, text string"
+
+        def start(stream, index_dir, pairs_dir, ckpt):
+            return mine_neardup_stream(
+                stream, index_dir, pairs_dir, ckpt,
+                jaccard_threshold=0.3, compact_every=COMPACT_EVERY,
+            )
+
+        def one_shot(n):
+            docs = spark.createDataFrame(
+                [(i, text(i)) for i in range(n)], schema
+            )
+            return minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+
+        return (
+            schema,
+            lambda i: (i, text(i)),
+            start,
+            one_shot,
+            lambda r: (r["id_a"], r["id_b"], round(r["jaccard"], 9)),
+        )
+    if MODE != "embedding":
+        raise SystemExit(f"unknown mode {MODE!r}")
+
+    from lours_spark.operators.dedup import embedding_near_duplicates
+    from lours_spark.streaming.documents import (
+        mine_embedding_neardup_stream,
+    )
+
+    schema = f"vec_id long, embedding array<double>"
+
+    def start(stream, index_dir, pairs_dir, ckpt):
+        # pinned sizing: auto-r against a batch count would drift
+        # between the first batch's stamp and later calls
+        return mine_embedding_neardup_stream(
+            stream, index_dir, pairs_dir, ckpt,
+            threshold=EMB_THRESHOLD, num_tables=EMB_TABLES,
+            planes_per_table=EMB_PLANES, compact_every=COMPACT_EVERY,
+        )
+
+    def one_shot(n):
+        vecs = spark.createDataFrame(
+            [(i, vector(i)) for i in range(n)], schema
+        )
+        return embedding_near_duplicates(
+            vecs, id_col="vec_id", threshold=EMB_THRESHOLD,
+            method="lsh", num_tables=EMB_TABLES,
+            planes_per_table=EMB_PLANES,
+        )
+
+    return (
+        schema,
+        lambda i: (i, vector(i)),
+        start,
+        one_shot,
+        lambda r: (r["id_a"], r["id_b"], round(r["cosine"], 9)),
+    )
 
 
 def main() -> None:
-    from lours_spark.operators.dedup import minhash_lsh_pairs
     from lours_spark.session import get_spark
-    from lours_spark.streaming.documents import mine_neardup_stream
 
-    spark = get_spark("miner-soak")
+    spark = get_spark(f"miner-soak-{MODE}")
     spark.sparkContext.setLogLevel("ERROR")
+    schema, row_fn, start_fn, one_shot_fn, pair_key = make_mode(spark)
 
-    tmp = tempfile.mkdtemp(prefix="miner_soak_")
+    tmp = tempfile.mkdtemp(prefix=f"miner_soak_{MODE}_")
     drop_dir = os.path.join(tmp, "drops")
     os.makedirs(drop_dir)
 
     def drop(batch: int) -> None:
-        ids = range(batch * DOCS_PER_BATCH, (batch + 1) * DOCS_PER_BATCH)
+        ids = range(batch * PER_BATCH, (batch + 1) * PER_BATCH)
         stage = os.path.join(tmp, f"stage_{batch}")
         spark.createDataFrame(
-            [(i, text(i)) for i in ids], SCHEMA
+            [row_fn(i) for i in ids], schema
         ).coalesce(1).write.parquet(stage)
         part = glob.glob(stage + "/part-*.parquet")[0]
         shutil.move(part, os.path.join(drop_dir, f"d{batch:04d}.parquet"))
@@ -87,16 +169,13 @@ def main() -> None:
     )
     stream = (
         spark.readStream.format("parquet")
-        .schema(SCHEMA)
+        .schema(schema)
         .option("maxFilesPerTrigger", 1)
         .load(drop_dir)
     )
     wait_for_calm()
     t0 = time.time()
-    q = mine_neardup_stream(
-        stream, index_dir, pairs_dir, ckpt, jaccard_threshold=0.3,
-        compact_every=COMPACT_EVERY,
-    )
+    q = start_fn(stream, index_dir, pairs_dir, ckpt)
     q.awaitTermination()
     total_wall = time.time() - t0
     # per-batch wall from the query's own progress log (durationMs
@@ -122,27 +201,20 @@ def main() -> None:
         os.path.basename(p) for p in glob.glob(index_dir + "/*")
     )
 
-    def mined():
-        return {
-            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
-            for r in spark.read.parquet(
-                *sorted(glob.glob(pairs_dir + "/batch-*"))
-            ).collect()
-        }
-
-    n_docs = N_BATCHES * DOCS_PER_BATCH
-    docs = spark.createDataFrame(
-        [(i, text(i)) for i in range(n_docs)], SCHEMA
-    )
-    one_shot = {
-        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
-        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    streamed = {
+        pair_key(r)
+        for r in spark.read.parquet(
+            *sorted(glob.glob(pairs_dir + "/batch-*"))
+        ).collect()
     }
-    streamed = mined()
+    one_shot = {
+        pair_key(r) for r in one_shot_fn(N_BATCHES * PER_BATCH).collect()
+    }
 
     result = {
+        "mode": MODE,
         "n_batches": N_BATCHES,
-        "docs_per_batch": DOCS_PER_BATCH,
+        "per_batch_rows": PER_BATCH,
         "compact_every": COMPACT_EVERY,
         "total_wall_sec": round(total_wall, 1),
         "per_batch_sec": [round(s, 2) for s in secs],
