@@ -466,6 +466,127 @@ def test_caipy_schema_driven_enums_and_dtypes(spark, tmp_path):
     assert ann_b[1]["occluded"] is False
 
 
+def test_caipy_reference_default_schema_shape(spark, tmp_path):
+    """The reference ships a default caipy schema
+    (/root/reference/lours/dataset/io/schema_util/default-schema.json)
+    whose shape exercises every derivation rule at once — this fixture
+    mirrors that structure: array-of-enum+uniqueItems properties
+    booleanize (attributes.colors / attributes.position); an
+    array+uniqueItems WITHOUT enum (children_ids) does NOT booleanize
+    but gets the optional-array [] default; scalar enums with no
+    'type' key (image.tags.time) are ignored by get_enums semantics
+    and stay scalar struct fields; optional booleans without defaults
+    stay null but cast boolean."""
+    from lours_spark.io.caipy import from_caipy
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "image": {
+                "type": "object",
+                "required": ["file_name", "id", "width", "height"],
+                "properties": {
+                    "file_name": {"type": "string"},
+                    "id": {"type": "integer", "minimum": 0},
+                    "width": {"type": "integer", "minimum": 0},
+                    "height": {"type": "integer", "minimum": 0},
+                    "tags": {
+                        "type": "object",
+                        "properties": {
+                            "time": {"enum": ["day", "night"]},
+                            "weather": {"enum": ["rainy", "sunny"]},
+                        },
+                    },
+                },
+            },
+            "annotations": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "required": ["id", "category_id", "bbox"],
+                    "properties": {
+                        "id": {"type": "integer", "minimum": 0},
+                        "children_ids": {
+                            "type": "array",
+                            "items": {"type": "integer", "minimum": 0},
+                            "uniqueItems": True,
+                        },
+                        "category_id": {"type": "integer", "minimum": 0},
+                        "category_str": {"type": "string"},
+                        "confidence": {
+                            "type": "number", "minimum": 0, "maximum": 1,
+                        },
+                        "bbox": {
+                            "type": "array",
+                            "items": {"type": "number", "minimum": 0},
+                            "minItems": 2, "maxItems": 4,
+                        },
+                        "attributes": {
+                            "type": "object",
+                            "properties": {
+                                "colors": {
+                                    "type": "array",
+                                    "items": {"enum": ["red", "blue", "white"]},
+                                    "uniqueItems": True,
+                                },
+                                "position": {
+                                    "type": "array",
+                                    "items": {"enum": ["side", "front"]},
+                                    "uniqueItems": True,
+                                },
+                                "occluded": {"type": "boolean"},
+                            },
+                        },
+                    },
+                },
+            },
+        },
+    }
+    d = tmp_path / "caipy_ref" / "Annotations" / "train"
+    d.mkdir(parents=True)
+    docs = [
+        {"image": {"id": 0, "file_name": "0.jpg", "width": 8, "height": 8,
+                   "tags": {"time": "day", "weather": "sunny"}},
+         "annotations": [
+             {"id": 0, "category_id": 1, "category_str": "car",
+              "bbox": [1.0, 1.0, 2.0, 2.0],
+              "children_ids": [5, 6], "confidence": 0.9,
+              "attributes": {"colors": ["red", "white"],
+                             "position": ["front"], "occluded": True}},
+         ]},
+        {"image": {"id": 1, "file_name": "1.jpg", "width": 8, "height": 8},
+         "annotations": [
+             {"id": 1, "category_id": 1, "category_str": "car",
+              "bbox": [2.0, 2.0, 3.0, 3.0]},
+         ]},
+    ]
+    for doc in docs:
+        (d / f"{doc['image']['id']}.json").write_text(json.dumps(doc))
+
+    ds = from_caipy(spark, str(tmp_path / "caipy_ref"), schema=schema)
+    # enum derivation: the two attribute enums, nothing else
+    assert ds.booleanized_columns == {
+        "attributes.colors": {"blue", "red", "white"},
+        "attributes.position": {"front", "side"},
+    }
+    ann = {r["id"]: r for r in ds.annotations.collect()}
+    assert ann[0]["attributes.colors.red"] is True
+    assert ann[0]["attributes.position.front"] is True
+    assert ann[1]["attributes.colors.red"] is False
+    # children_ids: not an enum -> stays an array, [] default fill
+    assert list(ann[0]["children_ids"]) == [5, 6]
+    assert list(ann[1]["children_ids"]) == []
+    # occluded survives inside the (otherwise emptied of enums) struct
+    assert ann[0]["attributes"]["occluded"] is True
+    assert ann[1]["attributes"] is None or (
+        ann[1]["attributes"]["occluded"] is None
+    )
+    # scalar enums (no 'type') stay scalar struct fields on images
+    img = {r["id"]: r for r in ds.images.collect()}
+    assert img[0]["tags"]["time"] == "day"
+    assert img[1]["tags"] is None or img[1]["tags"]["time"] is None
+
+
 def test_schema_defaults_reach_null_parent_structs(spark):
     """A document missing the whole optional object must still receive
     nested defaults (review r9): withField on a NULL struct yields
