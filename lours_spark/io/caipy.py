@@ -368,9 +368,61 @@ def _output_relative_path(rel: str, flatten_paths: bool) -> str:
     return "_".join(parts) if flatten_paths else "/".join(parts)
 
 
-def _per_image_docs(ds: SparkDataset) -> tuple[DataFrame, bool]:
+#: columns the writers always keep regardless of schema pruning — the
+#: reference's remap sets include these unconditionally
+#: (``caipy.py:418-431``: file_name/id/width/height on images;
+#: id/bbox/category_id/category_str on annotations); split/image_id
+#: are structural, box_* serialize as ``bbox``
+_CORE_IMAGE_COLS = {"id", "width", "height", "relative_path", "type", "split"}
+_CORE_ANN_COLS = {
+    "id", "image_id", "category_id", "category_str", "split",
+    "box_x_min", "box_y_min", "box_width", "box_height",
+}
+
+
+def _prune_to_schema(
+    df: DataFrame, saved_keys: "list[str]", core: "set[str]", table: str
+) -> DataFrame:
+    """Drop attribute columns the output schema does not describe,
+    with the reference's RuntimeWarning (``caipy.py:437-453``): a user
+    exporting against a schema must not silently ship columns the
+    schema's consumers will reject. Column-level granularity — a
+    struct column survives when ANY of its flattened keys is in the
+    schema (the reference's frames are flat, so it prunes per leaf;
+    here extra struct FIELDS of a partially-covered struct pass
+    through, which a schema without ``additionalProperties: false``
+    accepts)."""
+    import warnings
+
+    from pyspark.sql import types as T
+
+    saved = set(saved_keys)
+
+    def keeps(col: str) -> bool:
+        if col in core or col in saved:
+            return True
+        return isinstance(
+            df.schema[col].dataType, T.StructType
+        ) and any(k.startswith(col + ".") for k in saved)
+
+    lost = sorted(c for c in df.columns if not keeps(c))
+    if lost:
+        warnings.warn(
+            f"These columns in {table} will be lost because they don't "
+            f"follow the specified json schema: {', '.join(lost)}",
+            RuntimeWarning,
+        )
+        df = df.drop(*lost)
+    return df
+
+
+def _per_image_docs(
+    ds: SparkDataset, schema: "dict | None" = None
+) -> tuple[DataFrame, bool]:
     """images ⟕ collect_list(annotation struct) — the one-JSON-per-image
-    document frame both caipy writers emit from."""
+    document frame both caipy writers emit from. ``schema`` prunes
+    attribute columns it does not describe (post-debooleanize, so the
+    gathered dot-names are what the schema keys match)."""
     if ds.booleanized_columns:
         from lours_spark.operators.booleanize import (
             debooleanize,
@@ -390,6 +442,22 @@ def _per_image_docs(ds: SparkDataset) -> tuple[DataFrame, bool]:
                 img = debooleanize(img, prefix)
         ds = ds.from_template(
             annotations=ann, images=img, booleanized_columns={}
+        )
+    if schema is not None:
+        from lours_spark.io.schema_tools import schema_flat_keys
+
+        props = schema.get("properties") or {}
+        img_keys = schema_flat_keys(props.get("image") or {})
+        ann_keys = schema_flat_keys(
+            (props.get("annotations") or {}).get("items") or {}
+        )
+        ds = ds.from_template(
+            images=_prune_to_schema(
+                ds.images, img_keys, _CORE_IMAGE_COLS, "images"
+            ),
+            annotations=_prune_to_schema(
+                ds.annotations, ann_keys, _CORE_ANN_COLS, "annotations"
+            ),
         )
     # image_id is implied by the enclosing document — exclude it from
     # the per-annotation struct (restored on read from image.id)
@@ -471,19 +539,32 @@ def _write_caipy_split(
     copy_images: bool = True,
     overwrite_images: bool = True,
     overwrite_labels: bool = True,
+    schema: "dict | None" = None,
 ) -> None:
     """Write one split's JSON (and optionally image) files from the
     executors (reference ``split_to_caipy``, ``io/caipy.py:352-466``).
     The image object serializes ``relative_path`` as ``file_name``
     (the caipy key — ``from_caipy`` renames it back on read), and the
     JSON file is named after the image file stem so the reference's
-    stem-match validation (``caipy.py:63-67``) holds on our output."""
+    stem-match validation (``caipy.py:63-67``) holds on our output.
+    ``schema`` validates every emitted document executor-side before
+    it lands (reference ``caipy.py:512-513``) — a non-conformant doc
+    fails the write job loudly instead of shipping bad JSON."""
     os.makedirs(ann_dir, exist_ok=True)
     if img_dir is not None:
         os.makedirs(img_dir, exist_ok=True)
 
     def write_partition(rows):
         import shutil
+
+        validator = None
+        if schema is not None:
+            try:
+                from jsonschema.validators import validator_for
+            except ImportError:  # pragma: no cover
+                validator_for = None
+            if validator_for is not None:
+                validator = validator_for(schema)(schema)
 
         for r in rows:
             d = r.asDict(recursive=True)
@@ -521,6 +602,17 @@ def _write_caipy_split(
                     if all(c is not None for c in coords):
                         a["bbox"] = coords
             doc = {"image": image, "annotations": anns}
+            if validator is not None:
+                err = next(iter(validator.iter_errors(doc)), None)
+                if err is not None:
+                    where = "/".join(
+                        str(p) for p in err.absolute_path
+                    ) or "<root>"
+                    raise ValueError(
+                        f"output document for image id "
+                        f"{image.get('id')} violates the export schema "
+                        f"at {where}: {err.message}"
+                    )
             # JSON path mirrors the (split-stripped) relative path, so
             # unflattened exports keep subdirs and a/x.jpg vs b/x.jpg
             # never collide (reference caipy.py:489-491).
@@ -571,6 +663,7 @@ def dataset_to_caipy(
     flatten_paths: bool = True,
     overwrite_images: bool = True,
     overwrite_labels: bool = True,
+    schema: "dict | None" = None,
 ) -> None:
     """Write the standard cAIpy tree ``{root}/Annotations/{split}`` (+
     ``{root}/Images/{split}`` when ``copy_images``) — reference
@@ -579,8 +672,14 @@ def dataset_to_caipy(
     into list columns first (the reference debooleanizes before export,
     ``caipy.py:584``). ``copy_images`` defaults True like the
     reference ``Dataset.to_caipy`` (``dataset.py`` export surface);
-    pass False to export annotations only."""
-    joined, has_bbox = _per_image_docs(ds)
+    pass False to export annotations only.
+
+    ``schema``: like the reference's export schema (``caipy.py:385,
+    437-453,512-513``) — attribute columns the schema does not
+    describe are DROPPED with a RuntimeWarning, and every emitted
+    document is validated executor-side (non-conformant output fails
+    the job loudly)."""
+    joined, has_bbox = _per_image_docs(ds, schema=schema)
     for split, sub in _iter_split_frames(joined, ds):
         name = split or "default"
         _write_caipy_split(
@@ -595,6 +694,7 @@ def dataset_to_caipy(
             copy_images=copy_images,
             overwrite_images=overwrite_images,
             overwrite_labels=overwrite_labels,
+            schema=schema,
         )
 
 
@@ -606,6 +706,7 @@ def dataset_to_caipy_generic(
     flatten_paths: bool = True,
     overwrite_images: bool = True,
     overwrite_labels: bool = True,
+    schema: "dict | None" = None,
 ) -> None:
     """cAIpy write with EXPLICIT image/annotation folders (reference
     ``dataset_to_caipy_generic``, ``io/caipy.py:352-466`` /
@@ -616,8 +717,9 @@ def dataset_to_caipy_generic(
     semantics: useful when saving only predictions). Datasets with a
     ``split`` column write per-split subfolders under both roots, like
     the reference's ``Images/{split}`` convention; splitless datasets
-    write directly into the given folders."""
-    joined, has_bbox = _per_image_docs(ds)
+    write directly into the given folders. ``schema``: export-schema
+    pruning + per-document validation, see :func:`dataset_to_caipy`."""
+    joined, has_bbox = _per_image_docs(ds, schema=schema)
     has_splits = "split" in ds.images.columns
     for split, sub in _iter_split_frames(joined, ds):
         if has_splits:
@@ -641,4 +743,5 @@ def dataset_to_caipy_generic(
             copy_images=copy_images,
             overwrite_images=overwrite_images,
             overwrite_labels=overwrite_labels,
+            schema=schema,
         )

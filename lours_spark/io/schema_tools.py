@@ -106,6 +106,29 @@ def schema_dtypes_defaults(
     return dtypes, defaults
 
 
+def schema_flat_keys(schema: dict, separator: str = ".") -> list[str]:
+    """Every flattened key a (sub)schema describes (reference
+    ``flatten_schema``, ``schema_util_functions.py:85-113``): object
+    properties recurse with dot-names, everything else is a leaf.
+
+    >>> schema_flat_keys({"properties": {
+    ...     "id": {"type": "integer"},
+    ...     "tags": {"type": "object", "properties": {
+    ...         "time": {"enum": ["day"]}}}}})
+    ['id', 'tags.time']
+    """
+    keys: list[str] = []
+    for name, prop in (schema.get("properties") or {}).items():
+        if prop.get("type") == "object":
+            keys.extend(
+                f"{name}{separator}{k}"
+                for k in schema_flat_keys(prop, separator)
+            )
+        else:
+            keys.append(name)
+    return keys
+
+
 def _resolve_path(
     df: DataFrame, key: str, separator: str = "."
 ) -> "tuple[str, list[str], T.DataType] | None":

@@ -587,6 +587,90 @@ def test_caipy_reference_default_schema_shape(spark, tmp_path):
     assert img[1]["tags"] is None or img[1]["tags"]["time"] is None
 
 
+def test_caipy_export_schema_prunes_and_validates(spark, tmp_path):
+    """Reference caipy.py:385,437-453,512-513: an export schema DROPS
+    attribute columns it does not describe (RuntimeWarning) and
+    validates every emitted document executor-side — non-conformant
+    output fails the write loudly."""
+    import warnings as _w
+
+    from lours_spark.dataset.core import SparkDataset
+    from lours_spark.io.caipy import dataset_to_caipy, from_caipy
+
+    images = spark.createDataFrame(
+        [(0, 10, 10, "0.jpg", ".jpg", "train", "scrap")],
+        "id long, width int, height int, relative_path string,"
+        " type string, split string, img_junk string",
+    )
+    ann = spark.createDataFrame(
+        [(0, 0, 1, "car", 1.0, 1.0, 2.0, 2.0, 0.9, "drop-me")],
+        "id long, image_id long, category_id long, category_str string,"
+        " box_x_min double, box_y_min double, box_width double,"
+        " box_height double, confidence double, ann_junk string",
+    )
+    ds = SparkDataset(
+        images=images, annotations=ann, label_map={1: "car"},
+        images_root=str(tmp_path / "imgs"),
+    )
+    schema = {
+        "type": "object",
+        "properties": {
+            "image": {
+                "type": "object",
+                "required": ["id", "file_name", "width", "height"],
+                "properties": {
+                    "id": {"type": "integer"},
+                    "file_name": {"type": "string"},
+                    "width": {"type": "integer"},
+                    "height": {"type": "integer"},
+                },
+            },
+            "annotations": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "properties": {
+                        "id": {"type": "integer"},
+                        "category_id": {"type": "integer"},
+                        "category_str": {"type": "string"},
+                        "bbox": {"type": "array"},
+                        "confidence": {"type": "number"},
+                    },
+                },
+            },
+        },
+    }
+    out = tmp_path / "pruned"
+    with pytest.warns(RuntimeWarning, match="will be lost"):
+        dataset_to_caipy(ds, str(out), copy_images=False, schema=schema)
+    doc = json.loads(
+        (out / "Annotations" / "train" / "0.json").read_text()
+    )
+    assert "img_junk" not in doc["image"]
+    assert "ann_junk" not in doc["annotations"][0]
+    # schema-described attributes survive the prune
+    assert doc["annotations"][0]["confidence"] == pytest.approx(0.9)
+    # the pruned output round-trips under the same schema's validation
+    assert from_caipy(spark, str(out), schema=schema).images.count() == 1
+
+    # a schema the data cannot satisfy fails the write job loudly
+    bad = {
+        "type": "object",
+        "properties": {
+            "image": {
+                "type": "object",
+                "required": ["id", "file_name", "width", "height",
+                             "sensor_serial"],
+                "properties": {"sensor_serial": {"type": "string"}},
+            },
+        },
+    }
+    with pytest.raises(Exception, match="violates the export schema"):
+        dataset_to_caipy(
+            ds, str(tmp_path / "bad"), copy_images=False, schema=bad
+        )
+
+
 def test_schema_defaults_reach_null_parent_structs(spark):
     """A document missing the whole optional object must still receive
     nested defaults (review r9): withField on a NULL struct yields
