@@ -42,6 +42,7 @@ ROWS = {
     "curation_pipeline": "documents",
     "minhash_incremental": "documents",
     "minhash_hot_bucket": "documents",
+    "minhash_hot_bucket_star": "documents",
     "vocab_pair_stats": "documents",
     "weighted_sample": "documents",
     "zorder_layout": "lineitem",
