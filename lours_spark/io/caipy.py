@@ -151,6 +151,7 @@ def from_caipy(
     on_invalid: str = "raise",
     annotations_root: str | None = None,
     images_root: str | None = None,
+    ignore_pattern: str = "a^",
 ) -> SparkDataset:
     """Read a cAIpy tree (reference ``io/caipy.py:30-349``).
 
@@ -166,10 +167,15 @@ def from_caipy(
     + ``schema_util_functions.py:47-82,116-163``), the schema drives
     the read itself: enum domains for both the image and annotation
     tables are derived from ``array``+``items.enum``+``uniqueItems``
-    properties and booleanized automatically (an explicit
-    ``booleanize_enums`` wins), and schema dtypes/defaults are applied
-    (optional-field ``default`` fills, ``[]`` for optional arrays,
-    integer/boolean casts). ``on_invalid="raise"`` raises with the
+    properties and booleanized automatically, and schema
+    dtypes/defaults are applied (optional-field ``default`` fills,
+    ``[]`` for optional arrays, integer/boolean casts). An explicit
+    ``booleanize_enums`` (even ``{}``) suppresses schema enum
+    derivation for BOTH tables and is applied as given.
+    ``ignore_pattern``: regex of schema property names to skip during
+    enum derivation (reference ``get_enums`` ``ignore_pattern``,
+    ``schema_util_functions.py:48``; default matches nothing).
+    ``on_invalid="raise"`` raises with the
     first few violations; ``"skip"`` proceeds with the read regardless
     (the report is still computed; fetch it via
     :func:`validate_caipy`).
@@ -295,12 +301,18 @@ def from_caipy(
         props = schema.get("properties") or {}
         image_schema = props.get("image")
         ann_schema = (props.get("annotations") or {}).get("items")
+        explicit = booleanize_enums is not None
         if ann_schema:
-            if booleanize_enums is None:
-                booleanize_enums = schema_enums(ann_schema)
+            if not explicit:
+                booleanize_enums = schema_enums(
+                    ann_schema, ignore_pattern=ignore_pattern
+                )
             annotations = apply_schema_columns(annotations, ann_schema)
         if image_schema:
-            image_enums = schema_enums(image_schema)
+            if not explicit:  # an explicit mapping suppresses BOTH sides
+                image_enums = schema_enums(
+                    image_schema, ignore_pattern=ignore_pattern
+                )
             images = apply_schema_columns(images, image_schema)
 
     booleanized: dict[str, set[str]] = {}
@@ -313,6 +325,18 @@ def from_caipy(
             df = promote_nested_column(df, col)  # no-op when flat/absent
             if col in df.columns:
                 df, dom = booleanize(df, col, domain=domain)
+                if col in booleanized and booleanized[col] != set(dom):
+                    # same enum name on both tables with different
+                    # domains would store only one domain, which
+                    # broadcast_booleanization/merge would then apply
+                    # to the wrong table — refuse instead of guessing
+                    raise ValueError(
+                        f"enum column {col!r} booleanized on both the "
+                        f"image and annotation tables with different "
+                        f"domains ({sorted(booleanized[col])} vs "
+                        f"{sorted(dom)}); pass explicit "
+                        "booleanize_enums or rename one column"
+                    )
                 booleanized[col] = set(dom)
         return df
 
@@ -335,6 +359,7 @@ def from_caipy_generic(
     splits_to_read: list[str] | None = None,
     booleanize_enums: dict[str, list[str]] | None = None,
     schema: dict | None = None,
+    ignore_pattern: str = "a^",
 ) -> SparkDataset:
     """cAIpy read with EXPLICIT image/annotation folders (reference
     ``io/caipy.py:228-320`` — the shape used for prediction sets and
@@ -349,6 +374,7 @@ def from_caipy_generic(
         schema=schema,
         annotations_root=annotations_folder,
         images_root=images_folder or "",
+        ignore_pattern=ignore_pattern,
     )
 
 
@@ -487,7 +513,11 @@ def _nest_dot_keys(d: dict) -> dict:
     debooleanized ``attributes.colors`` column serializes as
     ``{"attributes": {"colors": [...]}}`` so the emitted JSON matches
     the schema the tree was read with. Dotless keys pass through;
-    nesting merges into an existing sub-dict."""
+    nesting merges into an existing sub-dict, and a NULL struct sibling
+    (e.g. an all-absent ``attributes`` struct next to a debooleanized
+    ``attributes.colors``) is replaced by a fresh dict to nest into. A
+    genuine scalar/dict clash raises, like the reference's
+    ``get_remapping_dict_from_names`` (``schema_util_functions.py``)."""
     out: dict = {}
     dotted = []
     for k, v in d.items():
@@ -497,17 +527,18 @@ def _nest_dot_keys(d: dict) -> dict:
             out[k] = v  # structs land first so dotted keys merge in
     for k, v in dotted:
         parts = k.split(".")
-        cur: "dict | None" = out
+        cur = out
         for p in parts[:-1]:
             nxt = cur.setdefault(p, {})
-            if not isinstance(nxt, dict):  # leaf/prefix clash: keep flat
-                cur = None
-                break
+            if nxt is None:  # NULL struct column: nest into a fresh dict
+                nxt = cur[p] = {}
+            elif not isinstance(nxt, dict):
+                raise ValueError(
+                    f"cannot nest dotted key {k!r}: prefix {p!r} already "
+                    f"holds a non-dict value {nxt!r}"
+                )
             cur = nxt
-        if cur is None:
-            out[k] = v
-        else:
-            cur[parts[-1]] = v
+        cur[parts[-1]] = v
     return out
 
 

@@ -21,17 +21,23 @@ the nested field to the reference's flat dot-name.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def schema_enums(schema: dict, separator: str = ".") -> dict[str, list[str]]:
+def schema_enums(
+    schema: dict, separator: str = ".", ignore_pattern: str = "a^"
+) -> dict[str, list[str]]:
     """Flattened-name → sorted enum domain for every ``array`` property
     with ``items.enum`` and ``uniqueItems`` (reference ``get_enums``,
     ``schema_util_functions.py:47-82``; domains sorted for
     deterministic booleanized-column order where the reference keeps a
-    set).
+    set). ``ignore_pattern``: properties whose name matches this regex
+    (``re.match``, per nesting level like the reference) are skipped
+    entirely — the default ``"a^"`` matches nothing.
 
     >>> schema_enums({"properties": {
     ...     "attributes": {"type": "object", "properties": {
@@ -39,10 +45,16 @@ def schema_enums(schema: dict, separator: str = ".") -> dict[str, list[str]]:
     ...                    "items": {"enum": ["red", "blue"]}}}},
     ...     "free": {"type": "array", "items": {"type": "string"}}}})
     {'attributes.colors': ['blue', 'red']}
+    >>> schema_enums({"properties": {
+    ...     "attributes": {"type": "object", "properties": {
+    ...         "colors": {"type": "array", "uniqueItems": True,
+    ...                    "items": {"enum": ["red", "blue"]}}}}}},
+    ...     ignore_pattern="attr")
+    {}
     """
     out: dict[str, list[str]] = {}
     for name, prop in (schema.get("properties") or {}).items():
-        if "type" not in prop:
+        if re.match(ignore_pattern, name) or "type" not in prop:
             continue
         if (
             prop["type"] == "array"
@@ -51,7 +63,7 @@ def schema_enums(schema: dict, separator: str = ".") -> dict[str, list[str]]:
         ):
             out[name] = sorted(prop["items"]["enum"])
         elif prop["type"] == "object":
-            for sub, dom in schema_enums(prop, separator).items():
+            for sub, dom in schema_enums(prop, separator, ignore_pattern).items():
                 out[f"{name}{separator}{sub}"] = dom
     return out
 

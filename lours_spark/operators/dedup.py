@@ -563,8 +563,11 @@ def minhash_lsh_pairs(
     and a multi-MB ``collect_list`` row. With a cap, buckets larger
     than this many members are skipped BEFORE the collect (a window
     count over the same bucket key — no extra exchange) and reported:
-    pass ``return_dropped=True`` to also get the skipped-bucket frame
-    ``(band, band_key, bucket_size)`` — count it, log it, or feed the
+    pass ``return_dropped=True`` to also get the over-cap-bucket
+    ledger ``(band, band_key, bucket_size)`` (with ``oversize="star"``
+    those buckets are capped to hub pairs, not fully forfeited — the
+    ledger row means "quadratic fan-out withheld", not "no pairs
+    emitted") — count it, log it, or feed the
     member docs to :func:`exact_duplicates`; near-identical mega
     families are better pre-collapsed by exact fingerprint BEFORE
     shingling anyway (one survivor per family keeps recall, kills the
@@ -1293,7 +1296,8 @@ def embedding_near_duplicates(
     ``return_dropped=True`` returns the ``(table, sig, bucket_size)``
     ledger alongside the pairs. ``oversize="star"`` keeps a capped
     family collapsible — member↔min-id candidates at O(bucket) cost
-    (see :func:`_cap_bucket_rows`).
+    (see :func:`_cap_bucket_rows`); a ledger row then means "quadratic
+    fan-out withheld", not "no pairs emitted from this bucket".
 
     ``method="lsh"`` (default — the 100 TB path): banded
     random-hyperplane sign LSH. Each vector gets ``num_tables``

@@ -466,6 +466,178 @@ def test_caipy_schema_driven_enums_and_dtypes(spark, tmp_path):
     assert ann_b[1]["occluded"] is False
 
 
+def _schema_caipy_tree(tmp_path, ann_extra=None, img_extra=None,
+                       ann_doc_extra=None):
+    """A tiny schema-shaped caipy tree: image-side ``sensors`` enum +
+    annotation-side ``attributes.colors`` enum (the shape of
+    test_caipy_schema_driven_enums_and_dtypes, factored for the
+    ignore_pattern / suppression / conflict tests)."""
+    schema = {
+        "type": "object",
+        "required": ["image", "annotations"],
+        "properties": {
+            "image": {
+                "type": "object",
+                "required": ["id", "file_name", "width", "height"],
+                "properties": {
+                    "id": {"type": "integer"},
+                    "width": {"type": "integer"},
+                    "height": {"type": "integer"},
+                    "file_name": {"type": "string"},
+                    "sensors": {
+                        "type": "array",
+                        "uniqueItems": True,
+                        "items": {"enum": ["ir", "rgb"]},
+                    },
+                    **(img_extra or {}),
+                },
+            },
+            "annotations": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "required": ["id", "category_id", "category_str", "bbox"],
+                    "properties": {
+                        "id": {"type": "integer"},
+                        "category_id": {"type": "integer"},
+                        "category_str": {"type": "string"},
+                        "bbox": {"type": "array"},
+                        "attributes": {
+                            "type": "object",
+                            "properties": {
+                                "colors": {
+                                    "type": "array",
+                                    "uniqueItems": True,
+                                    "items": {"enum": ["blue", "red"]},
+                                },
+                            },
+                        },
+                        **(ann_extra or {}),
+                    },
+                },
+            },
+        },
+    }
+    root = tmp_path / "caipy_ignore"
+    d = root / "Annotations" / "train"
+    d.mkdir(parents=True)
+    doc = {
+        "image": {"id": 0, "file_name": "0.jpg", "width": 10,
+                  "height": 10, "sensors": ["rgb"]},
+        "annotations": [
+            {"id": 0, "category_id": 1, "category_str": "car",
+             "bbox": [1.0, 1.0, 2.0, 2.0],
+             "attributes": {"colors": ["red"]},
+             **(ann_doc_extra or {})},
+        ],
+    }
+    (d / "0.json").write_text(json.dumps(doc))
+    return schema, root
+
+
+def test_from_caipy_ignore_pattern(spark, tmp_path):
+    """Reference get_enums ignore_pattern
+    (schema_util_functions.py:48,68): properties matching the regex are
+    skipped during schema enum derivation — threaded through
+    from_caipy, applied per nesting level on BOTH tables."""
+    from lours_spark.io.caipy import from_caipy
+    from lours_spark.io.schema_tools import schema_enums
+
+    schema, root = _schema_caipy_tree(tmp_path)
+    ann_schema = schema["properties"]["annotations"]["items"]
+    assert schema_enums(ann_schema) == {"attributes.colors": ["blue", "red"]}
+    assert schema_enums(ann_schema, ignore_pattern="attr") == {}
+    # reference semantics: the pattern re.match-es each LEVEL's bare
+    # property name (schema_util_functions.py:68), so "colors" skips
+    # the nested enum too, while a non-anchored substring does not
+    assert schema_enums(ann_schema, ignore_pattern="colors") == {}
+    assert schema_enums(ann_schema, ignore_pattern="olors") == {
+        "attributes.colors": ["blue", "red"]
+    }
+
+    ds = from_caipy(spark, str(root), schema=schema, ignore_pattern="attr")
+    # annotation-side enum skipped; image-side sensors still derived
+    assert ds.booleanized_columns == {"sensors": {"ir", "rgb"}}
+    assert "attributes.colors.red" not in ds.annotations.columns
+    assert ds.annotations.first()["attributes"]["colors"] == ["red"]
+
+    ds2 = from_caipy(spark, str(root), schema=schema, ignore_pattern="sensors")
+    assert ds2.booleanized_columns == {"attributes.colors": {"blue", "red"}}
+    assert "sensors.rgb" not in ds2.images.columns
+    assert ds2.images.first()["sensors"] == ["rgb"]
+
+
+def test_from_caipy_explicit_enums_suppress_both_tables(spark, tmp_path):
+    """An explicit booleanize_enums (even {}) suppresses schema enum
+    derivation on BOTH tables — round 9 only suppressed the annotation
+    side, leaving image enums always-on with no opt-out."""
+    from lours_spark.io.caipy import from_caipy
+
+    schema, root = _schema_caipy_tree(tmp_path)
+    ds = from_caipy(spark, str(root), schema=schema, booleanize_enums={})
+    assert ds.booleanized_columns == {}
+    assert "sensors.rgb" not in ds.images.columns
+    assert "attributes.colors.red" not in ds.annotations.columns
+    # dtypes/defaults still schema-applied — only enum derivation is off
+    assert ds.images.first()["sensors"] == ["rgb"]
+
+
+def test_from_caipy_cross_table_enum_domain_conflict(spark, tmp_path):
+    """The same enum name on both tables with DIFFERENT domains must
+    raise instead of silently keeping the last-written domain (which
+    broadcast_booleanization/merge would then apply to the wrong
+    table). Identical domains are fine."""
+    from lours_spark.io.caipy import from_caipy
+
+    conflicting = {
+        "sensors": {
+            "type": "array",
+            "uniqueItems": True,
+            "items": {"enum": ["lidar", "radar"]},
+        }
+    }
+    schema, root = _schema_caipy_tree(
+        tmp_path, ann_extra=conflicting, ann_doc_extra={"sensors": ["lidar"]}
+    )
+    with pytest.raises(ValueError, match="sensors.*different\\s+domains"):
+        from_caipy(spark, str(root), schema=schema)
+
+    same = {
+        "sensors": {
+            "type": "array",
+            "uniqueItems": True,
+            "items": {"enum": ["ir", "rgb"]},
+        }
+    }
+    (tmp_path / "same").mkdir()
+    schema2, root2 = _schema_caipy_tree(
+        tmp_path / "same", ann_extra=same, ann_doc_extra={"sensors": ["rgb"]}
+    )
+    ds = from_caipy(spark, str(root2), schema=schema2)
+    assert ds.booleanized_columns["sensors"] == {"ir", "rgb"}
+    assert "sensors.rgb" in ds.images.columns
+    assert "sensors.rgb" in ds.annotations.columns
+
+
+def test_nest_dot_keys_null_struct_sibling():
+    """A NULL struct column next to a debooleanized dot-named column
+    (reachable via on_invalid='skip' reads) must nest into a fresh
+    dict, not emit a literal 'attributes.colors' top-level JSON key;
+    a genuine scalar/dict clash raises like the reference's
+    get_remapping_dict_from_names."""
+    from lours_spark.io.caipy import _nest_dot_keys
+
+    out = _nest_dot_keys({"attributes": None, "attributes.colors": ["red"]})
+    assert out == {"attributes": {"colors": ["red"]}}
+    out2 = _nest_dot_keys({"a.b.c": 1, "a": None})
+    assert out2 == {"a": {"b": {"c": 1}}}
+    # merge into an existing sub-dict still works
+    out3 = _nest_dot_keys({"attributes": {"kept": 1}, "attributes.colors": []})
+    assert out3 == {"attributes": {"kept": 1, "colors": []}}
+    with pytest.raises(ValueError, match="non-dict"):
+        _nest_dot_keys({"a": 3, "a.b": 1})
+
+
 def test_caipy_reference_default_schema_shape(spark, tmp_path):
     """The reference ships a default caipy schema
     (/root/reference/lours/dataset/io/schema_util/default-schema.json)

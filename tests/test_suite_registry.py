@@ -50,6 +50,26 @@ def test_all_queries_covers_gate_facets():
     }
 
 
+def test_docstring_count_literals_match_registry():
+    """Every registry count quoted in a module docstring must track the
+    real registry — round 9 shipped '(96 entries)' in __spark_entry__
+    while ALL_QUERIES had grown to 105."""
+    import re
+
+    import __spark_entry__ as entry
+
+    from lours_spark import suite
+
+    q_count, all_count = len(suite.QUERIES), len(suite.ALL_QUERIES)
+    m = re.search(r"ALL_QUERIES``\s*\((\d+) entries\)", entry.__doc__)
+    assert m, "__spark_entry__ docstring must quote the ALL_QUERIES count"
+    assert int(m.group(1)) == all_count, (m.group(1), all_count)
+    assert f"exactly {q_count} queries" in entry.__doc__
+    # suite.py quotes both counts in its doctest — executed by the
+    # package-wide doctest run, but pin it here too for one-place truth
+    assert f"({q_count}, {all_count})" in suite.__doc__
+
+
 def test_bench_list_covers_all_queries():
     """bench.py times a hand-ordered list — a new ALL_QUERIES entry
     must be added there too or it silently never gets a number."""
