@@ -646,3 +646,139 @@ def test_star_mode_preserves_family_clusters_property(
     )
     uncapped = clusters(minhash_lsh_pairs(df, jaccard_threshold=0.5))
     assert starred == uncapped == set(expected)
+
+
+# --- apply_schema_columns vs a pandas-style model of the reference ---
+#
+# The reference (schema_util_functions.py:116-202) json_normalize-s the
+# docs and fillna-s flattened keys: optional keys get their schema
+# default ([] for optional arrays), required keys stay NaN, then
+# integer/boolean dtypes apply. The engine does the same with struct
+# withField rewrites — including on rows whose parent object is
+# entirely absent or explicitly null (the round-9 NULL-parent-struct
+# bug class this property targets).
+
+_PROP_NAMES = ["a", "b", "c", "d", "e"]
+
+
+@st.composite
+def _schemas(draw, depth=2):
+    n = draw(st.integers(1, 3))
+    names = _PROP_NAMES[: n + depth]  # disjoint-ish pools per level
+    chosen = draw(
+        st.lists(st.sampled_from(names), min_size=1, max_size=3, unique=True)
+    )
+    props = {}
+    for nm in chosen:
+        kinds = ["integer", "boolean", "array", "string"]
+        if depth > 0:
+            kinds.append("object")
+        kind = draw(st.sampled_from(kinds))
+        if kind == "object":
+            props[nm] = draw(_schemas(depth=depth - 1))
+        else:
+            p = {"type": kind}
+            if kind == "integer" and draw(st.booleans()):
+                p["default"] = draw(st.integers(-5, 5))
+            elif kind == "boolean" and draw(st.booleans()):
+                p["default"] = draw(st.booleans())
+            elif kind == "string" and draw(st.booleans()):
+                p["default"] = draw(st.sampled_from(["x", "y"]))
+            props[nm] = p
+    required = [nm for nm in chosen if draw(st.booleans())]
+    return {"type": "object", "properties": props, "required": required}
+
+
+def _gen_doc(draw, schema):
+    doc = {}
+    for nm, p in schema["properties"].items():
+        presence = draw(
+            st.sampled_from(["absent", "null", "value", "value", "value"])
+        )
+        if presence == "absent":
+            continue
+        if presence == "null":
+            doc[nm] = None
+            continue
+        t = p.get("type")
+        if t == "object":
+            doc[nm] = _gen_doc(draw, p)
+        elif t == "integer":
+            doc[nm] = draw(st.integers(-100, 100))
+        elif t == "boolean":
+            doc[nm] = draw(st.booleans())
+        elif t == "array":
+            doc[nm] = draw(st.lists(st.integers(0, 9), max_size=3))
+        else:
+            doc[nm] = draw(st.sampled_from(["p", "q"]))
+    return doc
+
+
+@st.composite
+def _schema_and_docs(draw):
+    schema = draw(_schemas())
+    docs = [_gen_doc(draw, schema) for _ in range(draw(st.integers(1, 4)))]
+    return schema, docs
+
+
+def _flat_specs(schema, prefix="", inherited=False):
+    """flat key -> (type, optional, default) — the reference's
+    get_dtypes_and_default_values walk, re-derived independently."""
+    out = {}
+    req = schema.get("required") or []
+    for nm, p in schema["properties"].items():
+        key = f"{prefix}.{nm}" if prefix else nm
+        opt = inherited or nm not in req
+        if p.get("type") == "object":
+            out.update(_flat_specs(p, key, opt))
+        else:
+            out[key] = (p.get("type"), opt, p.get("default"))
+    return out
+
+
+def _lookup(doc, parts):
+    cur = doc
+    for p in parts:
+        if not isinstance(cur, dict) or p not in cur:
+            return None
+        cur = cur[p]
+    return cur
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=_schema_and_docs())
+def test_apply_schema_columns_matches_reference_model(spark, data):
+    import json
+
+    from lours_spark.io.schema_tools import apply_schema_columns
+
+    schema, docs = data
+    payload = [dict(d, __i=i) for i, d in enumerate(docs)]
+    df = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(d) for d in payload], 1)
+    )
+    out = apply_schema_columns(df, schema)
+    rows = {
+        r["__i"]: r.asDict(recursive=True)
+        for r in out.orderBy("__i").collect()
+    }
+    for key, (typ, optional, default) in _flat_specs(schema).items():
+        parts = key.split(".")
+        # keys with no non-null occurrence anywhere either have no
+        # column (skipped, like the reference's `k not in columns`) or
+        # a degenerate all-null string-inferred one — not comparable
+        if all(_lookup(d, parts) is None for d in docs):
+            continue
+        for i, doc in enumerate(docs):
+            v = _lookup(doc, parts)
+            if v is None and optional:
+                if default is not None:
+                    v = default
+                elif typ == "array":
+                    v = []
+            got = _lookup(rows[i], parts)
+            assert got == v, (key, i, got, v, schema, docs)
