@@ -38,16 +38,19 @@ SCALING.md "z-order at three columns").
 
 For workloads where those boundary outliers matter,
 ``write_zordered(..., curve="hilbert")`` orders by a HILBERT index
-instead (:func:`hilbert_key` — Skilling's 2004 transpose algorithm,
-public domain, vectorized in numpy behind an Arrow-batched pandas
-UDF): the Hilbert curve is continuous, so every contiguous key range
-is a connected region and no file ever jumps across the space.
-Measured on the same 64³ grid the full-axis outliers disappear
-(test_hilbert_three_column_spans). The trade: the key is a Python
-(Arrow) stage, not whole-stage codegen — one vectorized bit-twiddling
-pass over the rows being written, which a layout job amortizes
-trivially. Morton stays the default because the key is pure codegen
-and engine-portable.
+instead (Skilling's 2004 transpose algorithm, public domain — "
+Programming the Hilbert curve", AIP Conf. Proc. 707): the Hilbert
+curve is continuous, so every contiguous key range is a connected
+region and no file ever jumps across the space. Measured on the same
+64³ grid the full-axis outliers disappear
+(test_hilbert_three_column_spans). The write path uses
+:func:`with_hilbert_key` — the transpose's fixed-trip-count bit loops
+UNROLLED into a chain of codegen projections, so the Hilbert layout
+job is whole-stage codegen end to end exactly like Morton's; the
+Arrow-batched numpy twin :func:`hilbert_key` remains for ad-hoc
+Column-expression use and pins the unroll's values
+(test_hilbert_codegen_matches_arrow). Morton stays the default
+because its key is ONE cheap expression and engine-portable.
 """
 
 from __future__ import annotations
@@ -156,11 +159,127 @@ def _hilbert_index_array(X, bits: int):
     return H
 
 
+def with_hilbert_key(
+    df: DataFrame, cols: "list[str]", bits: int = 16,
+    key_col: str = "hilbert_key",
+) -> DataFrame:
+    """Add the Hilbert index of n already-quantized non-negative
+    integer columns as ``key_col`` — PURE CODEGEN, no Python stage.
+
+    Skilling's transpose is fixed-trip-count loops over bit positions,
+    so it unrolls into a chain of narrow projections: one
+    ``withColumns`` per (Q, axis) step of AxesToTranspose, then the
+    Gray/rotation fixups and MSB-first bit interleave as single linear
+    expressions. Each step's CASE references its inputs more than
+    once, which keeps CollapseProject from inlining the chain into one
+    exponential expression (Spark only collapses cheap or
+    singly-referenced aliases), while whole-stage codegen still fuses
+    every projection into one compiled stage — the same machine shape
+    as :func:`zorder_key`, just more instructions. Cannot be a single
+    ``Column`` (the expression TREE would be exponential in ``bits``),
+    hence the DataFrame-in/DataFrame-out form; :func:`hilbert_key` is
+    the Column-expression (Arrow pandas UDF) twin for ad-hoc use, and
+    the two are value-identical (test_hilbert_codegen_matches_arrow).
+
+    NULL in any coordinate → NULL key, like both twins.
+
+    >>> df = spark.createDataFrame([(0, 0), (0, 1), (1, 1), (1, 0)],
+    ...                            "x long, y long")
+    >>> sorted((r["h"], r["x"], r["y"]) for r in with_hilbert_key(
+    ...     df, ["x", "y"], bits=1, key_col="h").collect())
+    [(0, 0, 0), (1, 0, 1), (2, 1, 1), (3, 1, 0)]
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("with_hilbert_key needs at least two columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
+    mask = (1 << bits) - 1
+    xs = [f"__hx{i}" for i in range(n)]
+    X = [F.col(c) for c in xs]
+    null_any = F.col(f"`{cols[0]}`").isNull()
+    for c in cols[1:]:
+        null_any = null_any | F.col(f"`{c}`").isNull()
+    df = df.withColumns(
+        {
+            "__hnull": null_any,
+            **{
+                xs[i]: F.coalesce(F.col(f"`{c}`").cast("long"), F.lit(0))
+                .bitwiseAND(F.lit(mask))
+                for i, c in enumerate(cols)
+            },
+        }
+    )
+    # AxesToTranspose, one projection per (Q, axis) step; within a
+    # projection both updated axes read the PREVIOUS projection's
+    # columns (withColumns is a single select)
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            hit = X[i].bitwiseAND(F.lit(Q)) != F.lit(0)
+            if i == 0:
+                df = df.withColumns(
+                    {xs[0]: F.when(hit, X[0].bitwiseXOR(F.lit(P))).otherwise(X[0])}
+                )
+            else:
+                t = X[0].bitwiseXOR(X[i]).bitwiseAND(F.lit(P))
+                df = df.withColumns(
+                    {
+                        xs[0]: F.when(
+                            hit, X[0].bitwiseXOR(F.lit(P))
+                        ).otherwise(X[0].bitwiseXOR(t)),
+                        xs[i]: F.when(hit, X[i]).otherwise(X[i].bitwiseXOR(t)),
+                    }
+                )
+        Q >>= 1
+    # Gray encode: new X[i] = XOR of old X[0..i] — one projection
+    upd = {}
+    acc = X[0]
+    for i in range(1, n):
+        acc = acc.bitwiseXOR(X[i])
+        upd[xs[i]] = acc
+    if upd:
+        df = df.withColumns(upd)
+    # rotation fixup: t accumulates Q-1 for every set high bit of the
+    # last axis, then XORs into every axis
+    t_expr = F.lit(0).cast("long")
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        t_expr = t_expr.bitwiseXOR(
+            F.when(X[n - 1].bitwiseAND(F.lit(Q)) != F.lit(0), F.lit(Q - 1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        Q >>= 1
+    df = df.withColumns({"__ht": t_expr})
+    df = df.withColumns(
+        {xs[i]: X[i].bitwiseXOR(F.col("__ht")) for i in range(n)}
+    )
+    # MSB-first interleave, axis 0 outermost: bit j of axis i lands at
+    # position j*n + (n-1-i) — one linear expression
+    h = F.lit(0).cast("long")
+    for i in range(n):
+        for j in range(bits):
+            bit = F.shiftright(X[i], j).bitwiseAND(F.lit(1))
+            h = h.bitwiseOR(F.shiftleft(bit, j * n + (n - 1 - i)))
+    df = df.withColumns(
+        {
+            key_col: F.when(
+                F.col("__hnull"), F.lit(None).cast("long")
+            ).otherwise(h)
+        }
+    )
+    return df.drop("__hnull", "__ht", *xs)
+
+
 def hilbert_key(cols: "list[str]", bits: int = 16):
     """Hilbert index of n already-quantized non-negative integer
     columns as an Arrow-batched pandas UDF returning BIGINT — the
-    continuous-curve alternative to :func:`zorder_key` (see the module
-    docstring for the trade). ``n_cols * bits`` <= 62 like Morton.
+    Column-expression twin of :func:`with_hilbert_key` for ad-hoc use
+    (the write path uses the codegen unroll; this one costs an Arrow
+    exchange but composes like any Column). ``n_cols * bits`` <= 62
+    like Morton.
 
     >>> df = spark.createDataFrame([(0, 0), (0, 1), (1, 1), (1, 0)],
     ...                            "x long, y long")
@@ -225,14 +344,18 @@ def write_zordered(
     exchange, no global sort materialization.
     """
     if curve == "morton":
-        z = zorder_key([F.col(c) for c in cols], bits=bits)
+        keyed = df.withColumn(
+            "__z", zorder_key([F.col(c) for c in cols], bits=bits)
+        )
     elif curve == "hilbert":
-        z = hilbert_key(cols, bits=bits)
+        # the codegen unroll, not the Arrow UDF: a layout job rewrites
+        # the whole table, so the key must stay inside whole-stage
+        # codegen like Morton's
+        keyed = with_hilbert_key(df, cols, bits=bits, key_col="__z")
     else:
         raise ValueError(f"curve must be 'morton' or 'hilbert', got {curve!r}")
     (
-        df.withColumn("__z", z)
-        .repartitionByRange(num_files, "__z")
+        keyed.repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode(mode)
