@@ -11,9 +11,26 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+sys.path.insert(0, os.path.join(_HERE, "scripts"))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: a new BENCH_FULL.json only replaces the committed one when its
+#: calibration is within this factor of the committed run's — a noisy
+#: artifact becomes next round's false "regression"
+CAL_GATE_RATIO = 1.5
+
+
+def _committed_calibration() -> "float | None":
+    """spark_range_sum_sec of the committed BENCH_FULL.json (the
+    reference the calm gate compares against), or None on first run."""
+    try:
+        with open(os.path.join(_HERE, "BENCH_FULL.json")) as f:
+            return float(json.load(f)["calibration"]["spark_range_sum_sec"])
+    except (OSError, KeyError, ValueError):
+        return None
 
 
 def _ann_params() -> dict:
@@ -207,19 +224,44 @@ def main() -> None:
     # machine-speed calibration: two fixed reference workloads, timed
     # every run. The host is virtualized and has visible steal-time
     # spikes; absolute per-query seconds are only comparable across
-    # rounds after normalizing by these.
+    # rounds after normalizing by these. CALM-GATED (round 10): wait
+    # out any steal burst first, and if calibration still reads >1.5x
+    # the committed BENCH_FULL.json's, wait + re-measure once — the
+    # round-9 min-of-2 alone still let ~12 phantom ±25% swings into
+    # the artifact.
     import gc
 
     import numpy as np
 
-    t0 = time.time()
-    spark.range(200_000_000).selectExpr("sum(id * 2) as s").collect()
-    cal_spark = round(time.time() - t0, 3)
-    A = np.random.default_rng(0).random((2000, 2000))
-    t0 = time.time()
-    _ = A @ A
-    cal_numpy = round(time.time() - t0, 3)
-    print(f"# calibration: spark={cal_spark}s numpy={cal_numpy}s", file=sys.stderr)
+    from _calm import wait_for_calm
+
+    def _measure_cal() -> tuple[float, float]:
+        wait_for_calm()
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id * 2) as s").collect()
+        c_spark = round(time.time() - t0, 3)
+        A = np.random.default_rng(0).random((2000, 2000))
+        t0 = time.time()
+        _ = A @ A
+        return c_spark, round(time.time() - t0, 3)
+
+    cal_ref = _committed_calibration()
+    cal_spark, cal_numpy = _measure_cal()
+    if cal_ref is not None and cal_spark > CAL_GATE_RATIO * cal_ref:
+        print(
+            f"# calibration {cal_spark}s > {CAL_GATE_RATIO}x committed "
+            f"{cal_ref}s — steal burst suspected, retrying once",
+            file=sys.stderr,
+        )
+        c2 = _measure_cal()
+        cal_spark, cal_numpy = min((cal_spark, cal_numpy), c2)
+    ratio = round(cal_spark / cal_ref, 2) if cal_ref else None
+    print(
+        f"# calibration: spark={cal_spark}s numpy={cal_numpy}s "
+        f"(committed ref {cal_ref}s, ratio {ratio})",
+        file=sys.stderr,
+    )
+    host_calm = cal_ref is None or cal_spark <= CAL_GATE_RATIO * cal_ref
 
     def run_once(name: str) -> tuple[float, int]:
         fn = QUERIES[name]
@@ -271,6 +313,10 @@ def main() -> None:
                               "wobbled ±30% single-sampled), 3 when still over "
                               "2.5s; min kept (robust to host steal-time spikes)",
             "warmup": "lineitem scan + python-worker pool (pandas_udf)",
+            "calm_gate": "steal-burst probe before calibration; artifact "
+                         "rejected (BENCH_FULL_REJECTED.json) when "
+                         f"calibration > {CAL_GATE_RATIO}x the committed "
+                         "BENCH_FULL.json's",
             "state": "each number is a first run in a warmed JVM "
                      "with cleared DataFrame cache (cold plans, "
                      "warm workers)",
@@ -289,10 +335,19 @@ def main() -> None:
     # the driver captures only the LAST ~2000 chars of stdout, which
     # truncated the round-3/4/5 JSON lines past parseability; persist the
     # full payload to a committed file so the judge can always diff every
-    # query without re-benching (VERDICT r4 item 2)
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    # query without re-benching (VERDICT r4 item 2). A run whose
+    # calibration failed the calm gate must NOT replace the committed
+    # artifact (a noisier BENCH_FULL.json becomes next round's false
+    # regression) — it lands in BENCH_FULL_REJECTED.json instead, and
+    # the stdout line still prints for the driver.
+    name = "BENCH_FULL.json" if host_calm else "BENCH_FULL_REJECTED.json"
+    if not host_calm:
+        payload["calibration"]["rejected"] = (
+            f"spark_range_sum {cal_spark}s > {CAL_GATE_RATIO}x committed "
+            f"{cal_ref}s after one retry; committed artifact left in place"
+        )
+        print(f"# calm gate FAILED — writing {name}", file=sys.stderr)
+    out_path = os.path.join(_HERE, name)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")

@@ -80,6 +80,17 @@ def test_bench_list_covers_all_queries():
     assert set(bench.BENCH_QUERIES) == set(ALL_QUERIES)
 
 
+def test_bench_calm_gate_reference_readable():
+    """The calm gate compares against the committed BENCH_FULL.json
+    calibration — that file must stay parseable with the expected key
+    or the gate silently degrades to first-run behavior."""
+    import bench
+
+    ref = bench._committed_calibration()
+    assert ref is not None and 0.05 < ref < 30.0, ref
+    assert bench.CAL_GATE_RATIO > 1.0
+
+
 def _query_secs(parsed: dict) -> dict:
     """Decode a stdout-line queries dict back to seconds, honouring the
     self-describing ``queries_unit`` marker (absent = seconds)."""
