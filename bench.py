@@ -340,14 +340,14 @@ def main() -> None:
     # artifact (a noisier BENCH_FULL.json becomes next round's false
     # regression) — it lands in BENCH_FULL_REJECTED.json instead, and
     # the stdout line still prints for the driver.
-    name = "BENCH_FULL.json" if host_calm else "BENCH_FULL_REJECTED.json"
+    artifact = "BENCH_FULL.json" if host_calm else "BENCH_FULL_REJECTED.json"
     if not host_calm:
         payload["calibration"]["rejected"] = (
             f"spark_range_sum {cal_spark}s > {CAL_GATE_RATIO}x committed "
             f"{cal_ref}s after one retry; committed artifact left in place"
         )
-        print(f"# calm gate FAILED — writing {name}", file=sys.stderr)
-    out_path = os.path.join(_HERE, name)
+        print(f"# calm gate FAILED — writing {artifact}", file=sys.stderr)
+    out_path = os.path.join(_HERE, artifact)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")

@@ -196,6 +196,11 @@ def with_hilbert_key(
         raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
     mask = (1 << bits) - 1
     xs = [f"__hx{i}" for i in range(n)]
+    clash = ({"__hnull", "__ht", *xs} & set(df.columns)) - set(cols)
+    if clash:
+        raise ValueError(
+            f"with_hilbert_key scratch columns already exist: {sorted(clash)}"
+        )
     X = [F.col(c) for c in xs]
     null_any = F.col(f"`{cols[0]}`").isNull()
     for c in cols[1:]:
