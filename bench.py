@@ -231,19 +231,14 @@ def main() -> None:
     # the artifact.
     import gc
 
-    import numpy as np
-
-    from _calm import wait_for_calm
+    # the ONE shared calibration block (scripts/_calm.py) — bench.py,
+    # bench_sf1.py and the scaling scripts must time identical
+    # workloads or their cross-artifact ratios compare unlike things
+    from _calm import calibration as _cal_block
 
     def _measure_cal() -> tuple[float, float]:
-        wait_for_calm()
-        t0 = time.time()
-        spark.range(200_000_000).selectExpr("sum(id * 2) as s").collect()
-        c_spark = round(time.time() - t0, 3)
-        A = np.random.default_rng(0).random((2000, 2000))
-        t0 = time.time()
-        _ = A @ A
-        return c_spark, round(time.time() - t0, 3)
+        c = _cal_block(spark)  # calm-gated inside
+        return c["spark_range_sum_sec"], c["numpy_matmul_2000_sec"]
 
     cal_ref = _committed_calibration()
     cal_spark, cal_numpy = _measure_cal()
@@ -253,8 +248,11 @@ def main() -> None:
             f"{cal_ref}s — steal burst suspected, retrying once",
             file=sys.stderr,
         )
-        c2 = _measure_cal()
-        cal_spark, cal_numpy = min((cal_spark, cal_numpy), c2)
+        s2, n2 = _measure_cal()
+        # elementwise min: each workload keeps its calmest sample (a
+        # tuple-min could commit an inflated numpy reading from the
+        # retry even though a calm one was observed)
+        cal_spark, cal_numpy = min(cal_spark, s2), min(cal_numpy, n2)
     ratio = round(cal_spark / cal_ref, 2) if cal_ref else None
     print(
         f"# calibration: spark={cal_spark}s numpy={cal_numpy}s "

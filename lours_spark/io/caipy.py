@@ -171,7 +171,9 @@ def from_caipy(
     dtypes/defaults are applied (optional-field ``default`` fills,
     ``[]`` for optional arrays, integer/boolean casts). An explicit
     ``booleanize_enums`` (even ``{}``) suppresses schema enum
-    derivation for BOTH tables and is applied as given.
+    derivation for BOTH tables and is applied to BOTH by column
+    presence (like the reference's merged
+    ``booleanize(missing_ok=True, **enums)``, ``caipy.py:338-341``).
     ``ignore_pattern``: regex of schema property names to skip during
     enum derivation (reference ``get_enums`` ``ignore_pattern``,
     ``schema_util_functions.py:48``; default matches nothing).
@@ -292,6 +294,7 @@ def from_caipy(
     # domains and dtype/default fills come from the schema dict —
     # driver-side dict walking, applied as narrow projections
     image_enums: dict[str, list[str]] = {}
+    explicit = booleanize_enums is not None
     if schema is not None:
         from lours_spark.io.schema_tools import (
             apply_schema_columns,
@@ -301,7 +304,6 @@ def from_caipy(
         props = schema.get("properties") or {}
         image_schema = props.get("image")
         ann_schema = (props.get("annotations") or {}).get("items")
-        explicit = booleanize_enums is not None
         if ann_schema:
             if not explicit:
                 booleanize_enums = schema_enums(
@@ -341,7 +343,13 @@ def from_caipy(
         return df
 
     annotations = _booleanize_table(annotations, booleanize_enums)
-    images = _booleanize_table(images, image_enums)
+    # an explicit mapping is applied to BOTH tables by column presence
+    # (the reference merges image+annotation enums into one
+    # booleanize(missing_ok=True, **enums) call, caipy.py:338-341) —
+    # that is also what the conflict ValueError above tells users to do
+    images = _booleanize_table(
+        images, booleanize_enums if explicit else image_enums
+    )
     ds = SparkDataset(
         images=images,
         annotations=annotations,
@@ -538,6 +546,17 @@ def _nest_dot_keys(d: dict) -> dict:
                     f"holds a non-dict value {nxt!r}"
                 )
             cur = nxt
+        # symmetric leaf rule: a None/absent slot is filled (the
+        # promoted field's null residue), but silently clobbering a
+        # populated value would drop data from the emitted JSON —
+        # promote_nested_column removes the struct field it promotes,
+        # so a populated leaf here is a genuine clash, like the prefix
+        # direction above
+        if cur.get(parts[-1]) is not None:
+            raise ValueError(
+                f"cannot place dotted key {k!r}: leaf {parts[-1]!r} "
+                f"already holds {cur[parts[-1]]!r}"
+            )
         cur[parts[-1]] = v
     return out
 

@@ -196,11 +196,18 @@ def with_hilbert_key(
         raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
     mask = (1 << bits) - 1
     xs = [f"__hx{i}" for i in range(n)]
-    clash = ({"__hnull", "__ht", *xs} & set(df.columns)) - set(cols)
+    scratch = {"__hnull", "__ht", *xs}
+    clash = scratch & (set(df.columns) | set(cols))
     if clash:
+        # a coordinate (or pre-existing) column with a scratch name
+        # would be silently consumed and dropped; a key_col with one
+        # would be computed then dropped — refuse loudly instead
         raise ValueError(
-            f"with_hilbert_key scratch columns already exist: {sorted(clash)}"
+            f"with_hilbert_key scratch names in use: {sorted(clash)} — "
+            "rename those columns first"
         )
+    if key_col in scratch:
+        raise ValueError(f"key_col {key_col!r} collides with a scratch name")
     X = [F.col(c) for c in xs]
     null_any = F.col(f"`{cols[0]}`").isNull()
     for c in cols[1:]:

@@ -602,6 +602,18 @@ def test_from_caipy_cross_table_enum_domain_conflict(spark, tmp_path):
     with pytest.raises(ValueError, match="sensors.*different\\s+domains"):
         from_caipy(spark, str(root), schema=schema)
 
+    # the error's suggested remedy works: an explicit mapping applies
+    # to BOTH tables by column presence (one shared domain)
+    ds_fix = from_caipy(
+        spark, str(root), schema=schema,
+        booleanize_enums={"sensors": ["ir", "lidar", "radar", "rgb"]},
+    )
+    assert ds_fix.booleanized_columns["sensors"] == {
+        "ir", "lidar", "radar", "rgb"
+    }
+    assert "sensors.rgb" in ds_fix.images.columns
+    assert "sensors.lidar" in ds_fix.annotations.columns
+
     same = {
         "sensors": {
             "type": "array",

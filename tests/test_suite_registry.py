@@ -80,6 +80,32 @@ def test_bench_list_covers_all_queries():
     assert set(bench.BENCH_QUERIES) == set(ALL_QUERIES)
 
 
+def test_bench_sf1_top20_pinned_to_registry():
+    """scripts/bench_sf1.py pins its query list by name — a suite
+    rename must fail here, not as a KeyError partway through a
+    multi-minute sf1 run (and every pinned name must still resolve a
+    sf0.1 reference time in the committed BENCH_FULL.json, or the
+    'every ratio <= 2.0' acceptance silently narrows)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    import bench_sf1
+
+    from lours_spark.suite import ALL_QUERIES
+
+    assert len(bench_sf1.TOP20) == 20
+    assert set(bench_sf1.TOP20) <= set(ALL_QUERIES)
+    ref = json.load(
+        open(os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "BENCH_FULL.json"))
+    )["queries"]
+    assert set(bench_sf1.TOP20) <= set(ref)
+
+
 def test_bench_calm_gate_reference_readable():
     """The calm gate compares against the committed BENCH_FULL.json
     calibration — that file must stay parseable with the expected key
