@@ -43,14 +43,13 @@ Programming the Hilbert curve", AIP Conf. Proc. 707): the Hilbert
 curve is continuous, so every contiguous key range is a connected
 region and no file ever jumps across the space. Measured on the same
 64³ grid the full-axis outliers disappear
-(test_hilbert_three_column_spans). The write path uses
-:func:`with_hilbert_key` — the transpose's fixed-trip-count bit loops
-UNROLLED into a chain of codegen projections, so the Hilbert layout
-job is whole-stage codegen end to end exactly like Morton's; the
-Arrow-batched numpy twin :func:`hilbert_key` remains for ad-hoc
-Column-expression use and pins the unroll's values
-(test_hilbert_codegen_matches_arrow). Morton stays the default
-because its key is ONE cheap expression and engine-portable.
+(test_hilbert_three_column_spans). The write path uses the
+Arrow-batched numpy :func:`hilbert_key` — measured the faster form at
+scale (6M rows: 6.0s write vs 1.8s Morton; the codegen unroll
+:func:`with_hilbert_key` is value-identical but blows Spark's
+``hugeMethodLimit`` at default config and degrades to 25.5s — see its
+docstring for when it wins). Morton stays the default because its key
+is ONE cheap codegen expression and engine-portable.
 """
 
 from __future__ import annotations
@@ -173,13 +172,23 @@ def with_hilbert_key(
     expressions. Each step's CASE references its inputs more than
     once, which keeps CollapseProject from inlining the chain into one
     exponential expression (Spark only collapses cheap or
-    singly-referenced aliases), while whole-stage codegen still fuses
-    every projection into one compiled stage — the same machine shape
-    as :func:`zorder_key`, just more instructions. Cannot be a single
-    ``Column`` (the expression TREE would be exponential in ``bits``),
-    hence the DataFrame-in/DataFrame-out form; :func:`hilbert_key` is
-    the Column-expression (Arrow pandas UDF) twin for ad-hoc use, and
-    the two are value-identical (test_hilbert_codegen_matches_arrow).
+    singly-referenced aliases), while whole-stage codegen fuses every
+    projection into one compiled stage. Cannot be a single ``Column``
+    (the expression TREE would be exponential in ``bits``), hence the
+    DataFrame-in/DataFrame-out form; :func:`hilbert_key` is the
+    Column-expression (Arrow pandas UDF) twin, and the two are
+    value-identical (test_hilbert_codegen_matches_arrow).
+
+    MEASURED CAVEAT (6M rows, bits=16, n=2 — SCALING.md round 10): the
+    fused method exceeds ``spark.sql.codegen.hugeMethodLimit`` (65535
+    bytecode) at DEFAULT config, so Spark silently degrades to ~62
+    row-materializing projections — key evaluation 5.7s vs the Arrow
+    twin's ~4.2s total overhead, and a full ``write_zordered`` pass
+    25.5s vs 6.0s. With ``hugeMethodLimit`` raised (e.g. 1000000) the
+    fused stage is kept and evaluation drops to 3.2s vs Morton's 2.6s
+    — competitive and JVM-only. :func:`write_zordered` therefore uses
+    the Arrow twin by default; reach for this form when Python workers
+    are unavailable AND the session can raise ``hugeMethodLimit``.
 
     NULL in any coordinate → NULL key, like both twins.
 
@@ -360,10 +369,15 @@ def write_zordered(
             "__z", zorder_key([F.col(c) for c in cols], bits=bits)
         )
     elif curve == "hilbert":
-        # the codegen unroll, not the Arrow UDF: a layout job rewrites
-        # the whole table, so the key must stay inside whole-stage
-        # codegen like Morton's
-        keyed = with_hilbert_key(df, cols, bits=bits, key_col="__z")
+        # the Arrow UDF, NOT the codegen unroll — measured at 6M rows
+        # (SCALING.md round 10): the unroll's fused codegen method
+        # blows spark.sql.codegen.hugeMethodLimit at default config
+        # and degrades to 62 row-materializing projections (write
+        # 25.5s vs 6.0s Arrow vs 1.8s Morton); the Arrow key's ~0.7
+        # µs/row is the cheaper and config-independent path for a
+        # one-shot layout job. Use with_hilbert_key when Python
+        # workers are unavailable AND hugeMethodLimit can be raised.
+        keyed = df.withColumn("__z", hilbert_key(cols, bits=bits))
     else:
         raise ValueError(f"curve must be 'morton' or 'hilbert', got {curve!r}")
     (
