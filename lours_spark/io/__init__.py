@@ -3,6 +3,7 @@ from lours_spark.io.darknet import dataset_to_darknet, from_darknet
 from lours_spark.io.folder import from_folder
 from lours_spark.io.mot import from_mot
 from lours_spark.io.crowdhuman import from_crowd_human
+from lours_spark.io.jsonl import read_jsonl, write_jsonl
 
 __all__ = [
     "from_coco",
@@ -12,4 +13,6 @@ __all__ = [
     "from_folder",
     "from_mot",
     "from_crowd_human",
+    "read_jsonl",
+    "write_jsonl",
 ]

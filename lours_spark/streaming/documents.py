@@ -58,7 +58,11 @@ DOCUMENTS_SCHEMA = T.StructType(
 def read_document_stream(
     spark: SparkSession, path: str, fmt: str = "parquet"
 ) -> DataFrame:
-    """File-source stream over a directory of document drops."""
+    """File-source stream over a directory of document drops.
+    ``fmt="json"`` streams JSONL drops (one JSON doc per line, ``.gz``
+    transparent) with the same declared schema — see
+    :mod:`lours_spark.io.jsonl` for the batch twin and the scale
+    caveats (declared schema, gzip splittability)."""
     return (
         spark.readStream.format(fmt)
         .schema(DOCUMENTS_SCHEMA)

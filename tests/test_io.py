@@ -1399,3 +1399,111 @@ def test_caipy_generic_validation_and_empty_tree(spark, tmp_path):
     empty.mkdir(parents=True)
     with _pt.raises(ValueError, match="no split directories"):
         from_caipy(spark, str(tmp_path / "empty"))
+
+
+# --- JSONL corpus I/O (LLM-pipeline extension, io/jsonl.py) ---
+
+
+def test_jsonl_roundtrip_gzip(spark, tmp_path):
+    """write_jsonl -> read_jsonl round-trips the documents shape
+    through gzip, with the schema DECLARED (no inference scan)."""
+    from lours_spark.io.jsonl import DOCUMENT_SCHEMA, read_jsonl, write_jsonl
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text", "en", "web", 10 + i) for i in range(50)],
+        DOCUMENT_SCHEMA,
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(docs, out)  # gzip default
+    import glob
+
+    files = glob.glob(out + "/part-*")
+    assert files and all(f.endswith(".json.gz") for f in files)
+    back = read_jsonl(spark, out)
+    assert back.schema == docs.schema  # declared, not inferred
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(50))
+    assert back.filter(F.col("text") == "doc 7 text").count() == 1
+
+
+def test_jsonl_corrupt_policies(spark, tmp_path):
+    """on_corrupt: fail fast / drop / keep-with-quarantine-column."""
+    from lours_spark.io.jsonl import read_jsonl
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        '{"doc_id": 2, "text": "trunc\n'
+        '{"doc_id": 3, "text": "also ok"}\n'
+    )
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_jsonl(spark, str(p), on_corrupt="fail").collect()
+
+    kept = read_jsonl(spark, str(p), on_corrupt="drop").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
+
+    quarantined = read_jsonl(spark, str(p), on_corrupt="keep")
+    assert "_corrupt_record" in quarantined.columns
+    # Spark disallows queries whose referenced columns are ONLY the
+    # corrupt-record column (SPARK-21610) — materialize once, then split
+    rows = quarantined.collect()
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["doc_id"] is None
+    assert sum(r["_corrupt_record"] is None for r in rows) == 2
+
+    with pytest.raises(ValueError, match="on_corrupt"):
+        read_jsonl(spark, str(p), on_corrupt="ignore")
+
+
+def test_jsonl_shard_bounds(spark, tmp_path):
+    """max_records_per_file bounds rows per output file without a
+    shuffle; num_shards pins the exact file count."""
+    import glob
+    import gzip
+    import json as _json
+
+    from lours_spark.io.jsonl import read_jsonl, write_jsonl
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "sharded")
+    write_jsonl(docs, out, max_records_per_file=100, num_shards=2)
+    files = sorted(glob.glob(out + "/part-*"))
+    # 2 round-robin partitions x (~500 rows / 100 cap) ≈ 10 files
+    # (partitions are not perfectly even, so allow the +1-per-partition
+    # remainder file) — the CONTRACT is the per-file cap, checked below
+    assert 10 <= len(files) <= 12
+    total = 0
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            n = sum(1 for _ in fh)
+        assert n <= 100
+        total += n
+    assert total == 1000
+    back = read_jsonl(
+        spark, out, schema="doc_id long, text string"
+    )
+    assert back.count() == 1000
+
+    # streaming twin: the same drops consumed as a document stream
+    from lours_spark.streaming.documents import read_document_stream
+
+    plain = str(tmp_path / "plain_drops")
+    write_jsonl(
+        docs.select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("web").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        ),
+        plain, compression=None, num_shards=1,
+    )
+    stream = read_document_stream(spark, plain, fmt="json")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.sql("SELECT count(*) c FROM jsonl_stream_t").first()["c"] == 1000
