@@ -32,11 +32,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: the documents-table shape every curation operator in this engine
-#: consumes; matches /root/testdata's documents.parquet columns
-DOCUMENT_SCHEMA = (
-    "doc_id long, text string, lang string, source string, n_chars long"
+#: consumes; matches /root/testdata's documents.parquet columns. THE
+#: canonical definition — ``streaming.documents.DOCUMENTS_SCHEMA`` is
+#: this same object, so batch and streaming reads cannot drift.
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
 )
 
 _CORRUPT_COL = "_corrupt_record"
@@ -84,18 +93,24 @@ def read_jsonl(
         spark.read.option("mode", modes[on_corrupt])
         .option("recursiveFileLookup", str(recursive).lower())
     )
+    if on_corrupt == "keep":
+        # pin the corrupt-column name on the READER so the quarantine
+        # contract holds regardless of the session's
+        # spark.sql.columnNameOfCorruptRecord setting
+        reader = reader.option("columnNameOfCorruptRecord", _CORRUPT_COL)
     if schema is None:
         return reader.json(path)
     if isinstance(schema, str):
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromDDL(schema)
+        schema = T.StructType.fromDDL(schema)
     if on_corrupt == "keep" and _CORRUPT_COL not in schema.fieldNames():
         # PERMISSIVE only exposes the raw line if the schema has a
-        # string column named spark.sql.columnNameOfCorruptRecord
-        from pyspark.sql.types import StringType
-
-        schema = schema.add(_CORRUPT_COL, StringType())
+        # string column with the corrupt-record name. Build a NEW
+        # StructType — StructType.add mutates in place, which would
+        # plant a phantom column in the caller's schema object
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(_CORRUPT_COL, T.StringType())]
+        )
     return reader.schema(schema).json(path)
 
 

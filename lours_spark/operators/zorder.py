@@ -217,6 +217,14 @@ def with_hilbert_key(
         )
     if key_col in scratch:
         raise ValueError(f"key_col {key_col!r} collides with a scratch name")
+    if key_col in df.columns:
+        # silent overwrite would destroy a data column (or a
+        # coordinate: key_col='x' would replace x with the key) —
+        # fail loudly like the scratch guard above
+        raise ValueError(
+            f"key_col {key_col!r} already exists in the frame — "
+            "pick another name or drop it first"
+        )
     X = [F.col(c) for c in xs]
     null_any = F.col(f"`{cols[0]}`").isNull()
     for c in cols[1:]:

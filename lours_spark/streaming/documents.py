@@ -44,15 +44,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DOCUMENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
+# THE canonical documents schema lives in io/jsonl.py — one
+# definition, so the batch and streaming readers cannot drift
+from lours_spark.io.jsonl import DOCUMENT_SCHEMA as DOCUMENTS_SCHEMA
 
 
 def read_document_stream(

@@ -91,9 +91,6 @@ def main() -> None:
         1000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
     ).select(_warm("id")).count()
 
-    cal = _calibration(spark)
-    print(f"# calibration: {cal}", file=sys.stderr)
-
     import gc
 
     try:
@@ -102,6 +99,21 @@ def main() -> None:
         ref_cal = float(ref["calibration"]["spark_range_sum_sec"])
     except (OSError, KeyError, ValueError):
         ref_q, ref_cal = {}, None
+
+    cal = _calibration(spark)
+    # same artifact-protection rule as bench.py: a run whose
+    # calibration reads >1.5x the committed sf0.1 baseline's must not
+    # replace the committed BENCH_SF1.json (wait_for_calm gives up
+    # after 300s of sustained steal and the queries would run inflated)
+    host_calm = (
+        ref_cal is None
+        or cal["spark_range_sum_sec"] <= 1.5 * ref_cal
+    )
+    print(
+        f"# calibration: {cal} (committed sf0.1 ref {ref_cal}s, "
+        f"calm={host_calm})",
+        file=sys.stderr,
+    )
 
     def run_once(name: str) -> tuple[float, int]:
         fn = ALL_QUERIES[name]
@@ -142,6 +154,7 @@ def main() -> None:
         "scaled_dir": scaled,
         "queries": results,
         "worst_ratio_vs_10x_linear": worst,
+        "acceptance_pass": worst is not None and worst <= 2.0,
         "calibration": cal,
         "sf01_reference_calibration": ref_cal,
         "driver_rss_mb": round(rss_mb(), 1),
@@ -154,12 +167,21 @@ def main() -> None:
             "acceptance": "every ratio_vs_10x_linear <= 2.0",
         },
     }
+    if not host_calm:
+        payload["calibration"]["rejected"] = (
+            f"spark_range_sum {cal['spark_range_sum_sec']}s > 1.5x the "
+            f"committed sf0.1 baseline {ref_cal}s — committed artifact "
+            "left in place"
+        )
+        out_path = out_path.replace(".json", "_REJECTED.json")
+        print(f"# calm gate FAILED — writing {out_path}", file=sys.stderr)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
     print(json.dumps({
         "metric": payload["metric"], "value": payload["value"],
         "worst_ratio_vs_10x_linear": worst,
+        "acceptance_pass": payload["acceptance_pass"],
     }))
 
 
