@@ -1339,3 +1339,58 @@ def test_streaming_embedding_neardup_miner(spark, tmp_path):
     drop(all_rows[24:32], "d3")
     run()
     assert mined() == one_shot(32)
+
+
+def test_jsonl_drops_curate_stream_parity(spark, tmp_path):
+    """End-to-end over JSONL drops (the LLM-corpus interchange path):
+    write_jsonl drops -> read_document_stream(fmt='json') ->
+    curate_document_stream -> parquet sink, asserted row-identical to
+    the batch curation of read_jsonl over the same files."""
+    import os
+
+    from lours_spark.io.jsonl import read_jsonl, write_jsonl
+    from lours_spark.streaming.documents import (
+        curate_document_stream,
+        read_document_stream,
+    )
+
+    drop_dir = str(tmp_path / "jl_drops")
+    os.makedirs(drop_dir)
+    docs = spark.createDataFrame(
+        [
+            (i, ("good text with plenty of words here " * 3) + f"doc {i}"
+             if i % 3 else "x", "en", "web", 100 + i)
+            for i in range(60)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # two drops, plain jsonl (the file stream source lists *.json)
+    write_jsonl(docs.filter("doc_id < 30"), drop_dir + "/d0",
+                compression=None, num_shards=1)
+    write_jsonl(docs.filter("doc_id >= 30"), drop_dir + "/d1",
+                compression=None, num_shards=1)
+
+    stream = read_document_stream(spark, drop_dir + "/*/", fmt="json")
+    out_dir = str(tmp_path / "jl_out")
+    q = (
+        curate_document_stream(stream, quality_min_score=0.5)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "jl_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r["doc_id"]
+        for r in curate_document_stream(
+            read_jsonl(spark, drop_dir), quality_min_score=0.5
+        ).collect()
+    }
+    assert streamed == batch
+    assert 0 < len(streamed) < 60  # the quality filter actually bit
