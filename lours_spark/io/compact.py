@@ -1,0 +1,93 @@
+"""Parquet small-file compaction — table maintenance for streaming
+sinks.
+
+Every `foreachBatch`/append sink in this engine (the caipy watcher,
+curated-corpus parquet sinks) writes one-or-more files PER MICRO-BATCH.
+At 100 TB that decays into the classic small-file problem: a scan pays
+per-file open/footer costs, the driver pays listing, and
+`spark.sql.files.maxPartitionBytes` coalescing can only do so much.
+Compaction rewrites the table at a target file size.
+
+Spark-first shape: input bytes come from the `binaryFile` source with
+ONLY the `length` metadata column selected — column pruning means no
+file CONTENT is read for the sizing pass (cheap even on object
+stores); the rewrite itself is one round-robin exchange into
+``ceil(bytes / target)`` even output files.
+
+Atomicity is the caller's: plain parquet has no manifest, so
+compaction writes to a NEW directory and the caller swaps readers (or
+renames) when ready — compact-in-place on a live plain-parquet dir is
+a lost-update bug by construction, which is why ``dst`` is required
+rather than defaulting to ``src``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> "tuple[int, int]":
+    """(file_count, total_bytes) of the ``*.parquet`` files under
+    ``path`` (recursive), without reading any file content — the
+    binaryFile scan is pruned to the ``length`` metadata column."""
+    row = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("length").alias("bytes"),
+        )
+        .first()
+    )
+    return int(row["n"] or 0), int(row["bytes"] or 0)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+    mode: str = "error",
+) -> "dict[str, int]":
+    """Rewrite the parquet table at ``src`` into ``dst`` with
+    ``ceil(total_bytes / target_file_mb)`` evenly-sized files.
+
+    Returns ``{"files_in": n, "bytes_in": b, "files_out": m}`` so
+    maintenance jobs can log the win. ``dst`` must differ from ``src``
+    (see module docstring — no-manifest formats cannot compact in
+    place safely).
+
+    >>> import glob, os, tempfile
+    >>> root = tempfile.mkdtemp()
+    >>> src, dst = os.path.join(root, "s"), os.path.join(root, "d")
+    >>> for i in range(4):  # 4 tiny "micro-batch" appends
+    ...     spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+    ...         "append").parquet(src)
+    >>> stats = compact_parquet(spark, src, dst, target_file_mb=512)
+    >>> (stats["files_in"], stats["files_out"])
+    (4, 1)
+    >>> spark.read.parquet(dst).count()
+    40
+    """
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError(
+            "compact_parquet writes to a NEW directory (plain parquet "
+            "has no manifest; in-place compaction races readers) — "
+            "pass a distinct dst and swap when ready"
+        )
+    n_in, bytes_in = parquet_file_stats(spark, src)
+    if n_in == 0:
+        raise ValueError(f"no parquet files under {src!r}")
+    n_out = max(1, math.ceil(bytes_in / (target_file_mb * 1024 * 1024)))
+    (
+        spark.read.parquet(src)
+        .repartition(n_out)
+        .write.mode(mode)
+        .parquet(dst)
+    )
+    return {"files_in": n_in, "bytes_in": bytes_in, "files_out": n_out}

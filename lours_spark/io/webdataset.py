@@ -428,3 +428,81 @@ def from_webdataset(
         .pivot("ext", exts)
         .agg(F.first("data"))
     )
+
+
+def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """One row per shard: ``(shard, n_samples, n_members, bytes)`` —
+    the inventory a training loader's shard list is built from.
+
+    Sample counts come from ONE distributed pass over the tar headers
+    (the same per-shard ``binaryFile`` tasks as the reader); shard
+    byte sizes ride the file-metadata column, so the join is
+    shard-count sized."""
+    members = read_webdataset_members(spark, path).groupBy("shard").agg(
+        F.countDistinct("key").alias("n_samples"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    sizes = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path", F.col("length").alias("bytes"))
+    )
+
+    def shard_name(col):
+        base = F.element_at(F.split(col, "/"), -1)
+        parent = F.element_at(F.split(col, "/"), -2)
+        return F.when(
+            parent.rlike(r"^batch-\d+$"), F.concat_ws("/", parent, base)
+        ).otherwise(base)
+
+    return members.join(
+        sizes.select(shard_name(F.col("path")).alias("shard"), "bytes"),
+        "shard",
+    ).orderBy("shard")
+
+
+def write_shard_manifest(
+    spark: SparkSession, path: str, manifest_name: str = "shards.json"
+) -> str:
+    """Materialize :func:`shard_manifest` as ONE JSON file next to the
+    shards (the WebDataset-loader convention: a small shard list the
+    training job reads up front instead of listing the store). The
+    manifest is shard-count sized — thousands of rows at most — so a
+    driver-side write is the honest shape; returns the written path.
+    (Local-FS ``path`` assumed for the write itself; on an object
+    store, write the returned :func:`shard_manifest` frame through
+    ``pyarrow.fs`` like the staging writer does.)
+
+    >>> import json, os, tempfile
+    >>> out = os.path.join(tempfile.mkdtemp(), "wds")
+    >>> docs = spark.createDataFrame(
+    ...     [(i, f"t{i}") for i in range(20)], "doc_id long, text string")
+    >>> dataset_to_webdataset(docs, out, {"txt": "text"}, num_shards=2)
+    >>> p = write_shard_manifest(spark, out)
+    >>> m = json.load(open(p))
+    >>> (len(m["shards"]), sum(s["n_samples"] for s in m["shards"]))
+    (2, 20)
+    """
+    import json as _json
+
+    rows = shard_manifest(spark, path).collect()
+    doc = {
+        "shards": [
+            {
+                "shard": r["shard"],
+                "n_samples": int(r["n_samples"]),
+                "n_members": int(r["n_members"]),
+                "bytes": int(r["bytes"]),
+            }
+            for r in rows
+        ],
+        "total_samples": int(sum(r["n_samples"] for r in rows)),
+        "total_bytes": int(sum(r["bytes"] for r in rows)),
+    }
+    dst = os.path.join(path, manifest_name)
+    with open(dst, "w") as f:
+        _json.dump(doc, f, indent=1)
+        f.write("\n")
+    return dst

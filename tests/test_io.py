@@ -1507,3 +1507,31 @@ def test_jsonl_shard_bounds(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.sql("SELECT count(*) c FROM jsonl_stream_t").first()["c"] == 1000
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Small-file compaction: N micro-batch appends -> 1 target-sized
+    file, values preserved; in-place refuses; sizing pass reads only
+    binaryFile metadata (no content scan)."""
+    from lours_spark.io.compact import compact_parquet, parquet_file_stats
+
+    src = str(tmp_path / "small")
+    for i in range(6):
+        spark.range(i * 100, (i + 1) * 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    n, b = parquet_file_stats(spark, src)
+    assert n == 6 and b > 0
+
+    dst = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, src, dst, target_file_mb=512)
+    assert stats == {"files_in": 6, "bytes_in": b, "files_out": 1}
+    import glob
+
+    assert len(glob.glob(dst + "/part-*.parquet")) == 1
+    assert sorted(r["id"] for r in spark.read.parquet(dst).collect()) == list(
+        range(600)
+    )
+
+    with pytest.raises(ValueError, match="in-place|NEW directory"):
+        compact_parquet(spark, src, src + "/", target_file_mb=512)

@@ -287,3 +287,60 @@ def test_webdataset_staging_path_roundtrip_and_fault(spark, tmp_path):
         for p in glob.glob(os.path.join(forced, "shard-*.tar"))
     }
     assert got_forced == ref
+
+
+def test_shard_manifest_plain_and_streaming_layouts(spark, tmp_path):
+    """shard_manifest counts samples/members/bytes per shard in both
+    the plain layout and the streaming sink's batch-*/ layout (where
+    shard names are batch-qualified); write_shard_manifest lands the
+    loader-facing shards.json next to the tars."""
+    import json
+    import os
+
+    from lours_spark.io.webdataset import (
+        dataset_to_webdataset,
+        shard_manifest,
+        write_shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", bytes([i]) * 4) for i in range(30)],
+        "doc_id long, text string, payload binary",
+    )
+    out = str(tmp_path / "wds_plain")
+    dataset_to_webdataset(
+        docs, out, {"txt": "text", "bin": "payload"}, num_shards=3
+    )
+    rows = {r["shard"]: r for r in shard_manifest(spark, out).collect()}
+    assert len(rows) == 3
+    assert sum(r["n_samples"] for r in rows.values()) == 30
+    # two members (txt + bin) per sample
+    assert all(r["n_members"] == 2 * r["n_samples"] for r in rows.values())
+    assert all(r["bytes"] > 0 for r in rows.values())
+
+    p = write_shard_manifest(spark, out)
+    m = json.load(open(p))
+    assert m["total_samples"] == 30 and len(m["shards"]) == 3
+    assert os.path.basename(p) == "shards.json"
+
+    # streaming layout: batch-qualified shard names stay distinct
+    from lours_spark.io.webdataset import write_webdataset_stream
+
+    drops = str(tmp_path / "drops")
+    docs.write.parquet(drops)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .load(drops)
+    )
+    sout = str(tmp_path / "wds_stream")
+    q = write_webdataset_stream(
+        stream, sout, {"txt": "text"},
+        checkpoint_dir=str(tmp_path / "ck"), shards_per_batch=2,
+    )
+    q.awaitTermination()
+    srows = shard_manifest(spark, sout).collect()
+    assert all("/" in r["shard"] and r["shard"].startswith("batch-")
+               for r in srows)
+    assert sum(r["n_samples"] for r in srows) == 30
