@@ -2,6 +2,7 @@ from lours_spark.io.coco import dataset_to_coco, from_coco
 from lours_spark.io.darknet import dataset_to_darknet, from_darknet
 from lours_spark.io.folder import from_folder
 from lours_spark.io.mot import from_mot
+from lours_spark.io.compact import compact_parquet, parquet_file_stats
 from lours_spark.io.crowdhuman import from_crowd_human
 from lours_spark.io.jsonl import read_jsonl, write_jsonl
 
@@ -15,4 +16,6 @@ __all__ = [
     "from_crowd_human",
     "read_jsonl",
     "write_jsonl",
+    "compact_parquet",
+    "parquet_file_stats",
 ]
