@@ -53,14 +53,25 @@ def compact_parquet(
     dst: str,
     target_file_mb: int = 512,
     mode: str = "error",
+    partition_by: "list[str] | None" = None,
 ) -> "dict[str, int]":
     """Rewrite the parquet table at ``src`` into ``dst`` with
     ``ceil(total_bytes / target_file_mb)`` evenly-sized files.
 
+    ``partition_by``: pass the table's hive-partition columns (e.g.
+    ``["split"]`` for this engine's split-partitioned dataset writes)
+    to KEEP the directory layout — without it a partitioned table
+    compacts into a flat one (the partition columns survive as data
+    columns, but scans lose partition pruning). The shuffle then
+    distributes by (partition cols, random) so each partition
+    directory gets evenly-sized files instead of one file per input
+    task per partition value.
+
     Returns ``{"files_in": n, "bytes_in": b, "files_out": m}`` so
-    maintenance jobs can log the win. ``dst`` must differ from ``src``
-    (see module docstring — no-manifest formats cannot compact in
-    place safely).
+    maintenance jobs can log the win (with ``partition_by``,
+    ``files_out`` is the total across partition directories).
+    ``dst`` must differ from ``src`` (see module docstring —
+    no-manifest formats cannot compact in place safely).
 
     >>> import glob, os, tempfile
     >>> root = tempfile.mkdtemp()
@@ -84,10 +95,38 @@ def compact_parquet(
     if n_in == 0:
         raise ValueError(f"no parquet files under {src!r}")
     n_out = max(1, math.ceil(bytes_in / (target_file_mb * 1024 * 1024)))
-    (
-        spark.read.parquet(src)
-        .repartition(n_out)
-        .write.mode(mode)
-        .parquet(dst)
-    )
+    df = spark.read.parquet(src)
+    writer_cols: list = []
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns not in table: {missing}"
+            )
+        writer_cols = list(partition_by)
+        # distribute by (partition cols, bounded spread slot):
+        # repartition(n) alone gives each task rows from MANY
+        # partition values and emits one small file per (task, value)
+        # pair — recreating the small-file problem inside each
+        # directory. Each value gets ~n_out/n_values deterministic
+        # slots instead (xxhash64 of the row, so no rand
+        # re-evaluation hazards); per-VALUE size skew keeps equal
+        # slot counts — a per-value byte-weighted slot map would
+        # need an extra aggregation pass, not worth it for
+        # maintenance jobs.
+        n_values = df.select(*writer_cols).distinct().count()
+        slots = max(1, round(n_out / max(n_values, 1)))
+        spread = F.pmod(
+            F.xxhash64(*[F.col(f"`{c}`") for c in df.columns]),
+            F.lit(slots),
+        )
+        df = df.repartition(
+            max(n_out, n_values), *writer_cols, spread
+        )
+    else:
+        df = df.repartition(n_out)
+    writer = df.write.mode(mode)
+    if writer_cols:
+        writer = writer.partitionBy(*writer_cols)
+    writer.parquet(dst)
     return {"files_in": n_in, "bytes_in": bytes_in, "files_out": n_out}

@@ -1535,3 +1535,43 @@ def test_compact_parquet(spark, tmp_path):
 
     with pytest.raises(ValueError, match="in-place|NEW directory"):
         compact_parquet(spark, src, src + "/", target_file_mb=512)
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    """partition_by keeps the hive layout: each split directory gets a
+    BOUNDED file count (not one file per input task per value) and the
+    values round-trip with partition pruning intact."""
+    import glob
+    import os
+
+    from lours_spark.io.compact import compact_parquet
+
+    src = str(tmp_path / "part_small")
+    for i in range(5):  # 5 appends x 2 splits = many small files
+        spark.createDataFrame(
+            [(i * 10 + j, "train" if j % 2 else "eval") for j in range(10)],
+            "id long, split string",
+        ).repartition(4).write.partitionBy("split").mode("append").parquet(src)
+    files_in = glob.glob(src + "/split=*/part-*.parquet")
+    assert len(files_in) >= 20  # the small-file mess is real
+
+    dst = str(tmp_path / "part_compact")
+    stats = compact_parquet(
+        spark, src, dst, target_file_mb=512, partition_by=["split"]
+    )
+    assert stats["files_in"] == len(files_in)
+    dirs = sorted(os.path.basename(d) for d in glob.glob(dst + "/split=*"))
+    assert dirs == ["split=eval", "split=train"]
+    # bounded: ~n_out/n_values slots per value (here 1 each)
+    for d in glob.glob(dst + "/split=*"):
+        assert len(glob.glob(d + "/part-*.parquet")) <= 2
+    back = spark.read.parquet(dst)
+    assert back.count() == 50
+    assert back.filter(F.col("split") == "train").count() == 25
+    # partition pruning: the filter reaches the scan as PartitionFilters
+    plan = back.filter(F.col("split") == "train")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+
+    with pytest.raises(ValueError, match="not in table"):
+        compact_parquet(spark, src, dst + "2", partition_by=["nope"])
