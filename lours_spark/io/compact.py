@@ -67,11 +67,15 @@ def compact_parquet(
     directory gets evenly-sized files instead of one file per input
     task per partition value.
 
-    Returns ``{"files_in": n, "bytes_in": b, "files_out": m}`` so
-    maintenance jobs can log the win (with ``partition_by``,
-    ``files_out`` is the total across partition directories).
-    ``dst`` must differ from ``src`` (see module docstring —
-    no-manifest formats cannot compact in place safely).
+    Returns ``{"files_in": n, "bytes_in": b, "files_out": m,
+    "bytes_out": b2}`` — ``files_out``/``bytes_out`` are MEASURED on
+    ``dst`` after the write (one more metadata-only ``binaryFile``
+    listing), not the computed target: with ``partition_by``, hash
+    collisions in the spread slots and per-value skew make the real
+    count differ from ``ceil(bytes/target)``, and a maintenance job
+    alarming on file growth needs the truth. ``dst`` must differ from
+    ``src`` (see module docstring — no-manifest formats cannot
+    compact in place safely).
 
     >>> import glob, os, tempfile
     >>> root = tempfile.mkdtemp()
@@ -129,4 +133,10 @@ def compact_parquet(
     if writer_cols:
         writer = writer.partitionBy(*writer_cols)
     writer.parquet(dst)
-    return {"files_in": n_in, "bytes_in": bytes_in, "files_out": n_out}
+    n_real, bytes_out = parquet_file_stats(spark, dst)
+    return {
+        "files_in": n_in,
+        "bytes_in": bytes_in,
+        "files_out": n_real,
+        "bytes_out": bytes_out,
+    }

@@ -73,6 +73,14 @@ def read_jsonl(
     column is disallowed straight off the scan — select a data column
     alongside it, or persist the parsed frame first.)
 
+    ``"drop"`` caveat: DROPMALFORMED is applied during parsing, and a
+    column-pruned query (``count()``, or a subset projection whose
+    referenced fields all parse fine on a line that is malformed
+    elsewhere) may not drop the same rows as a full-row read — on
+    dirty corpora ``count()`` and ``collect()`` can disagree. For a
+    reliable quarantine, prefer ``"keep"`` and filter on
+    ``_corrupt_record IS NULL`` (a filter, so it survives pruning).
+
     >>> import os, tempfile
     >>> p = os.path.join(tempfile.mkdtemp(), "corpus.jsonl")
     >>> _ = open(p, "w").write(

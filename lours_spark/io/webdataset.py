@@ -358,6 +358,67 @@ def write_webdataset_stream(
     return writer.start()
 
 
+#: URI scheme prefix ("file:", "file://", "s3://", ...) — stripped so
+#: the shard key derivation is scheme-insensitive (Spark's binaryFile
+#: reports qualified URIs while callers pass plain paths)
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}")
+
+
+def _norm_uri_path(p: str) -> str:
+    """'file:/a/b', 'file:///a/b' and '/a/b' all normalize to '/a/b';
+    's3://bucket/k' becomes '/bucket/k'. Consistency between the two
+    legs is all the prefix strip below needs."""
+    m = _SCHEME_RE.match(p)
+    if m:
+        p = "/" + p[m.end():].lstrip("/")
+    return p
+
+
+def _norm_root(root: str) -> str:
+    """The scan root in the same normalized form as the file paths
+    (scheme-less roots are made absolute first — Spark qualifies them
+    before listing)."""
+    r = root if _SCHEME_RE.match(root) else os.path.abspath(root)
+    return _norm_uri_path(r).rstrip("/")
+
+
+def _shard_key(file_path: str, root: str) -> str:
+    """Shard key = the tar's path RELATIVE to the scan root. A bare
+    basename collides for same-named tars in distinct subdirectories
+    (two ``sub*/shard-00000.tar`` would merge in any groupBy on the
+    shard column); the relative path is unique by construction.
+    Fallback when the root isn't a path prefix (glob roots, a direct
+    file path): basename, qualified by a ``batch-*`` parent — the
+    streaming sink's layout. Keep in sync with :func:`_shard_key_col`
+    (equivalence is pinned by tests/test_webdataset.py)."""
+    f = _norm_uri_path(file_path.rstrip("/"))
+    r = _norm_root(root)
+    if f.startswith(r + "/"):
+        return f[len(r) + 1 :]
+    base = os.path.basename(f)
+    parent = os.path.basename(os.path.dirname(f))
+    if re.fullmatch(r"batch-\d+", parent):
+        return f"{parent}/{base}"
+    return base
+
+
+def _shard_key_col(path_col, root: str):
+    """JVM Column twin of :func:`_shard_key` (same derivation, no
+    Python worker) for metadata-only legs like the manifest's size
+    scan."""
+    r = _norm_root(root)
+    norm = F.regexp_replace(path_col, _SCHEME_RE.pattern, "/")
+    base = F.element_at(F.split(norm, "/"), -1)
+    parent = F.element_at(F.split(norm, "/"), -2)
+    fallback = F.when(
+        parent.rlike(r"^batch-\d+$"), F.concat_ws("/", parent, base)
+    ).otherwise(base)
+    return F.when(
+        norm.startswith(r + "/"),
+        F.substring(norm, len(r) + 2, 2**24),
+    ).otherwise(fallback)
+
+
 def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
     """Long form: one row per tar member — ``(shard, key, ext, data)``.
     One task per shard via ``binaryFile`` (shards are the unit of
@@ -392,18 +453,15 @@ def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
                         d, _, base = m.name.rpartition("/")
                         kp, _, ext = base.partition(".")
                         key = f"{d}/{kp}" if d else kp
-                        # disambiguate the streaming sink's layout:
+                        # shard key = path relative to the scan root:
                         # batch-000000/shard-00000.tar and
                         # batch-000001/shard-00000.tar are DISTINCT
-                        # shards — a bare basename would merge them for
-                        # any consumer grouping on this column. Plain
-                        # (non-batch) layouts keep the bare name.
-                        sp = row["path"].rstrip("/")
-                        sname = os.path.basename(sp)
-                        parent = os.path.basename(os.path.dirname(sp))
-                        if re.fullmatch(r"batch-\d+", parent):
-                            sname = f"{parent}/{sname}"
-                        out["shard"].append(sname)
+                        # shards, as are same-named tars in any other
+                        # subdirectory pair — a bare basename would
+                        # merge them for any consumer grouping on this
+                        # column. Plain layouts keep the bare name
+                        # (their relative path IS the basename).
+                        out["shard"].append(_shard_key(row["path"], path))
                         out["key"].append(key)
                         out["ext"].append(ext)
                         out["data"].append(tar.extractfile(m).read())
@@ -436,31 +494,45 @@ def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
 
     Sample counts come from ONE distributed pass over the tar headers
     (the same per-shard ``binaryFile`` tasks as the reader); shard
-    byte sizes ride the file-metadata column, so the join is
-    shard-count sized."""
+    byte sizes ride the file-metadata column (the sizes scan never
+    reads tar CONTENT — plan-pinned in tests/test_webdataset.py), so
+    the join is shard-count sized. The join is a LEFT join FROM the
+    sizes leg: a tar with zero members still inventories (n_samples =
+    n_members = 0) instead of vanishing from the manifest and its
+    byte total. Shard keys on both legs are the path relative to the
+    scan root (:func:`_shard_key`), so same-named tars in distinct
+    subdirectories stay distinct rows."""
     members = read_webdataset_members(spark, path).groupBy("shard").agg(
         F.countDistinct("key").alias("n_samples"),
         F.count(F.lit(1)).alias("n_members"),
     )
-    sizes = (
+    sizes = _shard_sizes(spark, path)
+    return (
+        sizes.join(members, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_samples", F.lit(0)).alias("n_samples"),
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            "bytes",
+        )
+        .orderBy("shard")
+    )
+
+
+def _shard_sizes(spark: SparkSession, path: str) -> DataFrame:
+    """``(shard, bytes)`` per tar under ``path`` from binaryFile
+    METADATA only — the scan must stay pruned to (path, length); a
+    content read here would double every manifest's I/O."""
+    return (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.tar")
         .load(path)
-        .select("path", F.col("length").alias("bytes"))
+        .select(
+            _shard_key_col(F.col("path"), path).alias("shard"),
+            F.col("length").alias("bytes"),
+        )
     )
-
-    def shard_name(col):
-        base = F.element_at(F.split(col, "/"), -1)
-        parent = F.element_at(F.split(col, "/"), -2)
-        return F.when(
-            parent.rlike(r"^batch-\d+$"), F.concat_ws("/", parent, base)
-        ).otherwise(base)
-
-    return members.join(
-        sizes.select(shard_name(F.col("path")).alias("shard"), "bytes"),
-        "shard",
-    ).orderBy("shard")
 
 
 def write_shard_manifest(

@@ -305,10 +305,11 @@ def with_hilbert_key(
 def hilbert_key(cols: "list[str]", bits: int = 16):
     """Hilbert index of n already-quantized non-negative integer
     columns as an Arrow-batched pandas UDF returning BIGINT — the
-    Column-expression twin of :func:`with_hilbert_key` for ad-hoc use
-    (the write path uses the codegen unroll; this one costs an Arrow
-    exchange but composes like any Column). ``n_cols * bits`` <= 62
-    like Morton.
+    kernel ``write_zordered(curve="hilbert")`` actually uses (the
+    Arrow exchange is measurably cheaper than the codegen unroll at
+    default JVM config, see SCALING.md); :func:`with_hilbert_key` is
+    the pure-Column codegen alternative for sessions that must avoid
+    Python workers entirely. ``n_cols * bits`` <= 62 like Morton.
 
     >>> df = spark.createDataFrame([(0, 0), (0, 1), (1, 1), (1, 0)],
     ...                            "x long, y long")

@@ -1525,10 +1525,12 @@ def test_compact_parquet(spark, tmp_path):
 
     dst = str(tmp_path / "compacted")
     stats = compact_parquet(spark, src, dst, target_file_mb=512)
-    assert stats == {"files_in": 6, "bytes_in": b, "files_out": 1}
     import glob
 
     assert len(glob.glob(dst + "/part-*.parquet")) == 1
+    # files_out/bytes_out are MEASURED on dst, not the computed target
+    assert stats["files_in"] == 6 and stats["bytes_in"] == b
+    assert stats["files_out"] == 1 and stats["bytes_out"] > 0
     assert sorted(r["id"] for r in spark.read.parquet(dst).collect()) == list(
         range(600)
     )
@@ -1563,8 +1565,12 @@ def test_compact_parquet_partitioned(spark, tmp_path):
     dirs = sorted(os.path.basename(d) for d in glob.glob(dst + "/split=*"))
     assert dirs == ["split=eval", "split=train"]
     # bounded: ~n_out/n_values slots per value (here 1 each)
+    files_out = glob.glob(dst + "/split=*/part-*.parquet")
     for d in glob.glob(dst + "/split=*"):
         assert len(glob.glob(d + "/part-*.parquet")) <= 2
+    # files_out is the MEASURED post-write count (with partition_by the
+    # byte-derived target and reality can differ)
+    assert stats["files_out"] == len(files_out)
     back = spark.read.parquet(dst)
     assert back.count() == 50
     assert back.filter(F.col("split") == "train").count() == 25
@@ -1572,6 +1578,17 @@ def test_compact_parquet_partitioned(spark, tmp_path):
     plan = back.filter(F.col("split") == "train")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "PartitionFilters: [isnotnull(split" in plan
+    # ... and the pruning is REAL: a per-value read touches only that
+    # value's directory (layout survived compaction end-to-end)
+    for v in ("train", "eval"):
+        paths = [
+            r["f"]
+            for r in back.filter(F.col("split") == v)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        assert paths and all(f"split={v}" in p for p in paths), (v, paths)
 
     with pytest.raises(ValueError, match="not in table"):
         compact_parquet(spark, src, dst + "2", partition_by=["nope"])

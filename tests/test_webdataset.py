@@ -344,3 +344,109 @@ def test_shard_manifest_plain_and_streaming_layouts(spark, tmp_path):
     assert all("/" in r["shard"] and r["shard"].startswith("batch-")
                for r in srows)
     assert sum(r["n_samples"] for r in srows) == 30
+
+
+def test_shard_key_python_and_column_twins_agree(spark):
+    """_shard_key (Python, members leg) and _shard_key_col (JVM,
+    sizes leg) must derive IDENTICAL keys or the manifest join
+    silently drops shards — pinned over scheme variants, nested
+    layouts, and the glob-root fallback."""
+    from lours_spark.io.webdataset import _shard_key, _shard_key_col
+
+    cases = [
+        # (file path as binaryFile reports it, scan root)
+        ("file:/data/wds/shard-00001.tar", "/data/wds"),
+        ("file:///data/wds/shard-00001.tar", "/data/wds"),
+        ("file:/data/wds/batch-000002/shard-00000.tar", "/data/wds"),
+        ("file:/data/wds/sub1/shard-00000.tar", "/data/wds"),
+        ("file:/data/wds/sub2/shard-00000.tar", "/data/wds"),
+        ("file:/data/wds/a/b/shard-00003.tar", "/data/wds"),
+        # root not a prefix (glob root) -> basename/batch fallback
+        ("file:/elsewhere/batch-000007/shard-00004.tar", "/data/*"),
+        ("file:/elsewhere/plain/shard-00005.tar", "/data/*"),
+    ]
+    df = spark.createDataFrame(cases, "path string, root string")
+    for fp, root in cases:
+        got_col = (
+            df.filter((F.col("path") == fp) & (F.col("root") == root))
+            .select(_shard_key_col(F.col("path"), root).alias("k"))
+            .first()["k"]
+        )
+        assert got_col == _shard_key(fp, root), (fp, root, got_col)
+    # the relative-path key keeps same-basename tars distinct
+    assert _shard_key("file:/d/sub1/s.tar", "/d") == "sub1/s.tar"
+    assert _shard_key("file:/d/sub2/s.tar", "/d") == "sub2/s.tar"
+
+
+def test_shard_manifest_zero_member_and_nested_collisions(spark, tmp_path):
+    """A zero-member tar still rows in the manifest (n_samples =
+    n_members = 0, bytes counted) via the left join from sizes, and
+    same-named tars in distinct subdirectories stay distinct rows."""
+    import tarfile as _tarfile
+
+    from lours_spark.io.webdataset import (
+        dataset_to_webdataset,
+        shard_manifest,
+    )
+
+    out = tmp_path / "wds"
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    # same shard basenames under two sibling subdirectories
+    dataset_to_webdataset(docs, str(out / "part-a"), {"txt": "text"},
+                          num_shards=2)
+    dataset_to_webdataset(docs, str(out / "part-b"), {"txt": "text"},
+                          num_shards=2)
+    # plus an empty (zero-member) tar
+    with _tarfile.open(out / "empty.tar", "w"):
+        pass
+
+    rows = {r["shard"]: r for r in shard_manifest(spark, str(out)).collect()}
+    assert len(rows) == 5, sorted(rows)  # 2 + 2 + empty, no merges
+    assert rows["empty.tar"]["n_samples"] == 0
+    assert rows["empty.tar"]["n_members"] == 0
+    assert rows["empty.tar"]["bytes"] > 0  # tar EOF blocks
+    for sub in ("part-a", "part-b"):
+        got = sum(
+            r["n_samples"] for k, r in rows.items() if k.startswith(sub + "/")
+        )
+        assert got == 10, (sub, got)
+
+
+def test_shard_sizes_plan_reads_no_content(spark, tmp_path):
+    """The manifest's sizes leg must stay a METADATA-only binaryFile
+    scan — a refactor that starts reading tar content there doubles
+    every manifest's I/O. Pin the plan: the sizes scan's ReadSchema
+    carries path+length only, and in the full manifest plan exactly
+    one of the two binaryFile scans reads content (the members leg)."""
+    from lours_spark.io.webdataset import (
+        _shard_sizes,
+        dataset_to_webdataset,
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "wds")
+    dataset_to_webdataset(docs, out, {"txt": "text"}, num_shards=2)
+
+    sizes_plan = _shard_sizes(spark, out)._jdf.queryExecution().toString()
+    size_schemas = [
+        line.split("ReadSchema:")[1]
+        for line in sizes_plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert size_schemas, sizes_plan
+    assert all("content" not in s for s in size_schemas), size_schemas
+
+    full_plan = (
+        shard_manifest(spark, out)._jdf.queryExecution().toString()
+    )
+    schemas = [
+        line.split("ReadSchema:")[1]
+        for line in full_plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert sum("content" in s for s in schemas) == 1, schemas
