@@ -14,7 +14,7 @@ gates a 50-query prefix): closely-related operator facets are merged
 into combined gate queries via NULL-padded facet unions or same-grain
 joins, each facet keeping its own logic and oracle leg.
 ``lours_spark.suite.GATE_FACETS`` maps combined name → original facet
-names; ``lours_spark.suite.ALL_QUERIES`` (105 entries) keeps every
+names; ``lours_spark.suite.ALL_QUERIES`` (106 entries) keeps every
 standalone query for bench.py / scripts / tests.
 """
 

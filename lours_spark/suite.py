@@ -20,7 +20,7 @@ The gate registry is CONSOLIDATED to exactly 50 queries; combined
 names map back to their facets:
 
 >>> len(QUERIES), len(ALL_QUERIES)
-(50, 105)
+(50, 106)
 >>> GATE_FACETS["knn_label"]
 ['knn_label', 'ivf_topk']
 >>> sorted(GATE_FACETS["balanced_split"])
@@ -4640,6 +4640,46 @@ _EXTRA_ORACLES.update(
     }
 )
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL corpus round-trip (io/jsonl.py, round 11): write the
+    documents table as gzipped JSONL (declared schema, bounded records
+    per file), read it back with the declared document schema, and
+    emit per-doc identity evidence. The oracle states the expected
+    fixpoint straight off the parquet table, so hash-exactness proves
+    ``write_jsonl -> read_jsonl`` preserves every value bit-for-bit —
+    the only way the facet passes is if the JSON encode/decode cycle
+    is lossless (cross-engine parse parity with DuckDB
+    ``read_json_auto`` over the same written files is pinned in
+    tests/test_io.py, where paths are test-local)."""
+    import tempfile
+
+    from lours_spark.io.jsonl import read_jsonl, write_jsonl
+
+    d = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="lours_jsonl_gate_") + "/corpus"
+    write_jsonl(d, out, compression="gzip", num_shards=4)
+    rt = read_jsonl(spark, out)
+    return rt.select(
+        "doc_id",
+        F.col("lang").alias("rt_lang"),
+        F.col("source").alias("rt_source"),
+        F.col("n_chars").alias("rt_n_chars"),
+        F.md5("text").alias("rt_text_md5"),
+    )
+
+
+def _oracle_jsonl_roundtrip() -> str:
+    return """
+SELECT doc_id, lang AS rt_lang, source AS rt_source,
+       n_chars AS rt_n_chars, md5(text) AS rt_text_md5
+FROM documents
+"""
+
+
+QUERIES.update({"jsonl_roundtrip": q_jsonl_roundtrip})
+_EXTRA_ORACLES.update({"jsonl_roundtrip": _oracle_jsonl_roundtrip})
+
+
 # ==========================================================================
 # Gate consolidation (round 2)
 # ==========================================================================
@@ -4774,6 +4814,9 @@ _CURATION_FACETS = (
     "boilerplate_removal",
     "classifier_score",
     "embedding_incremental",
+    # round 11: the last oracle-less curation surface (JSONL corpus
+    # I/O) gets a hash-exact round-trip leg
+    "jsonl_roundtrip",
 )
 
 GATE_FACETS: dict[str, list[str]] = {
@@ -4975,6 +5018,10 @@ FROM ({base["language_id"]}) a JOIN ({base["quality_score"]}) b USING (doc_id)
                 ],
                 "classifier_score": ["doc_id", "n_grams", "score"],
                 "embedding_incremental": ["id_a", "id_b", "cosine"],
+                "jsonl_roundtrip": [
+                    "doc_id", "rt_lang", "rt_source", "rt_n_chars",
+                    "rt_text_md5",
+                ],
             }
             out[name] = _facet_union_sql(
                 *[(n, base[n], leg_cols[n]) for n in _CURATION_FACETS]

@@ -1,6 +1,11 @@
-"""Decade-up bench: the top-20 most expensive suite queries at
-sf1.0-equivalent data (the 10x structured replica of sf0.1 from
-scripts/make_scale_data.py — 6M-row lineitem, 600k documents).
+"""Decade-up bench: the 23 pinned suite queries at sf1.0-equivalent
+data (the 10x structured replica of sf0.1 from
+scripts/make_scale_data.py — 6M-row lineitem, 600k documents): the
+top-20 most expensive by the round-9 sf0.1 artifact, plus the three
+queries round 10 flagged as noise-suspected (>2x round 9 on untouched
+code, sub-second so outside the expense cut) — promoted here so the
+decade-up acceptance evidence covers exactly the queries under
+suspicion (VERDICT r10 item 2).
 
 Rationale (VERDICT r9 item 1): the sf0.1 suite is sub-3s per query and
 demonstrably noise-dominated on this VM (±30% wobble on untouched code
@@ -36,8 +41,9 @@ from _calm import rss_mb, wait_for_calm  # noqa: E402
 
 #: top-20 by committed BENCH_FULL.json sf0.1 time (round 9) — pinned
 #: rather than recomputed so the list is stable review-to-review even
-#: as the sf0.1 artifact is refreshed
-TOP20 = [
+#: as the sf0.1 artifact is refreshed — plus the round-10
+#: noise-suspect trio (see module docstring)
+PINNED = [
     "detection_pr_ap",
     "dedup_clusters_distributed",
     "greedy_matching",
@@ -58,6 +64,11 @@ TOP20 = [
     "iou_pairs",
     "merge_overlap_id_shift",
     "validation_counts",
+    # round 11: the round-10 noise-suspect trio — untouched code that
+    # read >2x round 9 in the (worker-probe-drifted) r10 artifact
+    "dup_spans",
+    "remove_dup_spans",
+    "semantic_dedup",
 ]
 
 
@@ -97,17 +108,23 @@ def main() -> None:
         ref = json.load(open(os.path.join(_REPO, "BENCH_FULL.json")))
         ref_q = ref["queries"]
         ref_cal = float(ref["calibration"]["spark_range_sum_sec"])
+        ref_cal_np = float(ref["calibration"]["numpy_matmul_2000_sec"])
     except (OSError, KeyError, ValueError):
-        ref_q, ref_cal = {}, None
+        ref_q, ref_cal, ref_cal_np = {}, None, None
 
     cal = _calibration(spark)
     # same artifact-protection rule as bench.py: a run whose
-    # calibration reads >1.5x the committed sf0.1 baseline's must not
-    # replace the committed BENCH_SF1.json (wait_for_calm gives up
-    # after 300s of sustained steal and the queries would run inflated)
+    # calibration reads >1.5x the committed sf0.1 baseline's on EITHER
+    # probe (JVM or python-worker pool — round 10 proved they
+    # desynchronize) must not replace the committed BENCH_SF1.json
+    # (wait_for_calm gives up after 300s of sustained steal and the
+    # queries would run inflated)
     host_calm = (
         ref_cal is None
-        or cal["spark_range_sum_sec"] <= 1.5 * ref_cal
+        or (
+            cal["spark_range_sum_sec"] <= 1.5 * ref_cal
+            and cal["numpy_matmul_2000_sec"] <= 1.5 * ref_cal_np
+        )
     )
     print(
         f"# calibration: {cal} (committed sf0.1 ref {ref_cal}s, "
@@ -125,7 +142,7 @@ def main() -> None:
         return dt, n
 
     results: dict[str, dict] = {}
-    for name in TOP20:
+    for name in PINNED:
         wait_for_calm()
         dt, n = run_once(name)
         dt2, _ = run_once(name)
@@ -147,7 +164,7 @@ def main() -> None:
         default=None,
     )
     payload = {
-        "metric": "top20_sf1_runtime",
+        "metric": "pinned_sf1_runtime",
         "value": round(sum(e["sec"] for e in results.values()), 3),
         "unit": "sec",
         "sf": 1.0,
@@ -156,7 +173,10 @@ def main() -> None:
         "worst_ratio_vs_10x_linear": worst,
         "acceptance_pass": worst is not None and worst <= 2.0,
         "calibration": cal,
-        "sf01_reference_calibration": ref_cal,
+        "sf01_reference_calibration": {
+            "spark_range_sum_sec": ref_cal,
+            "numpy_matmul_2000_sec": ref_cal_np,
+        },
         "driver_rss_mb": round(rss_mb(), 1),
         "methodology": {
             "data": "scripts/make_scale_data.py 10x structured replica of "
@@ -169,9 +189,9 @@ def main() -> None:
     }
     if not host_calm:
         payload["calibration"]["rejected"] = (
-            f"spark_range_sum {cal['spark_range_sum_sec']}s > 1.5x the "
-            f"committed sf0.1 baseline {ref_cal}s — committed artifact "
-            "left in place"
+            f"calibration {cal} > 1.5x the committed sf0.1 baseline "
+            f"(spark {ref_cal}s / numpy {ref_cal_np}s) on at least one "
+            "probe — committed artifact left in place"
         )
         out_path = out_path.replace(".json", "_REJECTED.json")
         print(f"# calm gate FAILED — writing {out_path}", file=sys.stderr)

@@ -1425,6 +1425,35 @@ def test_jsonl_roundtrip_gzip(spark, tmp_path):
     assert back.filter(F.col("text") == "doc 7 text").count() == 1
 
 
+def test_jsonl_duckdb_cross_engine_parity(spark, tmp_path):
+    """Spark-written JSONL parses identically in DuckDB
+    (read_json_auto over the same .json.gz files): the corpus a
+    downstream non-Spark consumer reads is the corpus Spark wrote —
+    including unicode, embedded newlines/quotes, and NULL fields.
+    (The gate's jsonl_roundtrip facet proves Spark->Spark fidelity
+    against the parquet fixpoint; this pins the cross-engine leg,
+    where the oracle harness can't reach test-local paths.)"""
+    import duckdb
+
+    from lours_spark.io.jsonl import DOCUMENT_SCHEMA, write_jsonl
+
+    rows = [
+        (1, 'line1\nline2 with "quotes" and \\backslash', "en", "web", 40),
+        (2, "accents éàü and CJK 中文 and emoji \U0001f600", "fr", "web", 30),
+        (3, None, "de", None, 0),  # NULL text + NULL source
+        (4, "\ttabs\tand trailing space ", "en", "books", 24),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENT_SCHEMA)
+    out = str(tmp_path / "corpus")
+    write_jsonl(docs, out)  # gzip default
+
+    got = duckdb.sql(
+        f"SELECT doc_id, text, lang, source, n_chars "
+        f"FROM read_json_auto('{out}/part-*.json.gz') ORDER BY doc_id"
+    ).fetchall()
+    assert got == sorted(rows)
+
+
 def test_jsonl_corrupt_policies(spark, tmp_path):
     """on_corrupt: fail fast / drop / keep-with-quarantine-column."""
     from lours_spark.io.jsonl import read_jsonl
