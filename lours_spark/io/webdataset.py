@@ -407,7 +407,12 @@ def _shard_key_col(path_col, root: str):
     Python worker) for metadata-only legs like the manifest's size
     scan."""
     r = _norm_root(root)
-    norm = F.regexp_replace(path_col, _SCHEME_RE.pattern, "/")
+    # two steps mirror _norm_uri_path exactly: strip the scheme, then
+    # collapse the leading slash run ('file:///a' leaves '//a' after
+    # the scheme replace; Python's lstrip('/') removes them all)
+    norm = F.regexp_replace(
+        F.regexp_replace(path_col, _SCHEME_RE.pattern, "/"), "^/+", "/"
+    )
     base = F.element_at(F.split(norm, "/"), -1)
     parent = F.element_at(F.split(norm, "/"), -2)
     fallback = F.when(

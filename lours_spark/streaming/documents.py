@@ -50,18 +50,25 @@ from lours_spark.io.jsonl import DOCUMENT_SCHEMA as DOCUMENTS_SCHEMA
 
 
 def read_document_stream(
-    spark: SparkSession, path: str, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: "int | None" = None,
 ) -> DataFrame:
     """File-source stream over a directory of document drops.
     ``fmt="json"`` streams JSONL drops (one JSON doc per line, ``.gz``
     transparent) with the same declared schema — see
     :mod:`lours_spark.io.jsonl` for the batch twin and the scale
-    caveats (declared schema, gzip splittability)."""
-    return (
-        spark.readStream.format(fmt)
-        .schema(DOCUMENTS_SCHEMA)
-        .load(path)
-    )
+    caveats (declared schema, gzip splittability).
+
+    ``max_files_per_trigger`` bounds each micro-batch to N input files
+    — the backlog-drain knob: without it, a catch-up run after
+    downtime folds the WHOLE backlog into one giant batch (unbounded
+    executor memory for stateful sinks; one enormous commit)."""
+    reader = spark.readStream.format(fmt).schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
 
 
 def _strip_paragraphs_udf(boilerplate_hashes: DataFrame, sep: str):

@@ -4640,6 +4640,7 @@ _EXTRA_ORACLES.update(
     }
 )
 
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """JSONL corpus round-trip (io/jsonl.py, round 11): write the
     documents table as gzipped JSONL (declared schema, bounded records
