@@ -4851,8 +4851,10 @@ _GATE_ORDER = [
 
 
 def q_pipeline_quality_gate(spark, sf_dir):
-    """Curation-operator facets (decontamination ⊕ repetition signals ⊕
-    stratified sampling ⊕ PII signals) as one NULL-padded facet union."""
+    """ALL curation-operator facets (``_CURATION_FACETS`` — dedup,
+    quality, sampling, packing, ordering, PII, decontamination, vocab,
+    layout, JSONL round-trip; 28 as of round 11) as one NULL-padded
+    facet union."""
     return _facet_union(
         *[(n, ALL_QUERIES[n](spark, sf_dir)) for n in _CURATION_FACETS]
     )
