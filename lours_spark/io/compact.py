@@ -47,6 +47,68 @@ def parquet_file_stats(spark: SparkSession, path: str) -> "tuple[int, int]":
     return int(row["n"] or 0), int(row["bytes"] or 0)
 
 
+def _zorder_clustered(
+    df,
+    writer_cols: "list[str]",
+    zorder_by: "list[str]",
+    n_out: int,
+    bits: int,
+    curve: str,
+):
+    """The z-cluster rewrite plan: quantize ``zorder_by`` onto their
+    measured ranges (one column-pruned agg pass), key with the chosen
+    curve, then ONE range exchange on (partition cols, key) + in-task
+    sort. NULL coordinates yield NULL keys and range-sort first —
+    missing-data rows cluster together instead of polluting cell 0."""
+    from lours_spark.operators.zorder import (
+        hilbert_key,
+        quantize,
+        zorder_key,
+    )
+
+    missing = [c for c in zorder_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"zorder_by columns not in table: {missing}")
+    if len(zorder_by) < 2:
+        raise ValueError("zorder_by needs at least two columns")
+    aggs = []
+    for c in zorder_by:
+        col = F.col(f"`{c}`").cast("double")
+        aggs += [F.min(col).alias(f"lo_{c}"), F.max(col).alias(f"hi_{c}")]
+    ranges = df.agg(*aggs).first()
+    qcols = []
+    for c in zorder_by:
+        lo, hi = ranges[f"lo_{c}"], ranges[f"hi_{c}"]
+        if lo is None:
+            raise ValueError(f"zorder_by column {c!r} is all NULL")
+        if hi <= lo:  # constant column — every row in cell 0
+            qcols.append(
+                F.when(F.col(f"`{c}`").isNotNull(), F.lit(0)).cast("long")
+            )
+        else:
+            qcols.append(quantize(F.col(f"`{c}`"), lo, hi, bits=bits))
+    if curve == "morton":
+        keyed = df.withColumn("__zc", zorder_key(qcols, bits=bits))
+        tmp = ["__zc"]
+    elif curve == "hilbert":
+        # the Arrow kernel takes column NAMES — materialize the
+        # quantized cells first
+        qnames = [f"__q{i}" for i in range(len(qcols))]
+        keyed = df.withColumns(dict(zip(qnames, qcols)))
+        keyed = keyed.withColumn("__zc", hilbert_key(qnames, bits=bits))
+        tmp = ["__zc", *qnames]
+    else:
+        raise ValueError(
+            f"zorder_curve must be 'morton' or 'hilbert', got {curve!r}"
+        )
+    order = [*writer_cols, "__zc"]
+    return (
+        keyed.repartitionByRange(n_out, *order)
+        .sortWithinPartitions(*order)
+        .drop(*tmp)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
@@ -54,9 +116,15 @@ def compact_parquet(
     target_file_mb: int = 512,
     mode: str = "error",
     partition_by: "list[str] | None" = None,
+    zorder_by: "list[str] | None" = None,
+    zorder_bits: int = 16,
+    zorder_curve: str = "morton",
+    num_files: "int | None" = None,
 ) -> "dict[str, int]":
     """Rewrite the parquet table at ``src`` into ``dst`` with
-    ``ceil(total_bytes / target_file_mb)`` evenly-sized files.
+    ``ceil(total_bytes / target_file_mb)`` evenly-sized files
+    (``num_files`` overrides the byte-derived count for
+    layout-controlled rewrites).
 
     ``partition_by``: pass the table's hive-partition columns (e.g.
     ``["split"]`` for this engine's split-partitioned dataset writes)
@@ -66,6 +134,20 @@ def compact_parquet(
     distributes by (partition cols, random) so each partition
     directory gets evenly-sized files instead of one file per input
     task per partition value.
+
+    ``zorder_by``: ≥2 numeric columns — compaction then CLUSTERS the
+    rewrite on their space-filling-curve order (the ``OPTIMIZE ...
+    ZORDER BY`` table-maintenance idiom) instead of round-robin: one
+    column-pruned agg pass finds each column's range, values quantize
+    onto ``2^zorder_bits`` cells, and the rewrite becomes ONE range
+    exchange on the curve key + in-task sort — every output file gets
+    a tight min/max envelope on ALL listed columns, so later scans
+    filtered on any of them skip most files on parquet footer stats
+    alone. ``zorder_curve``: ``"morton"`` (codegen) or ``"hilbert"``
+    (Arrow kernel, no cross-space jumps — see operators/zorder.py for
+    the trade). Composes with ``partition_by`` (ranges nest inside
+    partition values, so each ``col=v`` directory is z-clustered
+    independently).
 
     Returns ``{"files_in": n, "bytes_in": b, "files_out": m,
     "bytes_out": b2}`` — ``files_out``/``bytes_out`` are MEASURED on
@@ -98,7 +180,9 @@ def compact_parquet(
     n_in, bytes_in = parquet_file_stats(spark, src)
     if n_in == 0:
         raise ValueError(f"no parquet files under {src!r}")
-    n_out = max(1, math.ceil(bytes_in / (target_file_mb * 1024 * 1024)))
+    n_out = num_files or max(
+        1, math.ceil(bytes_in / (target_file_mb * 1024 * 1024))
+    )
     df = spark.read.parquet(src)
     writer_cols: list = []
     if partition_by:
@@ -108,6 +192,11 @@ def compact_parquet(
                 f"partition_by columns not in table: {missing}"
             )
         writer_cols = list(partition_by)
+    if zorder_by:
+        df = _zorder_clustered(
+            df, writer_cols, zorder_by, n_out, zorder_bits, zorder_curve
+        )
+    elif writer_cols:
         # distribute by (partition cols, bounded spread slot):
         # repartition(n) alone gives each task rows from MANY
         # partition values and emits one small file per (task, value)

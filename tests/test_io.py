@@ -1621,3 +1621,128 @@ def test_compact_parquet_partitioned(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in table"):
         compact_parquet(spark, src, dst + "2", partition_by=["nope"])
+
+
+def test_compact_parquet_zorder(spark, tmp_path):
+    """zorder_by compaction (the OPTIMIZE ... ZORDER BY idiom): the
+    rewrite clusters on the curve key, so every output file carries a
+    TIGHT min/max envelope on ALL listed columns — where round-robin
+    compaction leaves every file spanning the full axis (no skipping
+    possible). Values round-trip exactly; auto-quantization handles
+    raw (unquantized) numeric ranges."""
+    import glob
+
+    from lours_spark.io.compact import compact_parquet
+
+    n_side = 64
+    grid = spark.range(n_side * n_side).select(
+        (F.col("id") % n_side).alias("x"),
+        (F.col("id") / n_side).cast("long").alias("y"),
+    )
+    src = str(tmp_path / "grid_small")
+    # 8 interleaved small-file appends — the streaming-sink mess
+    for i in range(8):
+        spark.range(n_side * n_side).filter(F.col("id") % 8 == i).select(
+            (F.col("id") % n_side).alias("x"),
+            (F.col("id") / n_side).cast("long").alias("y"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def worst_span(path: str) -> int:
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        return max(max(r["sx"], r["sy"]) for r in per_file)
+
+    z = str(tmp_path / "zclustered")
+    stats = compact_parquet(
+        spark, src, z, zorder_by=["x", "y"], zorder_bits=6, num_files=16
+    )
+    assert stats["files_out"] == 16
+    assert len(glob.glob(z + "/part-*.parquet")) == 16
+    # fidelity: exact same rows
+    assert (
+        spark.read.parquet(z).groupBy().sum("x", "y").first()
+        == grid.groupBy().sum("x", "y").first()
+    )
+    assert spark.read.parquet(z).distinct().count() == n_side * n_side
+    # a 64x64 grid in 16 z-clustered files -> ~16x16 tiles; an
+    # unaligned range can straddle one boundary (span ~31). Round-robin
+    # compaction leaves every file at the full 63 span on both axes.
+    rr = str(tmp_path / "roundrobin")
+    compact_parquet(spark, src, rr, num_files=16)
+    assert worst_span(z) <= 31 < worst_span(rr) == 63
+    # the hilbert curve has no cross-space jumps: every file is a
+    # contiguous curve segment -> exact 16x16 tiles, span 15
+    hz = str(tmp_path / "hclustered")
+    compact_parquet(
+        spark, src, hz,
+        zorder_by=["x", "y"], zorder_bits=6, zorder_curve="hilbert",
+        num_files=16,
+    )
+    assert worst_span(hz) <= 15
+
+    with pytest.raises(ValueError, match="at least two"):
+        compact_parquet(spark, src, z + "2", zorder_by=["x"])
+    with pytest.raises(ValueError, match="not in table"):
+        compact_parquet(spark, src, z + "3", zorder_by=["x", "nope"])
+
+
+def test_compact_parquet_zorder_partitioned(spark, tmp_path):
+    """zorder_by composes with partition_by: the hive layout survives
+    (pruning intact) and each split directory is z-clustered
+    independently (tight per-file envelopes within every value)."""
+    import glob
+
+    from lours_spark.io.compact import compact_parquet
+
+    n_side = 32
+    src = str(tmp_path / "psrc")
+    for split in ("train", "eval"):
+        spark.range(n_side * n_side).select(
+            (F.col("id") % n_side).alias("x"),
+            (F.col("id") / n_side).cast("long").alias("y"),
+            F.lit(split).alias("split"),
+        ).repartition(4).write.partitionBy("split").mode("append").parquet(src)
+
+    dst = str(tmp_path / "pz")
+    stats = compact_parquet(
+        spark,
+        src,
+        dst,
+        partition_by=["split"],
+        zorder_by=["x", "y"],
+        zorder_bits=5,
+        num_files=16,
+    )
+    dirs = sorted(
+        d.rsplit("=", 1)[1] for d in glob.glob(dst + "/split=*")
+    )
+    assert dirs == ["eval", "train"]
+    assert stats["files_out"] == len(glob.glob(dst + "/split=*/part-*.parquet"))
+    back = spark.read.parquet(dst)
+    assert back.count() == 2 * n_side * n_side
+    # per-file envelopes tight WITHIN each split dir (a 32x32 grid in
+    # ~8 files/value -> tiles; unaligned ranges may straddle once)
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("split", "f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in per_file:
+        assert f"split={r['split']}" in r["f"]
+        assert max(r["sx"], r["sy"]) <= n_side - 1
+    # files that hold a real tile (not a boundary sliver) are tight
+    tiles = [r for r in per_file if r["n"] >= (n_side * n_side) // 16]
+    assert tiles and all(max(r["sx"], r["sy"]) <= 15 for r in tiles)
