@@ -71,6 +71,17 @@ def _zorder_clustered(
         raise ValueError(f"zorder_by columns not in table: {missing}")
     if len(zorder_by) < 2:
         raise ValueError("zorder_by needs at least two columns")
+    clash = [
+        c
+        for c in df.columns
+        if c == "__zc" or (c.startswith("__q") and c[3:].isdigit())
+    ]
+    if clash:
+        # withColumn would silently REPLACE them and the trailing drop
+        # would delete real data
+        raise ValueError(
+            f"table columns collide with zorder scratch names: {clash}"
+        )
     aggs = []
     for c in zorder_by:
         col = F.col(f"`{c}`").cast("double")
@@ -177,11 +188,15 @@ def compact_parquet(
             "has no manifest; in-place compaction races readers) — "
             "pass a distinct dst and swap when ready"
         )
+    if num_files is not None and num_files < 1:
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
     n_in, bytes_in = parquet_file_stats(spark, src)
     if n_in == 0:
         raise ValueError(f"no parquet files under {src!r}")
-    n_out = num_files or max(
-        1, math.ceil(bytes_in / (target_file_mb * 1024 * 1024))
+    n_out = (
+        num_files
+        if num_files is not None
+        else max(1, math.ceil(bytes_in / (target_file_mb * 1024 * 1024)))
     )
     df = spark.read.parquet(src)
     writer_cols: list = []

@@ -358,16 +358,19 @@ def write_webdataset_stream(
     return writer.start()
 
 
-#: URI scheme prefix ("file:", "file://", "s3://", ...) — stripped so
-#: the shard key derivation is scheme-insensitive (Spark's binaryFile
-#: reports qualified URIs while callers pass plain paths)
-_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}")
+#: URI scheme + optional authority ("file:", "file://",
+#: "hdfs://nn:8020", "s3a://bucket", ...) — stripped so the shard key
+#: derivation is scheme- and authority-insensitive (Spark's binaryFile
+#: reports fully-qualified URIs while callers pass plain paths; both
+#: legs strip the same prefix, which is all the relative-path
+#: derivation needs — one scan root always lives on one filesystem)
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/]*)?")
 
 
 def _norm_uri_path(p: str) -> str:
-    """'file:/a/b', 'file:///a/b' and '/a/b' all normalize to '/a/b';
-    's3://bucket/k' becomes '/bucket/k'. Consistency between the two
-    legs is all the prefix strip below needs."""
+    """'file:/a/b', 'file:///a/b', 'hdfs://nn:8020/a/b' and '/a/b'
+    all normalize to '/a/b'. Consistency between the two legs is all
+    the prefix strip below needs."""
     m = _SCHEME_RE.match(p)
     if m:
         p = "/" + p[m.end():].lstrip("/")
@@ -375,26 +378,30 @@ def _norm_uri_path(p: str) -> str:
 
 
 def _norm_root(root: str) -> str:
-    """The scan root in the same normalized form as the file paths
-    (scheme-less roots are made absolute first — Spark qualifies them
-    before listing)."""
+    """The scan root in the same normalized form as the file paths.
+    DRIVER-ONLY: scheme-less roots are made absolute against the
+    driver's CWD (Spark qualifies them the same way before listing) —
+    executor code must receive the already-normalized string, never
+    call this (executor CWD is the worker scratch dir)."""
     r = root if _SCHEME_RE.match(root) else os.path.abspath(root)
     return _norm_uri_path(r).rstrip("/")
 
 
-def _shard_key(file_path: str, root: str) -> str:
+def _shard_key(file_path: str, norm_root: str) -> str:
     """Shard key = the tar's path RELATIVE to the scan root. A bare
     basename collides for same-named tars in distinct subdirectories
     (two ``sub*/shard-00000.tar`` would merge in any groupBy on the
     shard column); the relative path is unique by construction.
     Fallback when the root isn't a path prefix (glob roots, a direct
     file path): basename, qualified by a ``batch-*`` parent — the
-    streaming sink's layout. Keep in sync with :func:`_shard_key_col`
-    (equivalence is pinned by tests/test_webdataset.py)."""
+    streaming sink's layout. ``norm_root`` must come from
+    :func:`_norm_root` ON THE DRIVER (this function runs inside
+    executor tasks, where a relative root would resolve against the
+    wrong CWD). Keep in sync with :func:`_shard_key_col` (equivalence
+    is pinned by tests/test_webdataset.py)."""
     f = _norm_uri_path(file_path.rstrip("/"))
-    r = _norm_root(root)
-    if f.startswith(r + "/"):
-        return f[len(r) + 1 :]
+    if f.startswith(norm_root + "/"):
+        return f[len(norm_root) + 1 :]
     base = os.path.basename(f)
     parent = os.path.basename(os.path.dirname(f))
     if re.fullmatch(r"batch-\d+", parent):
@@ -439,11 +446,17 @@ def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("path", "content")
     )
+    # resolved ON THE DRIVER: a relative scan root must anchor to the
+    # driver's CWD (matching what Spark listed), not each executor's
+    # worker scratch dir
+    root_norm = _norm_root(path)
 
     def untar(batches) -> Iterator:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 out = {"shard": [], "key": [], "ext": [], "data": []}
+                # one derivation per SHARD, not per member
+                shard = _shard_key(row["path"], root_norm)
                 with tarfile.open(
                     fileobj=io.BytesIO(row["content"])
                 ) as tar:
@@ -466,7 +479,7 @@ def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
                         # merge them for any consumer grouping on this
                         # column. Plain layouts keep the bare name
                         # (their relative path IS the basename).
-                        out["shard"].append(_shard_key(row["path"], path))
+                        out["shard"].append(shard)
                         out["key"].append(key)
                         out["ext"].append(ext)
                         out["data"].append(tar.extractfile(m).read())

@@ -63,11 +63,16 @@ def quantize(
 ) -> Column:
     """Map a numeric column onto integer cells ``[0, 2^bits)`` over the
     explicit ``[lo, hi]`` range (clamped — out-of-range values land in
-    the edge cells, they never wrap).
+    the edge cells, they never wrap). NULL input → NULL cell (the
+    downstream curve keys propagate NULL, so missing-coordinate rows
+    cluster together instead of polluting an edge cell — without the
+    explicit guard, Spark's NULL-skipping ``greatest``/``least`` would
+    silently send NULLs to the TOP cell).
 
-    >>> df = spark.createDataFrame([(0.0,), (50.0,), (100.0,), (999.0,)], "x double")
+    >>> df = spark.createDataFrame(
+    ...     [(0.0,), (50.0,), (100.0,), (999.0,), (None,)], "x double")
     >>> [r["q"] for r in df.select(quantize(F.col("x"), 0, 100, bits=8).alias("q")).collect()]
-    [0, 127, 255, 255]
+    [0, 127, 255, 255, None]
     """
     if hi <= lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
@@ -75,9 +80,12 @@ def quantize(
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(
         float(hi) - float(lo)
     ) * F.lit(float(cells))
-    return F.greatest(
-        F.lit(0).cast("long"),
-        F.least(F.lit(cells).cast("long"), F.floor(scaled)),
+    return F.when(
+        col.isNotNull(),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(cells).cast("long"), F.floor(scaled)),
+        ),
     )
 
 

@@ -4652,13 +4652,24 @@ def q_jsonl_roundtrip(spark, sf_dir):
     is lossless (cross-engine parse parity with DuckDB
     ``read_json_auto`` over the same written files is pinned in
     tests/test_io.py, where paths are test-local)."""
+    import hashlib
+    import os
     import tempfile
 
     from lours_spark.io.jsonl import read_jsonl, write_jsonl
 
     d = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="lours_jsonl_gate_") + "/corpus"
-    write_jsonl(d, out, compression="gzip", num_shards=4)
+    # DETERMINISTIC scratch dir keyed by the corpus, overwritten per
+    # invocation: mkdtemp here would leak one full gzipped corpus copy
+    # into /tmp per gate/bench run (the facet runs several times per
+    # bench) until the disk fills — bounded-by-construction instead.
+    # Concurrent same-corpus invocations would race the overwrite, but
+    # the bench/gate discipline already forbids concurrent Spark runs.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), "lours_jsonl_gate", tag, "corpus"
+    )
+    write_jsonl(d, out, compression="gzip", num_shards=4, mode="overwrite")
     rt = read_jsonl(spark, out)
     return rt.select(
         "doc_id",

@@ -215,6 +215,8 @@ def main() -> None:
     }
     print(json.dumps(result))
     assert ok, "a maintenance cycle failed verification"
+    # the docstring's property 4 is a contract, not a report field
+    assert flat_cost, "per-row compaction cost grew with sink age"
     shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -1692,6 +1692,55 @@ def test_compact_parquet_zorder(spark, tmp_path):
         compact_parquet(spark, src, z + "2", zorder_by=["x"])
     with pytest.raises(ValueError, match="not in table"):
         compact_parquet(spark, src, z + "3", zorder_by=["x", "nope"])
+    with pytest.raises(ValueError, match="num_files"):
+        compact_parquet(spark, src, z + "4", num_files=0)
+
+
+def test_compact_parquet_zorder_nulls_and_scratch_collision(spark, tmp_path):
+    """NULL coordinates get NULL curve keys (range-sort together)
+    instead of quantizing into the TOP cell and widening the max-corner
+    files' envelopes — and a table that already has a __zc/__q0 column
+    refuses loudly instead of silently losing it to the scratch drop."""
+    from lours_spark.io.compact import compact_parquet
+
+    src = str(tmp_path / "withnulls")
+    rows = [(i % 64, i % 64) for i in range(256)] + [
+        (None, j % 64) for j in range(64)
+    ]
+    spark.createDataFrame(rows, "x int, y int").coalesce(1).write.parquet(src)
+    dst = str(tmp_path / "znull")
+    compact_parquet(
+        spark, src, dst, zorder_by=["x", "y"], zorder_bits=6, num_files=4
+    )
+    back = spark.read.parquet(dst)
+    # fidelity including the NULL rows
+    assert back.count() == 320
+    assert back.filter(F.col("x").isNull()).count() == 64
+    # NULL keys range-sort FIRST: every NULL-x row lives in the lowest
+    # range file(s); the file holding the max corner stays pure — the
+    # old NULL->top-cell behavior would mix all 64 NULL rows into it
+    # and widen its envelope
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.sum(F.col("x").isNull().cast("int")).alias("n_null"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    )
+    top = [r for r in per_file if r["mx"] == 63]
+    assert top and all(r["n_null"] == 0 for r in top)
+    assert sum(r["n_null"] or 0 for r in per_file) == 64
+
+    bad = str(tmp_path / "badcols")
+    spark.createDataFrame(
+        [(1, 2, 3)], "x int, y int, __zc int"
+    ).write.parquet(bad)
+    with pytest.raises(ValueError, match="scratch"):
+        compact_parquet(
+            spark, bad, bad + "_out", zorder_by=["x", "y"], num_files=1
+        )
 
 
 def test_compact_parquet_zorder_partitioned(spark, tmp_path):

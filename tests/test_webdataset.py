@@ -351,7 +351,11 @@ def test_shard_key_python_and_column_twins_agree(spark):
     sizes leg) must derive IDENTICAL keys or the manifest join
     silently drops shards — pinned over scheme variants, nested
     layouts, and the glob-root fallback."""
-    from lours_spark.io.webdataset import _shard_key, _shard_key_col
+    from lours_spark.io.webdataset import (
+        _norm_root,
+        _shard_key,
+        _shard_key_col,
+    )
 
     cases = [
         # (file path as binaryFile reports it, scan root)
@@ -365,6 +369,13 @@ def test_shard_key_python_and_column_twins_agree(spark):
         ("file:/data/wds/sub1/shard-00000.tar", "/data/wds"),
         ("file:/data/wds/sub2/shard-00000.tar", "/data/wds"),
         ("file:/data/wds/a/b/shard-00003.tar", "/data/wds"),
+        # AUTHORITY-qualified URIs (cluster filesystems): the authority
+        # must strip like the scheme or a plain-path root never
+        # prefix-matches and nested same-name tars re-collide
+        ("hdfs://nn:8020/data/wds/sub1/shard-00000.tar", "/data/wds"),
+        ("hdfs://nn:8020/data/wds/sub2/shard-00000.tar", "/data/wds"),
+        ("s3a://bucket/data/wds/sub1/shard-00000.tar",
+         "s3a://bucket/data/wds"),
         # root not a prefix (glob root) -> basename/batch fallback
         ("file:/elsewhere/batch-000007/shard-00004.tar", "/data/*"),
         ("file:/elsewhere/plain/shard-00005.tar", "/data/*"),
@@ -376,10 +387,14 @@ def test_shard_key_python_and_column_twins_agree(spark):
             .select(_shard_key_col(F.col("path"), root).alias("k"))
             .first()["k"]
         )
-        assert got_col == _shard_key(fp, root), (fp, root, got_col)
-    # the relative-path key keeps same-basename tars distinct
+        # _shard_key takes the DRIVER-normalized root (executor code
+        # must never abspath a relative root against its own CWD)
+        assert got_col == _shard_key(fp, _norm_root(root)), (fp, root, got_col)
+    # the relative-path key keeps same-basename tars distinct,
+    # including across authority-qualified reporting
     assert _shard_key("file:/d/sub1/s.tar", "/d") == "sub1/s.tar"
     assert _shard_key("file:/d/sub2/s.tar", "/d") == "sub2/s.tar"
+    assert _shard_key("hdfs://nn:8020/d/sub1/s.tar", "/d") == "sub1/s.tar"
 
 
 def test_shard_manifest_zero_member_and_nested_collisions(spark, tmp_path):
