@@ -5,6 +5,16 @@ from lours_spark.io.mot import from_mot
 from lours_spark.io.compact import compact_parquet, parquet_file_stats
 from lours_spark.io.crowdhuman import from_crowd_human
 from lours_spark.io.jsonl import read_jsonl, write_jsonl
+from lours_spark.io.versioned import (
+    commit_version,
+    current_version,
+    list_versions,
+    prune_versions,
+    publish_dataframe,
+    read_current,
+    rollback,
+    start_version,
+)
 
 __all__ = [
     "from_coco",
@@ -18,4 +28,12 @@ __all__ = [
     "write_jsonl",
     "compact_parquet",
     "parquet_file_stats",
+    "start_version",
+    "commit_version",
+    "publish_dataframe",
+    "read_current",
+    "current_version",
+    "list_versions",
+    "prune_versions",
+    "rollback",
 ]

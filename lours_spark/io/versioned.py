@@ -1,0 +1,270 @@
+"""Versioned plain-parquet tables — the pointer-file publish pattern.
+
+Plain parquet has no manifest, so every maintenance rewrite in this
+engine (``compact_parquet``, curated-corpus refreshes, the streaming
+table-maintenance loop) must write to a NEW directory and swap
+readers when ready — compacting in place races live scans
+(``io/compact.py`` refuses it by construction). This module makes the
+swap a first-class, crash-safe primitive instead of caller folklore:
+
+    table_root/
+      CURRENT              <- tiny JSON pointer {"version": 7, ...}
+      versions/v000006/    <- parquet data (old, prunable)
+      versions/v000007/    <- parquet data (live)
+
+The visibility rule that makes this safe WITHOUT a transaction log:
+**a version directory is invisible until CURRENT names it**. Readers
+never list ``versions/`` — they read CURRENT (one tiny file) and load
+exactly that directory. Hence:
+
+- a writer crash mid-write leaves an orphan directory no reader will
+  ever touch (collected by :func:`prune_versions`);
+- the publish step is ONE atomic pointer replace (`os.replace` on
+  POSIX/NFS; on object stores a single small PUT, which is atomic
+  per-object on S3/GCS — the pattern needs no directory rename, the
+  operation object stores cannot do atomically);
+- rollback is re-pointing CURRENT at an older retained version;
+- concurrent readers mid-scan on version N keep working after CURRENT
+  moves to N+1, because pruning retains a window (``keep_last``) —
+  the same reader/retention contract Iceberg/Delta expose, scaled
+  down to the no-dependency case.
+
+Single-writer discipline is assumed (one maintenance job per table),
+matching the rest of the maintenance layer; CURRENT carries the
+writer's claimed previous version so a lost-update between two
+concurrent publishers is at least detectable post-hoc in the history.
+
+Spark-first: data moves only through ordinary ``df.write.parquet`` /
+``spark.read.parquet`` on the version directory — partition layout,
+predicate pushdown, and footer-stats skipping all behave exactly as
+for any parquet path; the pointer layer is driver-side metadata only
+(a few hundred bytes per publish). The pointer I/O here uses the
+driver's local filesystem API (``open``/``os.replace``) — correct
+for local disk, NFS, and fuse/NFS-mounted DFS; an object-store
+deployment swaps those two calls for a ``pyarrow.fs`` single-object
+PUT (atomic per-object on S3/GCS), with the directory layout and
+visibility rule unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VDIR_RE = re.compile(r"^v(\d{6,})$")
+
+
+def _versions_dir(table_root: str) -> str:
+    return os.path.join(table_root, "versions")
+
+
+def _pointer_path(table_root: str) -> str:
+    return os.path.join(table_root, "CURRENT")
+
+
+def version_path(table_root: str, version: int) -> str:
+    """The data directory for ``version`` (exists only once written)."""
+    return os.path.join(_versions_dir(table_root), f"v{version:06d}")
+
+
+def list_versions(table_root: str) -> "list[int]":
+    """All version numbers with a directory on disk, ascending —
+    including orphans never published (crashed writers) and old
+    versions not yet pruned."""
+    vdir = _versions_dir(table_root)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        m = _VDIR_RE.match(name)
+        if m and os.path.isdir(os.path.join(vdir, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_pointer(table_root: str) -> "dict | None":
+    """The CURRENT pointer document, or None for a never-published
+    table. Keys: ``version`` (int), ``previous`` (int | None),
+    ``published_at_unix`` (float), plus any ``extra`` the publisher
+    attached (row counts, compaction stats, lineage)."""
+    try:
+        with open(_pointer_path(table_root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def current_version(table_root: str) -> "int | None":
+    """The published version number, or None if never published."""
+    ptr = read_pointer(table_root)
+    return None if ptr is None else int(ptr["version"])
+
+
+def start_version(table_root: str) -> "tuple[int, str]":
+    """Allocate the next version number and return ``(version, path)``
+    for the writer to fill (e.g. as ``compact_parquet``'s ``dst`` or
+    any ``df.write.parquet`` target). The directory is NOT created
+    here — Spark's writer creates it — and it stays invisible to
+    readers until :func:`commit_version` points CURRENT at it, so a
+    crash between start and commit leaves only an orphan directory
+    (reclaimed by :func:`prune_versions`).
+
+    Numbering is max(existing dirs, CURRENT) + 1: orphans from crashed
+    writers still consume their number, so a retry never writes into a
+    half-written directory.
+    """
+    on_disk = list_versions(table_root)
+    cur = current_version(table_root)
+    last = max(
+        on_disk[-1] if on_disk else -1,
+        cur if cur is not None else -1,
+    )
+    v = last + 1
+    return v, version_path(table_root, v)
+
+
+def commit_version(
+    table_root: str, version: int, extra: "dict | None" = None
+) -> dict:
+    """Atomically publish ``version``: write the new pointer document
+    to a scratch name and ``os.replace`` it over CURRENT (atomic on
+    POSIX — a reader sees the whole old pointer or the whole new one,
+    never a torn write). The version directory must already contain
+    the finished data. Returns the pointer document written.
+
+    ``extra`` rides along in the pointer (row counts, source lineage,
+    compaction stats) so operational tooling can alarm on a publish
+    without opening the data.
+    """
+    vpath = version_path(table_root, version)
+    if not os.path.isdir(vpath):
+        raise ValueError(
+            f"version {version} has no data directory at {vpath!r} — "
+            "write it first (start_version gives the path)"
+        )
+    ptr = {
+        "version": int(version),
+        "previous": current_version(table_root),
+        "published_at_unix": time.time(),
+    }
+    if extra:
+        ptr["extra"] = extra
+    os.makedirs(table_root, exist_ok=True)
+    tmp = _pointer_path(table_root) + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(ptr, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _pointer_path(table_root))
+    return ptr
+
+
+def rollback(table_root: str, to_version: int) -> dict:
+    """Re-point CURRENT at a RETAINED older version (bad publish
+    escape hatch). Same atomic pointer replace as a publish; fails
+    loud if the target was already pruned."""
+    return commit_version(
+        table_root, to_version, extra={"rollback": True}
+    )
+
+
+def read_current(spark: SparkSession, table_root: str) -> DataFrame:
+    """Load the published version as a plain parquet read — partition
+    pruning / pushdown / schema behave exactly as for a direct path.
+    The pointer read is one tiny driver-side file; the snapshot is
+    stable for the whole query even if a new version publishes
+    mid-scan (the plan holds the resolved ``versions/v*`` path, and
+    retention keeps it on disk)."""
+    cur = current_version(table_root)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published version under {table_root!r} (missing CURRENT)"
+        )
+    return spark.read.parquet(version_path(table_root, cur))
+
+
+def prune_versions(table_root: str, keep_last: int = 2) -> "list[int]":
+    """Delete version directories outside the retention window and
+    return the pruned version numbers. Retained: the CURRENT version,
+    every directory NEWER than it (a crashed/in-flight writer's
+    allocation is never yanked out from under a live retry), and the
+    newest ``keep_last - 1`` directories BELOW it (the rollback
+    window — ``keep_last`` counts current plus rollback targets, so
+    ``keep_last >= 2`` always leaves somewhere to roll back to, and
+    in-flight readers on the previous version keep their files).
+    Orphans older than CURRENT are dead by the visibility rule and
+    prune like any other old version.
+
+    >>> # doctest setup: 3 published versions, keep_last=2
+    >>> import shutil, tempfile
+    >>> root = tempfile.mkdtemp()
+    >>> for _ in range(3):
+    ...     v, p = start_version(root)
+    ...     spark.range(5).write.parquet(p)
+    ...     _ = commit_version(root, v)
+    >>> prune_versions(root, keep_last=2)
+    [0]
+    >>> (list_versions(root), current_version(root))
+    ([1, 2], 2)
+    >>> _ = shutil.rmtree(root)
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    cur = current_version(table_root)
+    on_disk = list_versions(table_root)
+    if cur is None:
+        # never published: every directory is an in-flight or crashed
+        # writer's — keep the newest allocations only
+        keep = set(on_disk[-keep_last:])
+    else:
+        keep = {v for v in on_disk if v >= cur}
+        below = [v for v in on_disk if v < cur]
+        if keep_last > 1:
+            keep.update(below[-(keep_last - 1):])
+    pruned = []
+    for v in on_disk:
+        if v not in keep:
+            shutil.rmtree(version_path(table_root, v))
+            pruned.append(v)
+    return pruned
+
+
+def publish_dataframe(
+    df: DataFrame,
+    table_root: str,
+    partition_by: "list[str] | None" = None,
+    extra: "dict | None" = None,
+    keep_last: "int | None" = None,
+) -> dict:
+    """One-call convenience: write ``df`` as the next version, commit
+    the pointer, optionally prune. Equivalent to
+    ``start_version`` → ``df.write.parquet(path)`` →
+    ``commit_version`` (→ ``prune_versions``), which remains the
+    composable form for writers that aren't a single DataFrame (e.g.
+    ``compact_parquet`` with ``dst=path``).
+
+    >>> import shutil, tempfile
+    >>> root = tempfile.mkdtemp()
+    >>> ptr = publish_dataframe(spark.range(10), root)
+    >>> (ptr["version"], read_current(spark, root).count())
+    (0, 10)
+    >>> ptr = publish_dataframe(spark.range(20), root)
+    >>> (ptr["version"], ptr["previous"], read_current(spark, root).count())
+    (1, 0, 20)
+    >>> _ = shutil.rmtree(root)
+    """
+    v, path = start_version(table_root)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    ptr = commit_version(table_root, v, extra=extra)
+    if keep_last is not None:
+        ptr["pruned"] = prune_versions(table_root, keep_last=keep_last)
+    return ptr

@@ -50,6 +50,7 @@ MIN_EXAMPLES = {
     "lours_spark.io.folder": 5,
     "lours_spark.io.jsonl": 2,
     "lours_spark.io.compact": 3,
+    "lours_spark.io.versioned": 8,
     "lours_spark.io.darknet": 7,
     "lours_spark.io.mot": 7,
     "lours_spark.io.pascalvoc": 4,

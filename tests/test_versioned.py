@@ -1,0 +1,180 @@
+"""Versioned plain-parquet tables (io/versioned.py): the pointer-file
+publish pattern that makes the maintenance layer's write-new-dir +
+reader-swap discipline crash-safe. Properties pinned here:
+
+- visibility rule: a written-but-uncommitted version is invisible to
+  readers (crash between write and commit leaves only an orphan);
+- atomic publish: CURRENT flips whole-pointer (scratch + os.replace),
+  and a reader's resolved snapshot is stable across a later publish;
+- numbering never reuses a crashed writer's allocation;
+- retention: prune keeps current, everything newer (live retries),
+  and the keep_last-1 rollback window below; rollback re-points;
+- composition with compact_parquet (dst = staged version path) and
+  hive partition layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lours_spark.io.compact import compact_parquet
+from lours_spark.io.versioned import (
+    commit_version,
+    current_version,
+    list_versions,
+    prune_versions,
+    publish_dataframe,
+    read_current,
+    read_pointer,
+    rollback,
+    start_version,
+    version_path,
+)
+
+
+def test_publish_read_roundtrip_and_pointer(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    ptr = publish_dataframe(
+        spark.range(10).withColumn("x", F.col("id") * 2),
+        root,
+        extra={"rows": 10},
+    )
+    assert ptr["version"] == 0 and ptr["previous"] is None
+    assert current_version(root) == 0
+    got = read_current(spark, root)
+    assert got.count() == 10
+    assert {r["x"] for r in got.collect()} == {2 * i for i in range(10)}
+    # pointer document is tiny, valid JSON, and carries the extra
+    on_disk = json.load(open(os.path.join(root, "CURRENT")))
+    assert on_disk["extra"] == {"rows": 10}
+    ptr2 = publish_dataframe(spark.range(20), root)
+    assert (ptr2["version"], ptr2["previous"]) == (1, 0)
+    assert read_current(spark, root).count() == 20
+
+
+def test_uncommitted_version_is_invisible(spark, tmp_path):
+    """Crash between data write and commit: readers still see the old
+    version; the orphan directory is never exposed."""
+    root = str(tmp_path / "tbl")
+    publish_dataframe(spark.range(5), root)
+    v, path = start_version(root)
+    spark.range(999).write.parquet(path)  # writer "crashes" here
+    assert current_version(root) == 0
+    assert read_current(spark, root).count() == 5
+    assert list_versions(root) == [0, v]  # orphan on disk, unreferenced
+
+
+def test_numbering_skips_crashed_allocation(spark, tmp_path):
+    """A retry after a crash must get a FRESH directory, never write
+    into the half-written one."""
+    root = str(tmp_path / "tbl")
+    publish_dataframe(spark.range(5), root)
+    v1, path1 = start_version(root)
+    spark.range(3).write.parquet(path1)  # crash before commit
+    v2, path2 = start_version(root)
+    assert v2 == v1 + 1 and path2 != path1
+    spark.range(7).write.parquet(path2)
+    commit_version(root, v2)
+    assert read_current(spark, root).count() == 7
+
+
+def test_commit_requires_data_dir(tmp_path):
+    root = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="no data directory"):
+        commit_version(root, 0)
+
+
+def test_reader_snapshot_stable_across_publish(spark, tmp_path):
+    """A DataFrame resolved against version N keeps reading N's files
+    after N+1 publishes (the plan holds the resolved path; retention
+    keeps it on disk)."""
+    root = str(tmp_path / "tbl")
+    publish_dataframe(spark.range(10), root)
+    snapshot = read_current(spark, root)
+    publish_dataframe(spark.range(100), root, keep_last=2)
+    assert snapshot.count() == 10  # old reader unaffected
+    assert read_current(spark, root).count() == 100
+
+
+def test_prune_retention_window(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for n in (1, 2, 3, 4):
+        publish_dataframe(spark.range(n), root)
+    # keep_last=2: current (3) + one rollback target (2)
+    assert prune_versions(root, keep_last=2) == [0, 1]
+    assert list_versions(root) == [2, 3]
+    # current always survives even with keep_last=1
+    assert prune_versions(root, keep_last=1) == [2]
+    assert list_versions(root) == [3]
+    assert read_current(spark, root).count() == 4
+
+
+def test_prune_protects_newer_than_current_and_rollback(spark, tmp_path):
+    """Directories NEWER than CURRENT (in-flight writer, or a bad
+    publish rolled back from) survive pruning; rollback re-points and
+    the bad version stays inspectable."""
+    root = str(tmp_path / "tbl")
+    publish_dataframe(spark.range(10), root)   # v0, good
+    publish_dataframe(spark.range(1), root)    # v1, "bad"
+    rollback(root, 0)
+    assert current_version(root) == 0
+    assert read_current(spark, root).count() == 10
+    assert read_pointer(root)["extra"] == {"rollback": True}
+    # prune with the tightest window: v1 > current stays, v0 is current
+    assert prune_versions(root, keep_last=1) == []
+    assert list_versions(root) == [0, 1]
+    # rolling back to a pruned version fails loud
+    publish_dataframe(spark.range(2), root)    # v2 becomes current
+    prune_versions(root, keep_last=1)
+    with pytest.raises(ValueError, match="no data directory"):
+        rollback(root, 0)
+
+
+def test_compose_with_compact_parquet_and_partitioning(spark, tmp_path):
+    """The maintenance-loop shape: a messy live dir compacts into a
+    staged version path, publish flips the pointer, hive layout and
+    pruning survive."""
+    live = str(tmp_path / "live")
+    root = str(tmp_path / "tbl")
+    df = spark.range(200).withColumn(
+        "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+    )
+    for i in range(4):  # 4 small appends = the small-file mess
+        df.filter(F.col("id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("lang").parquet(live)
+    v, staged = start_version(root)
+    stats = compact_parquet(
+        spark, live, staged, target_file_mb=512, partition_by=["lang"]
+    )
+    commit_version(root, v, extra=stats)
+    cur = read_current(spark, root)
+    assert cur.count() == 200
+    assert read_pointer(root)["extra"]["files_in"] == stats["files_in"]
+    # partition pruning works through the pointer indirection
+    en = cur.filter(F.col("lang") == "en")
+    files = {
+        r[0]
+        for r in en.select(
+            F.input_file_name()
+        ).distinct().collect()
+    }
+    assert files and all("lang=en" in f for f in files)
+
+
+def test_publish_dataframe_prunes_inline(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for n in (1, 2, 3):
+        publish_dataframe(spark.range(n), root)
+    ptr = publish_dataframe(spark.range(4), root, keep_last=2)
+    assert ptr["pruned"] == [0, 1]
+    assert list_versions(root) == [2, 3]
+
+
+def test_read_current_unpublished_fails_loud(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no published version"):
+        read_current(spark, str(tmp_path / "nope"))
