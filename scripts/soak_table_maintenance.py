@@ -1,7 +1,9 @@
 """Long-horizon soak of the 100 TB table-maintenance loop (VERDICT
 r10 item 5): JSONL drops → streaming parquet sink (small files per
 micro-batch, hive-partitioned) → periodic ``compact_parquet`` into
-VERSIONED directories → reader swap. The unit tests drive each stage
+a staged version directory → ATOMIC pointer publish + retention prune
+(``io/versioned.py`` — round 11 upgraded the hand-rolled reader swap
+to the crash-safe primitive). The unit tests drive each stage
 alone; this script runs the composed loop for 25+ micro-batches over
 5 maintenance cycles and checks the properties a long-lived curated
 table must keep:
@@ -61,6 +63,14 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from lours_spark.io.compact import compact_parquet, parquet_file_stats
+    from lours_spark.io.versioned import (
+        commit_version,
+        current_version,
+        list_versions,
+        prune_versions,
+        read_current,
+        start_version,
+    )
     from lours_spark.session import get_spark
     from lours_spark.streaming.documents import read_document_stream
 
@@ -70,7 +80,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="tbl_soak_")
     drop_dir = os.path.join(tmp, "drops")
     live = os.path.join(tmp, "live")
-    versions = os.path.join(tmp, "versions")
+    table_root = os.path.join(tmp, "table")
     ckpt = os.path.join(tmp, "ckpt")
     os.makedirs(drop_dir)
 
@@ -131,19 +141,25 @@ def main() -> None:
         drain_sink()
 
         files_live, bytes_live = parquet_file_stats(spark, live)
-        vdir = os.path.join(versions, f"v{cycle:03d}")
+        v, vdir = start_version(table_root)
         t0 = time.time()
         stats = compact_parquet(
             spark, live, vdir, target_file_mb=512, partition_by=["lang"]
         )
+        # atomic publish: readers follow the CURRENT pointer, so the
+        # new snapshot becomes visible in one os.replace; retention
+        # keeps current + one rollback target, so disk usage stays
+        # bounded across cycles no matter how long the loop runs
+        commit_version(table_root, v, extra=stats)
+        pruned = prune_versions(table_root, keep_last=2)
         compact_sec = round(time.time() - t0, 3)
 
-        # reader swap: the versioned snapshot must agree with the live
-        # table AND the generator's expectation
+        # published snapshot (via the pointer) must agree with the
+        # live table AND the generator's expectation
         live_df = spark.read.parquet(live).select(
             "doc_id", "text", "lang", "source", "n_chars"
         )
-        snap_df = spark.read.parquet(vdir).select(
+        snap_df = read_current(spark, table_root).select(
             "doc_id", "text", "lang", "source", "n_chars"
         )
         n_live, h_live = value_hash(live_df)
@@ -178,6 +194,8 @@ def main() -> None:
             and len(per_dir) == len(LANGS)
             and max(per_dir) <= 2
             and stats["files_out"] == sum(per_dir)
+            and current_version(table_root) == v
+            and len(list_versions(table_root)) <= 2
         )
         ok &= cycle_ok
         cycles.append(
@@ -192,6 +210,9 @@ def main() -> None:
                 "compact_sec": compact_sec,
                 "sec_per_mrow": round(compact_sec / (expected / 1e6), 1),
                 "hash_match": h_live == h_snap,
+                "published_version": v,
+                "pruned_versions": pruned,
+                "versions_on_disk": list_versions(table_root),
                 "ok": cycle_ok,
             }
         )
