@@ -836,6 +836,68 @@ class SparkDataset:
         with open(os.path.join(path, "metadata.json"), "w") as f:
             json.dump(meta, f)
 
+    def to_versioned(
+        self,
+        table_root: str,
+        extra: "dict | None" = None,
+        keep_last: "int | None" = None,
+    ) -> dict:
+        """Publish this dataset as the next version of a versioned
+        table (``io/versioned.py``): the whole ``to_parquet`` layout
+        (images/ + annotations/ + metadata.json) lands in a staged
+        version directory, then ONE atomic pointer flip makes all
+        three visible together — a reader can never see new images
+        with old annotations, the torn state a plain overwrite of the
+        two-table layout can expose. Crash before the flip leaves an
+        invisible orphan. Returns the pointer document;
+        ``keep_last`` optionally prunes old versions after publishing.
+
+        >>> import shutil, tempfile
+        >>> from lours_spark.testing import dummy_dataset
+        >>> root = tempfile.mkdtemp()
+        >>> ds = dummy_dataset(spark, n_imgs=4, n_annot=8, seed=7)
+        >>> ptr = ds.to_versioned(root)
+        >>> back = SparkDataset.from_versioned(spark, root)
+        >>> (ptr["version"], back.images.count(), back.annotations.count())
+        (0, 4, 8)
+        >>> _ = ds.filter_images("width > 0").to_versioned(root)
+        >>> SparkDataset.from_versioned(spark, root).label_map == ds.label_map
+        True
+        >>> _ = shutil.rmtree(root)
+        """
+        from lours_spark.io.versioned import (
+            commit_version,
+            prune_versions,
+            start_version,
+        )
+
+        v, path = start_version(table_root)
+        self.to_parquet(path, mode="error")
+        ptr = commit_version(table_root, v, extra=extra)
+        if keep_last is not None:
+            ptr["pruned"] = prune_versions(table_root, keep_last=keep_last)
+        return ptr
+
+    @staticmethod
+    def from_versioned(
+        spark: SparkSession, table_root: str
+    ) -> "SparkDataset":
+        """Load the published version of a :meth:`to_versioned` table —
+        a plain :meth:`from_parquet` on the directory the ``CURRENT``
+        pointer names (split-partition pruning and the metadata sidecar
+        behave exactly as for a direct path)."""
+        from lours_spark.io.versioned import current_version, version_path
+
+        cur = current_version(table_root)
+        if cur is None:
+            raise FileNotFoundError(
+                f"no published version under {table_root!r} "
+                "(missing CURRENT)"
+            )
+        return SparkDataset.from_parquet(
+            spark, version_path(table_root, cur)
+        )
+
     def to_bucketed_tables(
         self,
         name_prefix: str,

@@ -139,6 +139,13 @@ def commit_version(
     ``extra`` rides along in the pointer (row counts, source lineage,
     compaction stats) so operational tooling can alarm on a publish
     without opening the data.
+
+    Data completeness is the CALLER's contract: commit only after the
+    write returned successfully (an orchestrator that crashed mid-write
+    and blindly re-commits its old allocation would publish a partial
+    directory — on retry, go through :func:`start_version` again; for
+    Spark writers the ``_SUCCESS`` marker in the version directory is
+    the audit trail).
     """
     vpath = version_path(table_root, version)
     if not os.path.isdir(vpath):

@@ -178,3 +178,42 @@ def test_publish_dataframe_prunes_inline(spark, tmp_path):
 def test_read_current_unpublished_fails_loud(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no published version"):
         read_current(spark, str(tmp_path / "nope"))
+
+
+def test_dataset_to_versioned_roundtrip(spark, tmp_path):
+    """Whole-dataset publish: images + annotations + metadata flip
+    atomically; split partitioning and label map survive the pointer
+    indirection; rollback restores the previous dataset state."""
+    from lours_spark.dataset.core import SparkDataset
+    from lours_spark.io.versioned import rollback as _rollback
+    from lours_spark.testing import dummy_dataset
+
+    root = str(tmp_path / "ds")
+    ds = dummy_dataset(spark, n_imgs=6, n_annot=12, n_labels=3, seed=5)
+    ds = ds.simple_split(
+        input_seed=1,
+        split_names=("train", "eval"),
+        target_split_shares=(0.5, 0.5),
+    )
+    ptr = ds.to_versioned(root, extra={"note": "initial"})
+    assert ptr["version"] == 0
+    back = SparkDataset.from_versioned(spark, root)
+    assert back.images.count() == 6 and back.annotations.count() == 12
+    assert back.label_map == ds.label_map
+    assert set(back.images.columns) == set(ds.images.columns)
+    # second publish: a filtered dataset; reader follows the pointer
+    ds2 = ds.filter_annotations("category_id = 1")
+    ptr2 = ds2.to_versioned(root)
+    assert ptr2["previous"] == 0
+    back2 = SparkDataset.from_versioned(spark, root)
+    assert back2.annotations.count() == ds2.annotations.count() < 12
+    # rollback → the full dataset again
+    _rollback(root, 0)
+    assert SparkDataset.from_versioned(spark, root).annotations.count() == 12
+
+
+def test_dataset_from_versioned_unpublished(spark, tmp_path):
+    from lours_spark.dataset.core import SparkDataset
+
+    with pytest.raises(FileNotFoundError, match="no published version"):
+        SparkDataset.from_versioned(spark, str(tmp_path / "none"))
