@@ -782,3 +782,85 @@ def test_apply_schema_columns_matches_reference_model(spark, data):
                     v = []
             got = _lookup(rows[i], parts)
             assert got == v, (key, i, got, v, schema, docs)
+
+
+# --------------------------------------------------------------------
+# versioned-table pointer layer (io/versioned.py): the pointer ops
+# never read the data files, so random op sequences run WITHOUT Spark
+# — the model tracks what the directory + pointer must look like.
+ops = st.lists(
+    st.one_of(
+        st.just(("publish",)),
+        st.just(("crash",)),  # start + write dir, never commit
+        st.tuples(st.just("prune"), st.integers(1, 3)),
+        st.tuples(st.just("rollback"), st.integers(0, 30)),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(seq=ops)
+def test_versioned_pointer_model_property(seq):
+    """Against a reference model, any sequence of publish / crashed
+    writer / prune / rollback keeps the invariants: the pointer always
+    names an on-disk version, prune retains exactly current +
+    newer-than-current + the keep_last-1 rollback window, and a fresh
+    allocation never collides with anything on disk."""
+    import os
+    import shutil
+    import tempfile
+
+    from lours_spark.io.versioned import (
+        commit_version,
+        current_version,
+        list_versions,
+        prune_versions,
+        rollback,
+        start_version,
+    )
+
+    root = tempfile.mkdtemp(prefix="vprop_")
+    try:
+        on_disk: set = set()
+        current = None
+        for op in seq:
+            if op[0] == "publish":
+                v, path = start_version(root)
+                assert v not in on_disk and (current is None or v > current)
+                os.makedirs(path)
+                open(os.path.join(path, "part-0.parquet"), "w").close()
+                commit_version(root, v)
+                on_disk.add(v)
+                current = v
+            elif op[0] == "crash":
+                v, path = start_version(root)
+                assert v not in on_disk
+                os.makedirs(path)  # half-written, never committed
+                on_disk.add(v)
+            elif op[0] == "prune":
+                k = op[1]
+                pruned = prune_versions(root, keep_last=k)
+                if current is None:
+                    keep = set(sorted(on_disk)[-k:])
+                else:
+                    keep = {v for v in on_disk if v >= current}
+                    below = sorted(v for v in on_disk if v < current)
+                    if k > 1:
+                        keep.update(below[-(k - 1):])
+                assert set(pruned) == on_disk - keep
+                on_disk = keep
+            else:  # rollback to some on-disk version (mod index)
+                if not on_disk:
+                    continue
+                target = sorted(on_disk)[op[1] % len(on_disk)]
+                rollback(root, target)
+                current = target
+            # invariants, every step
+            assert current_version(root) == current
+            assert set(list_versions(root)) == on_disk
+            if current is not None:
+                assert current in on_disk
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
