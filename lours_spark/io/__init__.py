@@ -14,6 +14,7 @@ from lours_spark.io.versioned import (
     read_current,
     rollback,
     start_version,
+    version_delta,
 )
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "list_versions",
     "prune_versions",
     "rollback",
+    "version_delta",
 ]

@@ -217,3 +217,69 @@ def test_dataset_from_versioned_unpublished(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no published version"):
         SparkDataset.from_versioned(spark, str(tmp_path / "none"))
+
+
+def test_version_delta_group_summary_and_schema_evolution(spark, tmp_path):
+    """Group-level delta: counts + fingerprints per group, groups
+    present on one side only, and schema evolution (a column added in
+    the new version is excluded — comparison runs on the column
+    intersection so the delta stays meaningful)."""
+    from lours_spark.io.versioned import publish_dataframe, version_delta
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(8).withColumn(
+        "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+    )
+    publish_dataframe(base, root)
+    evolved = (
+        base.filter("lang = 'en'")                  # all de rows removed
+        .withColumn("id", F.col("id") + F.when(F.col("id") == 0, 100).otherwise(0))
+        .withColumn("score", F.lit(0.5))            # new column
+    )
+    publish_dataframe(evolved, root)
+    d = {r["lang"]: r for r in version_delta(
+        spark, root, 0, 1, group_by=["lang"]
+    ).collect()}
+    assert d["de"]["status"] == "removed" and d["de"]["n_new"] == 0
+    assert d["en"]["status"] == "changed"           # id 0 -> 100
+    assert (d["en"]["n_old"], d["en"]["n_new"]) == (4, 4)
+    # whole-table verdict (no group_by): single row, changed
+    whole = version_delta(spark, root, 0, 1).collect()
+    assert len(whole) == 1 and whole[0]["status"] == "changed"
+    # identical versions read unchanged
+    same = version_delta(spark, root, 1, 1).collect()
+    assert same[0]["status"] == "unchanged"
+
+
+def test_version_delta_key_level(spark, tmp_path):
+    """Key-level diff names added/removed/CHANGED rows (value edit
+    under the same key) and filters unchanged keys out."""
+    from lours_spark.io.versioned import publish_dataframe, version_delta
+
+    root = str(tmp_path / "tbl")
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "EDITED"), (4, "d")], "k long, v string"
+    )
+    publish_dataframe(old, root)
+    publish_dataframe(new, root)
+    got = {r["k"]: r["status"] for r in version_delta(
+        spark, root, 0, 1, key="k"
+    ).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_version_delta_argument_errors(spark, tmp_path):
+    from lours_spark.io.versioned import publish_dataframe, version_delta
+
+    root = str(tmp_path / "tbl")
+    publish_dataframe(spark.range(3), root)
+    publish_dataframe(spark.range(3), root)
+    with pytest.raises(ValueError, match="not both"):
+        version_delta(spark, root, 0, 1, group_by=["id"], key="id")
+    with pytest.raises(ValueError, match="not in both"):
+        version_delta(spark, root, 0, 1, group_by=["nope"])
+    with pytest.raises(ValueError, match="not in both"):
+        version_delta(spark, root, 0, 1, key="nope")
