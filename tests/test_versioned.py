@@ -283,3 +283,61 @@ def test_version_delta_argument_errors(spark, tmp_path):
         version_delta(spark, root, 0, 1, group_by=["nope"])
     with pytest.raises(ValueError, match="not in both"):
         version_delta(spark, root, 0, 1, key="nope")
+
+
+def test_pointer_reads_never_torn_under_rapid_publish(tmp_path):
+    """The atomicity claim, stress-tested: a publisher thread flips
+    CURRENT 200 times while readers poll continuously — every read
+    must see a complete, valid pointer document (monotonically
+    advancing version, matching previous-chain), never a torn write,
+    an empty file, or a missing CURRENT between replaces. Pure
+    pointer-layer test: the data dirs are stub files, no Spark."""
+    import os
+    import threading
+
+    from lours_spark.io.versioned import (
+        commit_version,
+        read_pointer,
+        start_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    n_publishes = 200
+    stop = threading.Event()
+    bad: list = []
+    seen: list = []
+
+    def reader():
+        last = -1
+        while not stop.is_set():
+            try:
+                ptr = read_pointer(root)
+            except Exception as e:  # torn JSON would raise here
+                bad.append(repr(e))
+                continue
+            if ptr is None:
+                continue  # before the first publish only
+            v = ptr.get("version")
+            if not isinstance(v, int) or "published_at_unix" not in ptr:
+                bad.append(f"incomplete pointer: {ptr}")
+            elif v < last:
+                bad.append(f"version went backwards: {last} -> {v}")
+            else:
+                last = v
+                seen.append(v)
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(n_publishes):
+            v, path = start_version(root)
+            os.makedirs(path)
+            open(os.path.join(path, "part-0.parquet"), "w").close()
+            commit_version(root, v)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not bad, bad[:5]
+    assert seen and max(seen) == n_publishes - 1
