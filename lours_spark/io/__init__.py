@@ -8,10 +8,12 @@ from lours_spark.io.jsonl import read_jsonl, write_jsonl
 from lours_spark.io.versioned import (
     commit_version,
     current_version,
+    history,
     list_versions,
     prune_versions,
     publish_dataframe,
     read_current,
+    read_version,
     rollback,
     start_version,
     version_delta,
@@ -38,4 +40,6 @@ __all__ = [
     "prune_versions",
     "rollback",
     "version_delta",
+    "read_version",
+    "history",
 ]

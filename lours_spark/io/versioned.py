@@ -167,6 +167,12 @@ def commit_version(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _pointer_path(table_root))
+    # append-only audit log AFTER the flip: CURRENT is authoritative,
+    # the log is observability — a crash between replace and append
+    # costs one history entry, never correctness (history() tolerates
+    # a torn tail line too)
+    with open(os.path.join(table_root, "LOG.jsonl"), "a") as f:
+        f.write(json.dumps(ptr) + "\n")
     return ptr
 
 
@@ -405,3 +411,44 @@ def version_delta(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def read_version(
+    spark: SparkSession, table_root: str, version: int
+) -> DataFrame:
+    """Time-travel read of a RETAINED version (debugging a delta,
+    reproducing a run pinned to an old snapshot). Fails loud if the
+    version was pruned or never written — retention (`keep_last`) is
+    what makes a pinned version stable; pin + prune aggressively is a
+    caller contradiction."""
+    p = version_path(table_root, version)
+    if not os.path.isdir(p):
+        raise FileNotFoundError(
+            f"version {version} not on disk under {table_root!r} "
+            "(pruned, or never written)"
+        )
+    return spark.read.parquet(p)
+
+
+def history(table_root: str) -> "list[dict]":
+    """The publish log, oldest first: every pointer document ever
+    committed (publishes AND rollbacks), read from the append-only
+    ``LOG.jsonl`` that :func:`commit_version` maintains beside
+    CURRENT. Tolerant of a torn final line (a crash mid-append loses
+    at most that line — CURRENT, written first, stays authoritative).
+    Tables published before the log existed return just the entries
+    since."""
+    out = []
+    try:
+        with open(os.path.join(table_root, "LOG.jsonl")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except ValueError:
+                    continue  # torn tail from a crashed append
+    except FileNotFoundError:
+        pass
+    return out

@@ -340,4 +340,42 @@ def test_pointer_reads_never_torn_under_rapid_publish(tmp_path):
         for t in threads:
             t.join()
     assert not bad, bad[:5]
-    assert seen and max(seen) == n_publishes - 1
+    # readers observed real progress (how FAR each got is a race —
+    # a reader may check stop right after the final flip and exit);
+    # the final state is asserted deterministically from this thread
+    assert seen
+    assert read_pointer(root)["version"] == n_publishes - 1
+
+
+def test_read_version_time_travel_and_history_log(spark, tmp_path):
+    """read_version loads a retained non-current snapshot; history()
+    replays every publish AND rollback oldest-first, tolerates a torn
+    tail line, and survives pruning (the log is append-only audit,
+    CURRENT is authoritative)."""
+    from lours_spark.io.versioned import (
+        history,
+        publish_dataframe,
+        read_version,
+        rollback,
+    )
+
+    root = str(tmp_path / "tbl")
+    for n in (5, 10, 15):
+        publish_dataframe(spark.range(n), root)
+    assert read_version(spark, root, 1).count() == 10  # non-current
+    rollback(root, 1)
+    h = history(root)
+    assert [e["version"] for e in h] == [0, 1, 2, 1]
+    assert h[-1]["extra"] == {"rollback": True}
+    assert [e.get("previous") for e in h] == [None, 0, 1, 2]
+    # torn tail line is skipped, earlier entries survive
+    with open(os.path.join(root, "LOG.jsonl"), "a") as f:
+        f.write('{"version": 99, "trunc')
+    assert [e["version"] for e in history(root)] == [0, 1, 2, 1]
+    # pruned version fails loud on time travel
+    from lours_spark.io.versioned import prune_versions
+
+    publish_dataframe(spark.range(1), root)
+    prune_versions(root, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="not on disk"):
+        read_version(spark, root, 0)
