@@ -162,11 +162,35 @@ def commit_version(
         ptr["extra"] = extra
     os.makedirs(table_root, exist_ok=True)
     tmp = _pointer_path(table_root) + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(ptr, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _pointer_path(table_root))
+    # sweep scratch pointers left by CRASHED publishers (died between
+    # the tmp write and the replace) — single-writer discipline means
+    # no other live publisher owns one, and without the sweep they
+    # accumulate forever
+    for name in os.listdir(table_root):
+        p = os.path.join(table_root, name)
+        if name.startswith("CURRENT.tmp-") and p != tmp:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    try:
+        with open(tmp, "w") as f:
+            json.dump(ptr, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _pointer_path(table_root))
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    # make the RENAME itself durable (fsync the directory entry)
+    # before returning: publish_dataframe may prune the previous
+    # version right after this call, and a power loss that rolled the
+    # un-fsynced rename back would leave CURRENT naming a deleted
+    # directory with no rollback target
+    _fsync_dir(table_root)
     # append-only audit log AFTER the flip: CURRENT is authoritative,
     # the log is observability — a crash between replace and append
     # costs one history entry, never correctness (history() tolerates
@@ -174,6 +198,23 @@ def commit_version(
     with open(os.path.join(table_root, "LOG.jsonl"), "a") as f:
         f.write(json.dumps(ptr) + "\n")
     return ptr
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-completed rename in it survives
+    power loss (file-level fsync makes the content durable, not the
+    directory entry). Best-effort: platforms/filesystems that refuse
+    directory fds just skip."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def rollback(table_root: str, to_version: int) -> dict:
@@ -316,8 +357,13 @@ def version_delta(
     Only columns PRESENT IN BOTH versions are fingerprinted (schema
     evolution adds columns; comparing on the intersection keeps the
     delta meaningful across it), and the fingerprint folds column
-    NAMES in, so a value moving between columns still reads as a
-    change.
+    NAMES and an explicit NULL flag in, so a value moving between
+    columns — even across a NULL — still reads as a change. Group and
+    key matching is NULL-SAFE (a NULL group/key is a real value that
+    lines up across versions, like GROUP BY semantics — in the key
+    tier all NULL keys therefore count as ONE key). The group
+    fingerprint is a SUM of row hashes — multiplicity-sensitive where
+    a XOR would cancel even-count duplicate rows.
 
     >>> import shutil, tempfile
     >>> from pyspark.sql import functions as F
@@ -348,11 +394,16 @@ def version_delta(
         )
 
     def fingerprint(cols: "list[str]"):
-        # fold the column NAME with each value so a value moving
-        # between same-typed columns changes the fingerprint
-        return F.xxhash64(
-            *[x for c in sorted(cols) for x in (F.lit(c), F.col(f"`{c}`"))]
-        )
+        # fold the column NAME and an explicit NULL flag with every
+        # value: xxhash64 SKIPS null children entirely, so without
+        # the flag {a:'b', b:NULL} and {a:NULL, b:'b'} hash the same
+        # byte sequence (the name literals line up identically); the
+        # flag pins each value to its slot
+        parts = []
+        for c in sorted(cols):
+            col = F.col(f"`{c}`")
+            parts += [F.lit(c), F.isnull(col).cast("int"), col]
+        return F.xxhash64(*parts)
 
     if key is not None:
         if key not in common:
@@ -364,11 +415,21 @@ def version_delta(
                 df.select(
                     F.col(f"`{key}`").alias(key),
                     fingerprint(val_cols or [key]).alias(f"__h_{side}"),
-                )
+                ).alias(side)
             )
-        joined = sides[0].join(sides[1], key, "full_outer")
+        # NULL-SAFE key equality: plain USING-join equality never
+        # matches NULL keys, which would report an unchanged NULL-key
+        # row as added AND removed on every audit (all NULL keys
+        # compare equal here, like eqNullSafe/GROUP BY semantics)
+        joined = sides[0].join(
+            sides[1],
+            F.col(f"old.`{key}`").eqNullSafe(F.col(f"new.`{key}`")),
+            "full_outer",
+        )
         return joined.select(
-            key,
+            F.coalesce(
+                F.col(f"old.`{key}`"), F.col(f"new.`{key}`")
+            ).alias(key),
             F.when(F.col("__h_old").isNull(), F.lit("added"))
             .when(F.col("__h_new").isNull(), F.lit("removed"))
             .otherwise(F.lit("changed"))
@@ -387,16 +448,37 @@ def version_delta(
     def summarize(df, side: str):
         aggs = [
             F.count(F.lit(1)).alias(f"n_{side}"),
-            F.bit_xor(fingerprint(common)).alias(f"__h_{side}"),
+            # SUM of row hashes (exact decimal — a long sum could
+            # overflow), NOT bit_xor: XOR cancels rows with even
+            # multiplicity, so a duplicate-heavy table could change
+            # completely while the audit reads unchanged
+            F.sum(
+                fingerprint(common).cast("decimal(38,0)")
+            ).alias(f"__h_{side}"),
         ]
         return df.groupBy(*gcols).agg(*aggs) if gcols else df.agg(*aggs)
 
-    o, n = summarize(old, "old"), summarize(new, "new")
-    # the crossJoin is two SINGLE-ROW global aggregates (no group_by
-    # case) — literal-sized, never a row-level product
-    joined = o.join(n, gcols, "full_outer") if gcols else o.crossJoin(n)
+    o = summarize(old, "old").alias("old")
+    n = summarize(new, "new").alias("new")
+    if gcols:
+        # NULL-SAFE group equality (see the key tier note): a NULL
+        # group is a real group and must line up across versions
+        cond = None
+        for c in gcols:
+            e = F.col(f"old.`{c}`").eqNullSafe(F.col(f"new.`{c}`"))
+            cond = e if cond is None else (cond & e)
+        joined = o.join(n, cond, "full_outer")
+        gout = [
+            F.coalesce(F.col(f"old.`{c}`"), F.col(f"new.`{c}`")).alias(c)
+            for c in gcols
+        ]
+    else:
+        # the crossJoin is two SINGLE-ROW global aggregates —
+        # literal-sized, never a row-level product
+        joined = o.crossJoin(n)
+        gout = []
     return joined.select(
-        *gcols,
+        *gout,
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
         F.when(F.col("n_old").isNull(), F.lit("added"))

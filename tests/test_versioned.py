@@ -379,3 +379,72 @@ def test_read_version_time_travel_and_history_log(spark, tmp_path):
     prune_versions(root, keep_last=1)
     with pytest.raises(FileNotFoundError, match="not on disk"):
         read_version(spark, root, 0)
+
+
+def test_version_delta_null_and_multiplicity_review_fixes(spark, tmp_path):
+    """Round-11 review findings, pinned:
+
+    1. NULL group/key values line up across versions (null-safe
+       matching) — an unchanged table with NULL groups must not read
+       added+removed on every audit;
+    2. even-multiplicity duplicate rows do NOT cancel out of the group
+       fingerprint (sum of hashes, not XOR);
+    3. a value moving between columns ACROSS a NULL is detected
+       (explicit NULL flag in the hash input — xxhash64 skips null
+       children)."""
+    from lours_spark.io.versioned import publish_dataframe, version_delta
+
+    root = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, None), (2, "en"), (None, "de")], "id long, lang string"
+    )
+    publish_dataframe(df, root)
+    publish_dataframe(df, root)  # identical content
+    # 1a: NULL group unchanged
+    got = {r["lang"]: r["status"] for r in version_delta(
+        spark, root, 0, 1, group_by=["lang"]
+    ).collect()}
+    assert got == {None: "unchanged", "en": "unchanged", "de": "unchanged"}
+    # 1b: NULL key unchanged -> filtered out entirely
+    assert version_delta(spark, root, 0, 1, key="id").count() == 0
+
+    root2 = str(tmp_path / "mult")
+    publish_dataframe(
+        spark.createDataFrame([(1, "x"), (1, "x")], "k long, v string"), root2
+    )
+    publish_dataframe(
+        spark.createDataFrame([(2, "y"), (2, "y")], "k long, v string"), root2
+    )
+    # 2: same count, all-different duplicated rows => changed
+    assert version_delta(spark, root2, 0, 1).collect()[0]["status"] == "changed"
+
+    root3 = str(tmp_path / "nullshift")
+    publish_dataframe(
+        spark.createDataFrame([(1, "b", None)], "k long, a string, b string"),
+        root3,
+    )
+    publish_dataframe(
+        spark.createDataFrame([(1, None, "b")], "k long, a string, b string"),
+        root3,
+    )
+    # 3: the value moved a -> b across a NULL => changed, both tiers
+    assert version_delta(spark, root3, 0, 1).collect()[0]["status"] == "changed"
+    assert {r["k"]: r["status"] for r in version_delta(
+        spark, root3, 0, 1, key="k"
+    ).collect()} == {1: "changed"}
+
+
+def test_commit_sweeps_stale_tmp_pointers(spark, tmp_path):
+    """A publisher that died between the tmp write and the replace
+    leaves CURRENT.tmp-<pid>; the next commit sweeps it (single-writer
+    discipline — no live publisher owns one)."""
+    from lours_spark.io.versioned import publish_dataframe
+
+    root = str(tmp_path / "tbl")
+    publish_dataframe(spark.range(3), root)
+    stale = os.path.join(root, "CURRENT.tmp-99999")
+    open(stale, "w").write('{"version": 9')  # torn crash leftover
+    publish_dataframe(spark.range(4), root)
+    assert not os.path.exists(stale)
+    left = [n for n in os.listdir(root) if n.startswith("CURRENT.tmp-")]
+    assert left == []
