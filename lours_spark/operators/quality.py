@@ -312,8 +312,12 @@ def ngram_logprob(
             F.filter(F.split(t, ""), lambda x: x != F.lit("")), build
         )
 
-    src = (model_docs if model_docs is not None else docs).select(
-        text.alias("__t")
+    from lours_spark.operators.dedup import _widen
+
+    src = _widen(
+        (model_docs if model_docs is not None else docs).select(
+            text.alias("__t")
+        )
     )
     model_grams = src.select(
         F.explode(grams(F.col("__t"))).alias("gram")
@@ -321,17 +325,24 @@ def ngram_logprob(
     counts = model_grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    total = model_grams.count()
+    # total gram count as a broadcast 1-row frame instead of an eager
+    # .count(): the literal form paid a THIRD full pass over the corpus
+    # (explode + count at build time) before the model pass and the
+    # scoring pass even started; as a frame it folds over the model
+    # aggregation's exchange, which exchange reuse shares with the
+    # broadcast-join leg — the model text is exploded ONCE, not twice
+    total_df = counts.agg(F.sum("__cnt").alias("__total"))
 
     # explode_outer keeps one null-gram row per too-short document, so
     # every doc survives to the final groupBy and no restore-join (and
     # its extra shuffle) is needed: count("gram") skips the null row
     # (n_grams 0) and avg skips its null term (score NULL)
-    doc_grams = docs.select(
+    doc_grams = _widen(docs).select(
         F.col(id_col), F.explode_outer(grams(text)).alias("gram")
     )
     return (
         doc_grams.join(F.broadcast(counts), "gram", "left")
+        .crossJoin(F.broadcast(total_df))
         .select(
             id_col,
             "gram",
@@ -339,7 +350,7 @@ def ngram_logprob(
                 F.col("gram").isNotNull(),
                 # unseen grams (model_docs != docs): one pseudo-count
                 -F.log2(
-                    F.coalesce(F.col("__cnt"), F.lit(1)) / F.lit(total)
+                    F.coalesce(F.col("__cnt"), F.lit(1)) / F.col("__total")
                 ),
             ).alias("__nll"),
         )

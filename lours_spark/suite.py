@@ -647,7 +647,12 @@ def q_iou_pairs(spark, sf_dir):
     from lours_spark.functions.geometry import pairwise_iou
 
     ann = import_bbox(_boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"])
-    pairs = pairwise_iou(ann, ann, ["image_id"])
+    # widen the probe side: the planner broadcasts the build side of
+    # this self-join, so the whole theta-join (2.4M IoU evaluations at
+    # sf0.1) otherwise executes on the scan's 1-3 single-row-group
+    # splits — near-serial CPU. Keyed widen keeps an SMJ fallback
+    # exchange-free on the left leg too.
+    pairs = pairwise_iou(_widen_by(ann, "image_id"), ann, ["image_id"])
     return pairs.filter(
         (F.col("l_id") < F.col("r_id")) & (F.col("iou") > 0)
     ).select("image_id", "l_id", "r_id", "iou")
@@ -1689,6 +1694,22 @@ def _jittered_pred(ann):
     )
 
 
+def _widen_by(df, *cols):
+    """Keyed analog of ``operators.dedup._widen``: hash-repartition on
+    ``cols`` when the input scans narrower than the shuffle width. The
+    bench parquet files are single-row-group, so every scan is a 1-3
+    task stage and any CPU-dense work right after it runs near-serial;
+    partitioning by the downstream group key parallelizes that work AND
+    lets a following groupBy on a superset of ``cols`` skip its own
+    exchange (hash partitioning on a subset key satisfies the clustered
+    distribution). No-op on inputs that are already wide — at scale the
+    scan supplies the parallelism and this adds nothing."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < min(target, 16):
+        return df.repartition(target, *cols)
+    return df
+
+
 def _matcher_ann(spark, sf_dir):
     """Annotated boxes for the MATCHER facets. The synthetic id
     (orderkey*10+linenumber) is NOT unique in the driver data (~23% of
@@ -1709,6 +1730,14 @@ def _matcher_ann(spark, sf_dir):
         _boxes(spark, sf_dir), "CXCYWH", ["bcx", "bcy", "bw", "bh"]
     )
     box_cols = ["box_x_min", "box_y_min", "box_width", "box_height"]
+    # widen by image_id BEFORE the dedup: min(struct) plans a
+    # SortAggregate (struct agg buffers are not hash-aggregable), and
+    # on the single-row-group bench file its partial pass — the sort of
+    # the whole table plus the box arithmetic — ran in ONE task.
+    # Partitioning on image_id parallelizes that sort AND satisfies the
+    # (id, image_id) groupBy's clustered distribution (subset key), so
+    # the aggregation needs no second exchange.
+    ann = _widen_by(ann, "image_id")
     dedup = ann.groupBy("id", "image_id").agg(
         F.min(F.struct(*box_cols)).alias("__b")
     )
@@ -2019,6 +2048,16 @@ def q_detection_pr_ap(spark, sf_dir):
     from lours_spark.evaluation.evaluator import compute_precision_recall
 
     ann = _matcher_ann(spark, sf_dir)
+    # the pred leg's id % 5 filter pushes below the dedup aggregation,
+    # so the gt and pred union legs stop being identical subtrees and
+    # exchange reuse no longer covers them — the full scan + dedup
+    # pipeline ran TWICE. Persist the deduped frame and populate it
+    # eagerly (the same race-avoidance pattern as
+    # compute_precision_recall's curve cache): one dedup pass, both
+    # legs read the cache. A/B-measured min-of-4 at sf0.1: 3.70s
+    # cached vs 4.11s dual-leg.
+    ann = ann.persist()
+    ann.count()
     pred = _jittered_pred(ann).filter(F.col("id") % 5 != 0)
     res = compute_precision_recall(
         ann, pred, ious=[0.2, 0.5], group_cols=["category_id"]

@@ -1280,7 +1280,16 @@ def test_ngram_logprob_scoring_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "Join" not in plan.replace("BroadcastHashJoin", "BHJ")
+    # the total-gram count rides in as a broadcast 1-row frame (round
+    # 11: replaced an eager .count() that cost a third full corpus
+    # pass) — a BroadcastNestedLoopJoin against one row shuffles
+    # nothing; every other join strategy stays banned
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in (
+        plan.replace("BroadcastHashJoin", "BHJ")
+        .replace("BroadcastNestedLoopJoin", "BNLJ-1row")
+    )
 
 
 def test_minhash_incremental_matches_full_batch(spark):
