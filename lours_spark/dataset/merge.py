@@ -88,15 +88,23 @@ def merge_datasets(a, b, mark_origin: bool = False):
         b_img.join(a_img.select("id"), "id", "left_anti")
     )
 
-    # annotation id collision → shift right side past left max
-    left_ids = a_ann.agg(
+    # annotation id collision → shift right side past left max.
+    # ONE probe action: the left max/count and the overlap flag ride a
+    # single crossJoin'd aggregate instead of two sequential driver
+    # round-trips (each a full pass over the left annotations — at
+    # 100 TB the fused probe halves the serial probe latency and lets
+    # the planner share the left scan between the legs)
+    probe = a_ann.agg(
         F.max("id").alias("mx"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
+    ).crossJoin(
+        b_ann.join(a_ann.select("id"), "id", "left_semi")
+        .limit(1)
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    left_ids = probe.collect()[0]
     shift = 0
-    if left_ids["n"] and left_ids["n"] > 0:
-        overlap = b_ann.join(a_ann.select("id"), "id", "left_semi").limit(1).count()
-        if overlap:
-            shift = int(left_ids["mx"]) + 1
+    if left_ids["n"] and left_ids["n"] > 0 and left_ids["overlap"]:
+        shift = int(left_ids["mx"]) + 1
     if shift:
         b_ann = b_ann.withColumn("id", F.col("id") + F.lit(shift))
     annotations = a_ann.unionByName(b_ann)

@@ -49,7 +49,12 @@ def benchmark_overlap(
     ...     docs, bench).collect()]
     [(1, 2)]
     """
-    d = docs.select(
+    from lours_spark.operators.dedup import _widen
+
+    # widen first: the shingle HOF is the CPU-dense part and would run
+    # on the scan's single task for a one-file corpus (no-op when the
+    # input is already wider than the shuffle width)
+    d = _widen(docs).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), k)).alias("__sh"),
     )

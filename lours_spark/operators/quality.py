@@ -46,7 +46,7 @@ def repetition_signals(
     1
     """
     toks = tokens(F.col(text_col))
-    base = docs.select(
+    base = _spread_narrow(docs).select(
         F.col(id_col),
         toks.alias("__w"),
         # total trigrams - distinct trigrams, 0 below 3 words
@@ -312,9 +312,7 @@ def ngram_logprob(
             F.filter(F.split(t, ""), lambda x: x != F.lit("")), build
         )
 
-    from lours_spark.operators.dedup import _widen
-
-    src = _widen(
+    src = _spread_narrow(
         (model_docs if model_docs is not None else docs).select(
             text.alias("__t")
         )
@@ -337,7 +335,7 @@ def ngram_logprob(
     # every doc survives to the final groupBy and no restore-join (and
     # its extra shuffle) is needed: count("gram") skips the null row
     # (n_grams 0) and avg skips its null term (score NULL)
-    doc_grams = _widen(docs).select(
+    doc_grams = _spread_narrow(docs).select(
         F.col(id_col), F.explode_outer(grams(text)).alias("gram")
     )
     return (
@@ -785,7 +783,11 @@ def train_ngram_classifier(
             F.sum(F.col("__y")).alias("__pos"),
             F.sum(1 - F.col("__y")).alias("__neg"),
         )
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint: the tot aggregate right below consumes every
+        # partition, so the checkpoint blocks are pinned by that same
+        # action — eager=True paid one extra serial job wave for the
+        # same guarantee
+        .localCheckpoint(eager=False)
     )
     tot = per_bucket.agg(
         F.sum(F.when(F.col("bucket") >= 0, F.col("__pos"))).alias("p"),

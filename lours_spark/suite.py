@@ -2584,7 +2584,11 @@ def q_tfidf_top_term(spark, sf_dir):
     # subquery), NOT an eager d.count() — that ran an extra full scan
     # of documents as an untimed driver action on every invocation
     n = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
-    terms = d.select(
+    # widen by doc_id: parallelizes the tokenize+explode (single-task
+    # on the one-file bench corpus) AND pre-clusters for the tf groupBy
+    # and the final per-doc window, which both then skip their own
+    # exchanges (subset-key clustered distribution)
+    terms = _widen_by(d, "doc_id").select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
