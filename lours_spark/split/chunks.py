@@ -259,16 +259,30 @@ def connected_components(
     edges.count()
     pe.unpersist()
     labels = (
-        edges.select("node_id").distinct().withColumn("label", F.col("node_id"))
+        edges.select("node_id")
+        .distinct()
+        # co-partition with edges ONCE: every round's label join is
+        # then exchange-free (see the push-form comment below)
+        .repartition(n_parts, "node_id")
+        .withColumn("label", F.col("node_id"))
     )
     for _ in range(max_iter):
+        # PUSH form (round 11): the pull form joined edges to labels on
+        # __nbr — a key neither frame is partitioned by — costing three
+        # exchanges per round (re-hash both join legs + the groupBy).
+        # The edge list is symmetric ((a,b) and (b,a) both present), so
+        # "min over my neighbors' labels" == "min over labels pushed to
+        # me along edges": join edges⋈labels on node_id (both already
+        # hash(node_id, n_parts) → NO exchange), address each label to
+        # the edge's other end, and aggregate — ONE exchange per round,
+        # which the explicit repartition keys so the merged join below
+        # is exchange-free too. Identical labels every round.
         nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("node_id").alias("__nbr"), F.col("label").alias("__l")
-                ),
-                "__nbr",
+            edges.join(labels, "node_id")
+            .select(
+                F.col("__nbr").alias("node_id"), F.col("label").alias("__l")
             )
+            .repartition(n_parts, "node_id")
             .groupBy("node_id")
             .agg(F.min("__l").alias("__nl"))
         )
