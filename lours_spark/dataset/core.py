@@ -191,13 +191,14 @@ class SparkDataset:
         ``dataset.py:943-948`` unique ids, ``dataset.py:990-998`` FK
         integrity — run here as explicit actions).
 
-        ONE job total: one pass over annotations (joined once to the
-        image-id side for FK checks, then a single groupBy(id) +
-        global aggregate folds duplicate/orphan/unknown counts
-        together) cross-joined with the tiny duplicate-image-id
-        aggregate, collected in a single action — not one action per
-        metric, which would rescan the annotation table four times at
-        100 TB.
+        ONE action total: the duplicate/unknown leg (groupBy(id) +
+        global fold) and the FK leg (per-image_id pre-aggregate +
+        left-anti probe against image ids) are cross-joined with the
+        tiny duplicate-image-id aggregate and collected together —
+        not one action per metric, which would rescan the annotation
+        table four times at 100 TB. The FK leg never shuffles
+        annotation rows: counts pre-aggregate map-side so the
+        exchange carries one row per distinct image_id.
 
         Example (executable spec, reference ``dataset.py:100-163``
         style):
@@ -219,27 +220,37 @@ class SparkDataset:
             if self.label_map
             else F.lit(True)
         )
+        # duplicate-id + unknown-category counts: one groupBy(id) pass
         per_id = (
-            self.annotations.select("id", "image_id", "category_id")
-            .join(
-                self.images.select(F.col("id").alias("image_id")).distinct()
-                .withColumn("__img_ok", F.lit(1)),
-                "image_id",
-                "left",
-            )
+            self.annotations.select("id", "category_id")
             .groupBy("id")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
-                F.count(F.when(F.col("__img_ok").isNull(), 1)).alias("__orphans"),
                 F.count(F.when(~known, 1)).alias("__unknown"),
             )
         )
         ann_agg = per_id.agg(
             F.count(F.when(F.col("__n") > 1, 1)).alias("dup_ann"),
-            F.sum("__orphans").alias("orphans"),
             F.sum("__unknown").alias("unknown"),
         )
-        row = ann_agg.crossJoin(dup_images).collect()[0]
+        # FK integrity WITHOUT joining the full annotation table: the
+        # per-image row counts pre-aggregate map-side, so the exchange
+        # (and the anti-join probe) carries one row per DISTINCT
+        # image_id instead of one per annotation — at 100 TB that is
+        # |images referenced| rows on the wire, not |annotations|. The
+        # previous shape joined every annotation row to the image-id
+        # side and re-grouped it (two annotation-sized exchanges).
+        orphan_agg = (
+            self.annotations.groupBy("image_id")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .join(
+                self.images.select(F.col("id").alias("image_id")).distinct(),
+                "image_id",
+                "left_anti",
+            )
+            .agg(F.coalesce(F.sum("__cnt"), F.lit(0)).alias("orphans"))
+        )
+        row = ann_agg.crossJoin(orphan_agg).crossJoin(dup_images).collect()[0]
         return {
             "duplicate_image_ids": int(row["dup_img"] or 0),
             "duplicate_annotation_ids": int(row["dup_ann"] or 0),

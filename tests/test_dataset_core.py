@@ -15,6 +15,32 @@ def test_check_clean(tiny_dataset):
     }
 
 
+def test_check_orphans_counted_per_annotation(tiny_dataset):
+    """The FK leg pre-aggregates per image_id before the anti-join
+    probe; orphan counts must still be per-ANNOTATION (several orphan
+    annotations on one missing image all count), and a NULL image_id
+    is an orphan (null keys never match in the anti-join)."""
+    ann = tiny_dataset.annotations
+    extra = (
+        ann.orderBy("id")
+        .limit(3)
+        .withColumn("id", F.col("id") + 100000)
+        .withColumn("image_id", F.lit(999999).cast("long"))
+    )
+    null_img = (
+        ann.orderBy("id")
+        .limit(1)
+        .withColumn("id", F.col("id") + 200000)
+        .withColumn("image_id", F.lit(None).cast("long"))
+    )
+    ds = tiny_dataset.from_template(
+        annotations=ann.unionByName(extra).unionByName(null_img)
+    )
+    report = ds.check()
+    assert report["orphan_annotations"] == 4
+    assert report["duplicate_annotation_ids"] == 0
+
+
 def test_denormalize_category_str(tiny_dataset):
     rows = tiny_dataset.annotations.select("category_id", "category_str").distinct().collect()
     for r in rows:
