@@ -586,7 +586,15 @@ def minhash_lsh_pairs(
     sig = _minhash_agg(
         df, id_col, text_col, k, num_hashes, hash_fn=hash_fn
     ).withColumnRenamed(id_col, "__id")
-    sig.cache()
+    # localCheckpoint, NOT cache() (r11): the band explode and BOTH
+    # verify legs (sa/sb) consume this subtree inside one action, and
+    # branches of one action race an unpopulated cache — the dominant
+    # md5-minhash pass ran up to 3×. The eager checkpoint materializes
+    # it exactly once, and its blocks are freed by the ContextCleaner
+    # when the result frame drops (a CacheManager entry from this
+    # function-local frame had no unpersist path and leaked for the
+    # session's life — the embedding-LSH path's precedent below).
+    sig = sig.localCheckpoint(eager=True)
     band_rows = _band_rows(sig, bands, rows_per_band)
     # bucket via ONE groupBy instead of a self-join: the join's two
     # legs each re-walk the (cached, but population-racing) signature
@@ -769,10 +777,14 @@ def minhash_lsh_pairs_incremental(
     ``new_docs`` ids must be disjoint from the index's (enforce
     upstream; an id on both sides would self-pair at jaccard 1.0).
 
-    Cache ownership: the returned ``new_index_rows`` frame is
-    ``cache()``d here (the pairs plan and the caller's index append
-    both read it); the CALLER must ``unpersist()`` it once both
-    consumers have materialized, as the streaming skeleton does.
+    Materialization: the returned ``new_index_rows`` frame is eagerly
+    ``localCheckpoint``ed here — the pairs plan reads it on THREE legs
+    (band explode + both shingle-fetch sides) inside one action, and
+    branches of one action race an unpopulated cache, so a plain
+    ``cache()`` ran the batch's shingle+minhash pass up to 3×. The
+    caller's index append reads the same checkpointed blocks; a
+    caller ``unpersist()`` (the old contract) is now a harmless no-op
+    — blocks are freed by the ContextCleaner when the frame drops.
     """
     _check_oversize(oversize, max_bucket_size)
     rows_per_band = num_hashes // bands
@@ -780,7 +792,7 @@ def minhash_lsh_pairs_incremental(
     new_sig = build_minhash_index(
         new_docs, id_col, text_col, k, num_hashes, hash_fn=hash_fn
     )
-    new_sig.cache()
+    new_sig = new_sig.localCheckpoint(eager=True)
     sig = index.withColumn("__new", F.lit(False)).unionByName(
         new_sig.withColumn("__new", F.lit(True))
     )
@@ -1192,12 +1204,14 @@ def embedding_near_dup_pairs_incremental(
     ``new_docs`` ids must be disjoint from the index's (enforce
     upstream; an id on both sides would self-pair at cosine 1.0).
 
-    Cache ownership: the returned ``new_index_rows`` frame is
-    ``cache()``d here (both the pairs plan and the caller's index
-    append read it — uncached, the Arrow hashing pass would run
-    twice). The CALLER must ``unpersist()`` it once both consumers
-    have materialized, as the streaming skeleton does — a driver loop
-    that skips this accumulates one cached frame per batch.
+    Materialization: the returned ``new_index_rows`` frame is eagerly
+    ``localCheckpoint``ed here (both the pairs plan — on multiple
+    legs inside one action, which race a plain cache — and the
+    caller's index append read it; uncached, the Arrow hashing pass
+    ran once per leg). A caller ``unpersist()`` (the old contract) is
+    a harmless no-op — checkpoint blocks are freed by the
+    ContextCleaner when the frame drops, so a driver loop cannot
+    accumulate cached frames per batch either.
     """
     _check_oversize(oversize, max_bucket_size)
     meta = _emb_index_meta(index)
@@ -1214,7 +1228,7 @@ def embedding_near_dup_pairs_incremental(
         new_docs, id_col=id_col, vec_col=vec_col, threshold=threshold,
         num_tables=L, planes_per_table=r, seed=seed,
     )
-    new_idx.cache()
+    new_idx = new_idx.localCheckpoint(eager=True)
     both = index.withColumn("__new", F.lit(False)).unionByName(
         new_idx.withColumn("__new", F.lit(True))
     )

@@ -28,6 +28,21 @@ from lours_spark.functions import vectors as V
 MAX_COLLECTED_QUERIES = 100_000
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Raise corpus-side parallelism when the source scans narrower
+    than the shuffle width: the interpreted centroid-assignment /
+    bucket-sign folds and the exact-cosine verify all execute on the
+    corpus scan's partitions (the query side is broadcast), so a
+    small corpus in one parquet file runs that CPU in a single task.
+    No-op on already-wide inputs — at 100 TB the scan is wider than
+    the cap and this adds nothing. Same policy as
+    ``operators.dedup._widen``."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < min(target, 16):
+        return df.repartition(min(target, 16))
+    return df
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -357,7 +372,7 @@ def lsh_bucket_topk(
             acc = acc + F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
         return acc
 
-    c = corpus.select(
+    c = _widen(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         bucket_expr(F.col(vec_col)).alias("bucket"),
@@ -471,7 +486,7 @@ def ivf_topk(
                 lambda d, i: F.struct(d.alias("d"), i.alias("i")),
             )
 
-        assigned = corpus.select(
+        assigned = _widen(corpus).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
             F.array_min(ranked_pairs(F.col(vec_col)))

@@ -151,6 +151,23 @@ def vectors(spark):
     return rows
 
 
+def test_similarity_widen_policy(spark, vectors):
+    """Corpus-side widen (r11): a narrow corpus is repartitioned so
+    the interpreted assignment/cosine folds run shuffle-wide; an
+    already-wide corpus passes through untouched (no extra exchange
+    at scale)."""
+    from lours_spark.operators.similarity import _widen
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1)
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cap = min(target, 16)
+    assert _widen(df).rdd.getNumPartitions() == cap
+    wide = df.repartition(cap)
+    assert _widen(wide) is wide
+
+
 def test_brute_force_topk_and_knn(spark, vectors):
     df = spark.createDataFrame(
         vectors, "vec_id long, embedding array<double>, label int"
@@ -798,8 +815,16 @@ def test_minhash_xxhash64_variant_matches_md5_pairs(spark):
         for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
     }
     xx = minhash_lsh_pairs(docs, jaccard_threshold=0.5, hash_fn="xxhash64")
-    plan = xx._jdf.queryExecution().executedPlan().toString()
-    assert "xxhash64" in plan and "md5" not in plan.lower().replace(
+    # the pairs plan reads the eagerly-checkpointed signature frame
+    # (r11), so the hash expressions live in the SIGNATURE BUILDER's
+    # plan, not the returned frame's — assert there
+    from lours_spark.operators.dedup import _minhash_agg
+
+    sig_plan = (
+        _minhash_agg(docs, "doc_id", "text", 3, 8, hash_fn="xxhash64")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in sig_plan and "md5" not in sig_plan.lower().replace(
         "md5_long", ""
     ).replace("md5(", "KEEP(")  # no md5 expressions survive
     xx_pairs = {(r["id_a"], r["id_b"]) for r in xx.collect()}

@@ -489,16 +489,19 @@ def test_classifier_score_broadcast_weights_one_gram_exchange(spark, suite):
 def test_embedding_incremental_cached_sides_no_cartesian(spark, suite):
     """Incremental embedding mining: candidates come from the ONE
     groupBy bucket stage (no cartesian, no Python-side self-join), and
-    both signature frames sit behind caches — the new batch is cached
-    by the operator, the facet's inline-built index by the facet (a
-    production index is a parquet scan) — so each side's BLAS pass
-    executes once even though the miner references them three times
-    (bucket rows + both verify legs)."""
+    both signature frames sit behind materializations — the new batch
+    is eagerly localCheckpoint'ed by the operator (r11: a plain cache
+    raced its own three consumers inside one action), the facet's
+    inline-built index cached by the facet (a production index is a
+    parquet scan) — so each side's BLAS pass executes once even
+    though the miner references them three times (bucket rows + both
+    verify legs)."""
     df = suite.q_embedding_incremental(spark, SF)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert plan.count("InMemoryTableScan") >= 6  # 3 refs x 2 cached sides
+    assert plan.count("InMemoryTableScan") >= 3  # 3 refs, cached index side
+    assert plan.count("Scan ExistingRDD") >= 3  # 3 refs, checkpointed new side
 
 
 def test_version_delta_group_tier_aggregates_before_join(spark, tmp_path):
