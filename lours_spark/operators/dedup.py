@@ -1657,7 +1657,10 @@ def semantic_dedup(
             F.sequence(F.lit(0), F.lit(C - 1)),
             lambda d, i: F.struct(d.alias("d"), i.alias("i")),
         )
-        assigned = df.withColumn(
+        # corpus-side widen (r11): the interpreted C×dim argmin fold
+        # runs before the cluster-key exchange, i.e. on the scan's
+        # partitions — single-task on a one-file corpus; no-op at scale
+        assigned = _widen(df).withColumn(
             cluster_col, F.array_min(pairs).getField("i")
         )
     else:
@@ -1691,6 +1694,13 @@ def semantic_dedup(
             model = km.fit(feats)
         assigned = model.transform(feats).drop("__sd_features")
 
+    # NOTE (r11): assigned feeds three legs (both pair-join sides +
+    # the dup-mark rejoin), so the assignment re-evaluates per leg. An
+    # eager localCheckpoint here was MEASURED as a bench regression
+    # (1.18s → 1.52s at sf0.1: the materialization job costs more than
+    # tripling a 16-centroid argmin over 2k rows). At billion-row /
+    # high-k scale the trade reverses — revisit with a size-gated
+    # checkpoint if semantic_dedup becomes a measured bottleneck.
     slim = assigned.select(
         F.col(id_col).alias("__sd_id"),
         F.col(vec_col).alias("__sd_v"),
