@@ -29,15 +29,10 @@ from lours_spark.functions import text as TX
 from lours_spark.functions import vectors as V
 
 
-def _widen(df: DataFrame) -> DataFrame:
-    """Raise input parallelism when the source has fewer partitions
-    than the configured shuffle width — a small corpus in one parquet
-    file would otherwise run its whole (expensive) shingle+hash map
-    stage in a single task. No-op on already-wide inputs."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < min(target, 16):
-        return df.repartition(min(target, 16))
-    return df
+# the ONE widen policy (r12: was a verbatim copy of
+# operators._widen.widen; see that module for the policy + scale notes)
+from lours_spark.operators._materialize import materialize  # noqa: E402
+from lours_spark.operators._widen import widen as _widen  # noqa: E402
 
 
 def exact_duplicates(
@@ -580,13 +575,21 @@ def minhash_lsh_pairs(
     candidate pair with the bucket's min id, the exact-jaccard verify
     prices those like any candidate, and connected components then
     lands the family in ONE cluster (see :func:`_cap_bucket_rows`).
+
+    EXECUTES EAGERLY (r11): the shingle+minhash signature pass runs a
+    distributed job AT CALL TIME (the signature frame is materialized
+    once because three legs of the pairs plan consume it — see
+    ``operators/_materialize.py``, including the executor-loss caveat
+    and the ``cache`` fallback for dynamic-allocation clusters).
+    Callers that only wanted a lazy plan (explain, conditional
+    pipelines) pay the full pass up front.
     """
     _check_oversize(oversize, max_bucket_size)
     rows_per_band = num_hashes // bands
     sig = _minhash_agg(
         df, id_col, text_col, k, num_hashes, hash_fn=hash_fn
     ).withColumnRenamed(id_col, "__id")
-    # localCheckpoint, NOT cache() (r11): the band explode and BOTH
+    # materialize once, NOT cache() (r11): the band explode and BOTH
     # verify legs (sa/sb) consume this subtree inside one action, and
     # branches of one action race an unpopulated cache — the dominant
     # md5-minhash pass ran up to 3×. The eager checkpoint materializes
@@ -594,7 +597,8 @@ def minhash_lsh_pairs(
     # when the result frame drops (a CacheManager entry from this
     # function-local frame had no unpersist path and leaked for the
     # session's life — the embedding-LSH path's precedent below).
-    sig = sig.localCheckpoint(eager=True)
+    # Strategy + executor-loss caveat: operators/_materialize.py (r12).
+    sig = materialize(sig, eager=True)
     band_rows = _band_rows(sig, bands, rows_per_band)
     # bucket via ONE groupBy instead of a self-join: the join's two
     # legs each re-walk the (cached, but population-racing) signature
@@ -785,6 +789,9 @@ def minhash_lsh_pairs_incremental(
     caller's index append reads the same checkpointed blocks; a
     caller ``unpersist()`` (the old contract) is now a harmless no-op
     — blocks are freed by the ContextCleaner when the frame drops.
+    Consequently the batch's signature pass EXECUTES EAGERLY at call
+    time; strategy knob + executor-loss caveat in
+    ``operators/_materialize.py``.
     """
     _check_oversize(oversize, max_bucket_size)
     rows_per_band = num_hashes // bands
@@ -792,7 +799,7 @@ def minhash_lsh_pairs_incremental(
     new_sig = build_minhash_index(
         new_docs, id_col, text_col, k, num_hashes, hash_fn=hash_fn
     )
-    new_sig = new_sig.localCheckpoint(eager=True)
+    new_sig = materialize(new_sig, eager=True)
     sig = index.withColumn("__new", F.lit(False)).unionByName(
         new_sig.withColumn("__new", F.lit(True))
     )
@@ -1211,7 +1218,9 @@ def embedding_near_dup_pairs_incremental(
     ran once per leg). A caller ``unpersist()`` (the old contract) is
     a harmless no-op — checkpoint blocks are freed by the
     ContextCleaner when the frame drops, so a driver loop cannot
-    accumulate cached frames per batch either.
+    accumulate cached frames per batch either. Consequently the
+    batch's Arrow hashing pass EXECUTES EAGERLY at call time; strategy
+    knob + executor-loss caveat in ``operators/_materialize.py``.
     """
     _check_oversize(oversize, max_bucket_size)
     meta = _emb_index_meta(index)
@@ -1228,7 +1237,7 @@ def embedding_near_dup_pairs_incremental(
         new_docs, id_col=id_col, vec_col=vec_col, threshold=threshold,
         num_tables=L, planes_per_table=r, seed=seed,
     )
-    new_idx = new_idx.localCheckpoint(eager=True)
+    new_idx = materialize(new_idx, eager=True)
     both = index.withColumn("__new", F.lit(False)).unionByName(
         new_idx.withColumn("__new", F.lit(True))
     )
@@ -1560,8 +1569,9 @@ def _embedding_near_dup_lsh(
             # unpersist path and leaks for the session's life, while
             # checkpoint blocks are freed by the ContextCleaner once
             # the caller drops the returned frames (the quality.py
-            # per_bucket precedent)
-            sig = sig.localCheckpoint(eager=True)
+            # per_bucket precedent). Strategy + executor-loss caveat:
+            # operators/_materialize.py (r12).
+            sig = materialize(sig, eager=True)
         sig, dropped, star = _cap_bucket_rows(
             sig, ("table", "sig"), max_bucket_size, oversize=oversize
         )

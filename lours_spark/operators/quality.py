@@ -783,12 +783,15 @@ def train_ngram_classifier(
             F.sum(F.col("__y")).alias("__pos"),
             F.sum(1 - F.col("__y")).alias("__neg"),
         )
-        # LAZY checkpoint: the tot aggregate right below consumes every
-        # partition, so the checkpoint blocks are pinned by that same
-        # action — eager=True paid one extra serial job wave for the
-        # same guarantee
-        .localCheckpoint(eager=False)
     )
+    # LAZY materialization: the tot aggregate right below consumes
+    # every partition, so the checkpoint blocks are pinned by that same
+    # action — eager=True paid one extra serial job wave for the same
+    # guarantee. Strategy + executor-loss caveat:
+    # operators/_materialize.py (r12).
+    from lours_spark.operators._materialize import materialize
+
+    per_bucket = materialize(per_bucket, eager=False)
     tot = per_bucket.agg(
         F.sum(F.when(F.col("bucket") >= 0, F.col("__pos"))).alias("p"),
         F.sum(F.when(F.col("bucket") >= 0, F.col("__neg"))).alias("n"),

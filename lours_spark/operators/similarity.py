@@ -28,19 +28,11 @@ from lours_spark.functions import vectors as V
 MAX_COLLECTED_QUERIES = 100_000
 
 
-def _widen(df: DataFrame) -> DataFrame:
-    """Raise corpus-side parallelism when the source scans narrower
-    than the shuffle width: the interpreted centroid-assignment /
-    bucket-sign folds and the exact-cosine verify all execute on the
-    corpus scan's partitions (the query side is broadcast), so a
-    small corpus in one parquet file runs that CPU in a single task.
-    No-op on already-wide inputs — at 100 TB the scan is wider than
-    the cap and this adds nothing. Same policy as
-    ``operators.dedup._widen``."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < min(target, 16):
-        return df.repartition(min(target, 16))
-    return df
+# corpus-side widen before the interpreted centroid-assignment /
+# bucket-sign folds and the exact-cosine verify (the query side is
+# broadcast, so all that CPU runs on the corpus scan's partitions).
+# The ONE widen policy lives in operators._widen (r12 consolidation).
+from lours_spark.operators._widen import widen as _widen  # noqa: E402
 
 
 def brute_force_topk(

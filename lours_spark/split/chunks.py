@@ -141,7 +141,12 @@ def atomic_chunks_distributed(
         )
         # one materializing job per round (see connected_components):
         # checkpoint the round's output, then probe convergence from
-        # the checkpointed partitions
+        # the checkpointed partitions. localCheckpoint blocks are NOT
+        # recomputable — on executor-churn clusters (dynamic
+        # allocation / spot) a lost block fails the remaining rounds;
+        # see operators/_materialize.py for the caveat (the iterative
+        # loop keeps direct localCheckpoint: a cache() fallback would
+        # accumulate one CacheManager entry per round)
         merged = (
             labels.join(new_labels, "row_id", "left")
             .withColumn(

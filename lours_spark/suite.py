@@ -1694,20 +1694,13 @@ def _jittered_pred(ann):
     )
 
 
-def _widen_by(df, *cols):
-    """Keyed analog of ``operators.dedup._widen``: hash-repartition on
-    ``cols`` when the input scans narrower than the shuffle width. The
-    bench parquet files are single-row-group, so every scan is a 1-3
-    task stage and any CPU-dense work right after it runs near-serial;
-    partitioning by the downstream group key parallelizes that work AND
-    lets a following groupBy on a superset of ``cols`` skip its own
-    exchange (hash partitioning on a subset key satisfies the clustered
-    distribution). No-op on inputs that are already wide — at scale the
-    scan supplies the parallelism and this adds nothing."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < min(target, 16):
-        return df.repartition(target, *cols)
-    return df
+# keyed widen: hash-repartition on the downstream group key when the
+# input scans narrow (the bench parquet files are single-row-group, so
+# every scan is a 1-3 task stage and CPU-dense work right after it
+# runs near-serial); the exchange also satisfies a following groupBy
+# on a superset key. The ONE widen policy lives in operators._widen
+# (r12 consolidation of three verbatim copies).
+from lours_spark.operators._widen import widen as _widen_by  # noqa: E402
 
 
 def _matcher_ann(spark, sf_dir):
@@ -2051,13 +2044,19 @@ def q_detection_pr_ap(spark, sf_dir):
     # the pred leg's id % 5 filter pushes below the dedup aggregation,
     # so the gt and pred union legs stop being identical subtrees and
     # exchange reuse no longer covers them — the full scan + dedup
-    # pipeline ran TWICE. Persist the deduped frame and populate it
-    # eagerly (the same race-avoidance pattern as
-    # compute_precision_recall's curve cache): one dedup pass, both
-    # legs read the cache. A/B-measured min-of-4 at sf0.1: 3.70s
-    # cached vs 4.11s dual-leg.
-    ann = ann.persist()
-    ann.count()
+    # pipeline ran TWICE. Materialize the deduped frame once with an
+    # eager localCheckpoint (r12; was persist()+count(), which leaked
+    # one CacheManager entry per call for the session's life — no
+    # unpersist path once the frame is returned into the evaluator.
+    # Checkpoint blocks are freed by the ContextCleaner when the frame
+    # drops, and both legs read the materialized rows the same way).
+    # A/B-measured min-of-4 at sf0.1 (r11): 3.70s materialized vs
+    # 4.11s dual-leg; r12 paired A/B persist-vs-localCheckpoint in
+    # OPTIMIZATION_r12.md. Strategy + executor-loss caveat:
+    # operators/_materialize.py.
+    from lours_spark.operators._materialize import materialize
+
+    ann = materialize(ann, eager=True)
     pred = _jittered_pred(ann).filter(F.col("id") % 5 != 0)
     res = compute_precision_recall(
         ann, pred, ious=[0.2, 0.5], group_cols=["category_id"]

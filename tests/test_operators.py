@@ -167,6 +167,21 @@ def test_similarity_widen_policy(spark, vectors):
     wide = df.repartition(cap)
     assert _widen(wide) is wide
 
+    # r12: ONE widen policy — the former three verbatim copies must
+    # all be the shared helper (three constants to keep in sync was
+    # one review away from drifting)
+    from lours_spark import suite
+    from lours_spark.operators import decontaminate as _dec  # noqa: F401
+    from lours_spark.operators._widen import widen
+    from lours_spark.operators.dedup import _widen as dedup_widen
+
+    assert _widen is widen and dedup_widen is widen
+    assert suite._widen_by is widen
+    # keyed form: hash-repartitions a narrow input to the FULL width
+    # (its exchange substitutes for a downstream one)
+    assert widen(df, "label").rdd.getNumPartitions() == target
+    assert widen(wide, "label") is wide
+
 
 def test_brute_force_topk_and_knn(spark, vectors):
     df = spark.createDataFrame(
@@ -829,6 +844,66 @@ def test_minhash_xxhash64_variant_matches_md5_pairs(spark):
     ).replace("md5(", "KEEP(")  # no md5 expressions survive
     xx_pairs = {(r["id_a"], r["id_b"]) for r in xx.collect()}
     assert md5_pairs == xx_pairs and len(md5_pairs) > 0
+
+
+def test_minhash_lsh_pairs_threads_hash_fn_to_signature_job(
+    spark, monkeypatch
+):
+    """End-to-end hash_fn threading (ADVICE r11): the signature frame
+    minhash_lsh_pairs MATERIALIZES (the eager checkpoint job) must
+    itself carry the requested hash family — the output-parity check
+    alone cannot see which hash the checkpointed job ran, because both
+    families verify with exact Jaccard and emit identical pairs by
+    design. Spy on the materialize seam and assert on the exact plan
+    the checkpoint job executes."""
+    import lours_spark.operators.dedup as dd
+
+    captured: list[str] = []
+    real = dd.materialize
+
+    def spy(df, eager=True):
+        captured.append(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        return real(df, eager=eager)
+
+    monkeypatch.setattr(dd, "materialize", spy)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5, hash_fn="xxhash64")
+    assert captured, "pairs must materialize the signature frame"
+    assert "xxhash64" in captured[0]
+    captured.clear()
+    dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)  # md5 default
+    assert captured and "xxhash64" not in captured[0]
+
+
+def test_materialize_strategy_gate(spark):
+    """The spark.lours.materialize knob (ADVICE r11): default is
+    localCheckpoint (lineage cut, blocks freed by the ContextCleaner,
+    NOT recomputable on executor loss); 'cache' falls back to
+    persist() for dynamic-allocation clusters. Same rows either way."""
+    from lours_spark.operators._materialize import (
+        STRATEGY_CONF,
+        materialize,
+    )
+
+    df = spark.range(10)
+    expect = [(i,) for i in range(10)]
+
+    out = materialize(df, eager=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # checkpointed, not a cache entry
+    assert not out.storageLevel.useMemory
+    assert sorted(tuple(r) for r in out.collect()) == expect
+
+    spark.conf.set(STRATEGY_CONF, "cache")
+    try:
+        out2 = materialize(df, eager=True)
+        assert out2.storageLevel.useMemory  # a real CacheManager entry
+        assert sorted(tuple(r) for r in out2.collect()) == expect
+    finally:
+        spark.conf.unset(STRATEGY_CONF)
+        spark.catalog.clearCache()
 
 
 # ---------------------------------------------------------------- round 6b

@@ -553,10 +553,17 @@ def test_bench_stdout_line_property(data):
     for k, sec in got.items():
         assert abs(sec - qs[k]) <= 0.5 / scale + 1e-9, (k, sec, qs[k])
     if omitted:
-        # shedding drops the FASTEST queries only
-        kept_min = min(qs[k] for k in got)
-        shed_max = max(qs[k] for k in qs if k not in got)
-        assert shed_max <= kept_min + 1e-9
+        # r12 shed order: the STABLE tail set goes first as one block
+        # (stability beats per-run optimality — by-speed shedding
+        # churned the driver-visible query list round over round),
+        # then fastest-first among the rest
+        shed = set(qs) - set(got)
+        fixed = set(bench.STDOUT_SHED_FIRST) & set(qs)
+        assert fixed <= shed, "stable tail must be shed as a block"
+        extra = shed - fixed
+        if extra:
+            kept_min = min(qs[k] for k in got)
+            assert max(qs[k] for k in extra) <= kept_min + 1e-9
 
 
 # pandas one-hot gather (display twin): gathering a frame built by

@@ -156,11 +156,12 @@ def _query_secs(parsed: dict) -> dict:
 def test_bench_stdout_line_fits_driver_window():
     """The driver records only the LAST ~2000 chars of bench.py's
     stdout; bench steps per-query precision down 3→2→1 decimals in
-    seconds → integer centiseconds, then sheds the FASTEST queries
-    (never the whole dict). Guard that the line always fits, keeps the
-    slow tail, self-describes what it dropped, and never degrades a
-    realistic suite below 10ms resolution (the round-6 integer-seconds
-    fallback zeroed every sub-second win in the driver-visible tail)."""
+    seconds → integer centiseconds, then sheds the STABLE tail set as a
+    block, then fastest-first (never the whole dict). Guard that the
+    line always fits, keeps the slow tail, self-describes what it
+    dropped, and never degrades a realistic suite below 10ms resolution
+    (the round-6 integer-seconds fallback zeroed every sub-second win
+    in the driver-visible tail)."""
     import json
 
     import bench
@@ -190,3 +191,32 @@ def test_bench_stdout_line_fits_driver_window():
     omitted2 = parsed2["queries"].get("omitted_fastest", 0)
     assert omitted2 + len(got2) == len(names)
     assert all(abs(sec - 9.87) < 0.005 + 1e-9 for sec in got2.values())
+
+
+def test_bench_stdout_shed_set_is_stable():
+    """r12: the shed set must be the FIXED tail block, not a per-run
+    by-speed re-derivation — by-speed shedding let ±20ms noise on the
+    sub-0.35s tail churn WHICH queries the driver saw, manufacturing
+    phantom dropped/new queries in its round-over-round diff (VERDICT
+    r11). With the committed BENCH_FULL.json timings, shedding the
+    stable set alone must fit the window (no by-speed extras), so the
+    driver-visible query list is identical round over round."""
+    import json
+    import os
+
+    import bench
+
+    shed = set(bench.STDOUT_SHED_FIRST)
+    assert shed <= set(bench.BENCH_QUERIES)
+    assert len(shed) == len(bench.STDOUT_SHED_FIRST), "no duplicates"
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_FULL.json")
+    artifact = json.load(open(path))
+    qs = artifact["queries"]
+    assert set(qs) == set(bench.BENCH_QUERIES)
+    line = bench.stdout_line(artifact["value"], artifact["sf"], qs)
+    parsed = json.loads(line)
+    visible = {k for k in parsed["queries"] if k != "omitted_fastest"}
+    assert visible == set(qs) - shed, (
+        "stdout must shed exactly the stable set at committed timings"
+    )
