@@ -38,8 +38,12 @@ class DetectionEvaluator:
         self.name = name or groundtruth.dataset_name
         self.predictions_dictionary: dict = {}
         self._matches: dict[tuple, DataFrame] = {}
-        #: curve frames persisted by compute_precision_recall — pinned
-        #: MEMORY_AND_DISK blocks; release with clear_cache()
+        #: curve frames materialized by compute_precision_recall.
+        #: Since r12 those are localCheckpoint blocks by default (freed
+        #: by the ContextCleaner when the frames drop; unpersist() is a
+        #: harmless no-op) — clear_cache() still drops the references
+        #: and the matches memo, and still unpersists under the
+        #: spark.lours.materialize=cache fallback.
         self._persisted: list[DataFrame] = []
         for pname, ds in predictions.items():
             self.add_predictions_dataset(pname, ds)
@@ -171,10 +175,12 @@ class DetectionEvaluator:
 
 
     def clear_cache(self) -> None:
-        """Unpersist every curve frame pinned by
-        :meth:`compute_precision_recall` and drop the matches memo —
-        call between evaluation rounds in a long-lived session so
-        MEMORY_AND_DISK blocks don't accumulate."""
+        """Drop every curve frame reference pinned by
+        :meth:`compute_precision_recall` and the matches memo — call
+        between evaluation rounds in a long-lived session so
+        materialized blocks don't accumulate (checkpoint blocks are
+        freed when the references drop; under the cache fallback the
+        unpersist below releases the CacheManager entries)."""
         for df in self._persisted:
             try:
                 df.unpersist()

@@ -515,14 +515,15 @@ def compute_precision_recall(
     threshold at acceptance ``iou > t`` — what ``COCOeval`` does; use
     with ``ap_at_recall_grid`` for pycocotools-comparable numbers.
 
-    ``cache_curves`` persists the curve frame (MEMORY_AND_DISK) AND
-    materializes it eagerly: both AP outputs derive from it, and a
-    lazy persist is not enough — a downstream action that consumes
-    ``ap`` and ``ap_grid`` together (e.g. their join) schedules both
-    branch subtrees concurrently, so each would race to compute the
-    unpopulated cache and the expensive matcher would run twice. The
-    eager count() pins one matcher pass before the branches fan out.
-    Pass False if you only consume ``curves``.
+    ``cache_curves`` materializes the curve frame eagerly (r12: via
+    ``operators/_materialize.py`` — localCheckpoint by default, so the
+    blocks are freed when the returned frames drop instead of leaking
+    a CacheManager entry per call): both AP outputs derive from it,
+    and a lazy persist is not enough — a downstream action that
+    consumes ``ap`` and ``ap_grid`` together (e.g. their join)
+    schedules both branch subtrees concurrently, so each would race to
+    compute an unpopulated cache and the expensive matcher would run
+    twice. Pass False if you only consume ``curves``.
 
     One perfectly-matched prediction per groundtruth → AP 1.0:
 
@@ -563,10 +564,20 @@ def compute_precision_recall(
             curves = curves.unionByName(c)
     tiny = False
     if cache_curves:
-        from pyspark.storagelevel import StorageLevel
+        # materialize (eager localCheckpoint by default), NOT a bare
+        # persist (r12): the persisted curve frame had no unpersist
+        # path inside this function — one CacheManager entry leaked
+        # per call for the session's life unless the caller remembered
+        # to unpersist (the DetectionEvaluator facade did; the
+        # functional path and every suite query did not). Checkpoint
+        # blocks are freed by the ContextCleaner when the returned
+        # frames drop; a caller's unpersist() stays a harmless no-op.
+        # Strategy knob + executor-loss caveat:
+        # operators/_materialize.py.
+        from lours_spark.operators._materialize import materialize
 
-        curves = curves.persist(StorageLevel.MEMORY_AND_DISK)
-        n_curve_rows = curves.count()  # populate before the branches race
+        curves = materialize(curves, eager=True)
+        n_curve_rows = curves.count()  # cheap: reads materialized blocks
         if stats is not None:
             stats["n_curve_rows"] = n_curve_rows
         if n_curve_rows <= TINY_CURVE_ROWS:

@@ -34,6 +34,13 @@ from lours_spark.functions import vectors as V
 from lours_spark.operators._materialize import materialize  # noqa: E402
 from lours_spark.operators._widen import widen as _widen  # noqa: E402
 
+#: semantic_dedup measurement seam (r12): eagerly materialize the
+#: assignment frame before its three consumer legs. Default False —
+#: measured a regression at both sf0.1 and sf1 (see
+#: OPTIMIZATION_r12.md); flip per-session only for corpora where one
+#: materialization demonstrably beats 3× assignment.
+_SD_EAGER_ASSIGNED = False
+
 
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -1704,13 +1711,17 @@ def semantic_dedup(
             model = km.fit(feats)
         assigned = model.transform(feats).drop("__sd_features")
 
-    # NOTE (r11): assigned feeds three legs (both pair-join sides +
-    # the dup-mark rejoin), so the assignment re-evaluates per leg. An
-    # eager localCheckpoint here was MEASURED as a bench regression
-    # (1.18s → 1.52s at sf0.1: the materialization job costs more than
-    # tripling a 16-centroid argmin over 2k rows). At billion-row /
-    # high-k scale the trade reverses — revisit with a size-gated
-    # checkpoint if semantic_dedup becomes a measured bottleneck.
+    # NOTE (r11/r12): assigned feeds three legs (both pair-join sides
+    # + the dup-mark rejoin), so the assignment re-evaluates per leg.
+    # An eager materialization here was MEASURED as a regression at
+    # BOTH scales — sf0.1 1.18s → 1.52s (r11), sf1 paired A/B 0.848s →
+    # 1.043s min-of-3 (r12) — so no size gate is justified by any
+    # measured point: a literal-array argmin is too cheap to beat one
+    # materialization job even at 10× rows. _SD_EAGER_ASSIGNED stays
+    # as the measurement seam for corpora orders of magnitude past
+    # that (see OPTIMIZATION_r12.md, VERDICT item 7).
+    if _SD_EAGER_ASSIGNED:
+        assigned = materialize(assigned, eager=True)
     slim = assigned.select(
         F.col(id_col).alias("__sd_id"),
         F.col(vec_col).alias("__sd_v"),
