@@ -292,19 +292,21 @@ def test_ap_both_tiny_path_single_aggregation(spark, suite):
     res = compute_precision_recall(ann, pred, ious=[0.2, 0.5])
     try:
         plan = _plan(res["ap_both"])
-        # reads the persisted curve frame, not the matcher pipeline
-        assert "InMemoryTableScan" in plan
-        # the InMemoryRelation node embeds the cached frame's LINEAGE
-        # (matcher, windows, explodes) in its description — only the
-        # operators ABOVE the cache read actually execute here
-        above = plan.split("InMemoryRelation")[0]
-        assert "MapInArrow" not in above and "MapInPandas" not in above
+        # reads the MATERIALIZED curve frame, not the matcher pipeline
+        # (r12: compute_precision_recall checkpoints instead of
+        # persisting — the leak fix — so the curve lineage is truncated
+        # out of the plan entirely and the whole visible plan is the
+        # AP aggregation; the assertions below therefore cover the
+        # full plan, a strictly stronger form of the r11 split-at-
+        # InMemoryRelation check)
+        assert "ExistingRDD" in plan
+        assert "MapInArrow" not in plan and "MapInPandas" not in plan
         # one aggregation exchange; no join nodes, no grid explode
-        assert above.count("Exchange hashpartitioning") == 1
-        assert "Join" not in above
-        assert "Generate explode" not in above
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+        assert "Generate explode" not in plan
     finally:
-        res["curves"].unpersist()
+        res["curves"].unpersist()  # no-op by default; real under 'cache'
 
 
 def test_ivf_topk_broadcasts_probe_side(spark, suite):
